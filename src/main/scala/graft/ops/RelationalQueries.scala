@@ -1,0 +1,488 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.prep.Preprocessing
+import graft.split.Splits
+import graft.eval.Metrics
+
+/** Relational operator catalog: each entry exercises one (or one chain) of
+  * the SURVEY.md §2 operators on the driver-provided star schema, paired
+  * with an exactly-equivalent DuckDB oracle in [[oracles]].
+  *
+  * Numeric-parity rules used throughout (so Spark's partition-parallel
+  * aggregation hashes identically to DuckDB's sequential one):
+  *   - money sums go through DECIMAL casts (exact, order-independent) and
+  *     are surfaced as DOUBLE;
+  *   - ratios are computed from exact integer counts with a final
+  *     `round(, 6)`;
+  *   - every count/size is surfaced as BIGINT.
+  */
+object RelationalQueries {
+  import Tables._
+
+  private val dec = DecimalType(18, 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 + P7 — scan, projection, rename, cast
+    "q_scan_project" -> ((s, d) =>
+      lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("line_no"),
+        col("l_quantity").cast("int").as("qty_int"),
+        col("l_returnflag").as("flag"))),
+
+    // P6 — filter with IN-set and comparison predicates (pushed to parquet)
+    "q_filter_isin" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R") && col("l_quantity") > 25)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+          col("l_quantity").as("qty"))),
+
+    // P1 — drop rows where all columns are null (identity on clean data,
+    // semantics still checked end-to-end)
+    "q_dropna_all" -> ((s, d) =>
+      Preprocessing.dropAllNull(documents(s, d))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))),
+
+    // A1 — one-pass multi-column min/max aggregate
+    "q_minmax" -> ((s, d) =>
+      lineitem(s, d).agg(
+        Preprocessing.minMaxAggExprs(
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")).head,
+        Preprocessing.minMaxAggExprs(
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")).tail: _*)),
+
+    // P2 — min-max normalization projection (stats via A1, then pure map)
+    "q_normalize" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val stats = Preprocessing.computeMinMax(li, cols)
+      Preprocessing.minMaxNormalize(li, stats, cols, Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+          round(col("l_quantity"), 6).as("qty_norm"),
+          round(col("l_extendedprice"), 6).as("price_norm"),
+          round(col("l_discount"), 6).as("disc_norm"))
+    }),
+
+    // A2 — group-count
+    "q_group_count" -> ((s, d) =>
+      lineitem(s, d).groupBy(col("l_returnflag").as("flag"),
+          col("l_linestatus").as("status"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // A3 — argmax via orderBy(desc(count)).limit(1), deterministic tie-break
+    "q_argmax_majority" -> ((s, d) =>
+      orders(s, d).groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("priority"))
+        .limit(1)),
+
+    // A4 — sum aggregation (decimal-exact, surfaced as double)
+    "q_sum_agg" -> ((s, d) =>
+      lineitem(s, d).groupBy(col("l_returnflag").as("flag"))
+        .agg(sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"),
+          count(lit(1)).as("cnt"))),
+
+    // A6 — average via exact sum / count
+    "q_avg" -> ((s, d) =>
+      lineitem(s, d).groupBy(col("l_linestatus").as("status"))
+        .agg(round(sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)), 6)
+          .as("avg_qty"))),
+
+    // A7 — distinct + (small) collect path
+    "q_distinct" -> ((s, d) =>
+      customer(s, d).select(col("c_mktsegment").as("segment")).distinct()),
+
+    // A4 + A5 + J2 — per-branch Gini via counts-join-totals
+    "q_gini_branch" -> ((s, d) =>
+      Metrics.branchGiniDF(lineitem(s, d), "l_linestatus", "l_returnflag")
+        .select(col("branch"), col("total"), round(col("gini"), 6).as("gini"))),
+
+    // A5 — weighted Gini, single row
+    "q_gini_weighted" -> ((s, d) =>
+      Metrics.weightedGiniDF(lineitem(s, d), "l_linestatus", "l_returnflag")),
+
+    // J2 — equi inner join (dim side broadcast) + aggregation
+    "q_join_inner" -> ((s, d) =>
+      orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("total"))),
+
+    // J3 + P9 + P8 — left-outer join, fillna/coalesce of missing counts
+    "q_join_left_outer" -> ((s, d) => {
+      val counts = customer(s, d).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      nation(s, d)
+        .join(counts, col("n_nationkey") === col("c_nationkey"), "left_outer")
+        .na.fill(0L, Seq("n_cust"))
+        .select(col("n_name"), col("n_cust"))
+    }),
+
+    // J1 — anti-join (complement)
+    "q_join_anti" -> ((s, d) =>
+      nation(s, d)
+        .join(supplier(s, d), col("n_nationkey") === col("s_nationkey"), "left_anti")
+        .select(col("n_name"))),
+
+    // left_semi (free Spark operator; SURVEY §2.11 negatives made positive)
+    "q_join_semi" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))),
+
+    // P10 — when/otherwise conditional buckets
+    "q_when_buckets" -> ((s, d) =>
+      orders(s, d).select(col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"))),
+
+    // W2 — per-group top-k via row_number window + filter
+    "q_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      orders(s, d).withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"),
+          col("o_totalprice"))
+    }),
+
+    // W1 + R2 — deterministic class-balanced partition-id assignment,
+    // validated by per-(segment, pid) counts
+    "q_partition_balance" -> ((s, d) =>
+      Preprocessing.deterministicPartitionId(
+          customer(s, d), "c_mktsegment", "c_custkey", 8)
+        .groupBy(col("c_mktsegment").as("segment"), col("_partition_id").as("pid"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // T2 (deterministic variant) — hash split tagging, per-split counts
+    "q_hash_split" -> ((s, d) =>
+      customer(s, d)
+        .withColumn("split", Splits.hashSplitColumn("c_custkey", 12))
+        .groupBy(col("split")).agg(count(lit(1)).as("cnt"))),
+
+    // P11 + A6 — accuracy of a deterministic rule predictor
+    "q_rule_accuracy" -> ((s, d) =>
+      Metrics.accuracyDF(
+        orders(s, d).select(col("o_orderpriority").as("label"),
+          when(col("o_totalprice") < 100000, "1-URGENT")
+            .when(col("o_totalprice") < 200000, "2-HIGH")
+            .when(col("o_totalprice") < 300000, "3-MEDIUM")
+            .when(col("o_totalprice") < 400000, "4-NOT SPECIFIED")
+            .otherwise("5-LOW").as("prediction")),
+        "label", "prediction")),
+
+    // E2 — balanced accuracy chain (A2 + J3 + P9 + P10)
+    "q_balanced_accuracy" -> ((s, d) =>
+      Metrics.balancedAccuracyDF(
+        orders(s, d).select(col("o_orderpriority").as("label"),
+          when(col("o_totalprice") < 100000, "1-URGENT")
+            .when(col("o_totalprice") < 200000, "2-HIGH")
+            .when(col("o_totalprice") < 300000, "3-MEDIUM")
+            .when(col("o_totalprice") < 400000, "4-NOT SPECIFIED")
+            .otherwise("5-LOW").as("prediction")),
+        "label", "prediction")),
+
+    // E2 intermediate — per-class recall table
+    "q_per_class_recall" -> ((s, d) =>
+      Metrics.perClassRecallDF(
+        orders(s, d).select(col("o_orderpriority").as("label"),
+          when(col("o_orderstatus") === "F", col("o_orderpriority"))
+            .otherwise(lit("5-LOW")).as("prediction")),
+        "label", "prediction")),
+
+    // P4 — array-pack projection + array aggregate (order-preserving fold)
+    "q_array_pack" -> ((s, d) =>
+      lineitem(s, d).select(col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+          array(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+            .as("features"))
+        .select(col("l_orderkey"), col("line_no"),
+          size(col("features")).cast("long").as("n_features"),
+          round(aggregate(col("features"), lit(0.0), (acc, x) => acc + x), 4)
+            .as("feature_sum"))),
+
+    // TPC-H Q1-style pricing summary — the headline aggregation
+    "q1_pricing_summary" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01 00:00:00")))
+        .groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))))
+            .cast("double").as("sum_disc_price"),
+          round(sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)), 6).as("avg_qty"),
+          round(sum(col("l_discount").cast(dec)).cast("double") / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q3-style top-k join — join + agg + deterministic top-k
+    "q3_top_orders" -> ((s, d) => {
+      val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      orders(s, d)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-style multi-join — dims broadcast, fact-side shuffle only
+    "q5_nation_revenue" -> ((s, d) => {
+      val dims = broadcast(
+        customer(s, d)
+          .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+          .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"), col("n_name")))
+      orders(s, d)
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(dims, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("revenue"))
+    }),
+
+    // Events — time-bucketed aggregation (batch form of the streaming
+    // window). Hour surfaced as integer epoch-micros so the DuckDB compare
+    // is exact regardless of timestamp physical type.
+    "q_events_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"))),
+
+    // Events — lag window + conditional: sessionization (30-min gap rule).
+    // Gap compare in integer micros on both sides for exact parity.
+    "q_events_sessions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+         CAST(l_quantity AS INT) AS qty_int, l_returnflag AS flag FROM lineitem""",
+
+    "q_filter_isin" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no, l_quantity AS qty
+         FROM lineitem WHERE l_returnflag IN ('A','R') AND l_quantity > 25""",
+
+    "q_dropna_all" ->
+      """SELECT lang, count(*) AS n_docs FROM documents
+         WHERE NOT (doc_id IS NULL AND text IS NULL AND lang IS NULL
+                    AND source IS NULL AND n_chars IS NULL)
+         GROUP BY lang""",
+
+    "q_minmax" ->
+      """SELECT CAST(min(l_quantity) AS DOUBLE) AS min_l_quantity, CAST(max(l_quantity) AS DOUBLE) AS max_l_quantity,
+         CAST(min(l_extendedprice) AS DOUBLE) AS min_l_extendedprice, CAST(max(l_extendedprice) AS DOUBLE) AS max_l_extendedprice,
+         CAST(min(l_discount) AS DOUBLE) AS min_l_discount, CAST(max(l_discount) AS DOUBLE) AS max_l_discount,
+         CAST(min(l_tax) AS DOUBLE) AS min_l_tax, CAST(max(l_tax) AS DOUBLE) AS max_l_tax
+         FROM lineitem""",
+
+    "q_normalize" ->
+      """WITH s AS (SELECT min(l_quantity) mnq, max(l_quantity) mxq,
+                min(l_extendedprice) mnp, max(l_extendedprice) mxp,
+                min(l_discount) mnd, max(l_discount) mxd FROM lineitem)
+         SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+           round((l_quantity - mnq) / (mxq - mnq), 6) AS qty_norm,
+           round((l_extendedprice - mnp) / (mxp - mnp), 6) AS price_norm,
+           round((l_discount - mnd) / (mxd - mnd), 6) AS disc_norm
+         FROM lineitem, s""",
+
+    "q_group_count" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status, count(*) AS cnt
+         FROM lineitem GROUP BY 1, 2""",
+
+    "q_argmax_majority" ->
+      """SELECT o_orderpriority AS priority, count(*) AS cnt FROM orders
+         GROUP BY 1 ORDER BY cnt DESC, priority ASC LIMIT 1""",
+
+    "q_sum_agg" ->
+      """SELECT l_returnflag AS flag,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         count(*) AS cnt FROM lineitem GROUP BY 1""",
+
+    "q_avg" ->
+      """SELECT l_linestatus AS status,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
+         FROM lineitem GROUP BY 1""",
+
+    "q_distinct" ->
+      """SELECT DISTINCT c_mktsegment AS segment FROM customer""",
+
+    "q_gini_branch" ->
+      """WITH counts AS (SELECT l_linestatus AS branch, l_returnflag AS cls, count(*) AS cnt
+                         FROM lineitem GROUP BY 1, 2),
+              totals AS (SELECT l_linestatus AS branch, count(*) AS total
+                         FROM lineitem GROUP BY 1)
+         SELECT c.branch, t.total,
+           round(1.0 - sum((CAST(c.cnt AS DOUBLE)/t.total)*(CAST(c.cnt AS DOUBLE)/t.total)), 6) AS gini
+         FROM counts c JOIN totals t ON c.branch = t.branch
+         GROUP BY c.branch, t.total""",
+
+    "q_gini_weighted" ->
+      """WITH counts AS (SELECT l_linestatus AS branch, l_returnflag AS cls, count(*) AS cnt
+                         FROM lineitem GROUP BY 1, 2),
+              totals AS (SELECT l_linestatus AS branch, count(*) AS total
+                         FROM lineitem GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM lineitem),
+              g AS (SELECT c.branch, t.total,
+                      1.0 - sum((CAST(c.cnt AS DOUBLE)/t.total)*(CAST(c.cnt AS DOUBLE)/t.total)) AS gini
+                    FROM counts c JOIN totals t ON c.branch = t.branch
+                    GROUP BY c.branch, t.total)
+         SELECT round(sum((g.total / CAST(n.n AS DOUBLE)) * g.gini), 6) AS weighted_gini
+         FROM g, n""",
+
+    "q_join_inner" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""",
+
+    "q_join_left_outer" ->
+      """SELECT n_name, COALESCE(c.n_cust, 0) AS n_cust
+         FROM nation LEFT JOIN
+           (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+         ON n_nationkey = c.c_nationkey""",
+
+    "q_join_anti" ->
+      """SELECT n_name FROM nation
+         WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)""",
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+
+    "q_when_buckets" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_totalprice > 300000 THEN 'big'
+              WHEN o_totalprice > 100000 THEN 'mid'
+              ELSE 'small' END AS bucket FROM orders""",
+
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rk, o_totalprice FROM
+         (SELECT o_custkey, o_orderkey, o_totalprice,
+            CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
+          FROM orders) t WHERE rk <= 3""",
+
+    "q_partition_balance" ->
+      """WITH p AS (SELECT c_mktsegment,
+           CAST((row_number() OVER (PARTITION BY c_mktsegment
+             ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) - 1) % 8 AS BIGINT) AS pid
+         FROM customer)
+         SELECT c_mktsegment AS segment, pid, count(*) AS cnt FROM p GROUP BY 1, 2""",
+
+    "q_hash_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < 'c'
+                THEN 'train' ELSE 'test' END AS split, count(*) AS cnt
+         FROM customer GROUP BY 1""",
+
+    "q_rule_accuracy" ->
+      """SELECT round(avg(CAST(label = prediction AS INT)), 6) AS accuracy FROM
+         (SELECT o_orderpriority AS label,
+            CASE WHEN o_totalprice < 100000 THEN '1-URGENT'
+                 WHEN o_totalprice < 200000 THEN '2-HIGH'
+                 WHEN o_totalprice < 300000 THEN '3-MEDIUM'
+                 WHEN o_totalprice < 400000 THEN '4-NOT SPECIFIED'
+                 ELSE '5-LOW' END AS prediction
+          FROM orders) t""",
+
+    "q_balanced_accuracy" ->
+      """WITH pred AS (SELECT o_orderpriority AS label,
+            CASE WHEN o_totalprice < 100000 THEN '1-URGENT'
+                 WHEN o_totalprice < 200000 THEN '2-HIGH'
+                 WHEN o_totalprice < 300000 THEN '3-MEDIUM'
+                 WHEN o_totalprice < 400000 THEN '4-NOT SPECIFIED'
+                 ELSE '5-LOW' END AS prediction
+          FROM orders),
+          actual AS (SELECT label AS cls, count(*) AS actual_total FROM pred GROUP BY 1),
+          tp AS (SELECT label AS cls, count(*) AS tp FROM pred WHERE label = prediction GROUP BY 1)
+         SELECT round(avg(CASE WHEN a.actual_total > 0
+                  THEN CAST(COALESCE(t.tp, 0) AS DOUBLE) / a.actual_total
+                  ELSE 0.0 END), 6) AS balanced_accuracy
+         FROM actual a LEFT JOIN tp t ON a.cls = t.cls""",
+
+    "q_per_class_recall" ->
+      """WITH pred AS (SELECT o_orderpriority AS label,
+            CASE WHEN o_orderstatus = 'F' THEN o_orderpriority ELSE '5-LOW' END AS prediction
+          FROM orders),
+          actual AS (SELECT label AS cls, count(*) AS actual_total FROM pred GROUP BY 1),
+          tp AS (SELECT label AS cls, count(*) AS tp FROM pred WHERE label = prediction GROUP BY 1)
+         SELECT a.cls, a.actual_total, COALESCE(t.tp, 0) AS tp,
+           round(CASE WHEN a.actual_total > 0
+             THEN CAST(COALESCE(t.tp, 0) AS DOUBLE) / a.actual_total ELSE 0.0 END, 6) AS recall
+         FROM actual a LEFT JOIN tp t ON a.cls = t.cls""",
+
+    "q_array_pack" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+         CAST(3 AS BIGINT) AS n_features,
+         round(l_quantity + l_extendedprice + l_discount, 4) AS feature_sum
+         FROM lineitem""",
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+         round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         GROUP BY 1, 2""",
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_orderdate,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+         JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM orders
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1""",
+
+    "q_events_window" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+
+    "q_events_sessions" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS prev_us
+          FROM events)
+         SELECT user_id,
+           sum(CASE WHEN prev_us IS NULL
+                 OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+           count(*) AS n_events
+         FROM l GROUP BY 1"""
+  )
+}

@@ -1,0 +1,104 @@
+package graft.prep
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Ingestion-side preprocessing operators.
+  *
+  * Re-expresses the reference pipeline's preprocessing stage
+  * (reference: code/src/preprocessing.py:24-113, code/src/utilities.py:78-95)
+  * as declarative Catalyst projections/aggregations — a single scan computes
+  * all min/max pairs, and normalization is a pure column projection that
+  * whole-stage-codegens and pushes column pruning into the source scan.
+  */
+object Preprocessing {
+
+  /** P1 — drop rows where ALL listed columns are null
+    * (reference: code/src/preprocessing.py:24-26). If `cols` is empty, all
+    * columns are considered (like DataFrameNaFunctions default).
+    */
+  def dropAllNull(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
+    if (cols.isEmpty) df.na.drop("all") else df.na.drop("all", cols)
+
+  /** A1 — one-pass min/max over many columns: 2·n aggregate expressions in a
+    * single job (reference: code/src/utilities.py:78-95 builds the same
+    * single `agg` with 280 expressions). Returns a driver-side map
+    * col -> (min, max).
+    */
+  def computeMinMax(df: DataFrame, cols: Seq[String]): Map[String, (Double, Double)] = {
+    val exprs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"min_$c"),
+          max(col(c)).cast("double").as(s"max_$c")))
+    val row = df.agg(exprs.head, exprs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+    }.toMap
+  }
+
+  /** The aggregate-expressions form of A1 for use inside a declarative plan
+    * (query catalog / tests) without a driver round-trip.
+    */
+  def minMaxAggExprs(cols: Seq[String]): Seq[Column] =
+    cols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"min_$c"),
+          max(col(c)).cast("double").as(s"max_$c")))
+
+  /** P2 — min-max normalization as a pure projection
+    * (reference: code/src/preprocessing.py:29-48). Constant columns
+    * (max == min) normalize to 0.0, matching the reference's guard.
+    * Runs entirely inside whole-stage codegen: no shuffle, no UDF.
+    */
+  def minMaxNormalize(
+      df: DataFrame,
+      stats: Map[String, (Double, Double)],
+      featureCols: Seq[String],
+      passthrough: Seq[String]): DataFrame = {
+    val normed = featureCols.map { c =>
+      val (mn, mx) = stats(c)
+      if (mx == mn) lit(0.0).as(c)
+      else ((col(c) - lit(mn)) / lit(mx - mn)).as(c)
+    }
+    df.select(normed ++ passthrough.map(col): _*)
+  }
+
+  /** R1 — round-robin repartition (reference: code/src/preprocessing.py:50-55). */
+  def roundRobin(df: DataFrame, numPartitions: Int): DataFrame =
+    df.repartition(numPartitions)
+
+  /** W1 + R2 — class-balanced exact repartitioning
+    * (reference: code/src/preprocessing.py:57-86): assign
+    * `_partition_id = (row_number() over (partition by label order by rand)) - 1 mod n`
+    * then hash-repartition on it, so every partition holds an equal,
+    * stratified share of each class. `seed` makes the shuffle order
+    * reproducible (the reference uses unseeded rand — see SURVEY §4 "P3").
+    */
+  def classBalancedPartition(
+      df: DataFrame,
+      labelCol: String,
+      numPartitions: Int,
+      seed: Long = 123L,
+      keepPartitionId: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(col(labelCol)).orderBy(rand(seed))
+    val withPid = df
+      .withColumn("_partition_id",
+        ((row_number().over(w) - lit(1)) % lit(numPartitions)).cast("int"))
+      .repartition(numPartitions, col("_partition_id"))
+    if (keepPartitionId) withPid else withPid.drop("_partition_id")
+  }
+
+  /** Deterministic variant of W1 for oracle-checkable plans: ordering by
+    * md5(key) instead of rand() — same balance properties, reproducible in
+    * any engine.
+    */
+  def deterministicPartitionId(
+      df: DataFrame,
+      labelCol: String,
+      keyCol: String,
+      numPartitions: Int): DataFrame = {
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("_partition_id",
+      ((row_number().over(w) - lit(1)) % lit(numPartitions)).cast("long"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables._
+import TextFunctions._
+
+/** Text-analysis query catalog over the `documents` table, each with a
+  * DuckDB oracle that recomputes the same deterministic function.
+  */
+object TextQueries {
+
+  private val qualityStopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting: whitespace + BPE-ish pre-tokenization
+    "q_text_tokens" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeIshTokenCount(col("text")).as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_obs"))),
+
+    // quality signals + composite score
+    "q_text_quality" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"),
+        round(stopwordRatio(col("text"), qualityStopwords), 6).as("stopword_ratio"),
+        round(meanTokenLength(col("text")), 6).as("mean_token_len"),
+        qualityScore(col("text"), qualityStopwords).as("quality"))),
+
+    // language-ID heuristic
+    "q_text_langid" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"), langId(col("text")).as("lang_pred"))),
+
+    // document fingerprints: canonical md5 + order-sensitive rolling hash
+    "q_text_fingerprint" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        rollingHash(col("text")).as("rhash")))
+  )
+
+  private val qualityStopwordsSql = qualityStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def langListSql(lang: String) =
+    langStopwords.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // Shared SQL fragment: whitespace tokens with empties removed.
+  private val toksSql =
+    """list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"""
+
+  val oracles: Map[String, String] = Map(
+    "q_text_tokens" ->
+      s"""SELECT doc_id,
+          CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+          CAST(length(text) AS BIGINT) AS n_chars_obs
+          FROM documents""",
+
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+            list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks,
+            list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS rawtoks
+          FROM documents),
+          sig AS (SELECT doc_id,
+            CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct_ratio,
+            CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> list_contains($qualityStopwordsSql, x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS stopword_ratio,
+            CASE WHEN len(rawtoks) > 0
+              THEN CAST(list_sum(list_transform(rawtoks, x -> length(x))) AS DOUBLE) / len(rawtoks)
+              ELSE 0.0 END AS mean_token_len,
+            len(rawtoks) AS n_tok
+          FROM t)
+          SELECT doc_id, round(punct_ratio, 6) AS punct_ratio,
+            round(stopword_ratio, 6) AS stopword_ratio,
+            round(mean_token_len, 6) AS mean_token_len,
+            round(((CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0
+                         WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END)
+                 + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.3 END)
+                 + (CASE WHEN stopword_ratio > 0.03 AND stopword_ratio < 0.6 THEN 1.0 ELSE 0.4 END)
+                  ) / 3.0, 6) AS quality
+          FROM sig""",
+
+    "q_text_langid" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          s AS (SELECT doc_id,
+            len(list_filter(toks, x -> list_contains(${langListSql("en")}, x))) AS en,
+            len(list_filter(toks, x -> list_contains(${langListSql("de")}, x))) AS de,
+            len(list_filter(toks, x -> list_contains(${langListSql("fr")}, x))) AS fr,
+            len(list_filter(toks, x -> list_contains(${langListSql("es")}, x))) AS es
+          FROM t)
+          SELECT doc_id,
+            CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                 WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                 WHEN fr >= es AND fr > 0 THEN 'fr'
+                 WHEN es > 0 THEN 'es'
+                 ELSE 'und' END AS lang_pred
+          FROM s""",
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(
+               regexp_extract_all(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), '.'),
+               c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * 131 + c) % 2147483647) AS rhash
+         FROM documents"""
+  )
+}
