@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.RelationalQueries.queries ++
       text.TextQueries.queries ++
-      dedup.DedupQueries.queries
+      dedup.DedupQueries.queries ++
+      ops.TscQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the driver's rows-only check.
@@ -31,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.RelationalQueries.oracles ++
       text.TextQueries.oracles ++
-      dedup.DedupQueries.oracles
+      dedup.DedupQueries.oracles ++
+      ops.TscQueries.oracles
 }

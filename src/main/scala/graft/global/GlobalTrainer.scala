@@ -1,0 +1,244 @@
+package graft.global
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.dist.Distances
+import graft.tree._
+
+/** Global-model strategy: ONE Proximity Tree grown breadth-first,
+  * level-synchronously, with every split decision expressed as distributed
+  * DataFrame computation (reference: code/src/global_model_manager.py:168-402).
+  *
+  * Scale redesign (this is deliberately NOT a port): the reference scores
+  * each (open node × candidate) with its own chain of Spark jobs —
+  * broadcast, UDF labeling, three aggregations, `first()`
+  * (global_model_manager.py:271-295) — i.e. O(nodes × n_splitters) jobs per
+  * level, which is why its global training takes 1900–5300 s on 4k rows.
+  * Here each level costs a FIXED number of jobs regardless of node count:
+  *   1. per-(node,label) class histograms            — one hash aggregate
+  *   2. distributed exemplar sampling (window top-k) — one shuffle
+  *   3. ALL candidates scored in one pass: each row emits one
+  *      (node, candidate, branch, label) key per candidate of its node and
+  *      a map-side-combined count feeds the driver's weighted-Gini argmin
+  *   4. routing: one broadcast map + one projection, persist/unpersist
+  * Driver state stays tiny (exemplars + per-node class counts); data never
+  * leaves executors except as aggregate counts. On a 1000-executor cluster
+  * the shape is identical — broadcasts fan out the split table, the level
+  * barrier is the only synchronization.
+  */
+object GlobalTrainer {
+
+  private final case class SplitSpec(
+      measureName: String,
+      branchLabels: IndexedSeq[Int],
+      exemplars: IndexedSeq[Array[Double]],
+      childIds: IndexedSeq[Int])
+
+  /** Fit one distributed Proximity Tree. Returns the same model type as the
+    * sequential learner — prediction, complexity metrics, and the JSON sink
+    * are shared.
+    */
+  def fit(
+      spark: SparkSession,
+      df: DataFrame,
+      labelCol: String,
+      featureCols: Seq[String],
+      params: ProximityTree.Params): ProximityTreeModel = {
+    import spark.implicits._
+
+    // _to_ts_df (reference: global_model_manager.py:121-159): array-pack +
+    // int label. row_id is unnecessary in this design — rows carry only
+    // their node assignment.
+    val ts0 = df.select(
+      col(labelCol).cast("int").as("true_label"),
+      array(featureCols.map(c => col(c).cast("double")): _*).as("time_series"),
+      lit(0).as("node_id"))
+    var assign = ts0.persist(StorageLevel.MEMORY_AND_DISK)
+    val total = assign.count()
+    require(total > 0, "cannot fit on empty data")
+
+    val rng = new Random(params.seed)
+    val pool = params.pool
+
+    // driver-side tree under construction
+    val leaves = mutable.Map.empty[Int, Int]        // nodeId -> predicted label
+    val splits = mutable.Map.empty[Int, SplitSpec]  // nodeId -> split
+    var nextId = 1
+    var open = List((0, 0)) // (nodeId, depth)
+    var level = 0
+
+    val globalMajority = assign.groupBy(col("true_label"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("true_label"))
+      .head().getInt(0)
+
+    while (open.nonEmpty) {
+      val openIds = open.map(_._1)
+      val depthOf = open.toMap
+
+      // (1) per-node class histograms — small collect (A2)
+      val hist: Map[Int, Map[Int, Long]] =
+        assign.filter(col("node_id").isin(openIds: _*))
+          .groupBy(col("node_id"), col("true_label"))
+          .agg(count(lit(1)).as("cnt"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (nid, rows) =>
+            nid -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+          }
+
+      // leaf decisions (pure / too small / depth-capped / vanished)
+      val (leafNow, splitting) = open.partition { case (nid, depth) =>
+        val h = hist.getOrElse(nid, Map.empty)
+        h.isEmpty || h.size == 1 ||
+          h.values.sum < params.minSamplesSplit ||
+          (params.maxDepth >= 0 && depth >= params.maxDepth)
+      }
+      leafNow.foreach { case (nid, _) =>
+        val h = hist.getOrElse(nid, Map.empty)
+        leaves(nid) =
+          if (h.isEmpty) globalMajority
+          else h.toSeq.maxBy { case (lbl, n) => (n, -lbl) }._1
+      }
+
+      if (splitting.isEmpty) {
+        open = Nil
+      } else {
+        val splittingIds = splitting.map(_._1)
+
+        // (2) W2 — distributed exemplar sampling: top-nSplitters random rows
+        // per (node, class) via window rank (reference:
+        // global_model_manager.py:225-233, seeded here per SURVEY §4 "P3")
+        val w = Window.partitionBy(col("node_id"), col("true_label"))
+          .orderBy(rand(params.seed + level))
+        val sampled: Map[(Int, Int), IndexedSeq[Array[Double]]] =
+          assign.filter(col("node_id").isin(splittingIds: _*))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= params.nSplitters)
+            .select(col("node_id"), col("true_label"), col("rk"), col("time_series"))
+            .as[(Int, Int, Int, Array[Double])]
+            .collect()
+            .groupBy(t => (t._1, t._2))
+            .map { case (k, rows) =>
+              k -> rows.sortBy(_._3).map(_._4).toIndexedSeq
+            }
+
+        // driver assembles candidate splits: measure + one exemplar/class
+        val candidates: Map[Int, IndexedSeq[(String, IndexedSeq[Int], IndexedSeq[Array[Double]])]] =
+          splittingIds.map { nid =>
+            val classLabels = hist(nid).keys.toSeq.sorted
+            val cands = (0 until params.nSplitters).flatMap { c =>
+              val measure = pool(rng.nextInt(pool.length))
+              val ex = classLabels.map { lbl =>
+                val pool0 = sampled.getOrElse((nid, lbl), IndexedSeq.empty)
+                if (pool0.isEmpty) null else pool0(c % pool0.size)
+              }
+              if (ex.contains(null)) None
+              else Some((measure.name, classLabels.toIndexedSeq, ex.toIndexedSeq))
+            }
+            nid -> cands
+          }.toMap
+        val bcCand = spark.sparkContext.broadcast(candidates)
+
+        // (3) ALL candidates scored in ONE job: per row, one record per
+        // candidate of its node; hash aggregate does map-side combine so
+        // the shuffle carries only distinct (node,cand,branch,label) keys.
+        val counts = assign.filter(col("node_id").isin(splittingIds: _*))
+          .select(col("node_id"), col("true_label"), col("time_series"))
+          .as[(Int, Int, Array[Double])]
+          .flatMap { case (nid, lbl, series) =>
+            bcCand.value.getOrElse(nid, IndexedSeq.empty).iterator.zipWithIndex
+              .map { case ((mName, _, exemplars), ci) =>
+                val b = Distances.nearestIndex(Distances.byName(mName), series, exemplars)
+                (nid, ci, b, lbl)
+              }
+          }
+          .toDF("node_id", "cand", "branch", "lbl")
+          .groupBy("node_id", "cand", "branch", "lbl")
+          .agg(count(lit(1)).as("cnt"))
+          .collect()
+
+        // driver: weighted-Gini argmin per node (A5)
+        val byNodeCand = counts.groupBy(r => (r.getInt(0), r.getInt(1)))
+        val chosen = mutable.Map.empty[Int, Int] // nodeId -> winning cand idx
+        splittingIds.foreach { nid =>
+          val nodeTotal = hist(nid).values.sum.toDouble
+          var best = -1; var bestG = Double.PositiveInfinity
+          candidates(nid).indices.foreach { ci =>
+            val rows = byNodeCand.getOrElse((nid, ci), Array.empty)
+            val branches = rows.groupBy(_.getInt(2))
+            if (branches.size >= 2) {
+              val wg = branches.values.map { br =>
+                val bTotal = br.map(_.getLong(4)).sum.toDouble
+                val g = 1.0 - br.map { r =>
+                  val p = r.getLong(4) / bTotal; p * p
+                }.sum
+                (bTotal / nodeTotal) * g
+              }.sum
+              if (wg < bestG) { bestG = wg; best = ci }
+            }
+          }
+          if (best < 0) {
+            leaves(nid) = hist(nid).toSeq.maxBy { case (l, n) => (n, -l) }._1
+          } else {
+            val (mName, branchLabels, exemplars) = candidates(nid)(best)
+            val childIds = branchLabels.map { _ => val id = nextId; nextId += 1; id }
+            splits(nid) = SplitSpec(mName, branchLabels, exemplars, childIds)
+            chosen(nid) = best
+          }
+        }
+        bcCand.destroy()
+
+        // (4) U2 — route every row of a split node to its child; identity
+        // elsewhere (reference: global_model_manager.py:351-371)
+        if (splits.nonEmpty && chosen.nonEmpty) {
+          val routeTable: Map[Int, (String, IndexedSeq[Array[Double]], IndexedSeq[Int])] =
+            chosen.keys.map { nid =>
+              val s = splits(nid)
+              nid -> ((s.measureName, s.exemplars, s.childIds))
+            }.toMap
+          val bcRoute = spark.sparkContext.broadcast(routeTable)
+          val routeUdf = udf((nid: Int, series: Seq[Double]) =>
+            bcRoute.value.get(nid) match {
+              case Some((mName, exemplars, childIds)) =>
+                val b = Distances.nearestIndex(
+                  Distances.byName(mName), series.toArray, exemplars)
+                if (b < 0) nid else childIds(b)
+              case None => nid
+            })
+          val newAssign = assign
+            .withColumn("node_id", routeUdf(col("node_id"), col("time_series")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          newAssign.count() // materialize before dropping the parent
+          assign.unpersist()
+          assign = newAssign
+
+          open = chosen.keys.toList.flatMap { nid =>
+            val depth = depthOf(nid)
+            splits(nid).childIds.map(cid => (cid, depth + 1))
+          }
+        } else {
+          open = Nil
+        }
+      }
+      level += 1
+    }
+    assign.unpersist()
+
+    // materialize the driver tree as the shared model type
+    def build(nid: Int): PNode =
+      splits.get(nid) match {
+        case Some(s) =>
+          PSplit(s.measureName, s.branchLabels, s.exemplars, s.childIds.map(build))
+        case None =>
+          PLeaf(leaves.getOrElse(nid, globalMajority))
+      }
+    ProximityTreeModel(build(0), globalMajority)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.global.GlobalTrainer
+import graft.local.LocalTrainer
+import graft.tree.ProximityTree
+
+/** Time-series-classification queries — the reference's two training
+  * strategies (SURVEY §3.2/§3.4) driven end-to-end over the `embeddings`
+  * table (64-point series, 10 classes). Deterministic: fixed train/test
+  * split on vec_id, seeded learners, md5-keyed partition balance. Not
+  * SQL-expressible → driver applies the rows-only check; accuracy-band
+  * assertions live in ScalaTest (SURVEY §7 hard part (c)).
+  */
+object TscQueries {
+
+  private val dim = 64
+  private val featureCols: Seq[String] = (0 until dim).map(i => s"_f$i")
+
+  /** embeddings → wide (label, _f0.._f63) frame. */
+  private def wide(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq(col("vec_id"), col("label").cast("int").as("label")) ++
+      (0 until dim).map(i => col("embedding").getItem(i).cast("double").as(s"_f$i"))
+    Tables.embeddings(s, d).select(cols: _*)
+  }
+
+  private def confusion(pred: DataFrame): DataFrame =
+    pred.groupBy(col("label"), col("prediction"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("label"), col("prediction"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Local strategy: k per-partition trees -> forest vote
+    "q_tsc_local_forest" -> ((s, d) => {
+      val all = wide(s, d)
+      val train = all.filter(col("vec_id") < 400)
+      val test = all.filter(col("vec_id") >= 400 && col("vec_id") < 500)
+      val forest = LocalTrainer.trainEnsemble(
+        s, train.drop("vec_id"), "label", featureCols,
+        numPartitions = 4,
+        params = ProximityTree.Params(nSplitters = 3, seed = 42,
+          poolNames = Seq("euclidean", "manhattan")),
+        deterministicKeyCol = None) // train already deterministic subset
+      confusion(LocalTrainer.predict(s, forest, test, featureCols))
+    }),
+
+    // Global strategy: one distributed level-synchronous tree
+    "q_tsc_global_tree" -> ((s, d) => {
+      val all = wide(s, d)
+      val train = all.filter(col("vec_id") < 400)
+      val test = all.filter(col("vec_id") >= 400 && col("vec_id") < 500)
+      val tree = GlobalTrainer.fit(
+        s, train, "label", featureCols,
+        ProximityTree.Params(nSplitters = 3, maxDepth = 8, seed = 42,
+          poolNames = Seq("euclidean", "manhattan")))
+      confusion(LocalTrainer.predictTree(s, tree, test, featureCols))
+    })
+  )
+
+  /** Not SQL-expressible — no oracle entries; driver rows-only check. */
+  val oracles: Map[String, String] = Map.empty
+}

@@ -80,10 +80,14 @@ object Preprocessing {
       seed: Long = 123L,
       keepPartitionId: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col(labelCol)).orderBy(rand(seed))
+    // repartitionByRange (not hash): k distinct pid values land in exactly k
+    // partitions with no hash collisions, so no partition comes up empty —
+    // the reference's hash repartition (preprocessing.py:79) can silently
+    // merge two pids into one partition and leave another empty.
     val withPid = df
       .withColumn("_partition_id",
         ((row_number().over(w) - lit(1)) % lit(numPartitions)).cast("int"))
-      .repartition(numPartitions, col("_partition_id"))
+      .repartitionByRange(numPartitions, col("_partition_id"))
     if (keepPartitionId) withPid else withPid.drop("_partition_id")
   }
 

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.eval.Metrics
+import graft.prep.Preprocessing
+import graft.sim.Knn
+import graft.split.Splits
+import graft.text.TextFunctions
+
+/** Operator-level invariants for the query-catalog building blocks (the
+  * driver's DuckDB oracle covers end-to-end value parity; these specs cover
+  * semantics the oracle can't, e.g. LSH recall and split balance).
+  */
+class OperatorsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumped over the lazy dog"), // near dup
+    (4L, "completely different text about spark engines"),
+    (5L, "Der schnelle braune Fuchs und der faule Hund und die Katze")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id winner per fingerprint") {
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 3L, 4L, 5L)) // 2 deduped into 1
+  }
+
+  test("jaccard pairs find the near-duplicate, not the unrelated doc") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        blockCols = Nil, n = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH surfaces exact duplicates with jaccard 1.0") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 32, bands = 16, threshold = 0.9)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+  }
+
+  test("simhash: identical texts have hamming 0, unrelated texts don't collide at <=3") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    assert(!pairs.exists(p => (p._1, p._2) == (4L, 5L)))
+  }
+
+  test("langId separates english and german fixtures") {
+    val out = docs.select($"doc_id", TextFunctions.langId($"text").as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(5L) === "de")
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val one = Seq(("a b  c", 1)).toDF("text", "id")
+    val r = one.select(
+      TextFunctions.tokenCount($"text"),
+      TextFunctions.bpeIshTokenCount(lit("don't stop!"))).head()
+    assert(r.getLong(0) === 3L)
+    // don ' t stop ! -> 5 pre-tokens
+    assert(r.getLong(1) === 5L)
+  }
+
+  test("knn brute-force: nearest neighbor of a vector is its near-copy") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.01f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top1 = Knn.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top1(1L) === 2L)
+    assert(top1(2L) === 1L)
+  }
+
+  test("lsh knn results are a subset of brute-force candidate space with same scoring") {
+    val rng = new scala.util.Random(3)
+    val vecs = (1L to 40L).map(i =>
+      (i, Seq.fill(8)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val brute = Knn.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "cosine_sim")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val lsh = Knn.lshTopK(vecs, vecs, "vec_id", "embedding", k = 3, numPlanes = 2)
+      .select("query_id", "neighbor_id", "cosine_sim")
+      .as[(Long, Long, Double)].collect()
+    // every LSH pair's score matches the brute-force score when present
+    lsh.foreach { case (q, n, sim) =>
+      brute.get((q, n)).foreach(bsim => assert(math.abs(bsim - sim) < 1e-9))
+    }
+    assert(lsh.nonEmpty)
+  }
+
+  test("stratified split: per-class proportions near fraction; disjoint-ish") {
+    val df = (1 to 500).map(i => (i, i % 4)).toDF("id", "label")
+    val (train, test) = Splits.stratifiedSplit(df, "label", 0.8, seed = 123)
+    val nTrain = train.count(); val nTest = test.count()
+    assert(nTrain + nTest === 500)
+    assert(math.abs(nTrain / 500.0 - 0.8) < 0.1)
+    assert(train.join(test, Seq("id"), "inner").count() === 0)
+  }
+
+  test("hash split is deterministic and disjoint") {
+    val df = (1 to 400).map(i => (i, "x")).toDF("id", "v")
+    val (tr1, te1) = Splits.hashSplit(df, "id", sixteenths = 12)
+    val (tr2, _) = Splits.hashSplit(df, "id", sixteenths = 12)
+    assert(tr1.count() === tr2.count())
+    assert(tr1.count() + te1.count() === 400)
+    assert(math.abs(tr1.count() / 400.0 - 0.75) < 0.1)
+  }
+
+  test("class-balanced partitioning yields equal class share per partition") {
+    val df = (1 to 240).map(i => (i, i % 3)).toDF("id", "label")
+    val parts = Preprocessing.classBalancedPartition(df, "label", 4, seed = 1,
+        keepPartitionId = true)
+      .groupBy("_partition_id", "label").count()
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // 240 rows, 3 classes x 80, 4 partitions -> 20 per (partition, class)
+    assert(parts.values.forall(_ === 20L))
+  }
+
+  test("min-max normalize maps to [0,1] with constant columns at 0") {
+    val df = Seq((0.0, 5.0), (5.0, 5.0), (10.0, 5.0)).toDF("a", "b")
+    val stats = Preprocessing.computeMinMax(df, Seq("a", "b"))
+    assert(stats("a") === ((0.0, 10.0)))
+    val out = Preprocessing.minMaxNormalize(df, stats, Seq("a", "b"), Nil)
+      .as[(Double, Double)].collect().sortBy(_._1)
+    assert(out === Array((0.0, 0.0), (0.5, 0.0), (1.0, 0.0)))
+  }
+
+  test("balanced accuracy: perfect predictor = 1, constant predictor = 1/k") {
+    val df = (1 to 90).map(i => (i % 3, i % 3)).toDF("label", "prediction")
+    assert(Metrics.balancedAccuracy(df, "label", "prediction") === 1.0)
+    val const = (1 to 90).map(i => (i % 3, 0)).toDF("label", "prediction")
+    assert(math.abs(Metrics.balancedAccuracy(const, "label", "prediction") - 1.0 / 3) < 1e-6)
+  }
+}
