@@ -1,0 +1,150 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) columns for training-data pipelines.
+  *
+  * Design: media payloads are opaque `binary` columns with typed metadata
+  * beside them; decode / feature-extract / resize / frame-sample run as
+  * per-partition batch transforms (`mapPartitions` over Rows — the JVM
+  * equivalent of `mapInPandas`: one iterator per partition, so a real codec
+  * would amortize its init cost across the partition batch, and partitioning
+  * controls batch shape exactly as at 100 TB).
+  *
+  * STUB NOTICE: the actual byte-level codecs (JPEG decode, PCM decode,
+  * container demux) are NOT implemented — this container has no image/audio
+  * libraries. Each codec below is a clearly-marked deterministic fake that
+  * derives values from the payload bytes, so pipelines and tests exercise
+  * the real Spark plumbing (schemas, partition batching, explode fan-out)
+  * with stable outputs. Swap `StubCodecs` for real codecs to productionize.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Deterministic fake codecs — STUBS for the real byte-level decoders. */
+  object StubCodecs {
+    /** ??? real impl: JPEG/PNG decode → pixel tensor. Stub: 8 deterministic
+      * "channel statistics" derived from byte content. */
+    def imageFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (payload == null) return out
+      var i = 0
+      while (i < payload.length) {
+        out(i % dim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      val n = math.max(1, payload.length / dim)
+      var j = 0
+      while (j < dim) { out(j) /= n; j += 1 }
+      out
+    }
+
+    /** ??? real impl: libjpeg-turbo scale. Stub: metadata-correct resize
+      * that subsamples payload bytes proportionally. */
+    def resize(payload: Array[Byte], fromW: Int, fromH: Int, toW: Int, toH: Int): Array[Byte] = {
+      if (payload == null || fromW <= 0 || fromH <= 0) return Array.emptyByteArray
+      val ratio = (toW.toLong * toH).toDouble / (fromW.toLong * fromH)
+      val newLen = math.max(1, (payload.length * ratio).toInt)
+      val out = new Array[Byte](newLen)
+      var i = 0
+      while (i < newLen) {
+        out(i) = payload(((i.toLong * payload.length) / newLen).toInt)
+        i += 1
+      }
+      out
+    }
+
+    /** ??? real impl: container demux + keyframe decode. Stub: k evenly
+      * spaced byte slices standing in for frames. */
+    def sampleFrames(payload: Array[Byte], numFrames: Int): Seq[Array[Byte]] = {
+      if (payload == null || payload.length == 0) return Seq.empty
+      val frameLen = math.max(1, payload.length / math.max(1, numFrames))
+      (0 until numFrames).map { f =>
+        val start = math.min(payload.length - 1, f * frameLen)
+        java.util.Arrays.copyOfRange(payload, start,
+          math.min(payload.length, start + frameLen))
+      }
+    }
+
+    /** ??? real impl: PCM decode + MFCC. Stub: windowed byte-energy bands. */
+    def audioFeatures(payload: Array[Byte], bands: Int): Array[Float] = {
+      val out = new Array[Float](bands)
+      if (payload == null || payload.length == 0) return out
+      val window = math.max(1, payload.length / bands)
+      var b = 0
+      while (b < bands) {
+        var s = 0.0f
+        var i = b * window
+        val end = math.min(payload.length, (b + 1) * window)
+        while (i < end) { s += math.abs(payload(i).toFloat); i += 1 }
+        out(b) = s / math.max(1, end - b * window)
+        b += 1
+      }
+      out
+    }
+  }
+
+  /** Image decode + feature extraction as a per-partition batch transform.
+    * Output: (media_id, features array<float>). Real plumbing: one codec
+    * "session" per partition, rows streamed through it.
+    */
+  def imageFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType), nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        // real codecs init native state here, once per partition
+        rows.map { r =>
+          Row(r.getLong(0), StubCodecs.imageFeatures(r.getAs[Array[Byte]](1), dim).toSeq)
+        }
+      }(enc)
+  }
+
+  /** Resize: payload + metadata transform; width/height columns updated. */
+  def resizeImages(spark: SparkSession, media: DataFrame, toW: Int, toH: Int): DataFrame = {
+    val resizeUdf = udf((p: Array[Byte], w: Int, h: Int) =>
+      StubCodecs.resize(p, w, h, toW, toH))
+    media.filter(col("kind") === "image")
+      .withColumn("payload", resizeUdf(col("payload"), col("width"), col("height")))
+      .withColumn("width", lit(toW))
+      .withColumn("height", lit(toH))
+  }
+
+  /** Frame sampling: one video row fans out to `numFrames` frame rows via
+    * posexplode — the scalable shape (generator, no driver involvement).
+    */
+  def sampleVideoFrames(spark: SparkSession, media: DataFrame, numFrames: Int): DataFrame = {
+    val framesUdf = udf((p: Array[Byte]) => StubCodecs.sampleFrames(p, numFrames))
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), posexplode(framesUdf(col("payload"))).as(Seq("frame_idx", "frame")))
+  }
+
+  /** Audio feature extraction, same partition-batch shape as images. */
+  def audioFeatures(spark: SparkSession, media: DataFrame, bands: Int = 4): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType), nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), StubCodecs.audioFeatures(r.getAs[Array[Byte]](1), bands).toSeq)
+        }
+      }(enc)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.multimodal
+
+import scala.util.Random
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def payload(seed: Int, n: Int): Array[Byte] = {
+    val b = new Array[Byte](n); new Random(seed).nextBytes(b); b
+  }
+
+  private lazy val media = {
+    val rows = Seq(
+      Row(1L, "image", payload(1, 1024), 32, 32, null, null),
+      Row(2L, "image", payload(2, 4096), 64, 64, null, null),
+      Row(3L, "audio", payload(3, 2048), null, null, 16000, 2000L),
+      Row(4L, "video", payload(4, 8192), 16, 16, null, 5000L),
+      Row(5L, "image", null, 8, 8, null, null))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+  }
+
+  test("imageFeatures: schema, determinism, null payload safe") {
+    val f = Multimodal.imageFeatures(spark, media, dim = 8)
+    assert(f.schema.fieldNames === Array("media_id", "features"))
+    val out = f.as[(Long, Seq[Float])].collect().toMap
+    assert(out.keySet === Set(1L, 2L, 5L))
+    assert(out(1L).length === 8)
+    assert(out(5L).forall(_ === 0.0f)) // null payload -> zero features
+    // deterministic across runs
+    val again = Multimodal.imageFeatures(spark, media, dim = 8)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(again === out)
+  }
+
+  test("resizeImages updates payload proportionally and metadata exactly") {
+    val resized = Multimodal.resizeImages(spark, media, 16, 16)
+    val rows = resized.select("media_id", "width", "height", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.values.forall(r => r.getInt(1) == 16 && r.getInt(2) == 16))
+    // 32x32 -> 16x16 quarters the byte budget
+    assert(rows(1L).getAs[Array[Byte]](3).length === 256)
+  }
+
+  test("sampleVideoFrames fans out one row per frame with index") {
+    val frames = Multimodal.sampleVideoFrames(spark, media, numFrames = 4)
+    val rows = frames.select("media_id", "frame_idx")
+      .as[(Long, Int)].collect().sorted
+    assert(rows === Array((4L, 0), (4L, 1), (4L, 2), (4L, 3)))
+  }
+
+  test("audioFeatures produces band energies for audio rows only") {
+    val f = Multimodal.audioFeatures(spark, media, bands = 4)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(f.keySet === Set(3L))
+    assert(f(3L).length === 4)
+    assert(f(3L).forall(_ > 0)) // random bytes have nonzero mean |energy|
+  }
+}
