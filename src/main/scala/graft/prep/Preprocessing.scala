@@ -66,6 +66,19 @@ object Preprocessing {
   def roundRobin(df: DataFrame, numPartitions: Int): DataFrame =
     df.repartition(numPartitions)
 
+  /** Guarantee CPU parallelism for compute-heavy downstream stages.
+    * Small-byte inputs (one parquet file, a few MB of text) scan as 1-few
+    * partitions, and AQE's byte-based coalescing keeps them that way — so a
+    * CPU-heavy projection (shingling, signatures, distance kernels) runs on
+    * one core no matter the cluster. An explicit numPartitions repartition
+    * is exempt from AQE coalescing. No-op when the input already has enough
+    * partitions (never shrinks a big scan).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** W1 + R2 — class-balanced exact repartitioning
     * (reference: code/src/preprocessing.py:57-86): assign
     * `_partition_id = (row_number() over (partition by label order by rand)) - 1 mod n`

@@ -28,11 +28,14 @@ object Knn {
       k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       toDoubleArray(col(vecCol)).as("qv"))
-    val c = candidates.select(col(idCol).as("neighbor_id"),
-      toDoubleArray(col(vecCol)).as("cv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = graft.prep.Preprocessing.spread(candidates)
+      .select(col(idCol).as("neighbor_id"),
+        toDoubleArray(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineSimilarity(col("qv"), col("cv")).as("sim"))
+        cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -74,14 +77,16 @@ object Knn {
     val planes = randomHyperplanes(numPlanes, dim, seed)
     val q = queries.select(col(idCol).as("query_id"),
         toDoubleArray(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
       .withColumn("bucket", srpBucket(col("qv"), planes))
     val c = candidates.select(col(idCol).as("neighbor_id"),
         toDoubleArray(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
       .withColumn("bucket", srpBucket(col("cv"), planes))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineSimilarity(col("qv"), col("cv")).as("sim"))
+        cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -101,20 +106,45 @@ object Knn {
       threshold: Double,
       numPlanes: Int = 0,
       seed: Long = 42L): DataFrame = {
-    val base = df.select(col(idCol), toDoubleArray(col(vecCol)).as("v"))
-    val withBucket =
-      if (numPlanes <= 0) base.withColumn("bucket", lit(0L))
-      else {
-        val dim = df.select(size(col(vecCol))).head().getInt(0)
-        base.withColumn("bucket",
-          srpBucket(col("v"), randomHyperplanes(numPlanes, dim, seed)))
-      }
-    val a = withBucket.select(col("bucket"), col(idCol).as("id_a"), col("v").as("va"))
-    val b = withBucket.select(col("bucket"), col(idCol).as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(cosineSimilarity(col("va"), col("vb")), 6).as("cosine_sim"))
-      .filter(col("cosine_sim") >= threshold)
+    val base = graft.prep.Preprocessing.spread(df)
+      .select(col(idCol), toDoubleArray(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    if (numPlanes > 0) {
+      // LSH blocking — the scale path
+      val dim = df.select(size(col(vecCol))).head().getInt(0)
+      val withBucket = base.withColumn("bucket",
+        srpBucket(col("v"), randomHyperplanes(numPlanes, dim, seed)))
+      val a = withBucket.select(col("bucket"), col(idCol).as("id_a"),
+        col("v").as("va"), col("nrm").as("na")).repartition()
+      val b = withBucket.select(col("bucket"), col(idCol).as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")), 6)
+            .as("cosine_sim"))
+        .filter(col("cosine_sim") >= threshold)
+    } else {
+      // Exact all-pairs via B x B block-pair replication: row i joins into
+      // buckets (blk_i, *) on one side and (*, blk_i) on the other, so pair
+      // (i, j) meets exactly once in bucket (blk_i, blk_j) and the work
+      // spreads over B^2 tasks — a constant join key would funnel every
+      // pair through ONE task. Replication factor B per side.
+      val B = 8
+      val blkVals = array((0 until B).map(lit): _*)
+      val a = base.select(pmod(col(idCol), lit(B)).as("bx"),
+          explode(blkVals).as("by"),
+          col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
+        .repartition(col("bx"), col("by"))
+      val b = base.select(explode(blkVals).as("bx"),
+          pmod(col(idCol), lit(B)).as("by"),
+          col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("bx", "by"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")), 6)
+            .as("cosine_sim"))
+        .filter(col("cosine_sim") >= threshold)
+    }
   }
 }
