@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's recommended configuration.
+  *
+  * `cluster` is the 100-TB profile: AQE with skew-join splitting and
+  * partition coalescing, larger scan partitions, broadcast threshold wide
+  * enough for real dimension tables. `local` pins shuffle partitions to the
+  * core count (the 200-partition default is pure overhead in one JVM).
+  */
+object GraftSession {
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+      appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Conf map for cluster deployment (applied by spark-submit --conf or a
+    * builder loop); kept as data so it is inspectable and testable.
+    */
+  val clusterConf: Map[String, String] = Map(
+    // AQE: runtime re-plan is the single highest-leverage setting at scale
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "5",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256m",
+    // scans: 256 MB splits keep task count sane on 100 TB inputs
+    "spark.sql.files.maxPartitionBytes" -> "268435456",
+    // shuffle: start high, AQE coalesces down; 2000+ avoids single-digit-GB
+    // reducer partitions on wide shuffles
+    "spark.sql.shuffle.partitions" -> "2000",
+    // joins: 64 MB broadcast covers real dimension tables
+    "spark.sql.autoBroadcastJoinThreshold" -> "67108864",
+    // storage: spill-friendly serialization
+    "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.parquet.compression.codec" -> "zstd")
+}

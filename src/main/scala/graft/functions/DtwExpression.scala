@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+import graft.dist.Distances
+
+/** JVM kernels invoked from generated code (static-call targets — the
+  * generated Java references them by fully qualified name).
+  */
+object DtwKernels {
+  def dtw(a: ArrayData, b: ArrayData): Double =
+    Distances.dtw(a.toDoubleArray(), b.toDoubleArray())
+
+  def dtwWindow(a: ArrayData, b: ArrayData, window: Int): Double =
+    Distances.dtw(a.toDoubleArray(), b.toDoubleArray(), window)
+
+  def euclidean(a: ArrayData, b: ArrayData): Double =
+    Distances.Euclidean(a.toDoubleArray(), b.toDoubleArray())
+}
+
+/** Native Catalyst expression: DTW distance between two array<double>
+  * series (squared local cost, sqrt at the end — see
+  * [[graft.dist.Distances.dtw]]). Full codegen via a static kernel call —
+  * the expression participates in whole-stage codegen instead of the
+  * Scala-UDF encode/decode boundary, and is SQL-addressable once
+  * registered (`SELECT dtw_distance(a, b)`).
+  */
+case class DtwDistance(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dtw_distance expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DtwKernels.dtw(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DtwKernels.dtw($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DtwDistance =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dtw_distance"
+}
+
+/** Same shape for plain Euclidean over arrays (the hot nearest-exemplar
+  * kernel when series are aligned).
+  */
+case class EuclideanDistance(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "euclidean_distance expects (array<double>, array<double>)")
+  }
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DtwKernels.euclidean(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DtwKernels.euclidean($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EuclideanDistance =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "euclidean_distance"
+}
+
+/** Registration: either `spark.sql.extensions=graft.functions.GraftExtensions`
+  * at session build, or [[GraftFunctions.register]] on a live session.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.injections.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+  type Injection = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val injections: Seq[Injection] = Seq(
+    (FunctionIdentifier("dtw_distance"),
+      new ExpressionInfo(classOf[DtwDistance].getName, "dtw_distance"),
+      (es: Seq[Expression]) => DtwDistance(es(0), es(1))),
+    (FunctionIdentifier("euclidean_distance"),
+      new ExpressionInfo(classOf[EuclideanDistance].getName, "euclidean_distance"),
+      (es: Seq[Expression]) => EuclideanDistance(es(0), es(1))))
+
+  /** Imperative registration for an existing session (tests, REPLs). */
+  def register(spark: SparkSession): Unit =
+    injections.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+
+  // Column-API entry points (resolve through the registry — call
+  // [[register]] on the session first)
+  def dtwDistance(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("dtw_distance", a, b)
+  def euclideanDistance(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("euclidean_distance", a, b)
+}

@@ -66,6 +66,16 @@ object Preprocessing {
   def roundRobin(df: DataFrame, numPartitions: Int): DataFrame =
     df.repartition(numPartitions)
 
+  /** P5 — stable surrogate row id (reference:
+    * code/src/global_model_manager.py:130-136): reuse an existing id column
+    * (cast to long) when present, else monotonically_increasing_id —
+    * partition-local generation, no shuffle, unique across the dataset.
+    */
+  def withRowId(df: DataFrame, idCol: String = "row_id"): DataFrame =
+    if (df.columns.contains(idCol))
+      df.withColumn(idCol, col(idCol).cast("long"))
+    else df.withColumn(idCol, monotonically_increasing_id())
+
   /** Guarantee CPU parallelism for compute-heavy downstream stages.
     * Small-byte inputs (one parquet file, a few MB of text) scan as 1-few
     * partitions, and AQE's byte-based coalescing keeps them that way — so a
