@@ -31,7 +31,10 @@ object TscQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("label"), col("prediction"))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ scaleQuery
+
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Local strategy: k per-partition trees -> forest vote
     "q_tsc_local_forest" -> ((s, d) => {
       val all = wide(s, d)
@@ -59,6 +62,28 @@ object TscQueries {
       confusion(LocalTrainer.predictTree(s, tree, test, featureCols))
     })
   )
+
+  /** Scaling proof for the distributed trainer: one level-synchronous tree
+    * over the FULL lineitem fact table (numeric features, returnflag as
+    * label) — 600k rows at sf0.1, millions at sf1. Depth-capped: the point
+    * is per-level cost scaling with rows, not model quality on synthetic
+    * labels. The level loop's job count is independent of node count, so
+    * wall-clock grows ~linearly with data volume.
+    */
+  lazy val scaleQuery: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tsc_global_scale" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        when(col("l_returnflag") === "A", 0)
+          .when(col("l_returnflag") === "N", 1).otherwise(2).as("label"),
+        col("l_quantity").as("_f0"), col("l_extendedprice").as("_f1"),
+        col("l_discount").as("_f2"), col("l_tax").as("_f3"))
+      val tree = GlobalTrainer.fit(
+        s, li, "label", Seq("_f0", "_f1", "_f2", "_f3"),
+        ProximityTree.Params(nSplitters = 2, maxDepth = 3,
+          minSamplesSplit = 1000, seed = 42, poolNames = Seq("euclidean")))
+      confusion(LocalTrainer.predictTree(
+        s, tree, li.sample(0.01, 42), Seq("_f0", "_f1", "_f2", "_f3")))
+    }))
 
   /** Not SQL-expressible — no oracle entries; driver rows-only check. */
   val oracles: Map[String, String] = Map.empty

@@ -1,0 +1,36 @@
+import duckdb, json, glob, os, sys
+import pandas as pd
+
+out = sys.argv[1]; sf = sys.argv[2]
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+oracles = json.load(open(f"{out}/oracle_sql.json"))
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+fails = []
+for name, sql in sorted(oracles.items()):
+    try:
+        spark_df = pd.concat([pd.read_parquet(p) for p in glob.glob(f"{out}/{name}/*.parquet")])
+        ora_df = con.execute(sql).df()
+        s, o = canon(spark_df), canon(ora_df)
+        if list(s.columns) != list(o.columns):
+            fails.append((name, f"cols {list(s.columns)} vs {list(o.columns)}")); continue
+        if len(s) != len(o):
+            fails.append((name, f"rows {len(s)} vs {len(o)}")); continue
+        for c in s.columns:
+            sv, ov = s[c], o[c]
+            if sv.dtype.kind == 'f' or ov.dtype.kind == 'f':
+                import numpy as np
+                if not np.allclose(sv.astype(float), ov.astype(float), rtol=0, atol=1e-9, equal_nan=True):
+                    fails.append((name, f"col {c} value mismatch")); break
+            else:
+                if not (sv.astype(str).values == ov.astype(str).values).all():
+                    fails.append((name, f"col {c} mismatch")); break
+    except Exception as e:
+        fails.append((name, f"EXC {type(e).__name__}: {e}"))
+nq = len(oracles)
+print(f"{nq - len(fails)}/{nq} oracle queries match")
+for n, why in fails: print("FAIL", n, why)
