@@ -250,6 +250,57 @@ object RelationalQueries {
           .cast("double").as("revenue"))
     }),
 
+    // Set operators (free Spark operators; SURVEY §2.11 negatives made
+    // positive): union / intersect / except with dedup semantics
+    "q_set_union" -> ((s, d) =>
+      customer(s, d).filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        .union(orders(s, d).filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("c_custkey")))
+        .distinct()
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"))),
+
+    "q_set_intersect" -> ((s, d) =>
+      customer(s, d).filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        .intersect(orders(s, d).select(col("o_custkey").as("c_custkey")))
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"))),
+
+    "q_set_except" -> ((s, d) =>
+      customer(s, d).select(col("c_custkey"))
+        .except(orders(s, d).select(col("o_custkey").as("c_custkey")))
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"))),
+
+    // Multi-dimensional aggregation: rollup with grouping-set totals
+    "q_rollup" -> ((s, d) =>
+      lineitem(s, d).rollup(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))),
+
+    "q_cube" -> ((s, d) =>
+      orders(s, d).cube(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // String functions over parts
+    "q_string_funcs" -> ((s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        when(col("p_name").contains("green"), 1L).otherwise(0L).as("is_green"))),
+
+    // Date/time functions over orders
+    "q_date_funcs" -> ((s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        datediff(to_date(lit("1998-12-31")), col("o_orderdate")).cast("long")
+          .as("days_to_end"))),
+
     // Events — time-bucketed aggregation (batch form of the streaming
     // window). Hour surfaced as integer epoch-micros so the DuckDB compare
     // is exact regardless of timestamp physical type.
@@ -467,6 +518,53 @@ object RelationalQueries {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY 1""",
+
+    "q_set_union" ->
+      """WITH u AS (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           UNION
+           SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000)
+         SELECT count(*) AS n, sum(c_custkey) AS key_sum FROM u""",
+
+    "q_set_intersect" ->
+      """WITH i AS (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           INTERSECT
+           SELECT o_custkey AS c_custkey FROM orders)
+         SELECT count(*) AS n, sum(c_custkey) AS key_sum FROM i""",
+
+    "q_set_except" ->
+      """WITH e AS (
+           SELECT c_custkey FROM customer
+           EXCEPT
+           SELECT o_custkey AS c_custkey FROM orders)
+         SELECT count(*) AS n, sum(c_custkey) AS key_sum FROM e""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status, count(*) AS cnt,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_cube" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority, count(*) AS cnt
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_upper,
+         CAST(length(p_name) AS BIGINT) AS name_len,
+         substring(p_type, 1, 5) AS type_prefix,
+         p_brand || '-' || p_type AS brand_type,
+         CASE WHEN contains(p_name, 'green') THEN 1 ELSE 0 END AS is_green
+         FROM part""",
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         CAST(day(o_orderdate) AS BIGINT) AS dom,
+         strftime(o_orderdate, '%Y-%m') AS ym,
+         CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_end
+         FROM orders""",
 
     "q_events_window" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
