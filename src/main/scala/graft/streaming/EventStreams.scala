@@ -76,6 +76,19 @@ object EventStreams {
       }
   }
 
+  /** Streaming model scoring: apply a fitted Proximity forest to a stream
+    * of feature rows (broadcast model, stateless map — scales with input
+    * rate, exactly-once under any sink that supports it). The same
+    * `predict` contract as the batch path.
+    */
+  def scoreStream(
+      spark: SparkSession,
+      forest: graft.tree.ProximityForestModel,
+      stream: DataFrame,
+      featureCols: Seq[String],
+      predictionCol: String = "prediction"): DataFrame =
+    graft.local.LocalTrainer.predict(spark, forest, stream, featureCols, predictionCol)
+
   /** File-source entry: stream the events table layout from a directory of
     * parquet (the production shape: object-store prefix, many files).
     */

@@ -73,6 +73,24 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("scoreStream applies a broadcast forest to streaming rows") {
+    import graft.tree.{PLeaf, ProximityForestModel, ProximityTreeModel}
+    val leafModel = ProximityForestModel(
+      IndexedSeq(ProximityTreeModel(PLeaf(7), 7)), IndexedSeq(1.0), useWeighting = false)
+    val stream = MemoryStream[(Double, Double)]
+    stream.addData((1.0, 2.0), (3.0, 4.0))
+    val scored = EventStreams.scoreStream(spark, leafModel,
+      stream.toDF().toDF("_f0", "_f1"), Seq("_f0", "_f1"))
+    val q = scored.writeStream.format("memory").queryName("score_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val preds = spark.table("score_out").select("prediction")
+        .as[Int].collect()
+      assert(preds.toSeq === Seq(7, 7))
+    } finally q.stop()
+  }
+
   test("streaming and batch windowedAgg agree on the same data") {
     val batchOut = EventStreams.windowedAgg(batch.toDF(), "15 minutes", "5 minutes")
       .select("event_type", "n", "total_value")
