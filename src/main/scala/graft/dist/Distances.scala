@@ -140,19 +140,221 @@ object Distances {
     }
   }
 
+  /** Weighted DTW (Jeong et al.): local cost scaled by a logistic weight of
+    * the warp amount |i−j|; `g` controls stiffness (PF paper samples g in
+    * [0,1]). Degenerates to plain DTW at g=0 up to the constant 0.5 factor.
+    */
+  def wdtw(a: Array[Double], b: Array[Double], g: Double): Double = {
+    if (a == null || b == null || a.length == 0 || b.length == 0)
+      return Double.PositiveInfinity
+    val n = a.length; val m = b.length
+    val half = math.max(n, m) / 2.0
+    val inf = Double.PositiveInfinity
+    var prev = Array.fill(m + 1)(inf)
+    var curr = Array.fill(m + 1)(inf)
+    prev(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(curr, inf)
+      var j = 1
+      while (j <= m) {
+        val d = a(i - 1) - b(j - 1)
+        val w = 1.0 / (1.0 + math.exp(-g * (math.abs(i - j) - half)))
+        val cost = w * d * d
+        curr(j) = cost + math.min(prev(j), math.min(prev(j - 1), curr(j - 1)))
+        j += 1
+      }
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    math.sqrt(prev(m))
+  }
+
+  final case class Wdtw(g: Double) extends DistanceMeasure {
+    val name = s"wdtw_$g"
+    def apply(a: Array[Double], b: Array[Double]): Double = wdtw(a, b, g)
+  }
+
+  /** LCSS distance: 1 − |LCSS| / min(n, m). Points match when within
+    * `epsilon`; `window` bounds the matching band (<0 = unbounded).
+    */
+  def lcss(a: Array[Double], b: Array[Double], epsilon: Double, window: Int = -1): Double = {
+    if (a == null || b == null || a.length == 0 || b.length == 0)
+      return Double.PositiveInfinity
+    val n = a.length; val m = b.length
+    val w = if (window < 0) math.max(n, m) else math.max(window, math.abs(n - m))
+    var prev = new Array[Int](m + 1)
+    var curr = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(curr, 0)
+      val jLo = math.max(1, i - w)
+      val jHi = math.min(m, i + w)
+      var j = jLo
+      while (j <= jHi) {
+        curr(j) =
+          if (math.abs(a(i - 1) - b(j - 1)) <= epsilon) prev(j - 1) + 1
+          else math.max(prev(j), curr(j - 1))
+        j += 1
+      }
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    // running max isn't kept by the banded recurrence; prev(m) is the LCSS
+    // of the full sequences, which is what the distance uses
+    1.0 - prev(m).toDouble / math.min(n, m)
+  }
+
+  final case class Lcss(epsilon: Double, window: Int = -1) extends DistanceMeasure {
+    val name = s"lcss_${epsilon}_$window"
+    def apply(a: Array[Double], b: Array[Double]): Double = lcss(a, b, epsilon, window)
+  }
+
+  /** ERP (Edit distance with Real Penalty, Chen & Ng): L1-style edit
+    * distance where gaps cost |x − g| against the constant reference `g`.
+    * A metric (satisfies triangle inequality) unlike DTW.
+    */
+  def erp(a: Array[Double], b: Array[Double], g: Double): Double = {
+    if (a == null || b == null || a.length == 0 || b.length == 0)
+      return Double.PositiveInfinity
+    val n = a.length; val m = b.length
+    var prev = new Array[Double](m + 1)
+    var curr = new Array[Double](m + 1)
+    var j = 1
+    prev(0) = 0.0
+    while (j <= m) { prev(j) = prev(j - 1) + math.abs(b(j - 1) - g); j += 1 }
+    var i = 1
+    while (i <= n) {
+      curr(0) = prev(0) + math.abs(a(i - 1) - g)
+      var jj = 1
+      while (jj <= m) {
+        val subst = prev(jj - 1) + math.abs(a(i - 1) - b(jj - 1))
+        val delA = prev(jj) + math.abs(a(i - 1) - g)
+        val delB = curr(jj - 1) + math.abs(b(jj - 1) - g)
+        curr(jj) = math.min(subst, math.min(delA, delB))
+        jj += 1
+      }
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    prev(m)
+  }
+
+  final case class Erp(g: Double) extends DistanceMeasure {
+    val name = s"erp_$g"
+    def apply(a: Array[Double], b: Array[Double]): Double = erp(a, b, g)
+  }
+
+  /** TWE (Time Warp Edit, Marteau): stiffness `nu` penalizes warping,
+    * `lambda` penalizes deletions. Uses unit timestamps (1..n), the aeon
+    * convention for untimestamped series.
+    */
+  def twe(a: Array[Double], b: Array[Double], nu: Double, lambda: Double): Double = {
+    if (a == null || b == null || a.length == 0 || b.length == 0)
+      return Double.PositiveInfinity
+    val n = a.length; val m = b.length
+    val inf = Double.PositiveInfinity
+    var prev = Array.fill(m + 1)(inf)
+    var curr = Array.fill(m + 1)(inf)
+    prev(0) = 0.0
+    var j = 1
+    while (j <= m) {
+      val bPrev = if (j >= 2) b(j - 2) else 0.0
+      prev(j) = prev(j - 1) + math.abs(b(j - 1) - bPrev) + nu + lambda
+      j += 1
+    }
+    var i = 1
+    while (i <= n) {
+      val aPrev = if (i >= 2) a(i - 2) else 0.0
+      curr(0) = prev(0) + math.abs(a(i - 1) - aPrev) + nu + lambda
+      var jj = 1
+      while (jj <= m) {
+        val bPrev = if (jj >= 2) b(jj - 2) else 0.0
+        // match: align a(i) with b(j) (+ previous-point continuity term)
+        val matchPrevDiff =
+          if (i >= 2 && jj >= 2) math.abs(a(i - 2) - b(jj - 2)) else 0.0
+        val mCost = prev(jj - 1) + math.abs(a(i - 1) - b(jj - 1)) +
+          matchPrevDiff + nu * 2.0 * math.abs(i - jj)
+        // delete in a / delete in b
+        val delA = prev(jj) + math.abs(a(i - 1) - aPrev) + nu + lambda
+        val delB = curr(jj - 1) + math.abs(b(jj - 1) - bPrev) + nu + lambda
+        curr(jj) = math.min(mCost, math.min(delA, delB))
+        jj += 1
+      }
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    prev(m)
+  }
+
+  final case class Twe(nu: Double, lambda: Double) extends DistanceMeasure {
+    val name = s"twe_${nu}_$lambda"
+    def apply(a: Array[Double], b: Array[Double]): Double = twe(a, b, nu, lambda)
+  }
+
+  /** MSM (Move-Split-Merge, Stefan et al.): metric edit distance where
+    * moves cost |x − y| and split/merge cost `c` (+ an alignment term).
+    */
+  def msm(a: Array[Double], b: Array[Double], c: Double): Double = {
+    if (a == null || b == null || a.length == 0 || b.length == 0)
+      return Double.PositiveInfinity
+    @inline def splitMergeCost(newPoint: Double, x: Double, y: Double): Double =
+      if ((x <= newPoint && newPoint <= y) || (y <= newPoint && newPoint <= x)) c
+      else c + math.min(math.abs(newPoint - x), math.abs(newPoint - y))
+    val n = a.length; val m = b.length
+    var prev = new Array[Double](m + 1)
+    var curr = new Array[Double](m + 1)
+    prev(0) = 0.0
+    var j = 1
+    prev(1) = math.abs(a(0) - b(0))
+    while (j <= m) {
+      if (j >= 2) prev(j) = prev(j - 1) + splitMergeCost(b(j - 1), a(0), b(j - 2))
+      j += 1
+    }
+    // row 1 corresponds to a(0); start DP from row 2
+    var i = 2
+    while (i <= n) {
+      curr(0) = Double.PositiveInfinity
+      curr(1) = prev(1) + splitMergeCost(a(i - 1), a(i - 2), b(0))
+      var jj = 2
+      while (jj <= m) {
+        val move = prev(jj - 1) + math.abs(a(i - 1) - b(jj - 1))
+        val split = prev(jj) + splitMergeCost(a(i - 1), a(i - 2), b(jj - 1))
+        val merge = curr(jj - 1) + splitMergeCost(b(jj - 1), a(i - 1), b(jj - 2))
+        curr(jj) = math.min(move, math.min(split, merge))
+        jj += 1
+      }
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    if (n == 1) prev(m) else prev(m)
+  }
+
+  final case class Msm(c: Double) extends DistanceMeasure {
+    val name = s"msm_$c"
+    def apply(a: Array[Double], b: Array[Double]): Double = msm(a, b, c)
+  }
+
   /** Measures by stable name — the serialized-model vocabulary. */
   val byName: Map[String, DistanceMeasure] = {
     val fixed: Seq[DistanceMeasure] = Seq(
       Euclidean, SquaredEuclidean, Manhattan, Cosine, DtwFull,
-      DtwWindow(0.1), Ddtw(-1), Ddtw(0.1))
+      DtwWindow(0.1), Ddtw(-1), Ddtw(0.1),
+      Wdtw(0.05), Lcss(0.05), Lcss(0.05, 10), Erp(0.0),
+      Twe(0.005, 1.0), Msm(0.5))
     fixed.map(m => m.name -> m).toMap
   }
 
-  /** Default measure pool for ProximityTree candidate splits
-    * (euclid + dtw first, per SURVEY §2.8 guidance; pool is pluggable).
+  /** Default measure pool for ProximityTree candidate splits — the eleven
+    * Proximity-Forest-paper measure families (SURVEY §2.8: aeon's pool).
+    * The paper re-samples measure PARAMETERS per splitter; here each family
+    * contributes a fixed representative parameterization so that seeded
+    * runs are reproducible (params assume min-max-normalized inputs).
     */
   val defaultPool: IndexedSeq[DistanceMeasure] =
-    IndexedSeq(Euclidean, DtwFull, DtwWindow(0.1), Manhattan, Cosine)
+    IndexedSeq(Euclidean, DtwFull, DtwWindow(0.1), Wdtw(0.05),
+      Ddtw(-1), Ddtw(0.1), Lcss(0.05, 10), Erp(0.0), Twe(0.005, 1.0),
+      Msm(0.5), Manhattan)
 
   /** Index of the nearest exemplar under `measure`; ties break to the
     * earliest exemplar (stable, matching a sequential argmin loop).

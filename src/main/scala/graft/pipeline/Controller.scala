@@ -30,7 +30,9 @@ final case class SweepConfig(
     trainFraction: Double = 0.8,
     holdoutFraction: Double = 0.2,
     useWeighting: Boolean = false,
-    poolNames: Seq[String] = Seq("euclidean", "dtw_full"),
+    // full PF-paper measure pool (aeon's default) — the reference's learner
+    // draws from the same families
+    poolNames: Seq[String] = graft.dist.Distances.defaultPool.map(_.name),
     modelsDir: Option[String] = None,
     reportsDir: Option[String] = None)
 

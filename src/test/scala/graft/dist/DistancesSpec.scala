@@ -62,10 +62,38 @@ class DistancesSpec extends AnyFunSuite {
   private def randomSeries(rng: Random, n: Int): Array[Double] =
     Array.fill(n)(rng.nextDouble() * 200 - 100)
 
+  test("wdtw/lcss/erp/twe/msm hand checks") {
+    // identical series cost 0 under every edit/warp measure
+    val s = Array(0.1, 0.5, 0.9, 0.3)
+    assert(wdtw(s, s, 0.05) === 0.0)
+    assert(lcss(s, s, 0.01) === 0.0)
+    assert(erp(s, s, 0.0) === 0.0)
+    assert(twe(s, s, 0.005, 1.0) === 0.0)
+    assert(msm(s, s, 0.5) === 0.0)
+    // lcss: within-epsilon series match fully -> distance 0
+    assert(lcss(Array(0.0, 0.5), Array(0.04, 0.54), epsilon = 0.05) === 0.0)
+    // lcss: nothing matches -> distance 1
+    assert(lcss(Array(0.0, 0.0), Array(1.0, 1.0), epsilon = 0.1) === 1.0)
+    // erp with g=0: deleting against zero costs |x|; ([1],[ ]) impossible so
+    // compare ([1,2],[1]) = cost of deleting the 2 against g=0
+    assert(erp(Array(1.0, 2.0), Array(1.0), 0.0) === 2.0)
+    // msm: single move costs |x-y|
+    assert(msm(Array(1.0), Array(3.0), 0.5) === 2.0)
+    // erp is a metric: triangle inequality on seeded trials
+    val rng = new Random(5)
+    (1 to 100).foreach { _ =>
+      val n = 2 + rng.nextInt(10)
+      val x = randomSeries(rng, n); val y = randomSeries(rng, n); val z = randomSeries(rng, n)
+      assert(erp(x, z, 0.0) <= erp(x, y, 0.0) + erp(y, z, 0.0) + 1e-9)
+      assert(msm(x, z, 0.5) <= msm(x, y, 0.5) + msm(y, z, 0.5) + 1e-9)
+    }
+  }
+
   test("property: symmetry and identity for all measures (200 seeded trials)") {
     val rng = new Random(7)
     val measures = Seq(Euclidean, SquaredEuclidean, Manhattan, Cosine, DtwFull,
-      DtwWindow(0.1), Ddtw(-1))
+      DtwWindow(0.1), Ddtw(-1), Wdtw(0.05), Lcss(0.05), Erp(0.0),
+      Twe(0.005, 1.0), Msm(0.5))
     (1 to 200).foreach { _ =>
       val n = 2 + rng.nextInt(24)
       val a = randomSeries(rng, n)
