@@ -85,6 +85,21 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(top1(2L) === 1L)
   }
 
+  test("lsh knn recall vs brute force is reasonable at few planes") {
+    val rng = new scala.util.Random(9)
+    // clustered vectors so neighbors share buckets more often than chance
+    val vecs = (1L to 60L).map { i =>
+      val base = Array.fill(8)(if (i % 3 == 0) 1.0f else -1.0f)
+      (i, base.map(x => x + rng.nextGaussian().toFloat * 0.3f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val brute = Knn.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Knn.lshTopK(vecs, vecs, "vec_id", "embedding", k = 3, numPlanes = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall > 0.5, s"recall $recall") // 2 planes = 4 buckets on clustered data
+  }
+
   test("lsh knn results are a subset of brute-force candidate space with same scoring") {
     val rng = new scala.util.Random(3)
     val vecs = (1L to 40L).map(i =>
