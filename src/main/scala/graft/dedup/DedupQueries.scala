@@ -51,6 +51,35 @@ object DedupQueries {
       val emb = embeddings(s, d)
       Knn.lshTopK(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, numPlanes = 4)
+    }),
+
+    // IVF coarse-quantizer ANN — the billion-vector layout (rows-only)
+    "q_knn_ivf" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Knn.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2)
+    }),
+
+    // End-to-end corpus curation: quality filter -> language filter ->
+    // exact dedup -> per-language token statistics. The composability
+    // showcase — one declarative plan, fully DuckDB-oracled.
+    "q_curation_pipeline" -> ((s, d) => {
+      val docs = documents(s, d)
+      val scored = docs.select(col("doc_id"), col("text"), col("lang"),
+          graft.text.TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          graft.text.TextFunctions.fingerprint(col("text")).as("fp"))
+        .filter(col("n_tokens") >= 5)
+        .filter(col("lang").isin("en", "de", "fr", "es"))
+      // min (not first): identical texts could in principle carry different
+      // lang labels — min is deterministic on both engines
+      val deduped = scored.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min(col("lang")).as("lang"), min(col("n_tokens")).as("n_tokens"))
+      deduped.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6)
+            .as("avg_tokens"))
     })
   )
 
@@ -86,6 +115,22 @@ object DedupQueries {
                ELSE 0.0 END, 6) AS cosine_sim
            FROM e a JOIN e b ON a.vec_id < b.vec_id) p
          WHERE cosine_sim >= 0.4""",
+
+    "q_curation_pipeline" ->
+      """WITH scored AS (
+           SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents
+           WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 5
+             AND lang IN ('en','de','fr','es')),
+         deduped AS (
+           SELECT fp, min(doc_id) AS doc_id,
+             min(lang) AS lang, min(n_tokens) AS n_tokens
+           FROM scored GROUP BY fp)
+         SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens
+         FROM deduped GROUP BY lang""",
 
     "q_knn_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

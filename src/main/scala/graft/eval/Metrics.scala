@@ -54,6 +54,20 @@ object Metrics {
           .otherwise(lit(0.0)), 6).as("recall"))
   }
 
+  /** Per-class precision table: (cls, predicted_total, tp, precision) —
+    * the column-wise complement of [[perClassRecallDF]]. */
+  def perClassPrecisionDF(pred: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val predicted = pred.groupBy(col(predCol).as("cls"))
+      .agg(count(lit(1)).as("predicted_total"))
+    val tp = pred.filter(col(labelCol) === col(predCol))
+      .groupBy(col(predCol).as("cls")).agg(count(lit(1)).as("tp"))
+    predicted.join(tp, Seq("cls"), "left_outer")
+      .na.fill(0L, Seq("tp"))
+      .select(col("cls"), col("predicted_total"), col("tp"),
+        round(when(col("predicted_total") > 0, col("tp") / col("predicted_total"))
+          .otherwise(lit(0.0)), 6).as("precision"))
+  }
+
   /** A5 — the weighted-Gini pipeline as DataFrame ops
     * (reference: code/src/global_model_manager.py:286-295): per-branch class
     * counts -> branch totals (J2 equi-join) -> p^2 -> gini_b = 1 - sum(p^2)

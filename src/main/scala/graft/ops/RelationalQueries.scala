@@ -198,6 +198,14 @@ object RelationalQueries {
             .otherwise(lit("5-LOW")).as("prediction")),
         "label", "prediction")),
 
+    // E4 intermediate — per-class precision table
+    "q_per_class_precision" -> ((s, d) =>
+      Metrics.perClassPrecisionDF(
+        orders(s, d).select(col("o_orderpriority").as("label"),
+          when(col("o_orderstatus") === "F", col("o_orderpriority"))
+            .otherwise(lit("5-LOW")).as("prediction")),
+        "label", "prediction")),
+
     // P4 — array-pack projection + array aggregate (order-preserving fold)
     "q_array_pack" -> ((s, d) =>
       lineitem(s, d).select(col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
@@ -483,6 +491,17 @@ object RelationalQueries {
            round(CASE WHEN a.actual_total > 0
              THEN CAST(COALESCE(t.tp, 0) AS DOUBLE) / a.actual_total ELSE 0.0 END, 6) AS recall
          FROM actual a LEFT JOIN tp t ON a.cls = t.cls""",
+
+    "q_per_class_precision" ->
+      """WITH pred AS (SELECT o_orderpriority AS label,
+            CASE WHEN o_orderstatus = 'F' THEN o_orderpriority ELSE '5-LOW' END AS prediction
+          FROM orders),
+          predicted AS (SELECT prediction AS cls, count(*) AS predicted_total FROM pred GROUP BY 1),
+          tp AS (SELECT prediction AS cls, count(*) AS tp FROM pred WHERE label = prediction GROUP BY 1)
+         SELECT p.cls, p.predicted_total, COALESCE(t.tp, 0) AS tp,
+           round(CASE WHEN p.predicted_total > 0
+             THEN CAST(COALESCE(t.tp, 0) AS DOUBLE) / p.predicted_total ELSE 0.0 END, 6) AS precision
+         FROM predicted p LEFT JOIN tp t ON p.cls = t.cls""",
 
     "q_array_pack" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,

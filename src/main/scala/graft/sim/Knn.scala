@@ -95,6 +95,114 @@ object Knn {
         round(col("sim"), 6).as("cosine_sim"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer learned on a
+    * driver-side sample partitions the corpus into `nlist` cells; each
+    * query probes its `nprobe` nearest cells only. The classic
+    * billion-vector layout: the corpus shuffles ONCE by cell id, and
+    * per-query work drops by ~nlist/nprobe. Centroids are tiny and
+    * broadcast; training is Lloyd's algorithm on a bounded sample (driver
+    * CPU, not a Spark job — the sample is small by construction).
+    */
+  def kmeansCentroids(
+      samples: Array[Array[Double]],
+      k: Int,
+      iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(samples.nonEmpty && k > 0)
+    val rng = new scala.util.Random(seed)
+    val dim = samples.head.length
+    var centroids = rng.shuffle(samples.toVector).take(math.min(k, samples.length))
+      .map(_.clone).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      samples.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val x = v(i) - centroids(c)(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF top-k: assign candidates to their nearest centroid cell, probe the
+    * `nprobe` nearest cells per query, score within the probed cells only.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 2,
+      sampleSize: Int = 2000,
+      seed: Long = 42L): DataFrame = {
+    val spark = candidates.sparkSession
+    val sample = candidates.select(toDoubleArray(col(vecCol)).as("v"))
+      .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
+    val centroids = kmeansCentroids(sample, nlist, iters = 10, seed = seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    val cellOf = udf((v: Seq[Double]) => {
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < cs(c).length && i < v.length) {
+          val x = v(i) - cs(c)(i); d += x * x; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    })
+    val probeCells = udf((v: Seq[Double]) => {
+      val cs = bc.value
+      cs.indices.map { c =>
+        var d = 0.0; var i = 0
+        while (i < cs(c).length && i < v.length) {
+          val x = v(i) - cs(c)(i); d += x * x; i += 1
+        }
+        (d, c)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    })
+
+    val c = graft.prep.Preprocessing.spread(candidates)
+      .select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("cell", cellOf(col("cv")))
+    val q = queries
+      .select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("cell", explode(probeCells(col("qv"))))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("cosine_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
     * Exact within blocking: all-pairs via SRP buckets when `numPlanes` > 0,
     * else full cross-pairs (test scale only).

@@ -100,6 +100,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(recall > 0.5, s"recall $recall") // 2 planes = 4 buckets on clustered data
   }
 
+  test("ivf knn: probed-cell search matches brute force on clustered data") {
+    val rng = new scala.util.Random(17)
+    val vecs = (1L to 80L).map { i =>
+      val center = (i % 4).toInt
+      val base = Array.tabulate(8)(j => if (j % 4 == center) 2.0f else 0.0f)
+      (i, base.map(x => x + rng.nextGaussian().toFloat * 0.1f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val brute = Knn.bruteForceTopK(vecs.filter($"vec_id" <= 8), vecs,
+        "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Knn.ivfTopK(vecs.filter($"vec_id" <= 8), vecs,
+        "vec_id", "embedding", k = 3, nlist = 4, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"ivf recall $recall") // tight clusters: cells align
+  }
+
   test("lsh knn results are a subset of brute-force candidate space with same scoring") {
     val rng = new scala.util.Random(3)
     val vecs = (1L to 40L).map(i =>
