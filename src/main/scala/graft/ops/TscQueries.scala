@@ -32,7 +32,7 @@ object TscQueries {
       .orderBy(col("label"), col("prediction"))
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ scaleQuery
+    baseQueries ++ scaleQuery ++ mediaQuery
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Local strategy: k per-partition trees -> forest vote
@@ -83,6 +83,25 @@ object TscQueries {
           minSamplesSplit = 1000, seed = 42, poolNames = Seq("euclidean")))
       confusion(LocalTrainer.predictTree(
         s, tree, li.sample(0.01, 42), Seq("_f0", "_f1", "_f2", "_f3")))
+    }))
+
+  /** Multimodal plumbing driven through the driver gate: documents' text
+    * bytes stand in for opaque media payloads (deterministic), exercising
+    * the binary-column feature-extraction path end-to-end.
+    */
+  lazy val mediaQuery: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_features" -> ((s, d) => {
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        lit("image").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit(32).as("width"), lit(32).as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("long").as("duration_ms"))
+      graft.multimodal.Multimodal.imageFeatures(s, media, dim = 4)
+        .select(col("media_id"),
+          round(element_at(col("features"), 1), 4).as("f0"),
+          round(element_at(col("features"), 2), 4).as("f1"))
     }))
 
   /** Not SQL-expressible — no oracle entries; driver rows-only check. */

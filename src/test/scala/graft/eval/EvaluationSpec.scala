@@ -63,4 +63,18 @@ class EvaluationSpec extends AnyFunSuite with SparkSpec {
   test("driver memory probe returns a positive MB figure") {
     assert(Evaluation.driverMemoryMb() > 0)
   }
+
+  test("WeightedGiniAggregator matches the DataFrame-chain weighted Gini") {
+    val df = Seq(
+      ("b1", "x"), ("b1", "x"), ("b1", "y"),
+      ("b2", "x"), ("b2", "y"), ("b2", "y"), ("b2", "y")
+    ).toDF("branch", "cls")
+    val chain = Metrics.weightedGiniDF(df, "branch", "cls").head().getDouble(0)
+    val agg = new WeightedGiniAggregator().toColumn
+    val single = df.as[(String, String)].select(agg).head()
+    assert(math.abs(single - chain) < 1e-6)
+    // hand value: b1 gini = 1-(4/9+1/9)=4/9 w=3/7; b2 gini=1-(1/16+9/16)=3/8 w=4/7
+    val expected = (3.0 / 7) * (4.0 / 9) + (4.0 / 7) * (3.0 / 8)
+    assert(math.abs(single - expected) < 1e-9)
+  }
 }

@@ -91,6 +91,23 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: parquet directory -> windowed agg -> parquet sink") {
+    val base = java.nio.file.Files.createTempDirectory("evt_stream").toString
+    batch.toDF().write.parquet(s"$base/in")
+    val stream = EventStreams.readEventStream(spark, s"$base/in")
+    assert(stream.isStreaming)
+    val q = EventStreams.writeParquetStream(
+      EventStreams.windowedAgg(stream, "15 minutes", "5 minutes")
+        .withColumn("window_start", org.apache.spark.sql.functions.col("window_start")),
+      s"$base/out", s"$base/chk").start()
+    try q.processAllAvailable() finally q.stop()
+    // append-mode watermark sinks only emit closed windows; re-reading the
+    // sink directory must at least yield the schema and any closed rows
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.columns.toSet ===
+      Set("window_start", "window_end", "event_type", "n", "total_value"))
+  }
+
   test("streaming and batch windowedAgg agree on the same data") {
     val batchOut = EventStreams.windowedAgg(batch.toDF(), "15 minutes", "5 minutes")
       .select("event_type", "n", "total_value")
