@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     // Untimed warmup at the smallest SF: first execution of each plan shape
     // pays JIT + whole-stage-codegen class compilation (measured 8-20x on
     // the victim query). Warming the same query at sf0.001 compiles the

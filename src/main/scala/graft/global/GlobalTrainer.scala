@@ -212,10 +212,14 @@ object GlobalTrainer {
                 if (b < 0) nid else childIds(b)
               case None => nid
             })
-          val newAssign = assign
+          // every few levels cut the lineage: the routed plan stacks one
+          // projection per level, and a depth-20 tree otherwise carries a
+          // 20-deep UDF chain into every subsequent job's planning
+          val routed = assign
             .withColumn("node_id", routeUdf(col("node_id"), col("time_series")))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          newAssign.count() // materialize before dropping the parent
+          val newAssign =
+            if (level % 8 == 7) routed.localCheckpoint(true)
+            else { val p = routed.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p }
           assign.unpersist()
           assign = newAssign
 
