@@ -21,6 +21,18 @@ object DtwKernels {
 
   def euclidean(a: ArrayData, b: ArrayData): Double =
     Distances.Euclidean(a.toDoubleArray(), b.toDoubleArray())
+
+  /** Left-to-right fold, same order as DuckDB's list_dot_product and the
+    * Catalyst aggregate-HOF formulation — bit-identical results. Reads
+    * ArrayData directly: no boxing, no Seq conversion.
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
 }
 
 /** Native Catalyst expression: DTW distance between two array<double>
@@ -85,6 +97,30 @@ case class EuclideanDistance(left: Expression, right: Expression)
   override def prettyName: String = "euclidean_distance"
 }
 
+/** Codegen'd dot product over two array<double> columns. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "dot_product expects (array<double>, array<double>)")
+  }
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DtwKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DtwKernels.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_product"
+}
+
 /** Registration: either `spark.sql.extensions=graft.functions.GraftExtensions`
   * at session build, or [[GraftFunctions.register]] on a live session.
   */
@@ -102,7 +138,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => DtwDistance(es(0), es(1))),
     (FunctionIdentifier("euclidean_distance"),
       new ExpressionInfo(classOf[EuclideanDistance].getName, "euclidean_distance"),
-      (es: Seq[Expression]) => EuclideanDistance(es(0), es(1))))
+      (es: Seq[Expression]) => EuclideanDistance(es(0), es(1))),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
 
   /** Imperative registration for an existing session (tests, REPLs). */
   def register(spark: SparkSession): Unit =
@@ -110,10 +149,14 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 
-  // Column-API entry points (resolve through the registry — call
-  // [[register]] on the session first)
-  def dtwDistance(a: Column, b: Column): Column =
-    org.apache.spark.sql.functions.call_function("dtw_distance", a, b)
-  def euclideanDistance(a: Column, b: Column): Column =
-    org.apache.spark.sql.functions.call_function("euclidean_distance", a, b)
+  // Column-API entry points — registry-free construction so operators can
+  // use the native expressions under ANY session
+  private def col2(build: (Expression, Expression) => Expression)(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      build(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+  def dtwDistance(a: Column, b: Column): Column = col2(DtwDistance.apply)(a, b)
+  def euclideanDistance(a: Column, b: Column): Column = col2(EuclideanDistance.apply)(a, b)
+  def dotProduct(a: Column, b: Column): Column = col2(DotProduct.apply)(a, b)
 }

@@ -16,22 +16,16 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Dot product as a primitive-loop UDF. Catalyst higher-order functions
-    * evaluate interpreted per element (no codegen) — on pairwise joins this
-    * dominated runtime by ~10x at sf0.1. Fold order is left-to-right, the
-    * same sequence as the [[dot]] expression and DuckDB's
-    * list_dot_product, so results are bit-identical.
+  /** Dot product via the native codegen'd [[graft.functions.DotProduct]]
+    * expression: reads ArrayData directly (no boxing, no UDF encode/decode
+    * boundary) and participates in whole-stage codegen. Catalyst
+    * higher-order functions evaluate interpreted per element — on pairwise
+    * joins they dominated runtime ~10x at sf0.1. Fold order is
+    * left-to-right, the same sequence as the [[dot]] expression and
+    * DuckDB's list_dot_product, so results are bit-identical.
     */
-  val dotUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((a: Seq[Double], b: Seq[Double]) => {
-      var s = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i) * b(i); i += 1 }
-      s
-    })
-
-  def fastDot(a: Column, b: Column): Column = dotUdf(a, b)
+  def fastDot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dotProduct(a, b)
 
   def cosineSimilarity(a: Column, b: Column): Column = {
     val denom = norm(a) * norm(b)
