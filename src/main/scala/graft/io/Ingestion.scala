@@ -65,7 +65,7 @@ object Ingestion {
   def readMinMaxJson(path: String): Map[String, (Double, Double)] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(Files.readAllBytes(Paths.get(path)))
-    val it = root.fields()
+    val it = root.properties().iterator()
     val out = Map.newBuilder[String, (Double, Double)]
     while (it.hasNext) {
       val e = it.next()

@@ -35,6 +35,18 @@ class IngestionSpec extends AnyFunSuite with SparkSpec {
     assert(n > 20 && n < 90, s"sampled $n")
   }
 
+  test("CSV with header: explicit schema, header row skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("csv_hdr").toString
+    val p = java.nio.file.Paths.get(dir, "data.csv")
+    java.nio.file.Files.writeString(p,
+      "label,_c1,_c2\n1,0.5,0.25\n2,1.5,2.5\n")
+    val df = Ingestion.readCsv(spark, p.toString, Ingestion.wideSchema(2))
+    assert(df.count() === 2)
+    val r = df.orderBy("label").collect()
+    assert(r(0).getInt(0) === 1 && r(0).getDouble(1) === 0.5)
+    assert(r(1).getDouble(2) === 2.5)
+  }
+
   test("empty data raises") {
     val empty = Ingestion.readUcrTsv(spark, ecgPath, 140).limit(0)
     assertThrows[IllegalStateException](Ingestion.validateNonEmpty(empty))
