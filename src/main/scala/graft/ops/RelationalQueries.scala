@@ -319,6 +319,24 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(dec)).cast("double").as("total_value"))),
 
+    // As-of join (custom LogicalPlan + Strategy + sort-merge SparkPlan):
+    // each click event picks up the user's most recent at-or-before
+    // purchase value. Right side deduped to one row per (user, time) so
+    // the match is deterministic on both engines.
+    "q_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
+        .agg(max(col("value")).as("purchase_value"))
+      graft.plans.AsOfJoinPlan.asOf(clicks, purchases,
+          "user_id", "t_us", "p_user", "p_us")
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          col("purchase_value"))
+    }),
+
     // Events — lag window + conditional: sessionization (30-min gap rule).
     // Gap compare in integer micros on both sides for exact parity.
     "q_events_sessions" -> ((s, d) => {
@@ -590,6 +608,17 @@ object RelationalQueries {
          count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    "q_asof_join" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, epoch_us(ts) AS t_us
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id AS p_user, epoch_us(ts) AS p_us, max(value) AS purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.event_id, c.user_id, c.t_us, p.purchase_value
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.p_user AND c.t_us >= p.p_us""",
 
     "q_events_sessions" ->
       """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us,

@@ -1,0 +1,148 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join — the full custom-operator path (logical node →
+  * planner strategy → physical sort-merge exec), for the one relational
+  * operator the engine needs that Spark has no built-in for.
+  *
+  * Semantics: every left row is joined to the LAST right row of the same
+  * key with rightTime <= leftTime (nulls when none). Physical shape: both
+  * sides hash-clustered on key and sorted by (key, time) — declared via
+  * requiredChildDistribution/Ordering so EnsureRequirements inserts the
+  * exchanges/sorts — then one streaming merge pass per partition with an
+  * O(1) "last right row" buffer. No build-side materialization: memory is
+  * one row per stream regardless of partition size, so a 100 TB fact side
+  * streams through.
+  */
+final case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    leftTime: Expression,
+    rightKey: Expression,
+    rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+final case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    leftTime: Expression,
+    rightKey: Expression,
+    rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTimeB = BindReferences.bindReference(leftTime, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val rightArity = right.output.size
+    val outSchema = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val nullRight = new GenericInternalRow(rightArity)
+      val joined = new JoinedRow
+      val project = UnsafeProjection.create(outSchema, outSchema)
+      val buffered = rIter.buffered
+
+      // last right row (copied) whose (key, time) <= current left (key, time)
+      var heldKey: Any = null
+      var heldRow: InternalRow = null
+
+      lIter.map { lRow =>
+        val lk = lKeyB.eval(lRow)
+        val lt = lTimeB.eval(lRow)
+        // drop held row if from an earlier key group
+        if (heldRow != null && keyOrd.compare(heldKey, lk) != 0) {
+          heldRow = null; heldKey = null
+        }
+        // advance the right side to the last row at-or-before (lk, lt)
+        var advancing = true
+        while (advancing && buffered.hasNext) {
+          val peek = buffered.head
+          val rk = rKeyB.eval(peek)
+          val kc = keyOrd.compare(rk, lk)
+          if (kc < 0) { buffered.next(); () } // key group already passed
+          else if (kc == 0 && timeOrd.compare(rTimeB.eval(peek), lt) <= 0) {
+            heldRow = buffered.next().copy()
+            heldKey = rk
+          } else advancing = false
+        }
+        val r = if (heldRow != null) heldRow else nullRight
+        project(joined(lRow, r))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, lt, rk, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsOfJoinPlan {
+
+  /** Ensure the strategy is installed (idempotent; public experimental
+    * hook — no session-build-time extension required). */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+  }
+
+  /** Native as-of join of two DataFrames on (keyCol, timeCol). Right-side
+    * column names must not collide with left's (rename first).
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeyCol: String, leftTimeCol: String,
+      rightKeyCol: String, rightTimeCol: String): DataFrame = {
+    val spark = left.sparkSession
+    install(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name"))
+    val node = AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, leftKeyCol), attr(lPlan, leftTimeCol),
+      attr(rPlan, rightKeyCol), attr(rPlan, rightTimeCol))
+    org.apache.spark.sql.GraftColumnBridge.ofRows(spark, node)
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver's t1 smoke contract: entry() returns rows; every query name
+  * with an oracle actually exists in the query map; column aliasing between
+  * Spark results and oracle SQL is the driver's hash key — enforce the
+  * oracle-keys ⊆ query-keys invariant here so a typo can't silently drop a
+  * correctness check.
+  */
+class SparkEntrySpec extends AnyFunSuite with SparkSpec {
+
+  test("entry() runs on sf0.001 with rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query; no duplicate names across catalogs") {
+    val qKeys = SparkEntry.queries.keySet
+    val oKeys = SparkEntry.oracleSql.keySet
+    assert((oKeys -- qKeys).isEmpty, s"orphan oracles: ${oKeys -- qKeys}")
+    val all = Seq(
+      ops.RelationalQueries.queries.keys, text.TextQueries.queries.keys,
+      dedup.DedupQueries.queries.keys, ops.TscQueries.queries.keys)
+      .flatten.toSeq
+    assert(all.size === all.distinct.size, "duplicate query names across catalogs")
+  }
+
+  test("catalog size: at least 50 queries, at least 40 oracled") {
+    assert(SparkEntry.queries.size >= 50, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size >= 40, SparkEntry.oracleSql.size.toString)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.ops.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val trades = Seq(
+    (1L, 10L, "t1"), (1L, 20L, "t2"), (1L, 30L, "t3"),
+    (2L, 15L, "t4"), (3L, 5L, "t5")
+  ).toDF("key", "time", "trade")
+
+  private lazy val quotes = Seq(
+    (1L, 8L, 100.0), (1L, 20L, 101.0), (1L, 25L, 102.0),
+    (2L, 16L, 200.0) // after trade t4 -> no match for key 2
+  ).toDF("qkey", "qtime", "price")
+
+  private def expected = Map(
+    "t1" -> Some(100.0), // quote@8 <= 10
+    "t2" -> Some(101.0), // quote@20 == 20 (at-or-before)
+    "t3" -> Some(102.0), // quote@25 <= 30
+    "t4" -> None,        // only quote for key 2 is at 16 > 15
+    "t5" -> None)        // key 3 has no quotes
+
+  test("native as-of exec: correct matches, at-or-before semantics, null misses") {
+    val out = AsOfJoinPlan.asOf(trades, quotes, "key", "time", "qkey", "qtime")
+      .select($"trade", $"price").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out === expected)
+  }
+
+  test("native exec agrees with the compose-built-ins formulation") {
+    val composed = AsOfJoin.asOf(trades,
+        quotes.toDF("key", "time", "price"), "key", "time", Seq("price"))
+      .select($"trade", $"price").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(composed === expected)
+  }
+
+  test("native exec on shuffled many-partition input (exchange + sort inserted)") {
+    val rng = new scala.util.Random(3)
+    val bigLeft = (1 to 2000).map(i =>
+      (rng.nextInt(20).toLong, rng.nextInt(1000).toLong, i.toLong))
+      .toDF("key", "time", "id").repartition(7)
+    val bigRight = (1 to 500).map(_ =>
+      (rng.nextInt(20).toLong, rng.nextInt(1000).toLong, rng.nextDouble()))
+      .distinct.toDF("qkey", "qtime", "price")
+      .groupBy("qkey", "qtime").agg(max("price").as("price"))
+      .repartition(3)
+    val native = AsOfJoinPlan.asOf(bigLeft, bigRight, "key", "time", "qkey", "qtime")
+      .select($"id", $"price").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val composed = AsOfJoin.asOf(bigLeft,
+        bigRight.toDF("key", "time", "price"), "key", "time", Seq("price"))
+      .select($"id", $"price").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(native.size === 2000)
+    assert(native === composed)
+  }
+
+  test("physical plan contains the custom exec with exchanges under it") {
+    val plan = AsOfJoinPlan.asOf(trades, quotes, "key", "time", "qkey", "qtime")
+      .queryExecution.executedPlan.toString
+    // node prints without the Exec suffix; exchanges + sorts must be
+    // auto-inserted by EnsureRequirements under it
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("Sort ["), plan)
+  }
+}
