@@ -175,6 +175,14 @@ object Distances {
     def apply(a: Array[Double], b: Array[Double]): Double = wdtw(a, b, g)
   }
 
+  /** Weighted derivative DTW — WDTW over first differences (completes the
+    * PF paper's wdtw/wddtw pair). */
+  final case class Wddtw(g: Double) extends DistanceMeasure {
+    val name = s"wddtw_$g"
+    def apply(a: Array[Double], b: Array[Double]): Double =
+      wdtw(derivative(a), derivative(b), g)
+  }
+
   /** LCSS distance: 1 − |LCSS| / min(n, m). Points match when within
     * `epsilon`; `window` bounds the matching band (<0 = unbounded).
     */
@@ -340,7 +348,7 @@ object Distances {
     val fixed: Seq[DistanceMeasure] = Seq(
       Euclidean, SquaredEuclidean, Manhattan, Cosine, DtwFull,
       DtwWindow(0.1), Ddtw(-1), Ddtw(0.1),
-      Wdtw(0.05), Lcss(0.05), Lcss(0.05, 10), Erp(0.0),
+      Wdtw(0.05), Wddtw(0.05), Lcss(0.05), Lcss(0.05, 10), Erp(0.0),
       Twe(0.005, 1.0), Msm(0.5))
     fixed.map(m => m.name -> m).toMap
   }
@@ -353,8 +361,8 @@ object Distances {
     */
   val defaultPool: IndexedSeq[DistanceMeasure] =
     IndexedSeq(Euclidean, DtwFull, DtwWindow(0.1), Wdtw(0.05),
-      Ddtw(-1), Ddtw(0.1), Lcss(0.05, 10), Erp(0.0), Twe(0.005, 1.0),
-      Msm(0.5), Manhattan)
+      Ddtw(-1), Ddtw(0.1), Wddtw(0.05), Lcss(0.05, 10), Erp(0.0),
+      Twe(0.005, 1.0), Msm(0.5))
 
   /** Index of the nearest exemplar under `measure`; ties break to the
     * earliest exemplar (stable, matching a sequential argmin loop).

@@ -92,7 +92,7 @@ class DistancesSpec extends AnyFunSuite {
   test("property: symmetry and identity for all measures (200 seeded trials)") {
     val rng = new Random(7)
     val measures = Seq(Euclidean, SquaredEuclidean, Manhattan, Cosine, DtwFull,
-      DtwWindow(0.1), Ddtw(-1), Wdtw(0.05), Lcss(0.05), Erp(0.0),
+      DtwWindow(0.1), Ddtw(-1), Wdtw(0.05), Wddtw(0.05), Lcss(0.05), Erp(0.0),
       Twe(0.005, 1.0), Msm(0.5))
     (1 to 200).foreach { _ =>
       val n = 2 + rng.nextInt(24)
