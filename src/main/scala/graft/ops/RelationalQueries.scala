@@ -309,6 +309,37 @@ object RelationalQueries {
         datediff(to_date(lit("1998-12-31")), col("o_orderdate")).cast("long")
           .as("days_to_end"))),
 
+    // TPC-H Q10-style: revenue lost to returned items per customer, top 20
+    "q10_returned_items" -> ((s, d) =>
+      lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)),
+
+    // TPC-H Q7-style: supplier-nation -> customer-nation trade volume
+    "q7_nation_volume" -> ((s, d) => {
+      val suppNation = broadcast(supplier(s, d)
+        .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val custNation = broadcast(customer(s, d)
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation")))
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .join(custNation, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"))
+        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("volume"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Events — time-bucketed aggregation (batch form of the streaming
     // window). Hour surfaced as integer epoch-micros so the DuckDB compare
     // is exact regardless of timestamp physical type.
@@ -608,6 +639,29 @@ object RelationalQueries {
          count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+         GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         WHERE sn.n_name <> cn.n_name
+         GROUP BY 1, 2""",
 
     "q_asof_join" ->
       """WITH clicks AS (
