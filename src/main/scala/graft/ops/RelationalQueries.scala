@@ -144,6 +144,20 @@ object RelationalQueries {
           .when(col("o_totalprice") > 100000, "mid")
           .otherwise("small").as("bucket"))),
 
+    // Analytic frames (§2.5 negatives made positive): running sum +
+    // moving average + lead over an explicit rowsBetween frame
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(dec))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"),
+        round(avg(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 6)
+          .as("moving_avg3"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+    }),
+
     // W2 — per-group top-k via row_number window + filter
     "q_window_topk" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -485,6 +499,18 @@ object RelationalQueries {
          CASE WHEN o_totalprice > 300000 THEN 'big'
               WHEN o_totalprice > 100000 THEN 'mid'
               ELSE 'small' END AS bucket FROM orders""",
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+         round(avg(o_totalprice) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3,
+         lead(o_orderkey, 1) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_orderkey
+         FROM orders""",
 
     "q_window_topk" ->
       """SELECT o_custkey, o_orderkey, rk, o_totalprice FROM
