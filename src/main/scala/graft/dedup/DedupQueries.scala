@@ -77,7 +77,7 @@ object DedupQueries {
           min(col("lang")).as("lang"), min(col("n_tokens")).as("n_tokens"))
       deduped.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
           round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6)
             .as("avg_tokens"))
     })
@@ -128,7 +128,7 @@ object DedupQueries {
            SELECT fp, min(doc_id) AS doc_id,
              min(lang) AS lang, min(n_tokens) AS n_tokens
            FROM scored GROUP BY fp)
-         SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens
          FROM deduped GROUP BY lang""",
 

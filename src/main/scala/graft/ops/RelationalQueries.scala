@@ -279,17 +279,17 @@ object RelationalQueries {
         .union(orders(s, d).filter(col("o_totalprice") > 400000)
           .select(col("o_custkey").as("c_custkey")))
         .distinct()
-        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"))),
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).cast("long").as("key_sum"))),
 
     "q_set_intersect" -> ((s, d) =>
       customer(s, d).filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
         .intersect(orders(s, d).select(col("o_custkey").as("c_custkey")))
-        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"))),
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).cast("long").as("key_sum"))),
 
     "q_set_except" -> ((s, d) =>
       customer(s, d).select(col("c_custkey"))
         .except(orders(s, d).select(col("o_custkey").as("c_custkey")))
-        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"))),
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).cast("long").as("key_sum"))),
 
     // Multi-dimensional aggregation: rollup with grouping-set totals
     "q_rollup" -> ((s, d) =>
@@ -393,7 +393,7 @@ object RelationalQueries {
             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
             .otherwise(0L))
         .groupBy(col("user_id"))
-        .agg(sum(col("new_session")).as("n_sessions"),
+        .agg(sum(col("new_session")).cast("long").as("n_sessions"),
           count(lit(1)).as("n_events"))
     })
   )
@@ -618,21 +618,21 @@ object RelationalQueries {
            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
            UNION
            SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000)
-         SELECT count(*) AS n, sum(c_custkey) AS key_sum FROM u""",
+         SELECT count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM u""",
 
     "q_set_intersect" ->
       """WITH i AS (
            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
            INTERSECT
            SELECT o_custkey AS c_custkey FROM orders)
-         SELECT count(*) AS n, sum(c_custkey) AS key_sum FROM i""",
+         SELECT count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM i""",
 
     "q_set_except" ->
       """WITH e AS (
            SELECT c_custkey FROM customer
            EXCEPT
            SELECT o_custkey AS c_custkey FROM orders)
-         SELECT count(*) AS n, sum(c_custkey) AS key_sum FROM e""",
+         SELECT count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM e""",
 
     "q_rollup" ->
       """SELECT l_returnflag AS flag, l_linestatus AS status, count(*) AS cnt,
@@ -706,8 +706,8 @@ object RelationalQueries {
               ORDER BY epoch_us(ts), event_id) AS prev_us
           FROM events)
          SELECT user_id,
-           sum(CASE WHEN prev_us IS NULL
-                 OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+           CAST(sum(CASE WHEN prev_us IS NULL
+                 OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
            count(*) AS n_events
          FROM l GROUP BY 1"""
   )

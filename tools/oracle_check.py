@@ -22,6 +22,11 @@ for name, sql in sorted(oracles.items()):
             fails.append((name, f"rows {len(s)} vs {len(o)}")); continue
         for c in s.columns:
             sv, ov = s[c], o[c]
+            # The driver hashes canonical value representations, so a dtype
+            # divergence (e.g. DuckDB HUGEINT->float64 vs Spark int64) is a
+            # hash mismatch even when values compare numerically equal.
+            if sv.dtype.kind != ov.dtype.kind:
+                fails.append((name, f"col {c} dtype {sv.dtype} vs {ov.dtype}")); break
             if sv.dtype.kind == 'f' or ov.dtype.kind == 'f':
                 import numpy as np
                 if not np.allclose(sv.astype(float), ov.astype(float), rtol=0, atol=1e-9, equal_nan=True):
