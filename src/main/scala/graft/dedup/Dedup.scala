@@ -263,20 +263,26 @@ object Dedup {
   /** Hamming distance between two 64-bit hashes (bit_count of xor). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-duplicate pairs: block on 16-bit quarters of the hash
-    * (a pair within Hamming distance 3 must agree on at least one quarter),
-    * then verify Hamming <= maxHamming.
+  /** SimHash near-duplicate pairs: block on `maxHamming + 1` equal-width
+    * slices of the hash — by pigeonhole, a pair within Hamming distance
+    * `maxHamming` must agree on at least one slice — then verify
+    * Hamming <= maxHamming exactly.
     */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32) for 64-bit block recall, got $maxHamming")
+    val nBlocks = maxHamming + 1
+    val width = (64 + nBlocks - 1) / nBlocks // ceil; high slice may be shorter
+    val mask = if (width >= 64) -1L else (1L << width) - 1L
     val hashed = graft.prep.Preprocessing.spread(df)
       .select(col(idCol), simhash64(col(textCol)).as("sh"))
     val banded = hashed.select(col(idCol), col("sh"),
-      posexplode(array((0 until 4).map(q =>
-        shiftright(col("sh"), q * 16).bitwiseAND(lit(65535L))): _*))
+      posexplode(array((0 until nBlocks).map(q =>
+        shiftright(col("sh"), q * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("q_idx", "q_val")))
     val left = banded.select(col("q_idx"), col("q_val"),
       col(idCol).as("id_a"), col("sh").as("sh_a"))

@@ -156,7 +156,10 @@ object GlobalTrainer {
             bcCand.value.getOrElse(nid, IndexedSeq.empty).iterator.zipWithIndex
               .map { case ((mName, _, exemplars), ci) =>
                 val b = Distances.nearestIndex(Distances.byName(mName), series, exemplars)
-                (nid, ci, b, lbl)
+                // nearestIndex yields -1 when all distances are +Infinity;
+                // score such rows on branch 0 (where routeUdf sends them)
+                // rather than letting a phantom branch join the Gini argmin
+                (nid, ci, if (b < 0) 0 else b, lbl)
               }
           }
           .toDF("node_id", "cand", "branch", "lbl")
@@ -209,7 +212,9 @@ object GlobalTrainer {
               case Some((mName, exemplars, childIds)) =>
                 val b = Distances.nearestIndex(
                   Distances.byName(mName), series.toArray, exemplars)
-                if (b < 0) nid else childIds(b)
+                // -1 (all-Infinity distances) routes to branch 0, matching
+                // the scoring above, so no row is stranded at a split node
+                childIds(if (b < 0) 0 else b)
               case None => nid
             })
           // every few levels cut the lineage: the routed plan stacks one

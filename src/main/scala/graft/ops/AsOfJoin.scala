@@ -30,27 +30,35 @@ object AsOfJoin {
     require(!valueCols.exists(leftCols.contains),
       "right value columns must not collide with left columns")
 
-    val taggedLeft = valueCols.foldLeft(
-      left.withColumn("_side", lit(1)))((df, c) =>
-      df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    // All value columns travel as ONE struct so the carried values always
+    // come from the same right row — per-column last(ignoreNulls) would
+    // stitch a null field from an older right row into a newer match.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
+
+    val taggedLeft = left.withColumn("_side", lit(1))
+      .withColumn("_payload", lit(null).cast(payloadType))
     val taggedRight = leftCols.filterNot(c => c == keyCol || c == timeCol)
       .foldLeft(right.select(
         (keyCol +: timeCol +: valueCols).map(col): _*)
+        .withColumn("_payload", struct(valueCols.map(col): _*))
         .withColumn("_side", lit(0)))((df, c) =>
         df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
-    val unioned = taggedLeft.select(
-      (leftCols ++ valueCols :+ "_side").map(col): _*)
-      .unionByName(taggedRight.select(
-        (leftCols ++ valueCols :+ "_side").map(col): _*))
+    val outCols = (leftCols :+ "_payload" :+ "_side").map(col)
+    val unioned = taggedLeft.select(outCols: _*)
+      .unionByName(taggedRight.select(outCols: _*))
 
     // right rows (side 0) sort before left rows (side 1) at equal times, so
     // a right row AT the left row's timestamp is visible to it
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = valueCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    carried.filter(col("_side") === 1).drop("_side")
+    val carried = unioned.withColumn(
+      "_payload", last(col("_payload"), ignoreNulls = true).over(w))
+    carried.filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col("_payload")(c).as(c)): _*)
   }
 }

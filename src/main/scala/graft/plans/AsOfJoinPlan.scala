@@ -80,24 +80,39 @@ final case class AsOfJoinExec(
       lIter.map { lRow =>
         val lk = lKeyB.eval(lRow)
         val lt = lTimeB.eval(lRow)
-        // drop held row if from an earlier key group
-        if (heldRow != null && keyOrd.compare(heldKey, lk) != 0) {
-          heldRow = null; heldKey = null
+        if (lk == null || lt == null) {
+          // null key/time never matches; ascending sort puts these rows
+          // first, so the held-row state is untouched
+          project(joined(lRow, nullRight))
+        } else {
+          // drop held row if from an earlier key group
+          if (heldRow != null && keyOrd.compare(heldKey, lk) != 0) {
+            heldRow = null; heldKey = null
+          }
+          // advance the right side to the last row at-or-before (lk, lt),
+          // discarding right rows with null key or time (they sort first
+          // and can match nothing)
+          var advancing = true
+          while (advancing && buffered.hasNext) {
+            val peek = buffered.head
+            val rk = rKeyB.eval(peek)
+            if (rk == null) { buffered.next(); () }
+            else {
+              val kc = keyOrd.compare(rk, lk)
+              if (kc < 0) { buffered.next(); () } // key group already passed
+              else if (kc == 0) {
+                val rt = rTimeB.eval(peek)
+                if (rt == null) { buffered.next(); () }
+                else if (timeOrd.compare(rt, lt) <= 0) {
+                  heldRow = buffered.next().copy()
+                  heldKey = rk
+                } else advancing = false
+              } else advancing = false
+            }
+          }
+          val r = if (heldRow != null) heldRow else nullRight
+          project(joined(lRow, r))
         }
-        // advance the right side to the last row at-or-before (lk, lt)
-        var advancing = true
-        while (advancing && buffered.hasNext) {
-          val peek = buffered.head
-          val rk = rKeyB.eval(peek)
-          val kc = keyOrd.compare(rk, lk)
-          if (kc < 0) { buffered.next(); () } // key group already passed
-          else if (kc == 0 && timeOrd.compare(rTimeB.eval(peek), lt) <= 0) {
-            heldRow = buffered.next().copy()
-            heldKey = rk
-          } else advancing = false
-        }
-        val r = if (heldRow != null) heldRow else nullRight
-        project(joined(lRow, r))
       }
     }
   }

@@ -110,7 +110,10 @@ object ProximityTree {
       val buckets = Array.fill(exemplars.length)(mutable.ArrayBuffer.empty[Instance])
       data.foreach { inst =>
         val idx = Distances.nearestIndex(measure, inst.ts, exemplars)
-        buckets(idx) += inst
+        // nearestIndex returns -1 when every distance is +Infinity (empty or
+        // length-mismatched series under aligned measures) — route such
+        // instances to branch 0 instead of crashing, mirroring predictOne.
+        buckets(if (idx < 0) 0 else idx) += inst
       }
       val nonEmpty = buckets.count(_.nonEmpty)
       if (nonEmpty >= 2) {

@@ -64,6 +64,31 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(native === composed)
   }
 
+  test("native exec: null keys/times never match and never crash") {
+    val l = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "b"),
+      (Some(1L), None, "c"), (Some(2L), Some(9L), "d"))
+      .toDF("key", "time", "trade")
+    val r = Seq((Some(1L), Some(8L), 1.0), (None, Some(1L), 9.0),
+      (Some(2L), None, 9.0), (Some(2L), Some(4L), 2.0))
+      .toDF("qkey", "qtime", "price")
+    val out = AsOfJoinPlan.asOf(l, r, "key", "time", "qkey", "qtime")
+      .select($"trade", $"price").collect()
+      .map(x => x.getString(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+      .toMap
+    assert(out === Map("a" -> Some(1.0), "b" -> None, "c" -> None, "d" -> Some(2.0)))
+  }
+
+  test("composed as-of carries all value columns from the SAME right row") {
+    // right row at t=20 has a null aux; per-column carry would backfill aux
+    // from the older row at t=8, stitching two right rows together
+    val l = Seq((1L, 30L, "t")).toDF("key", "time", "trade")
+    val r = Seq((1L, 8L, Some(100.0), Some("old")), (1L, 20L, Some(101.0), None))
+      .toDF("key", "time", "price", "aux")
+    val row = AsOfJoin.asOf(l, r, "key", "time", Seq("price", "aux")).collect().head
+    assert(row.getAs[Double]("price") === 101.0)
+    assert(row.isNullAt(row.fieldIndex("aux")))
+  }
+
   test("physical plan contains the custom exec with exchanges under it") {
     val plan = AsOfJoinPlan.asOf(trades, quotes, "key", "time", "qkey", "qtime")
       .queryExecution.executedPlan.toString
