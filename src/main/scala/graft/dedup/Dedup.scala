@@ -237,15 +237,87 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact-verified MinHash+LSH pairs: band buckets produce the candidate
+    * set (same narrow-row discovery as [[minhashPairs]]), then each
+    * candidate pair is verified with the EXACT Jaccard of the true shingle
+    * sets — so the output is precise (no estimator noise) while the
+    * all-pairs explosion is still avoided. The shingle arrays are only
+    * joined back for the candidate pairs (near-linear volume), never
+    * shuffled through the bucket join.
+    */
+  def minhashPairsExact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 2,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val coeffs = minhashCoefficients(numHashes, seed)
+
+    val base = graft.prep.Preprocessing.spread(df)
+      .select(col(idCol), wordShingles(col(textCol), shingleN).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val sigs = base.withColumn("sig", minhashSignature(col("shingles"), coeffs))
+
+    val bandUdf = udf((sig: Seq[Long]) =>
+      (0 until bands).map { bi =>
+        var h = 1125899906842597L
+        var i = bi * r
+        while (i < (bi + 1) * r) { h = h * 31 + sig(i); i += 1 }
+        h
+      })
+    val banded = sigs.select(col(idCol),
+      posexplode(bandUdf(col("sig"))).as(Seq("band_idx", "band_hash")))
+    val left = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val right = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
+    val candidates = left.join(right, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val shOnly = base.select(col(idCol), col("shingles"))
+    candidates
+      .join(shOnly.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(shOnly.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccardUdf(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MD5-derived 64-bit token hash (first 8 digest bytes, big-endian) —
+    * slower than [[hash64]] but reproducible in any engine with md5()
+    * (DuckDB: hex-nibble arithmetic over substr(md5(t))), which makes the
+    * whole SimHash pipeline externally verifiable.
+    */
+  @inline private def md5Hash64(t: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
   /** 64-bit SimHash of the token stream as a pure expression:
     * bit k of the hash is the sign of sum over tokens of
-    * (bit k of xxhash64(token) ? +1 : -1).
+    * (bit k of hash(token) ? +1 : -1). `tokenHasher` picks the per-token
+    * hash: "murmur" (fast, default) or "md5" (engine-portable — use when
+    * the result must be reproducible outside the JVM).
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column, tokenHasher: String = "murmur"): Column = {
+    val useMd5 = tokenHasher match {
+      case "murmur" => false
+      case "md5" => true
+      case other => throw new IllegalArgumentException(s"unknown hasher $other")
+    }
     val shUdf = udf((toks: Seq[String]) => {
       val counts = new Array[Int](64)
       toks.foreach { t =>
-        val h = hash64(t)
+        val h = if (useMd5) md5Hash64(t) else hash64(t)
         var k = 0
         while (k < 64) {
           if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
@@ -272,14 +344,15 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      tokenHasher: String = "murmur"): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 32) for 64-bit block recall, got $maxHamming")
     val nBlocks = maxHamming + 1
     val width = (64 + nBlocks - 1) / nBlocks // ceil; high slice may be shorter
     val mask = if (width >= 64) -1L else (1L << width) - 1L
     val hashed = graft.prep.Preprocessing.spread(df)
-      .select(col(idCol), simhash64(col(textCol)).as("sh"))
+      .select(col(idCol), simhash64(col(textCol), tokenHasher).as("sh"))
     val banded = hashed.select(col(idCol), col("sh"),
       posexplode(array((0 until nBlocks).map(q =>
         shiftright(col("sh"), q * width).bitwiseAND(lit(mask))): _*))

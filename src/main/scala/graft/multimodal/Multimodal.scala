@@ -34,19 +34,23 @@ object Multimodal {
 
   /** Deterministic fake codecs — STUBS for the real byte-level decoders. */
   object StubCodecs {
-    /** ??? real impl: JPEG/PNG decode → pixel tensor. Stub: 8 deterministic
-      * "channel statistics" derived from byte content. */
+    /** ??? real impl: JPEG/PNG decode → pixel tensor. Stub: `dim`
+      * deterministic "channel statistics" (mean normalized byte value per
+      * byte stripe). Accumulates exact integer sums and divides once in
+      * double so the value is reproducible in any engine (float running
+      * sums are order-sensitive and drift past 4 decimals). */
     def imageFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
       if (payload == null) return out
+      val sums = new Array[Long](dim)
       var i = 0
       while (i < payload.length) {
-        out(i % dim) += (payload(i) & 0xff) / 255.0f
+        sums(i % dim) += (payload(i) & 0xff)
         i += 1
       }
       val n = math.max(1, payload.length / dim)
       var j = 0
-      while (j < dim) { out(j) /= n; j += 1 }
+      while (j < dim) { out(j) = ((sums(j).toDouble / 255.0) / n).toFloat; j += 1 }
       out
     }
 

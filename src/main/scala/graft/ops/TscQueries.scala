@@ -5,14 +5,20 @@ import org.apache.spark.sql.functions._
 
 import graft.global.GlobalTrainer
 import graft.local.LocalTrainer
-import graft.tree.ProximityTree
+import graft.tree.{ModelJson, ProximityTree}
 
 /** Time-series-classification queries — the reference's two training
   * strategies (SURVEY §3.2/§3.4) driven end-to-end over the `embeddings`
-  * table (64-point series, 10 classes). Deterministic: fixed train/test
-  * split on vec_id, seeded learners, md5-keyed partition balance. Not
-  * SQL-expressible → driver applies the rows-only check; accuracy-band
-  * assertions live in ScalaTest (SURVEY §7 hard part (c)).
+  * table (64-point series, 10 classes). The trainer queries emit a
+  * completeness-invariant row the DuckDB oracle can reproduce (test/pred
+  * counts from the data, prediction-domain sanity as a literal): training
+  * itself samples exemplars with partition-seeded rand, so its tree shape
+  * is not cross-engine reproducible, but "every test row got exactly one
+  * in-domain prediction" is. Full value-level prediction determinism is
+  * oracled by q_tsc_predict_fixed (frozen model + frozen data -> literal
+  * confusion matrix). Accuracy bands on real-signal data live in ScalaTest
+  * (SURVEY §7 hard part (c)) — the synthetic embeddings labels are
+  * unlearnable noise, so accuracy invariants would be vacuous here.
   */
 object TscQueries {
 
@@ -31,8 +37,18 @@ object TscQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("label"), col("prediction"))
 
+  /** Invariant row for a trainer query: every test row predicted exactly
+    * once, all predictions inside the training label domain [0, maxLabel].
+    */
+  private def predictionInvariants(pred: DataFrame, maxLabel: Int): DataFrame =
+    pred.agg(
+      count(lit(1)).cast("long").as("n_test"),
+      count(col("prediction")).cast("long").as("n_pred"),
+      (sum(when(col("prediction") >= 0 && col("prediction") <= maxLabel, 0)
+        .otherwise(1)) === 0).cast("long").as("pred_in_domain"))
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ scaleQuery ++ mediaQuery
+    baseQueries ++ scaleQuery ++ fixedQuery ++ mediaQuery
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Local strategy: k per-partition trees -> forest vote
@@ -46,7 +62,8 @@ object TscQueries {
         params = ProximityTree.Params(nSplitters = 3, seed = 42,
           poolNames = Seq("euclidean", "manhattan")),
         deterministicKeyCol = None) // train already deterministic subset
-      confusion(LocalTrainer.predict(s, forest, test, featureCols))
+      predictionInvariants(
+        LocalTrainer.predict(s, forest, test, featureCols), maxLabel = 9)
     }),
 
     // Global strategy: one distributed level-synchronous tree
@@ -59,7 +76,8 @@ object TscQueries {
         s, train, "label", featureCols,
         ProximityTree.Params(nSplitters = 3, maxDepth = 8, seed = 42,
           poolNames = Seq("euclidean", "manhattan")))
-      confusion(LocalTrainer.predictTree(s, tree, test, featureCols))
+      predictionInvariants(
+        LocalTrainer.predictTree(s, tree, test, featureCols), maxLabel = 9)
     })
   )
 
@@ -68,7 +86,9 @@ object TscQueries {
     * label) — 600k rows at sf0.1, millions at sf1. Depth-capped: the point
     * is per-level cost scaling with rows, not model quality on synthetic
     * labels. The level loop's job count is independent of node count, so
-    * wall-clock grows ~linearly with data volume.
+    * wall-clock grows ~linearly with data volume. Test subset is a
+    * deterministic modulus filter (SQL-reproducible, unlike df.sample whose
+    * output depends on partition layout).
     */
   lazy val scaleQuery: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tsc_global_scale" -> ((s, d) => {
@@ -76,18 +96,74 @@ object TscQueries {
         when(col("l_returnflag") === "A", 0)
           .when(col("l_returnflag") === "N", 1).otherwise(2).as("label"),
         col("l_quantity").as("_f0"), col("l_extendedprice").as("_f1"),
-        col("l_discount").as("_f2"), col("l_tax").as("_f3"))
+        col("l_discount").as("_f2"), col("l_tax").as("_f3"),
+        col("l_orderkey"), col("l_linenumber"))
+      val feats = Seq("_f0", "_f1", "_f2", "_f3")
       val tree = GlobalTrainer.fit(
-        s, li, "label", Seq("_f0", "_f1", "_f2", "_f3"),
+        s, li, "label", feats,
         ProximityTree.Params(nSplitters = 2, maxDepth = 3,
           minSamplesSplit = 1000, seed = 42, poolNames = Seq("euclidean")))
+      val test = li.filter(
+        pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(100)) === 0)
+      predictionInvariants(
+        LocalTrainer.predictTree(s, tree, test, feats), maxLabel = 2)
+    }))
+
+  // ---- frozen-model prediction determinism ------------------------------
+
+  /** Deterministic synthetic series: 3 separable class shapes + seeded
+    * per-row Gaussian noise (java.util.Random — stable across JVMs).
+    */
+  def fixtureSeries(seedBase: Long, n: Int): Seq[(Int, Int, Array[Double])] =
+    (0 until n).map { id =>
+      val label = id % 3
+      val rng = new scala.util.Random(seedBase + id)
+      val ts = Array.tabulate(16) { i =>
+        val base = label match {
+          case 0 => math.sin(i / 3.0)
+          case 1 => math.cos(i / 2.0)
+          case _ => (i % 4) * 0.5 - 1.0
+        }
+        // noise high enough that some test rows misclassify: the resulting
+        // off-diagonal confusion cells fingerprint the exact frozen tree,
+        // not just "a model that separates three classes"
+        base + 1.1 * rng.nextGaussian()
+      }
+      (id, label, ts)
+    }
+
+  /** The frozen ProximityTree (trained once by tools — see
+    * tools/gen_fixture.md — on fixtureSeries(5000, 300) and committed as a
+    * resource), so the driver can hash-check end-to-end prediction
+    * determinism against a literal confusion-matrix oracle at any SF.
+    */
+  lazy val fixtureTree: graft.tree.ProximityTreeModel = {
+    val in = getClass.getResourceAsStream("/graft/fixture_tree.json")
+    require(in != null, "missing resource /graft/fixture_tree.json")
+    val json = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    ModelJson.treeFromJson(json)
+  }
+
+  lazy val fixedQuery: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tsc_predict_fixed" -> ((s, d) => {
+      import s.implicits._
+      val rows = fixtureSeries(9000L, 200)
+        .map { case (id, lbl, ts) => (id, lbl, ts.toSeq) }
+      val test = s.createDataFrame(rows).toDF("id", "label", "ts")
+        .repartition(8)
+        .select(Seq(col("id"), col("label")) ++
+          (0 until 16).map(i => col("ts").getItem(i).as(s"_t$i")): _*)
       confusion(LocalTrainer.predictTree(
-        s, tree, li.sample(0.01, 42), Seq("_f0", "_f1", "_f2", "_f3")))
+        s, fixtureTree, test, (0 until 16).map(i => s"_t$i")))
+        .select(col("label").cast("long").as("label"),
+          col("prediction").cast("long").as("prediction"), col("cnt"))
     }))
 
   /** Multimodal plumbing driven through the driver gate: documents' text
     * bytes stand in for opaque media payloads (deterministic), exercising
-    * the binary-column feature-extraction path end-to-end.
+    * the binary-column feature-extraction path end-to-end. The stub codec
+    * is integer-exact over bytes and the corpus is ASCII, so DuckDB can
+    * rebuild the features from the text column (ascii() per char == byte).
     */
   lazy val mediaQuery: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> ((s, d) => {
@@ -100,10 +176,43 @@ object TscQueries {
         lit(null).cast("long").as("duration_ms"))
       graft.multimodal.Multimodal.imageFeatures(s, media, dim = 4)
         .select(col("media_id"),
-          round(element_at(col("features"), 1), 4).as("f0"),
-          round(element_at(col("features"), 2), 4).as("f1"))
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+          round(element_at(col("features"), 2).cast("double"), 4).as("f1"))
     }))
 
-  /** Not SQL-expressible — no oracle entries; driver rows-only check. */
-  val oracles: Map[String, String] = Map.empty
+  private val tscInvariantSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_test,
+       CAST(count(*) AS BIGINT) AS n_pred,
+       CAST(1 AS BIGINT) AS pred_in_domain
+       FROM embeddings WHERE vec_id >= 400 AND vec_id < 500"""
+
+  val oracles: Map[String, String] = Map(
+    "q_tsc_local_forest" -> tscInvariantSql,
+    "q_tsc_global_tree" -> tscInvariantSql,
+
+    "q_tsc_global_scale" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_test,
+         CAST(count(*) AS BIGINT) AS n_pred,
+         CAST(1 AS BIGINT) AS pred_in_domain
+         FROM lineitem WHERE (l_orderkey * 7 + l_linenumber) % 100 = 0""",
+
+    // literal expected confusion matrix of the frozen model on the frozen
+    // test set — regenerated by tools/gen_fixture.md when the fixture
+    // changes (placeholder replaced by the generator output)
+    "q_tsc_predict_fixed" -> FixtureOracle.confusionSql,
+
+    "q_media_features" ->
+      """WITH pos AS (SELECT doc_id AS media_id, text,
+             unnest(range(1, len(text) + 1)) AS i FROM documents),
+         byt AS (SELECT media_id, i - 1 AS idx,
+             ascii(substr(text, CAST(i AS INT), 1)) AS byte FROM pos),
+         agg AS (SELECT media_id, count(*) AS n,
+             sum(CASE WHEN idx % 4 = 0 THEN byte ELSE 0 END) AS s0,
+             sum(CASE WHEN idx % 4 = 1 THEN byte ELSE 0 END) AS s1
+           FROM byt GROUP BY media_id)
+         SELECT media_id,
+           round(CAST(CAST((CAST(s0 AS DOUBLE) / 255.0) / greatest(1, n // 4) AS FLOAT) AS DOUBLE), 4) AS f0,
+           round(CAST(CAST((CAST(s1 AS DOUBLE) / 255.0) / greatest(1, n // 4) AS FLOAT) AS DOUBLE), 4) AS f1
+         FROM agg"""
+  )
 }

@@ -62,8 +62,13 @@ object Knn {
   /** LSH-bucketed ANN top-k: queries only compare against candidates in the
     * same SRP bucket. With `numPlanes` bits the corpus splits into
     * 2^numPlanes buckets, so per-query work drops by that factor at some
-    * recall cost (raise k or lower numPlanes for higher recall; multiprobe
-    * is the next refinement).
+    * recall cost.
+    *
+    * `multiprobe` = number of extra bit-flips probed per query: 1 probes
+    * the query's own bucket plus every 1-bit-neighbor bucket (numPlanes+1
+    * buckets total) — near-boundary vectors land one sign flip away, so
+    * 1-bit probing recovers most of the recall a single bucket loses while
+    * still touching only (numPlanes+1)/2^numPlanes of the corpus.
     */
   def lshTopK(
       queries: DataFrame,
@@ -72,13 +77,27 @@ object Knn {
       vecCol: String,
       k: Int,
       numPlanes: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      multiprobe: Int = 1): DataFrame = {
+    require(multiprobe >= 0 && multiprobe <= 2, "multiprobe of 0..2 bits supported")
     val dim = candidates.select(size(col(vecCol))).head().getInt(0)
     val planes = randomHyperplanes(numPlanes, dim, seed)
+    val probes: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      home => {
+        val flips1 = (0 until numPlanes).map(i => home.bitwiseXOR(lit(1L << i)))
+        val flips2 = for {
+          i <- 0 until numPlanes; j <- (i + 1) until numPlanes
+        } yield home.bitwiseXOR(lit((1L << i) | (1L << j)))
+        multiprobe match {
+          case 0 => array(home)
+          case 1 => array(home +: flips1: _*)
+          case _ => array((home +: flips1) ++ flips2: _*)
+        }
+      }
     val q = queries.select(col(idCol).as("query_id"),
         toDoubleArray(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .withColumn("bucket", srpBucket(col("qv"), planes))
+      .withColumn("bucket", explode(probes(srpBucket(col("qv"), planes))))
     val c = candidates.select(col(idCol).as("neighbor_id"),
         toDoubleArray(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
@@ -153,34 +172,51 @@ object Knn {
       sampleSize: Int = 2000,
       seed: Long = 42L): DataFrame = {
     val spark = candidates.sparkSession
+    // Uniform corpus sample for the quantizer: rank by a seeded random key
+    // and take the global lowest `sampleSize` (TakeOrdered — per-partition
+    // top-k then driver merge, no shuffle, no full count). A bare
+    // limit().collect() would train the centroids on the first file's
+    // distribution only.
     val sample = candidates.select(toDoubleArray(col(vecCol)).as("v"))
-      .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
-    val centroids = kmeansCentroids(sample, nlist, iters = 10, seed = seed)
+      .withColumn("_r", rand(seed))
+      .orderBy(col("_r")).limit(sampleSize)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    // Spherical quantizer: unit-normalize before Lloyd's so cell geometry
+    // agrees with the cosine metric the search ranks by — raw-L2 cells cut
+    // across cosine neighborhoods and wreck recall.
+    def unit(v: Array[Double]): Array[Double] = {
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      val s = math.sqrt(n)
+      if (s == 0) v else v.map(_ / s)
+    }
+    val centroids = kmeansCentroids(sample.map(unit), nlist, iters = 10, seed = seed)
     val bc = spark.sparkContext.broadcast(centroids)
 
-    val cellOf = udf((v: Seq[Double]) => {
+    def cellDistances(v: Seq[Double]): Array[Double] = {
+      val u = unit(v.toArray)
       val cs = bc.value
-      var best = 0; var bestD = Double.MaxValue
+      val out = new Array[Double](cs.length)
       var c = 0
       while (c < cs.length) {
         var d = 0.0; var i = 0
-        while (i < cs(c).length && i < v.length) {
-          val x = v(i) - cs(c)(i); d += x * x; i += 1
+        while (i < cs(c).length && i < u.length) {
+          val x = u(i) - cs(c)(i); d += x * x; i += 1
         }
-        if (d < bestD) { bestD = d; best = c }
+        out(c) = d
         c += 1
       }
+      out
+    }
+    val cellOf = udf((v: Seq[Double]) => {
+      val ds = cellDistances(v)
+      var best = 0; var c = 1
+      while (c < ds.length) { if (ds(c) < ds(best)) best = c; c += 1 }
       best
     })
     val probeCells = udf((v: Seq[Double]) => {
-      val cs = bc.value
-      cs.indices.map { c =>
-        var d = 0.0; var i = 0
-        while (i < cs(c).length && i < v.length) {
-          val x = v(i) - cs(c)(i); d += x * x; i += 1
-        }
-        (d, c)
-      }.sortBy(_._1).take(nprobe).map(_._2)
+      val ds = cellDistances(v)
+      ds.zipWithIndex.sortBy(_._1).take(nprobe).map(_._2).toSeq
     })
 
     val c = graft.prep.Preprocessing.spread(candidates)
@@ -223,7 +259,7 @@ object Knn {
       val withBucket = base.withColumn("bucket",
         srpBucket(col("v"), randomHyperplanes(numPlanes, dim, seed)))
       val a = withBucket.select(col("bucket"), col(idCol).as("id_a"),
-        col("v").as("va"), col("nrm").as("na")).repartition()
+        col("v").as("va"), col("nrm").as("na"))
       val b = withBucket.select(col("bucket"), col(idCol).as("id_b"),
         col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, Seq("bucket"))

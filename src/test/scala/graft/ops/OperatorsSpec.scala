@@ -55,6 +55,68 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.exists(p => (p._1, p._2) == (4L, 5L)))
   }
 
+  test("minhashPairsExact reports EXACT jaccard for LSH candidates") {
+    val pairs = Dedup.minhashPairsExact(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 32, bands = 16, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    // (1,3): 8 bigrams each, 6 shared -> 6/10 exactly
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0.6))
+  }
+
+  test("simhash md5 token hasher finds the same exact dups; generalized blocking holds") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+        tokenHasher = "md5")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    // maxHamming > 3 is now legal: blocking derives slice count by pigeonhole
+    val wide = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7)
+      .select("hamming").as[Long].collect()
+    assert(wide.forall(_ <= 7))
+  }
+
+  test("lsh knn recall rises with multiprobe and clears 0.9 at 2-bit probing") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.ops.Tables.embeddings(spark, d)
+    val q = emb.filter($"vec_id" < 10)
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id".cast("long"), $"neighbor_id".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val brute = topk(Knn.bruteForceTopK(q, emb, "vec_id", "embedding", 5))
+    val recalls = Seq(0, 1, 2).map { mp =>
+      val ann = topk(Knn.lshTopK(q, emb, "vec_id", "embedding", 5,
+        numPlanes = 3, multiprobe = mp))
+      (brute intersect ann).size.toDouble / brute.size
+    }
+    assert(recalls(0) <= recalls(1) && recalls(1) <= recalls(2),
+      s"recall not monotone in probe width: $recalls")
+    assert(recalls(2) >= 0.9, s"2-bit multiprobe recall ${recalls(2)}")
+  }
+
+  test("ivf knn clears recall 0.9 on the bench embeddings at nprobe=5/8") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.ops.Tables.embeddings(spark, d)
+    val q = emb.filter($"vec_id" < 10)
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id".cast("long"), $"neighbor_id".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val brute = topk(Knn.bruteForceTopK(q, emb, "vec_id", "embedding", 5))
+    val ivf = topk(Knn.ivfTopK(q, emb, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 5))
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"ivf recall $recall")
+  }
+
+  test("cosinePairs LSH path plans no round-robin (stray) shuffle") {
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val plan = Knn.cosinePairs(vecs, "vec_id", "embedding",
+      threshold = 0.5, numPlanes = 4)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("roundrobin"), plan)
+  }
+
   test("langId separates english and german fixtures") {
     val out = docs.select($"doc_id", TextFunctions.langId($"text").as("lang"))
       .as[(Long, String)].collect().toMap
