@@ -244,11 +244,14 @@ object RelationalQueries {
           round(sum(col("l_discount").cast(dec)).cast("double") / count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
-    // TPC-H Q3-style top-k join — join + agg + deterministic top-k
+    // TPC-H Q3-style top-k join — join + agg + deterministic top-k.
+    // No forced broadcast of customer: it grows with scale factor (15M
+    // rows at sf100), so the hint is an OOM at scale — AQE broadcasts it
+    // at runtime whenever the filtered side is actually small.
     "q3_top_orders" -> ((s, d) => {
       val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       orders(s, d)
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
@@ -257,13 +260,15 @@ object RelationalQueries {
         .limit(10)
     }),
 
-    // TPC-H Q5-style multi-join — dims broadcast, fact-side shuffle only
+    // TPC-H Q5-style multi-join — constant-size dims (nation, region)
+    // broadcast; the scale-proportional customer side joins them without a
+    // hint (AQE broadcasts the result when it is small enough at runtime)
     "q5_nation_revenue" -> ((s, d) => {
-      val dims = broadcast(
+      val dims =
         customer(s, d)
-          .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
-          .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
-          .select(col("c_custkey"), col("n_name")))
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"), col("n_name"))
       orders(s, d)
         .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(dims, col("o_custkey") === col("c_custkey"))
@@ -324,10 +329,11 @@ object RelationalQueries {
           .as("days_to_end"))),
 
     // TPC-H Q10-style: revenue lost to returned items per customer, top 20
+    // (customer joins unhinted — scale-proportional; nation keeps the hint)
     "q10_returned_items" -> ((s, d) =>
       lineitem(s, d).filter(col("l_returnflag") === "R")
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
         .agg(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
@@ -336,13 +342,15 @@ object RelationalQueries {
         .limit(20)),
 
     // TPC-H Q7-style: supplier-nation -> customer-nation trade volume
+    // (supplier/customer sides unhinted — both scale with SF; the inner
+    // nation joins keep their constant-size broadcast)
     "q7_nation_volume" -> ((s, d) => {
-      val suppNation = broadcast(supplier(s, d)
-        .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
-      val custNation = broadcast(customer(s, d)
-        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("n_name").as("cust_nation")))
+      val suppNation = supplier(s, d)
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custNation = customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
       lineitem(s, d)
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(suppNation, col("l_suppkey") === col("s_suppkey"))
