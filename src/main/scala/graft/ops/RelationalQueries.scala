@@ -403,6 +403,23 @@ object RelationalQueries {
         .groupBy(col("user_id"))
         .agg(sum(col("new_session")).cast("long").as("n_sessions"),
           count(lit(1)).as("n_events"))
+    }),
+
+    // Same 30-minute-gap rule through the CUSTOM-STATE operator
+    // (flatMapGroupsWithState, the streaming sessionizer in batch mode) —
+    // proves the stateful path agrees with the declarative window+lag
+    // formulation under the same DuckDB oracle.
+    "q_events_sessions_stateful" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value").cast("double").as("value"))
+        .as[graft.streaming.EventStreams.Event]
+      graft.streaming.EventStreams
+        .sessionizeEventTime(s, ev, gapMinutes = 30, finalizeOpen = true)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"))
     })
   )
 
@@ -709,6 +726,17 @@ object RelationalQueries {
            ON c.user_id = p.p_user AND c.t_us >= p.p_us""",
 
     "q_events_sessions" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS prev_us
+          FROM events)
+         SELECT user_id,
+           CAST(sum(CASE WHEN prev_us IS NULL
+                 OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+         FROM l GROUP BY 1""",
+
+    "q_events_sessions_stateful" ->
       """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us,
             lag(epoch_us(ts)) OVER (PARTITION BY user_id
               ORDER BY epoch_us(ts), event_id) AS prev_us

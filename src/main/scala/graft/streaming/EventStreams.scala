@@ -76,6 +76,76 @@ object EventStreams {
       }
   }
 
+  /** Open-session state carried between triggers. */
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /** Gap-based sessionization with EVENT-TIME timeout —
+    * `flatMapGroupsWithState(EventTimeTimeout)` emitting a session row the
+    * moment the watermark passes sessionEnd + gap, so state expiry is
+    * driven by the data clock, not the wall clock (the production-correct
+    * form: a stalled source cannot prematurely close sessions, a burst of
+    * late-but-in-watermark events still lands in its session).
+    *
+    * Per user the state is ONE open session (start, end, n, total); events
+    * within `gap` of the session end extend it, a larger gap closes it and
+    * emits it immediately. Closed sessions are emitted exactly once.
+    * Requires a watermark on `ts` upstream. In batch mode Spark hands each
+    * key all its events at once with no timeouts, so the operator
+    * degenerates to exact batch sessionization with the trailing session
+    * emitted too (hasTimedOut is never true, state is discarded at the
+    * end — the `finalizeOpen` flag covers the batch case).
+    */
+  def sessionizeEventTime(
+      spark: SparkSession,
+      events: Dataset[Event],
+      gapMinutes: Long = 30,
+      watermarkDelay: String = "30 minutes",
+      finalizeOpen: Boolean = false): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          def emit(s: SessionState, closed: Boolean) = SessionUpdate(
+            userId, s.n, new Timestamp(s.start), new Timestamp(s.end), closed)
+          if (state.hasTimedOut) {
+            // watermark passed end+gap: no in-gap event can still arrive
+            val out = emit(state.get, closed = true)
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val sorted = batch.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val closedOut = Seq.newBuilder[SessionUpdate]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closedOut += emit(s, closed = true)
+                  open = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  open = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            open match {
+              case Some(s) if finalizeOpen => // batch mode: emit the tail too
+                closedOut += emit(s, closed = false)
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.end + gapMs)
+              case None => ()
+            }
+            closedOut.result().iterator
+          }
+      }
+  }
+
   /** Streaming model scoring: apply a fitted Proximity forest to a stream
     * of feature rows (broadcast model, stateless map — scales with input
     * rate, exactly-once under any sink that supports it). The same

@@ -73,6 +73,53 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeEventTime: watermark-driven timeouts emit every session exactly once") {
+    def ts2(hour: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
+    val stream = MemoryStream[Event]
+    val sessions = EventStreams.sessionizeEventTime(spark, stream.toDS(),
+      gapMinutes = 30, watermarkDelay = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("et_sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(batch.take(3): _*) // 10:00,10:05 (u100), 10:10 (u200)
+      q.processAllAvailable()
+      stream.addData(batch.drop(3): _*) // 10:50 (u100) closes u100's first
+      q.processAllAvailable()
+      // sentinel events roll the watermark past every end+gap so the
+      // event-time timeouts fire for the still-open sessions
+      stream.addData(Event(98, ts2(12, 0), 999, "click", 0.0))
+      q.processAllAvailable()
+      stream.addData(Event(99, ts2(13, 0), 999, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("et_sess")
+        .filter($"user_id" =!= 999)
+        .select("user_id", "n_events", "closed")
+        .as[(Long, Long, Boolean)].collect().toSeq
+      assert(rows.forall(_._3), s"only closed sessions may be emitted: $rows")
+      val perUser = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      assert(perUser(100L) === Seq(1L, 2L)) // {10:00,10:05} and {10:50}
+      assert(perUser(200L) === Seq(1L))
+    } finally q.stop()
+  }
+
+  test("sessionizeEventTime batch mode agrees with the lag-based batch sessionization") {
+    val streamStyle = EventStreams.sessionizeEventTime(spark, batch.toDS(),
+        gapMinutes = 30, finalizeOpen = true)
+      .groupByKey(_.user_id).count().collect().toMap
+    // q_events_sessions' 30-minute lag rule on the same rows
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val lagStyle = batch.toDF()
+      .withColumn("prev", lag($"ts", 1).over(w))
+      .withColumn("new_s", when($"prev".isNull ||
+        unix_millis($"ts") - unix_millis($"prev") > 1800000L, 1L).otherwise(0L))
+      .groupBy($"user_id").agg(sum($"new_s").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamStyle === lagStyle)
+  }
+
   test("scoreStream applies a broadcast forest to streaming rows") {
     import graft.tree.{PLeaf, ProximityForestModel, ProximityTreeModel}
     val leafModel = ProximityForestModel(
