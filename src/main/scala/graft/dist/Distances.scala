@@ -343,8 +343,7 @@ object Distances {
     def apply(a: Array[Double], b: Array[Double]): Double = msm(a, b, c)
   }
 
-  /** Measures by stable name — the serialized-model vocabulary. */
-  val byName: Map[String, DistanceMeasure] = {
+  private val fixedByName: Map[String, DistanceMeasure] = {
     val fixed: Seq[DistanceMeasure] = Seq(
       Euclidean, SquaredEuclidean, Manhattan, Cosine, DtwFull,
       DtwWindow(0.1), Ddtw(-1), Ddtw(0.1),
@@ -353,16 +352,107 @@ object Distances {
     fixed.map(m => m.name -> m).toMap
   }
 
+  // memo so the per-row traversal hot path never re-parses a name
+  private val parsed =
+    new java.util.concurrent.ConcurrentHashMap[String, DistanceMeasure]()
+
+  /** Measure by stable name — the serialized-model vocabulary. Names carry
+    * their parameters (`wdtw_0.3715…`, `lcss_0.21_35`), so any measure the
+    * per-candidate sampler draws round-trips through the JSON model sink:
+    * `byName(m.name) == m` for every constructible measure.
+    */
+  def byName(name: String): DistanceMeasure =
+    fixedByName.getOrElse(name, {
+      val hit = parsed.get(name)
+      if (hit != null) hit
+      else { val m = parse(name); parsed.putIfAbsent(name, m); m }
+    })
+
+  private def parse(name: String): DistanceMeasure = {
+    def num(s: String): Double = s.toDouble
+    name match {
+      case s if s.startsWith("dtw_window_")  => DtwWindow(num(s.stripPrefix("dtw_window_")))
+      case s if s.startsWith("ddtw_window_") => Ddtw(num(s.stripPrefix("ddtw_window_")))
+      case "ddtw_full"                       => Ddtw(-1)
+      case s if s.startsWith("wdtw_")        => Wdtw(num(s.stripPrefix("wdtw_")))
+      case s if s.startsWith("wddtw_")       => Wddtw(num(s.stripPrefix("wddtw_")))
+      case s if s.startsWith("lcss_") =>
+        s.stripPrefix("lcss_").split('_') match {
+          case Array(eps)    => Lcss(num(eps))
+          case Array(eps, w) => Lcss(num(eps), w.toInt)
+          case _ => throw new IllegalArgumentException(s"bad lcss name: $s")
+        }
+      case s if s.startsWith("erp_") => Erp(num(s.stripPrefix("erp_")))
+      case s if s.startsWith("twe_") =>
+        s.stripPrefix("twe_").split('_') match {
+          case Array(nu, lambda) => Twe(num(nu), num(lambda))
+          case _ => throw new IllegalArgumentException(s"bad twe name: $s")
+        }
+      case s if s.startsWith("msm_") => Msm(num(s.stripPrefix("msm_")))
+      case other =>
+        throw new IllegalArgumentException(s"unknown distance measure: $other")
+    }
+  }
+
   /** Default measure pool for ProximityTree candidate splits — the eleven
     * Proximity-Forest-paper measure families (SURVEY §2.8: aeon's pool).
-    * The paper re-samples measure PARAMETERS per splitter; here each family
-    * contributes a fixed representative parameterization so that seeded
-    * runs are reproducible (params assume min-max-normalized inputs).
+    * The paper re-samples measure PARAMETERS per splitter
+    * ([[sampleMeasure]], `Params.sampleParams = true`); this fixed pool is
+    * the reproducible-representative alternative (params assume
+    * min-max-normalized inputs).
     */
   val defaultPool: IndexedSeq[DistanceMeasure] =
     IndexedSeq(Euclidean, DtwFull, DtwWindow(0.1), Wdtw(0.05),
       Ddtw(-1), Ddtw(0.1), Wddtw(0.05), Lcss(0.05, 10), Erp(0.0),
       Twe(0.005, 1.0), Msm(0.5))
+
+  // Parameter grids from the Proximity Forest paper (Lucas et al. 2019,
+  // §5.2.5 "similarity measures and parameter ranges"); TWE's nu/lambda and
+  // MSM's c are the paper's published discrete grids, the rest are
+  // continuous uniform ranges.
+  private val tweNuGrid: Array[Double] =
+    Array(1e-5, 1e-4, 5e-4, 1e-3, 5e-3, 1e-2, 5e-2, 0.1, 0.5, 1.0)
+  private val tweLambdaGrid: Array[Double] = Array.tabulate(10)(i => i / 90.0)
+  private val msmCGrid: Array[Double] =
+    Array.tabulate(100)(i => 0.01 * math.pow(10000.0, i / 99.0)) // log-spaced 0.01..100
+
+  /** Draw one measure with freshly sampled parameters — the Proximity
+    * Forest paper's per-candidate-splitter parameterization:
+    *   - dtw / ddtw: full window, or Sakoe-Chiba fraction ~ U(0, 0.25)
+    *   - wdtw / wddtw: g ~ U(0, 1)
+    *   - lcss: epsilon ~ U(sigma/5, sigma), window ~ U[0, (n+1)/4]
+    *   - erp: gap value g ~ U(sigma/5, sigma)
+    *   - twe: nu / lambda from the paper's 10-point grids
+    *   - msm: c from the paper's 100-point exponential grid on [0.01, 100]
+    * `dataStd` is the training-set value std (sigma above); `seriesLen`
+    * bounds the LCSS window. Sampled measures carry their parameters in
+    * their `name`, so they survive the JSON model sink: `byName(m.name)`
+    * reconstructs `m` exactly.
+    */
+  def sampleMeasure(
+      rng: scala.util.Random,
+      dataStd: Double,
+      seriesLen: Int): DistanceMeasure = {
+    val sigma = if (java.lang.Double.isNaN(dataStd) || dataStd <= 0.0) 1.0 else dataStd
+    rng.nextInt(11) match {
+      case 0  => Euclidean
+      case 1  => DtwFull
+      case 2  => DtwWindow(rng.nextDouble() * 0.25)
+      case 3  => Ddtw(-1)
+      case 4  => Ddtw(rng.nextDouble() * 0.25)
+      case 5  => Wdtw(rng.nextDouble())
+      case 6  => Wddtw(rng.nextDouble())
+      case 7 =>
+        val eps = sigma / 5.0 + rng.nextDouble() * (sigma - sigma / 5.0)
+        Lcss(eps, rng.nextInt(math.max(1, (seriesLen + 1) / 4) + 1))
+      case 8 =>
+        Erp(sigma / 5.0 + rng.nextDouble() * (sigma - sigma / 5.0))
+      case 9 =>
+        Twe(tweNuGrid(rng.nextInt(tweNuGrid.length)),
+          tweLambdaGrid(rng.nextInt(tweLambdaGrid.length)))
+      case 10 => Msm(msmCGrid(rng.nextInt(msmCGrid.length)))
+    }
+  }
 
   /** Index of the nearest exemplar under `measure`; ties break to the
     * earliest exemplar (stable, matching a sequential argmin loop).

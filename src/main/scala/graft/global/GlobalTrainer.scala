@@ -66,6 +66,25 @@ object GlobalTrainer {
     val rng = new Random(params.seed)
     val pool = params.pool
 
+    // sigma for per-candidate lcss/erp parameter sampling — one startup
+    // linear aggregate (map-side combined sums only reach the driver), paid
+    // only when sampling is enabled and the caller didn't supply a std
+    val dataStd: Double =
+      if (!params.sampleParams) 1.0
+      else if (!java.lang.Double.isNaN(params.dataStd)) params.dataStd
+      else {
+        val r = assign.select(explode(col("time_series")).as("v"))
+          .agg(sum(col("v")).as("s"), sum(col("v") * col("v")).as("s2"),
+            count(lit(1)).as("n"))
+          .head()
+        val n = r.getLong(2).toDouble
+        if (n == 0) 1.0
+        else {
+          val mean = r.getDouble(0) / n
+          math.sqrt(math.max(0.0, r.getDouble(1) / n - mean * mean))
+        }
+      }
+
     // driver-side tree under construction
     val leaves = mutable.Map.empty[Int, Int]        // nodeId -> predicted label
     val splits = mutable.Map.empty[Int, SplitSpec]  // nodeId -> split
@@ -134,7 +153,10 @@ object GlobalTrainer {
           splittingIds.map { nid =>
             val classLabels = hist(nid).keys.toSeq.sorted
             val cands = (0 until params.nSplitters).flatMap { c =>
-              val measure = pool(rng.nextInt(pool.length))
+              val measure =
+                if (params.sampleParams)
+                  Distances.sampleMeasure(rng, dataStd, featureCols.length)
+                else pool(rng.nextInt(pool.length))
               val ex = classLabels.map { lbl =>
                 val pool0 = sampled.getOrElse((nid, lbl), IndexedSeq.empty)
                 if (pool0.isEmpty) null else pool0(c % pool0.size)

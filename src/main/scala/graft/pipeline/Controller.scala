@@ -33,6 +33,9 @@ final case class SweepConfig(
     // full PF-paper measure pool (aeon's default) — the reference's learner
     // draws from the same families
     poolNames: Seq[String] = graft.dist.Distances.defaultPool.map(_.name),
+    // per-candidate measure-parameter sampling (PF paper / aeon behavior);
+    // false = fixed representative parameterizations
+    sampleParams: Boolean = false,
     modelsDir: Option[String] = None,
     reportsDir: Option[String] = None)
 
@@ -57,7 +60,8 @@ object Controller {
       maxDepth = cfg.maxDepth,
       minSamplesSplit = cfg.minSamplesSplit,
       poolNames = cfg.poolNames,
-      seed = cfg.seed)
+      seed = cfg.seed,
+      sampleParams = cfg.sampleParams)
 
   /** Ingest + shared preprocessing: S1-S3, A1, T2, P2.
     * Returns (normalizedTrain, normalizedTest, featureCols).

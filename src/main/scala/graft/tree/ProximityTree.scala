@@ -26,12 +26,20 @@ object ProximityTree {
   /** One training series. */
   final case class Instance(ts: Array[Double], label: Int)
 
+  /** `sampleParams = true` switches candidate draws from the fixed
+    * representative pool to per-candidate parameter sampling
+    * ([[Distances.sampleMeasure]], the Proximity Forest paper's scheme).
+    * `dataStd` feeds the lcss/erp sampling ranges; leave NaN to have the
+    * trainer compute it from the training values.
+    */
   final case class Params(
       nSplitters: Int = 5,
       maxDepth: Int = -1, // -1 = unlimited
       minSamplesSplit: Int = 2,
       poolNames: Seq[String] = Distances.defaultPool.map(_.name),
-      seed: Long = 42L) {
+      seed: Long = 42L,
+      sampleParams: Boolean = false,
+      dataStd: Double = Double.NaN) {
     def pool: IndexedSeq[DistanceMeasure] =
       poolNames.map(Distances.byName).toIndexedSeq
   }
@@ -47,11 +55,31 @@ object ProximityTree {
     data.groupBy(_.label).view.mapValues(_.size).toSeq
       .maxBy { case (lbl, n) => (n, -lbl) }._1
 
+  /** Std of every value in the training matrix — sigma for the lcss/erp
+    * parameter-sampling ranges (PF paper: epsilon, g ~ U(sigma/5, sigma)).
+    */
+  def valueStd(data: IndexedSeq[Instance]): Double = {
+    var s = 0.0; var s2 = 0.0; var n = 0L
+    data.foreach { inst =>
+      val ts = inst.ts; var i = 0
+      while (i < ts.length) { val v = ts(i); s += v; s2 += v * v; n += 1; i += 1 }
+    }
+    if (n == 0) 1.0
+    else {
+      val mean = s / n
+      math.sqrt(math.max(0.0, s2 / n - mean * mean))
+    }
+  }
+
   def fit(data: IndexedSeq[Instance], params: Params): ProximityTreeModel = {
     require(data.nonEmpty, "cannot fit a ProximityTree on empty data")
-    val rng = new Random(params.seed)
-    val pool = params.pool
-    val root = grow(data, depth = 0, params, pool, rng)
+    val p =
+      if (params.sampleParams && java.lang.Double.isNaN(params.dataStd))
+        params.copy(dataStd = valueStd(data))
+      else params
+    val rng = new Random(p.seed)
+    val pool = p.pool
+    val root = grow(data, depth = 0, p, pool, rng)
     ProximityTreeModel(root, majorityLabel(data))
   }
 
@@ -67,7 +95,7 @@ object ProximityTree {
         (params.maxDepth >= 0 && depth >= params.maxDepth))
       return PLeaf(majorityLabel(data))
 
-    val best = bestSplit(data, params.nSplitters, pool, rng)
+    val best = bestSplit(data, params, pool, rng)
     best match {
       case None => PLeaf(majorityLabel(data))
       case Some(split) =>
@@ -94,14 +122,17 @@ object ProximityTree {
     */
   private def bestSplit(
       data: IndexedSeq[Instance],
-      nSplitters: Int,
+      params: Params,
       pool: IndexedSeq[DistanceMeasure],
       rng: Random): Option[CandidateSplit] = {
     val byLabel = data.groupBy(_.label).toSeq.sortBy(_._1)
     var best: Option[CandidateSplit] = None
     var k = 0
-    while (k < nSplitters) {
-      val measure = pool(rng.nextInt(pool.length))
+    while (k < params.nSplitters) {
+      val measure =
+        if (params.sampleParams)
+          Distances.sampleMeasure(rng, params.dataStd, data.head.ts.length)
+        else pool(rng.nextInt(pool.length))
       val chosen = byLabel.map { case (lbl, insts) =>
         (lbl, insts(rng.nextInt(insts.size)).ts)
       }

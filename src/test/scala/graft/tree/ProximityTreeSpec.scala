@@ -100,4 +100,49 @@ class ProximityTreeSpec extends AnyFunSuite {
     assert(math.abs(ProximityTree.gini(Seq(1, 1, 1)) - 2.0 / 3.0) < 1e-12)
     assert(ProximityTree.gini(Nil) === 0.0)
   }
+
+  test("sampled measures round-trip through byName and are seeded-deterministic") {
+    import graft.dist.Distances
+    val rng = new Random(77)
+    val pair = (Array.fill(24)(rng.nextGaussian()), Array.fill(24)(rng.nextGaussian()))
+    (1 to 300).foreach { _ =>
+      val m = Distances.sampleMeasure(rng, dataStd = 0.31, seriesLen = 24)
+      val back = Distances.byName(m.name)
+      assert(back.name === m.name)
+      assert(back(pair._1, pair._2) === m(pair._1, pair._2), m.name)
+    }
+    // same seed -> identical draw sequence (reproducible training)
+    val a = new Random(5); val b = new Random(5)
+    val drawsA = (1 to 50).map(_ => Distances.sampleMeasure(a, 0.2, 100).name)
+    val drawsB = (1 to 50).map(_ => Distances.sampleMeasure(b, 0.2, 100).name)
+    assert(drawsA === drawsB)
+  }
+
+  /** ECG5000 rows from the in-repo reference file: label \t 140 features. */
+  private def ecgInstances(n: Int): IndexedSeq[Instance] = {
+    val src = scala.io.Source.fromFile("/root/reference/ECG5000/ECG5000_TRAIN.tsv")
+    try src.getLines().take(n).map { line =>
+      val parts = line.split('\t')
+      Instance(parts.tail.map(_.toDouble), parts.head.trim.toDouble.toInt)
+    }.toIndexedSeq
+    finally src.close()
+  }
+
+  test("per-candidate parameter sampling holds the ECG5000 accuracy band") {
+    val all = ecgInstances(300)
+    // deterministic interleaved holdout: every 3rd row tests
+    val (test, train) = all.zipWithIndex.partition(_._2 % 3 == 2)
+    val trainD = train.map(_._1); val testD = test.map(_._1)
+    def acc(sample: Boolean): Double = {
+      val m = ProximityTree.fit(trainD,
+        Params(nSplitters = 5, minSamplesSplit = 5, seed = 11, sampleParams = sample))
+      testD.count(i => m.predictOne(i.ts) == i.label).toDouble / testD.size
+    }
+    val fixed = acc(sample = false)
+    val sampled = acc(sample = true)
+    // ECG5000 majority class is ~58%; both schemes must clear it, and
+    // sampling must not regress materially vs the fixed pool
+    assert(sampled > 0.75, s"sampled-params accuracy $sampled")
+    assert(sampled >= fixed - 0.06, s"sampled $sampled vs fixed $fixed")
+  }
 }
