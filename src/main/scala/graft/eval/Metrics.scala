@@ -85,13 +85,14 @@ object Metrics {
       .agg((lit(1.0) - sum(col("prob_sq"))).as("gini"))
   }
 
-  /** Weighted Gini across branches: a single-row DataFrame. */
-  def weightedGiniDF(df: DataFrame, branchCol: String, classCol: String): DataFrame = {
-    val n = df.count()
+  /** Weighted Gini across branches: a single-row DataFrame. One aggregation
+    * tree over the input — N is recovered as sum(total) over the per-branch
+    * rows (branches partition the input), not a separate df.count() scan.
+    */
+  def weightedGiniDF(df: DataFrame, branchCol: String, classCol: String): DataFrame =
     branchGiniDF(df, branchCol, classCol)
-      .agg(round(sum((col("total") / lit(n.toDouble)) * col("gini")), 6)
+      .agg(round(sum(col("total") * col("gini")) / sum(col("total")), 6)
         .as("weighted_gini"))
-  }
 
   /** A9 — driver-side Gini over class counts
     * (reference: code/src/global_model_manager.py:161-166). */

@@ -491,13 +491,12 @@ object RelationalQueries {
                          FROM lineitem GROUP BY 1, 2),
               totals AS (SELECT l_linestatus AS branch, count(*) AS total
                          FROM lineitem GROUP BY 1),
-              n AS (SELECT count(*) AS n FROM lineitem),
               g AS (SELECT c.branch, t.total,
                       1.0 - sum((CAST(c.cnt AS DOUBLE)/t.total)*(CAST(c.cnt AS DOUBLE)/t.total)) AS gini
                     FROM counts c JOIN totals t ON c.branch = t.branch
                     GROUP BY c.branch, t.total)
-         SELECT round(sum((g.total / CAST(n.n AS DOUBLE)) * g.gini), 6) AS weighted_gini
-         FROM g, n""",
+         SELECT round(sum(g.total * g.gini) / CAST(sum(g.total) AS DOUBLE), 6) AS weighted_gini
+         FROM g""",
 
     "q_join_inner" ->
       """SELECT c_mktsegment AS segment, count(*) AS n_orders,

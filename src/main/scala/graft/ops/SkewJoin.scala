@@ -34,10 +34,15 @@ object SkewJoin {
     * salting.
     */
   def keySkewProfile(df: DataFrame, key: Column, topN: Int = 10): DataFrame = {
-    val total = df.count().toDouble
-    df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    // one scan: total rows = sum(cnt) over the grouped result (a 1-row agg
+    // broadcast back onto the top-n keys), not a second full pass over df
+    val grouped = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val total = grouped.agg(sum(col("cnt")).as("_total"))
+    grouped
       .orderBy(desc("cnt"))
       .limit(topN)
-      .withColumn("share", round(col("cnt") / total, 6))
+      .crossJoin(broadcast(total))
+      .withColumn("share", round(col("cnt") / col("_total"), 6))
+      .drop("_total")
   }
 }
