@@ -36,6 +36,11 @@ final case class SweepConfig(
     // per-candidate measure-parameter sampling (PF paper / aeon behavior);
     // false = fixed representative parameterizations
     sampleParams: Boolean = false,
+    // pre-split held-out test file: when set, `dataPath` is ALL train and
+    // this is ALL test (no in-pipeline split) — the layout for synthesized
+    // source-disjoint parity runs, where splitting after synthesis would
+    // leak jittered replicas of one source row across the boundary
+    testDataPath: Option[String] = None,
     modelsDir: Option[String] = None,
     reportsDir: Option[String] = None)
 
@@ -69,16 +74,20 @@ object Controller {
   def prepare(spark: SparkSession, cfg: SweepConfig, timer: Evaluation.StageTimer)
       : (DataFrame, DataFrame, Seq[String]) = {
     val features = Ingestion.featureCols(cfg.numFeatures)
-    val raw = timer.time("ingestion") {
+    def read(path: String): DataFrame = {
       val schema = Ingestion.wideSchema(cfg.numFeatures, cfg.labelCol)
-      val df =
-        if (cfg.tsv) Ingestion.readCsv(spark, cfg.dataPath, schema, header = false, sep = "\t")
-        else Ingestion.readCsv(spark, cfg.dataPath, schema, header = true)
+      if (cfg.tsv) Ingestion.readCsv(spark, path, schema, header = false, sep = "\t")
+      else Ingestion.readCsv(spark, path, schema, header = true)
+    }
+    val raw = timer.time("ingestion") {
       Ingestion.validateNonEmpty(
-        Ingestion.sample(df, cfg.dataPercentage, cfg.seed))
+        Ingestion.sample(read(cfg.dataPath), cfg.dataPercentage, cfg.seed))
     }
     val (train, test, stats) = timer.time("split_minmax") {
-      val (tr, te) = Splits.stratifiedSplit(raw, cfg.labelCol, cfg.trainFraction, cfg.seed)
+      val (tr, te) = cfg.testDataPath match {
+        case Some(tePath) => (raw, Ingestion.validateNonEmpty(read(tePath)))
+        case None => Splits.stratifiedSplit(raw, cfg.labelCol, cfg.trainFraction, cfg.seed)
+      }
       val st = Preprocessing.computeMinMax(tr, features)
       (tr, te, st)
     }

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.SparkSession
 
 /** Experiment entry point (reference: code/src/main.py:5-9). Usage:
-  *   runMain graft.pipeline.Sweep <dataPath> <outDir> [maxPartitions] [tsv]
+  *   runMain graft.pipeline.Sweep <dataPath> <outDir> [maxPartitions] [tsv] [sampleParams]
   */
 object Sweep {
   def main(args: Array[String]): Unit = {
@@ -11,6 +11,8 @@ object Sweep {
     val outDir = args.lift(1).getOrElse("/tmp/graft_sweep")
     val maxParts = args.lift(2).map(_.toInt).getOrElse(6)
     val isTsv = args.lift(3).forall(_.toBoolean) // TSV by default
+    val sampleParams = args.lift(4).exists(_.toBoolean)
+    val testPath = args.lift(5).filter(_ != "-")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,6 +23,7 @@ object Sweep {
     val cfg = SweepConfig(
       dataPath = dataPath, tsv = isTsv,
       localMaxPartitions = maxParts, globalMaxPartitions = maxParts,
+      sampleParams = sampleParams, testDataPath = testPath,
       modelsDir = Some(s"$outDir/models"), reportsDir = Some(s"$outDir/reports"))
     val t0 = System.nanoTime()
     val results = Controller.run(spark, cfg)

@@ -76,6 +76,47 @@ object EventStreams {
       }
   }
 
+  /** Running-count state row: `expired = true` marks the final count emitted
+    * when the watermark passed the user's last event + TTL and the state was
+    * dropped.
+    */
+  final case class UserCount(user_id: Long, n_events: Long, expired: Boolean)
+
+  /** Event-time variant of [[runningUserCounts]]: state for a user idle past
+    * `idleTtlMinutes` (in EVENT time) is expired by the watermark, emitting
+    * a final `expired = true` row — so state size is bounded by the active-
+    * user set, not the all-time user set, and a stalled source cannot evict
+    * anyone (the data clock, not the wall clock, drives expiry). The
+    * production-correct form of a running profile at 100 TB/day event
+    * volume. Requires a watermark on `ts` upstream (set here).
+    */
+  def runningUserCountsEventTime(
+      spark: SparkSession,
+      events: Dataset[Event],
+      idleTtlMinutes: Long = 60,
+      watermarkDelay: String = "30 minutes"): Dataset[UserCount] = {
+    import spark.implicits._
+    val ttlMs = idleTtlMinutes * 60000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), UserCount](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, _) = state.get
+            state.remove()
+            Iterator.single(UserCount(userId, n, expired = true))
+          } else {
+            var (n, lastTs) = state.getOption.getOrElse((0L, Long.MinValue))
+            batch.foreach { e => n += 1; lastTs = math.max(lastTs, e.ts.getTime) }
+            state.update((n, lastTs))
+            state.setTimeoutTimestamp(lastTs + ttlMs)
+            Iterator.single(UserCount(userId, n, expired = false))
+          }
+      }
+  }
+
   /** Open-session state carried between triggers. */
   final case class SessionState(start: Long, end: Long, n: Long, total: Double)
 

@@ -73,6 +73,39 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("runningUserCountsEventTime: watermark expires idle state and restarts counts") {
+    def ts2(hour: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
+    val stream = MemoryStream[Event]
+    val counts = EventStreams.runningUserCountsEventTime(spark, stream.toDS(),
+      idleTtlMinutes = 60, watermarkDelay = "10 minutes")
+    val q = counts.writeStream.format("memory").queryName("et_counts")
+      .outputMode(OutputMode.Update).start()
+    try {
+      stream.addData(batch.take(3): _*) // u100 x2 (10:00,10:05), u200 x1 (10:10)
+      q.processAllAvailable()
+      // sentinel rolls the watermark past 10:05 + 60 min for u100/u200
+      stream.addData(Event(98, ts2(12, 0), 999, "click", 0.0))
+      q.processAllAvailable()
+      stream.addData(Event(99, ts2(13, 0), 999, "click", 0.0))
+      q.processAllAvailable()
+      val expired = spark.table("et_counts").filter($"expired")
+        .select("user_id", "n_events").as[(Long, Long)].collect().toMap
+      assert(expired === Map(100L -> 2L, 200L -> 1L),
+        "watermark must emit a final expired row per idle user")
+      // a fresh event after expiry restarts from zero: state was removed
+      // (a leak would make this row n=3; the memory sink also retains the
+      // pre-expiry n=2 row, so assert the restart row exists rather than max)
+      stream.addData(Event(100, ts2(13, 30), 100, "click", 9.0))
+      q.processAllAvailable()
+      val afterRestart = spark.table("et_counts")
+        .filter($"user_id" === 100 && !$"expired")
+        .select("n_events").as[Long].collect().toSet
+      assert(afterRestart === Set(2L, 1L),
+        "expired state must not leak into the new count")
+    } finally q.stop()
+  }
+
   test("sessionizeEventTime: watermark-driven timeouts emit every session exactly once") {
     def ts2(hour: Int, minute: Int): Timestamp =
       Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
