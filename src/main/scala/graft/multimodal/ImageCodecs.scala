@@ -1,0 +1,132 @@
+package graft.multimodal
+
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+/** Real image codecs over the JDK's built-in `javax.imageio` (PNG/JPEG/BMP/
+  * GIF — no external dependency). Drop-in behind the same signatures as
+  * [[Multimodal.StubCodecs]]: null/undecodable payloads yield zeros/empty,
+  * so malformed rows degrade instead of failing the task — at 100 TB some
+  * payloads WILL be corrupt, and a poison row must not kill a partition.
+  *
+  * All methods are pure byte-in/byte-out and thread-safe, so they run
+  * unmodified inside `mapPartitions`/UDF executors.
+  */
+object ImageCodecs {
+
+  private def decode(payload: Array[Byte]): Option[BufferedImage] =
+    if (payload == null || payload.length == 0) None
+    else
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+
+  /** Rec.601 luma of a packed RGB pixel, in [0, 255]. */
+  private def luma(rgb: Int): Double = {
+    val r = (rgb >> 16) & 0xff
+    val g = (rgb >> 8) & 0xff
+    val b = rgb & 0xff
+    0.299 * r + 0.587 * g + 0.114 * b
+  }
+
+  /** `dim`-cell grid-pooled mean luminance in [0, 1] — a tiny "thumbnail
+    * embedding" (the classic dHash/aHash layout): the image splits into a
+    * rows×cols grid (rows = floor(sqrt(dim))), cell features are row-major
+    * mean luma / 255. Undecodable payload → all-zero vector, same contract
+    * as the stub.
+    */
+  def imageFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    decode(payload).foreach { img =>
+      val rows = math.max(1, math.sqrt(dim.toDouble).toInt)
+      val cols = math.max(1, (dim + rows - 1) / rows)
+      val w = img.getWidth
+      val h = img.getHeight
+      var cell = 0
+      while (cell < dim) {
+        val cr = cell / cols
+        val cc = cell % cols
+        val x0 = cc * w / cols; val x1 = math.max(x0 + 1, (cc + 1) * w / cols)
+        val y0 = cr * h / rows; val y1 = math.max(y0 + 1, (cr + 1) * h / rows)
+        var sum = 0.0
+        var n = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            sum += luma(img.getRGB(x, y)); n += 1; x += 1
+          }
+          y += 1
+        }
+        out(cell) = if (n == 0) 0f else ((sum / n) / 255.0).toFloat
+        cell += 1
+      }
+    }
+    out
+  }
+
+  /** Real bilinear resize via Graphics2D, re-encoded as PNG (lossless, so a
+    * resize to the same dims round-trips pixel-exact).
+    */
+  def resize(payload: Array[Byte], toW: Int, toH: Int): Array[Byte] =
+    decode(payload) match {
+      case None => Array.emptyByteArray
+      case Some(img) =>
+        val dst = new BufferedImage(toW, toH, BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+            RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, toW, toH, null)
+        } finally g.dispose()
+        encodePng(dst)
+    }
+
+  /** Decoded (width, height); None when the payload is not an image. */
+  def dimensions(payload: Array[Byte]): Option[(Int, Int)] =
+    decode(payload).map(i => (i.getWidth, i.getHeight))
+
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic single-color PNG — the fixture generator for tests and
+    * the oracled decode query: PNG is lossless, so every decoded pixel is
+    * exactly (r, g, b) and expected features have a closed form any SQL
+    * engine can compute.
+    */
+  def solidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Two-band PNG: top half (r1,g1,b1), bottom half (r2,g2,b2) — gives grid
+    * cells DIFFERENT expected lumas, so pooling geometry (not just decode)
+    * is oracle-checked.
+    */
+  def twoBandPng(w: Int, h: Int, rgb1: (Int, Int, Int), rgb2: (Int, Int, Int)): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    def pack(c: (Int, Int, Int)) =
+      ((c._1 & 0xff) << 16) | ((c._2 & 0xff) << 8) | (c._3 & 0xff)
+    val top = pack(rgb1); val bot = pack(rgb2)
+    var y = 0
+    while (y < h) {
+      val v = if (y < h / 2) top else bot
+      var x = 0
+      while (x < w) { img.setRGB(x, y, v); x += 1 }
+      y += 1
+    }
+    encodePng(img)
+  }
+}

@@ -13,12 +13,14 @@ import org.apache.spark.sql.types._
   * would amortize its init cost across the partition batch, and partitioning
   * controls batch shape exactly as at 100 TB).
   *
-  * STUB NOTICE: the actual byte-level codecs (JPEG decode, PCM decode,
-  * container demux) are NOT implemented — this container has no image/audio
-  * libraries. Each codec below is a clearly-marked deterministic fake that
-  * derives values from the payload bytes, so pipelines and tests exercise
-  * the real Spark plumbing (schemas, partition batching, explode fan-out)
-  * with stable outputs. Swap `StubCodecs` for real codecs to productionize.
+  * Codecs: IMAGE decode/feature/resize has a REAL implementation over the
+  * JDK's javax.imageio ([[ImageCodecs]], `codec = "imageio"` — PNG/JPEG/
+  * BMP/GIF, no external dependency). Audio/video (PCM decode, container
+  * demux) remain deterministic stubs — this container ships no media
+  * libraries beyond the JDK — clearly marked below so pipelines and tests
+  * exercise the real Spark plumbing (schemas, partition batching, explode
+  * fan-out) with stable outputs. Swap `StubCodecs` per codec to
+  * productionize.
   */
 object Multimodal {
 
@@ -102,8 +104,20 @@ object Multimodal {
   /** Image decode + feature extraction as a per-partition batch transform.
     * Output: (media_id, features array<float>). Real plumbing: one codec
     * "session" per partition, rows streamed through it.
+    *
+    * `codec = "imageio"` selects the REAL decoder ([[ImageCodecs]],
+    * javax.imageio — PNG/JPEG/BMP/GIF, no external dependency); the default
+    * stub keeps byte-derived deterministic features for payloads that are
+    * not actual images (the synthetic test tables).
     */
-  def imageFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8): DataFrame = {
+  def imageFeatures(
+      spark: SparkSession, media: DataFrame, dim: Int = 8,
+      codec: String = "stub"): DataFrame = {
+    val fn: (Array[Byte], Int) => Array[Float] = codec match {
+      case "imageio" => ImageCodecs.imageFeatures
+      case "stub"    => StubCodecs.imageFeatures
+      case other     => throw new IllegalArgumentException(s"unknown codec: $other")
+    }
     val out = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType), nullable = false)))
@@ -111,17 +125,26 @@ object Multimodal {
     media.filter(col("kind") === "image")
       .select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
-        // real codecs init native state here, once per partition
+        // real codecs init shared state here, once per partition
         rows.map { r =>
-          Row(r.getLong(0), StubCodecs.imageFeatures(r.getAs[Array[Byte]](1), dim).toSeq)
+          Row(r.getLong(0), fn(r.getAs[Array[Byte]](1), dim).toSeq)
         }
       }(enc)
   }
 
-  /** Resize: payload + metadata transform; width/height columns updated. */
-  def resizeImages(spark: SparkSession, media: DataFrame, toW: Int, toH: Int): DataFrame = {
-    val resizeUdf = udf((p: Array[Byte], w: Int, h: Int) =>
-      StubCodecs.resize(p, w, h, toW, toH))
+  /** Resize: payload + metadata transform; width/height columns updated.
+    * `codec = "imageio"` does a real bilinear resample + PNG re-encode.
+    */
+  def resizeImages(
+      spark: SparkSession, media: DataFrame, toW: Int, toH: Int,
+      codec: String = "stub"): DataFrame = {
+    val resizeUdf = codec match {
+      case "imageio" => udf((p: Array[Byte], w: Int, h: Int) =>
+        ImageCodecs.resize(p, toW, toH))
+      case "stub" => udf((p: Array[Byte], w: Int, h: Int) =>
+        StubCodecs.resize(p, w, h, toW, toH))
+      case other => throw new IllegalArgumentException(s"unknown codec: $other")
+    }
     media.filter(col("kind") === "image")
       .withColumn("payload", resizeUdf(col("payload"), col("width"), col("height")))
       .withColumn("width", lit(toW))

@@ -178,6 +178,32 @@ object TscQueries {
         .select(col("media_id"),
           round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
           round(element_at(col("features"), 2).cast("double"), 4).as("f1"))
+    }),
+
+    // REAL image decode, oracled end to end: per row an executor-side UDF
+    // encodes a deterministic two-band 16x16 PNG (colors derived from
+    // media_id), javax.imageio decodes it back, and 2x2 grid pooling emits
+    // cell lumas. PNG is lossless, so expected features have a closed form
+    // DuckDB computes from media_id alone — decode, pixel access, AND
+    // pooling geometry are all hash-checked.
+    "q_media_decode" -> ((s, d) => {
+      val pngUdf = udf((id: Long) => graft.multimodal.ImageCodecs.twoBandPng(
+        16, 16,
+        ((id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt),
+        ((id * 3 % 256).toInt, (id * 5 % 256).toInt, (id * 11 % 256).toInt)))
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        lit("image").as("kind"),
+        pngUdf(col("doc_id")).as("payload"),
+        lit(16).as("width"), lit(16).as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("long").as("duration_ms"))
+      graft.multimodal.Multimodal.imageFeatures(s, media, dim = 4, codec = "imageio")
+        .select(col("media_id"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+          round(element_at(col("features"), 2).cast("double"), 4).as("f1"),
+          round(element_at(col("features"), 3).cast("double"), 4).as("f2"),
+          round(element_at(col("features"), 4).cast("double"), 4).as("f3"))
     }))
 
   private val tscInvariantSql =
@@ -213,6 +239,20 @@ object TscQueries {
          SELECT media_id,
            round(CAST(CAST((CAST(s0 AS DOUBLE) / 255.0) / greatest(1, n // 4) AS FLOAT) AS DOUBLE), 4) AS f0,
            round(CAST(CAST((CAST(s1 AS DOUBLE) / 255.0) / greatest(1, n // 4) AS FLOAT) AS DOUBLE), 4) AS f1
-         FROM agg"""
+         FROM agg""",
+
+    // closed-form expected lumas of the two-band PNG (top band = cells
+    // f0/f1, bottom = f2/f3); same Rec.601 weights, same float cast
+    "q_media_decode" ->
+      """SELECT doc_id AS media_id,
+           round(CAST(CAST((0.299*(doc_id % 256) + 0.587*((doc_id*7) % 256)
+             + 0.114*((doc_id*13) % 256)) / 255.0 AS FLOAT) AS DOUBLE), 4) AS f0,
+           round(CAST(CAST((0.299*(doc_id % 256) + 0.587*((doc_id*7) % 256)
+             + 0.114*((doc_id*13) % 256)) / 255.0 AS FLOAT) AS DOUBLE), 4) AS f1,
+           round(CAST(CAST((0.299*((doc_id*3) % 256) + 0.587*((doc_id*5) % 256)
+             + 0.114*((doc_id*11) % 256)) / 255.0 AS FLOAT) AS DOUBLE), 4) AS f2,
+           round(CAST(CAST((0.299*((doc_id*3) % 256) + 0.587*((doc_id*5) % 256)
+             + 0.114*((doc_id*11) % 256)) / 255.0 AS FLOAT) AS DOUBLE), 4) AS f3
+         FROM documents"""
   )
 }

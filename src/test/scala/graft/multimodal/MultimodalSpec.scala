@@ -54,6 +54,48 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(rows === Array((4L, 0), (4L, 1), (4L, 2), (4L, 3)))
   }
 
+  test("imageio codec: real PNG decode produces exact grid lumas") {
+    // top band pure red (luma .299), bottom pure blue (luma .114)
+    val png = ImageCodecs.twoBandPng(16, 16, (255, 0, 0), (0, 0, 255))
+    val feats = ImageCodecs.imageFeatures(png, 4)
+    assert(feats.length === 4)
+    assert(math.abs(feats(0) - 0.299f) < 1e-6, s"top-left ${feats(0)}")
+    assert(math.abs(feats(1) - 0.299f) < 1e-6)
+    assert(math.abs(feats(2) - 0.114f) < 1e-6, s"bottom-left ${feats(2)}")
+    assert(math.abs(feats(3) - 0.114f) < 1e-6)
+    // white solid -> luma 1.0 in every cell
+    val white = ImageCodecs.imageFeatures(ImageCodecs.solidPng(8, 8, 255, 255, 255), 4)
+    assert(white.forall(f => math.abs(f - 1.0f) < 1e-6))
+    // non-image payload and null degrade to zeros, not exceptions
+    assert(ImageCodecs.imageFeatures(payload(7, 512), 4).forall(_ === 0f))
+    assert(ImageCodecs.imageFeatures(null, 4).forall(_ === 0f))
+  }
+
+  test("imageio codec: real resize halves dimensions and re-encodes losslessly") {
+    val png = ImageCodecs.solidPng(32, 32, 10, 200, 30)
+    val half = ImageCodecs.resize(png, 16, 16)
+    assert(ImageCodecs.dimensions(half) === Some((16, 16)))
+    // solid color survives bilinear resample exactly
+    val feats = ImageCodecs.imageFeatures(half, 1)
+    val expected = (0.299 * 10 + 0.587 * 200 + 0.114 * 30) / 255.0
+    assert(math.abs(feats(0) - expected) < 1e-6)
+    assert(ImageCodecs.resize(payload(9, 100), 8, 8).isEmpty)
+  }
+
+  test("imageio codec: distributed imageFeatures path matches local codec") {
+    val pngMedia = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(10L, "image", ImageCodecs.twoBandPng(16, 16, (255, 0, 0), (0, 0, 255)),
+          16, 16, null, null),
+        Row(11L, "image", ImageCodecs.solidPng(8, 8, 0, 255, 0), 8, 8, null, null)), 2),
+      Multimodal.mediaSchema)
+    val out = Multimodal.imageFeatures(spark, pngMedia, dim = 4, codec = "imageio")
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(out(10L) === ImageCodecs.imageFeatures(
+      ImageCodecs.twoBandPng(16, 16, (255, 0, 0), (0, 0, 255)), 4).toSeq)
+    assert(math.abs(out(11L).head - 0.587f) < 1e-6)
+  }
+
   test("audioFeatures produces band energies for audio rows only") {
     val f = Multimodal.audioFeatures(spark, media, bands = 4)
       .as[(Long, Seq[Float])].collect().toMap
