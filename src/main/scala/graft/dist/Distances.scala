@@ -352,7 +352,12 @@ object Distances {
     fixed.map(m => m.name -> m).toMap
   }
 
-  // memo so the per-row traversal hot path never re-parses a name
+  // memo so the per-row traversal hot path never re-parses a name; bounded
+  // because sampled-parameter names are nearly all distinct — a long-lived
+  // executor reused across many fits would otherwise accumulate entries
+  // forever. Past the bound we drop the whole map (entries are tiny and
+  // re-parse is cheap; eviction bookkeeping would cost more than it saves).
+  private val MemoBound = 4096
   private val parsed =
     new java.util.concurrent.ConcurrentHashMap[String, DistanceMeasure]()
 
@@ -365,7 +370,12 @@ object Distances {
     fixedByName.getOrElse(name, {
       val hit = parsed.get(name)
       if (hit != null) hit
-      else { val m = parse(name); parsed.putIfAbsent(name, m); m }
+      else {
+        val m = parse(name)
+        if (parsed.size >= MemoBound) parsed.clear()
+        parsed.putIfAbsent(name, m)
+        m
+      }
     })
 
   private def parse(name: String): DistanceMeasure = {
@@ -377,8 +387,10 @@ object Distances {
       case s if s.startsWith("wdtw_")        => Wdtw(num(s.stripPrefix("wdtw_")))
       case s if s.startsWith("wddtw_")       => Wddtw(num(s.stripPrefix("wddtw_")))
       case s if s.startsWith("lcss_") =>
+        // only the two-token form is ever produced (Lcss.name always embeds
+        // the window, -1 when unbounded); no one-token fallback, so a
+        // malformed name fails loudly instead of parsing as a second format
         s.stripPrefix("lcss_").split('_') match {
-          case Array(eps)    => Lcss(num(eps))
           case Array(eps, w) => Lcss(num(eps), w.toInt)
           case _ => throw new IllegalArgumentException(s"bad lcss name: $s")
         }

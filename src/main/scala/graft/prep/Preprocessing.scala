@@ -83,10 +83,52 @@ object Preprocessing {
     * one core no matter the cluster. An explicit numPartitions repartition
     * is exempt from AQE coalescing. No-op when the input already has enough
     * partitions (never shrinks a big scan).
+    *
+    * The partition count is ESTIMATED from the logical plan (file-scan
+    * split math over the relation's size, driver-local relations count as
+    * 1) — never via `df.rdd`, which would force physical planning and, under
+    * AQE, can execute upstream stages. Plans whose source parallelism is
+    * not statically readable (post-shuffle, cached) are returned unchanged:
+    * their partitioning was already decided by an exchange, which is
+    * exactly when a blanket repartition would be wrong.
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    estimatedSourcePartitions(df) match {
+      case Some(n) if n < target => df.repartition(target)
+      case _ => df
+    }
+  }
+
+  /** Static partition estimate for scan-rooted plans: replays Spark's file
+    * split sizing (min(maxPartitionBytes, max(openCost, bytes/cores))) over
+    * the file index size. None when any leaf is not a file scan or local
+    * rows.
+    */
+  private def estimatedSourcePartitions(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val session = df.sparkSession
+    val conf = session.sessionState.conf
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val perLeaf = leaves.map {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        val totalBytes = fs.location.sizeInBytes
+        val openCost = conf.filesOpenCostInBytes
+        val cores = session.sparkContext.defaultParallelism
+        val bytesPerCore = (totalBytes + openCost) / math.max(1, cores)
+        val maxSplit = math.min(conf.filesMaxPartitionBytes,
+          math.max(openCost, bytesPerCore))
+        Some(math.max(1L, totalBytes / math.max(1L, maxSplit)).toInt)
+      // driver-local rows are distributed across cores at execution
+      // (LocalTableScan parallelizes); no shuffle needed or wanted
+      case _: LocalRelation => None
+      case r: LogicalRDD => Some(r.rdd.getNumPartitions)
+      case _ => None
+    }
+    if (perLeaf.exists(_.isEmpty)) None
+    else perLeaf.flatten.reduceOption(math.max)
   }
 
   /** W1 + R2 — class-balanced exact repartitioning

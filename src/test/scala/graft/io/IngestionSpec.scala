@@ -10,7 +10,7 @@ import graft.SparkSpec
   */
 class IngestionSpec extends AnyFunSuite with SparkSpec {
 
-  private val ecgPath = "/root/reference/ECG5000/ECG5000_TRAIN.tsv"
+  private val ecgPath = graft.TestData.ecg5000Path
 
   test("wide schema has label + N doubles") {
     val s = Ingestion.wideSchema(140)
@@ -21,6 +21,7 @@ class IngestionSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("reads ECG5000 train TSV: 500 rows, labels 1..5, no null features") {
+    assume(graft.TestData.ecg5000Available, "reference ECG5000 checkout absent")
     val df = Ingestion.readUcrTsv(spark, ecgPath, numFeatures = 140)
     assert(df.count() === 500)
     val labels = df.select("label").distinct().collect().map(_.getInt(0)).sorted
@@ -29,6 +30,7 @@ class IngestionSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("sample bounds: fraction 1 identity; 0.1 lands near 50 rows") {
+    assume(graft.TestData.ecg5000Available, "reference ECG5000 checkout absent")
     val df = Ingestion.readUcrTsv(spark, ecgPath, numFeatures = 140)
     assert(Ingestion.sample(df, 1.0).count() === 500)
     val n = Ingestion.sample(df, 0.1, seed = 42).count()

@@ -9,8 +9,9 @@ import graft.io.Ingestion
 class MlPipelineSpec extends AnyFunSuite with SparkSpec {
 
   test("MLlib RandomForest pipeline classifies ECG5000 above majority baseline") {
+    assume(graft.TestData.ecg5000Available, "reference ECG5000 checkout absent")
     val df = Ingestion.readUcrTsv(spark,
-      "/root/reference/ECG5000/ECG5000_TRAIN.tsv", numFeatures = 140)
+      graft.TestData.ecg5000Path, numFeatures = 140)
     val (train, test) = graft.split.Splits.hashSplit(df.withColumn(
       "rid", org.apache.spark.sql.functions.monotonically_increasing_id()),
       "rid", sixteenths = 13)

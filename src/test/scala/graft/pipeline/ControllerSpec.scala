@@ -11,9 +11,10 @@ import graft.SparkSpec
 class ControllerSpec extends AnyFunSuite with SparkSpec {
 
   test("sweep over ECG5000_TRAIN: both strategies beat majority-class baseline") {
+    assume(graft.TestData.ecg5000Available, "reference ECG5000 checkout absent")
     val out = java.nio.file.Files.createTempDirectory("sweep").toString
     val cfg = SweepConfig(
-      dataPath = "/root/reference/ECG5000/ECG5000_TRAIN.tsv",
+      dataPath = graft.TestData.ecg5000Path,
       tsv = true,
       minIterations = 2,
       localMaxPartitions = 3,

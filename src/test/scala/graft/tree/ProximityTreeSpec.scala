@@ -120,7 +120,7 @@ class ProximityTreeSpec extends AnyFunSuite {
 
   /** ECG5000 rows from the in-repo reference file: label \t 140 features. */
   private def ecgInstances(n: Int): IndexedSeq[Instance] = {
-    val src = scala.io.Source.fromFile("/root/reference/ECG5000/ECG5000_TRAIN.tsv")
+    val src = scala.io.Source.fromFile(graft.TestData.ecg5000Path)
     try src.getLines().take(n).map { line =>
       val parts = line.split('\t')
       Instance(parts.tail.map(_.toDouble), parts.head.trim.toDouble.toInt)
@@ -129,6 +129,7 @@ class ProximityTreeSpec extends AnyFunSuite {
   }
 
   test("per-candidate parameter sampling holds the ECG5000 accuracy band") {
+    assume(graft.TestData.ecg5000Available, "reference ECG5000 checkout absent")
     val all = ecgInstances(300)
     // deterministic interleaved holdout: every 3rd row tests
     val (test, train) = all.zipWithIndex.partition(_._2 % 3 == 2)
