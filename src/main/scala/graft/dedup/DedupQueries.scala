@@ -40,8 +40,18 @@ object DedupQueries {
       Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 3,
         tokenHasher = "md5")),
 
-    // embedding-cosine near-dup pairs (exact all-pairs — oracled)
+    // embedding-cosine near-dup pairs through the SRP-LSH blocked path —
+    // the plan that survives 100×: bucket equi-join, never all-pairs. The
+    // DuckDB oracle rebuilds the SAME buckets from the seeded hyperplanes
+    // (inlined as literals — projections are just dot-product signs), so
+    // blocking + pairing + cosine are all hash-verified exactly.
     "q_dedup_cosine" -> ((s, d) =>
+      Knn.cosinePairs(embeddings(s, d), "vec_id", "embedding", threshold = 0.4,
+        numPlanes = cosLshPlanes, seed = cosLshSeed)),
+
+    // exact all-pairs twin (B×B block-pair replication): the small-data
+    // oracle for recall studies — quadratic by nature, NOT a scale path
+    "q_dedup_cosine_exact" -> ((s, d) =>
       Knn.cosinePairs(embeddings(s, d), "vec_id", "embedding", threshold = 0.4)),
 
     // brute-force cosine top-5 for query vectors vec_id < 10 (oracled)
@@ -127,6 +137,39 @@ object DedupQueries {
   private val toksSql =
     """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"""
 
+  // SRP blocking parameters for q_dedup_cosine; the oracle inlines the
+  // SAME seeded hyperplanes, so both engines compute identical buckets
+  private val cosLshPlanes = 3
+  private val cosLshSeed = 42L
+  private val cosLshDim = 64 // embeddings.embedding element count (TESTDATA.md)
+
+  /** Oracle for the LSH-blocked cosine path: bucket k-th bit = sign of the
+    * k-th hyperplane projection (most-significant first, matching
+    * Knn.srpBucket's reduceLeft), pairs join within buckets only. Plane
+    * coordinates are Java double round-trip literals — DuckDB parses them
+    * to the identical IEEE doubles, and both engines fold dot products
+    * left-to-right, so the signs agree bit-for-bit.
+    */
+  private lazy val cosLshOracleSql: String = {
+    val planes = Knn.randomHyperplanes(cosLshPlanes, cosLshDim, cosLshSeed)
+    val bucketExpr = planes.zipWithIndex.map { case (p, k) =>
+      val lit = p.map(_.toString).mkString("[", ", ", "]")
+      val weight = 1L << (cosLshPlanes - 1 - k)
+      s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN $weight ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e)
+        SELECT id_a, id_b, cosine_sim FROM (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+            round(CASE WHEN sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)) > 0
+              THEN list_dot_product(x.v, y.v) /
+                (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+              ELSE 0.0 END, 6) AS cosine_sim
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id) p
+        WHERE cosine_sim >= 0.4"""
+  }
+
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
@@ -183,7 +226,9 @@ object DedupQueries {
             GROUP BY 1, 2)
           SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3""",
 
-    "q_dedup_cosine" ->
+    "q_dedup_cosine" -> cosLshOracleSql,
+
+    "q_dedup_cosine_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT id_a, id_b, cosine_sim FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
