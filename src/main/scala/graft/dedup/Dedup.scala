@@ -291,10 +291,17 @@ object Dedup {
   /** MD5-derived 64-bit token hash (first 8 digest bytes, big-endian) —
     * slower than [[hash64]] but reproducible in any engine with md5()
     * (DuckDB: hex-nibble arithmetic over substr(md5(t))), which makes the
-    * whole SimHash pipeline externally verifiable.
+    * whole SimHash pipeline externally verifiable. The digest instance is
+    * thread-local: this runs per token per row, and
+    * MessageDigest.getInstance in that loop is an allocation + provider
+    * lookup per call (MessageDigest.reset() via digest() makes reuse safe).
     */
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   @inline private def md5Hash64(t: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
+    val d = md5Local.get()
       .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var h = 0L
     var i = 0

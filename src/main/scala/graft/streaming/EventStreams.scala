@@ -187,6 +187,22 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of the batch
+    * `Dedup.exactGroups` keep-first semantics: a row whose `keyCols` were
+    * already seen is dropped, and the dedup state is BOUNDED by the
+    * watermark (`dropDuplicatesWithinWatermark`), so at 100 TB/day the
+    * state holds only the watermark window's keys, not the all-time key
+    * set. Exactly the shape for at-least-once sources (Kafka replays,
+    * retried file batches) feeding a training-data lake.
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming model scoring: apply a fitted Proximity forest to a stream
     * of feature rows (broadcast model, stateless map — scales with input
     * rate, exactly-once under any sink that supports it). The same

@@ -69,6 +69,48 @@ object TextFunctions {
     round((lengthOk + punctOk + swOk) / 3.0, 6)
   }
 
+  /** Token repetition ratio in [0,1): 1 − distinct tokens / tokens
+    * (lowercased). The Gopher-style repetition signal (Rae et al. 2021,
+    * §A1.1 quality filters): boilerplate and spam repeat; prose doesn't.
+    * Pure Catalyst collection functions — no UDF, linear in tokens.
+    */
+  def repetitionRatio(text: Column): Column = {
+    val toks = lowerTokens(text)
+    when(size(toks) > 0,
+      round(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of tokens covered by occurrences of the single most frequent
+    * word bigram: 2 × max bigram count / token count (0 when < 2 tokens) —
+    * the second Gopher repetition axis ("fraction of characters in the most
+    * common n-gram"), counted in tokens so any SQL engine reproduces it
+    * exactly. Per-row frequency counting is a primitive-loop UDF: the HOF
+    * equivalent evaluates interpreted per element and would be O(n²) per
+    * row (see the dedup shingle lesson).
+    */
+  def topBigramFraction(text: Column): Column = {
+    val maxBigram = udf((toks: Seq[String]) => {
+      if (toks == null || toks.length < 2) 0L
+      else {
+        val counts = new java.util.HashMap[String, Long]()
+        var best = 0L
+        var i = 0
+        while (i < toks.length - 1) {
+          val bg = toks(i) + " " + toks(i + 1)
+          val c = counts.merge(bg, 1L, (a, b) => a + b)
+          if (c > best) best = c
+          i += 1
+        }
+        best
+      }
+    })
+    val toks = lowerTokens(text)
+    when(size(toks) >= 2,
+      round(lit(2.0) * maxBigram(toks).cast("double") / size(toks), 6))
+      .otherwise(lit(0.0))
+  }
+
   /** Canonical-form document fingerprint: md5 of whitespace-normalized,
     * lowercased text. Stable across engines; the exact-dedup key. */
   def fingerprint(text: Column): Column =

@@ -38,7 +38,14 @@ object TextQueries {
     "q_text_fingerprint" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
         fingerprint(col("text")).as("fp"),
-        rollingHash(col("text")).as("rhash")))
+        rollingHash(col("text")).as("rhash"))),
+
+    // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    // boilerplate repeats, prose doesn't
+    "q_text_repetition" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        repetitionRatio(col("text")).as("rep_ratio"),
+        topBigramFraction(col("text")).as("top_bigram_frac")))
   )
 
   private val qualityStopwordsSql = qualityStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -109,6 +116,21 @@ object TextQueries {
                regexp_extract_all(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), '.'),
                c -> CAST(ascii(c) AS BIGINT))),
            (acc, c) -> (acc * 131 + c) % 2147483647) AS rhash
-         FROM documents"""
+         FROM documents""",
+
+    "q_text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          bg AS (SELECT doc_id, len(toks) AS n,
+              unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS b
+            FROM t WHERE len(toks) >= 2),
+          cnt AS (SELECT doc_id, n, b, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+          mx AS (SELECT doc_id, n, max(c) AS mc FROM cnt GROUP BY 1, 2)
+          SELECT t.doc_id,
+            CASE WHEN len(t.toks) > 0
+              THEN round(1.0 - CAST(len(list_distinct(t.toks)) AS DOUBLE) / len(t.toks), 6)
+              ELSE 0.0 END AS rep_ratio,
+            COALESCE(round(2.0 * mx.mc / mx.n, 6), 0.0) AS top_bigram_frac
+          FROM t LEFT JOIN mx ON t.doc_id = mx.doc_id"""
   )
 }

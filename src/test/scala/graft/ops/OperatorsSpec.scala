@@ -134,6 +134,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(1) === 5L)
   }
 
+  test("repetition signals: boilerplate scores high, prose scores low") {
+    val rows = Seq(
+      ("buy now buy now buy now buy now", 1), // pure repetition
+      ("the quick brown fox jumps over the lazy dog", 2), // prose
+      ("one", 3), // < 2 tokens
+      ("", 4)
+    ).toDF("text", "id")
+    val out = rows.select($"id",
+      TextFunctions.repetitionRatio($"text").as("rr"),
+      TextFunctions.topBigramFraction($"text").as("bf"))
+      .as[(Int, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // 8 tokens, 2 distinct -> rep 0.75; "buy now" occurs 4x of 8 tokens -> 1.0
+    assert(out(1) === ((0.75, 1.0)))
+    // 9 tokens, 8 distinct ("the" twice) -> 1 - 8/9; every bigram unique
+    assert(math.abs(out(2)._1 - (1.0 - 8.0 / 9.0)) < 1e-6)
+    assert(out(2)._2 === 0.222222) // round(2/9, 6)
+    assert(out(3) === ((0.0, 0.0)))
+    assert(out(4) === ((0.0, 0.0)))
+  }
+
   test("knn brute-force: nearest neighbor of a vector is its near-copy") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),

@@ -153,6 +153,26 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamStyle === lagStyle)
   }
 
+  test("dedupStream drops within-watermark duplicate keys across triggers") {
+    val stream = MemoryStream[Event]
+    val q = EventStreams.dedupStream(stream.toDF(), Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(Event(1, ts(0), 100, "click", 1.0),
+        Event(2, ts(5), 200, "view", 2.0))
+      q.processAllAvailable()
+      // replay of event 1 (same key, later trigger, inside the watermark)
+      // plus a fresh event 3
+      stream.addData(Event(1, ts(6), 100, "click", 1.0),
+        Event(3, ts(7), 300, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids === Array(1L, 2L, 3L), "replayed key must be dropped once seen")
+    } finally q.stop()
+  }
+
   test("scoreStream applies a broadcast forest to streaming rows") {
     import graft.tree.{PLeaf, ProximityForestModel, ProximityTreeModel}
     val leafModel = ProximityForestModel(
