@@ -41,13 +41,15 @@ object DedupQueries {
         tokenHasher = "md5")),
 
     // embedding-cosine near-dup pairs through the SRP-LSH blocked path —
-    // the plan that survives 100×: bucket equi-join, never all-pairs. The
-    // DuckDB oracle rebuilds the SAME buckets from the seeded hyperplanes
-    // (inlined as literals — projections are just dot-product signs), so
-    // blocking + pairing + cosine are all hash-verified exactly.
+    // the plan that survives 100×: bucket equi-joins over L independent
+    // hash tables (OR-construction, ~0.87 pair recall at cos 0.4), never
+    // all-pairs. The DuckDB oracle rebuilds the SAME buckets from the
+    // seeded hyperplanes (inlined as literals — projections are just
+    // dot-product signs), so blocking, the cross-table distinct, and the
+    // cosine arithmetic are all hash-verified exactly.
     "q_dedup_cosine" -> ((s, d) =>
       Knn.cosinePairs(embeddings(s, d), "vec_id", "embedding", threshold = 0.4,
-        numPlanes = cosLshPlanes, seed = cosLshSeed)),
+        numPlanes = cosLshPlanes, numTables = cosLshTables, seed = cosLshSeed)),
 
     // exact all-pairs twin (B×B block-pair replication): the small-data
     // oracle for recall studies — quadratic by nature, NOT a scale path
@@ -138,34 +140,50 @@ object DedupQueries {
     """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"""
 
   // SRP blocking parameters for q_dedup_cosine; the oracle inlines the
-  // SAME seeded hyperplanes, so both engines compute identical buckets
-  private val cosLshPlanes = 3
+  // SAME seeded hyperplanes, so both engines compute identical buckets.
+  // k=2 planes x L=4 tables: pair recall 1-(1-p^2)^4 ~ 0.87 at cos 0.4.
+  // SIZED FOR THE FIXTURE, not for scale: this synthetic corpus has no
+  // planted duplicates, so the 0.4 threshold sits in the similarity bulk
+  // and only a coarse k keeps recall measurable. In production near-dup
+  // dedup the threshold is ~0.9 (p ~ 0.86/plane), and k scales with the
+  // corpus (k ~ log2(n / targetBucketRows), e.g. k=16 -> 65k buckets per
+  // table at 1B vectors) while L sets recall (L=8 -> ~0.93). The OPERATOR
+  // takes both as parameters; the plan shape (narrow-row bucket joins,
+  // cross-table distinct, payload join by id) is identical at any k/L.
+  private val cosLshPlanes = 2
+  private val cosLshTables = 4
   private val cosLshSeed = 42L
   private val cosLshDim = 64 // embeddings.embedding element count (TESTDATA.md)
 
-  /** Oracle for the LSH-blocked cosine path: bucket k-th bit = sign of the
-    * k-th hyperplane projection (most-significant first, matching
-    * Knn.srpBucket's reduceLeft), pairs join within buckets only. Plane
-    * coordinates are Java double round-trip literals — DuckDB parses them
-    * to the identical IEEE doubles, and both engines fold dot products
-    * left-to-right, so the signs agree bit-for-bit.
+  /** Oracle for the LSH-blocked cosine path: per table, bucket k-th bit =
+    * sign of the k-th hyperplane projection (most-significant first,
+    * matching Knn.srpBucket's reduceLeft); a pair is a candidate when its
+    * buckets agree in ANY table (OR-construction). Plane coordinates are
+    * Java double round-trip literals — DuckDB parses them to the identical
+    * IEEE doubles, and both engines fold dot products left-to-right, so the
+    * signs agree bit-for-bit.
     */
   private lazy val cosLshOracleSql: String = {
-    val planes = Knn.randomHyperplanes(cosLshPlanes, cosLshDim, cosLshSeed)
-    val bucketExpr = planes.zipWithIndex.map { case (p, k) =>
-      val lit = p.map(_.toString).mkString("[", ", ", "]")
-      val weight = 1L << (cosLshPlanes - 1 - k)
-      s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN $weight ELSE 0 END)"
-    }.mkString(" + ")
+    val tables = Knn.randomHyperplanes(cosLshPlanes * cosLshTables, cosLshDim, cosLshSeed)
+      .grouped(cosLshPlanes).toSeq
+    val bucketCols = tables.zipWithIndex.map { case (planes, t) =>
+      val expr = planes.zipWithIndex.map { case (p, k) =>
+        val lit = p.map(_.toString).mkString("[", ", ", "]")
+        val weight = 1L << (cosLshPlanes - 1 - k)
+        s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN $weight ELSE 0 END)"
+      }.mkString(" + ")
+      s"($expr) AS b$t"
+    }.mkString(", ")
+    val anyTable = tables.indices.map(t => s"x.b$t = y.b$t").mkString(" OR ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e)
+        b AS (SELECT vec_id, v, $bucketCols FROM e)
         SELECT id_a, id_b, cosine_sim FROM (
           SELECT x.vec_id AS id_a, y.vec_id AS id_b,
             round(CASE WHEN sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)) > 0
               THEN list_dot_product(x.v, y.v) /
                 (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
               ELSE 0.0 END, 6) AS cosine_sim
-          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id) p
+          FROM b x JOIN b y ON x.vec_id < y.vec_id AND ($anyTable)) p
         WHERE cosine_sim >= 0.4"""
   }
 

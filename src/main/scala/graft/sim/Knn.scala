@@ -240,8 +240,16 @@ object Knn {
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
-    * Exact within blocking: all-pairs via SRP buckets when `numPlanes` > 0,
-    * else full cross-pairs (test scale only).
+    * Exact within blocking: when `numPlanes` > 0, SRP-LSH blocking with an
+    * OR-construction over `numTables` independent hash tables — a pair is a
+    * candidate if it collides in ANY table, so pair recall is
+    * 1 − (1 − p^numPlanes)^numTables for per-plane agreement p (k=2, L=4
+    * gives ~0.87 at cos 0.4 where one 3-plane table gives ~0.25). Else full
+    * cross-pairs (test scale only).
+    *
+    * Scale shape: candidates are discovered on NARROW (table|bucket, id)
+    * rows — vectors never ride through the bucket join or the cross-table
+    * distinct; payloads join back by id once per surviving pair.
     */
   def cosinePairs(
       df: DataFrame,
@@ -249,21 +257,32 @@ object Knn {
       vecCol: String,
       threshold: Double,
       numPlanes: Int = 0,
+      numTables: Int = 1,
       seed: Long = 42L): DataFrame = {
+    require(numTables >= 1, "numTables must be >= 1")
     val base = graft.prep.Preprocessing.spread(df)
       .select(col(idCol), toDoubleArray(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     if (numPlanes > 0) {
       // LSH blocking — the scale path
       val dim = df.select(size(col(vecCol))).head().getInt(0)
-      val withBucket = base.withColumn("bucket",
-        srpBucket(col("v"), randomHyperplanes(numPlanes, dim, seed)))
-      val a = withBucket.select(col("bucket"), col(idCol).as("id_a"),
-        col("v").as("va"), col("nrm").as("na"))
-      val b = withBucket.select(col("bucket"), col(idCol).as("id_b"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, Seq("bucket"))
+      val tables = randomHyperplanes(numPlanes * numTables, dim, seed)
+        .grouped(numPlanes).toSeq
+      // one (table, bucket) row per vector per table; join key packs both
+      val tb = explode(array(tables.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t).as("t"), srpBucket(col("v"), planes).as("b"))
+      }: _*))
+      val bucketed = base.select(col(idCol), tb.as("tb"))
+      val cand = bucketed.select(col("tb"), col(idCol).as("id_a"))
+        .join(bucketed.select(col("tb"), col(idCol).as("id_b")), Seq("tb"))
         .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct() // a pair colliding in several tables scores once
+      val pa = base.select(col(idCol).as("id_a"), col("v").as("va"),
+        col("nrm").as("na"))
+      val pb = base.select(col(idCol).as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      cand.join(pa, "id_a").join(pb, "id_b")
         .select(col("id_a"), col("id_b"),
           round(cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")), 6)
             .as("cosine_sim"))

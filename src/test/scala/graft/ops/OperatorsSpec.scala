@@ -107,6 +107,30 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.9, s"ivf recall $recall")
   }
 
+  test("multi-table LSH cosinePairs finds planted near-duplicates at production k/L") {
+    // 200 random unit-ish vectors + 20 planted near-copies (cos >= ~0.95)
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 200).map(i => (i.toLong, vec()))
+    val planted = bases.take(20).map { case (i, v) =>
+      (1000L + i, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val df = (bases ++ planted).map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    // production-shaped parameters: fine buckets (k=6 -> 64/table), L=4
+    // tables for recall ~0.95 at cos 0.9
+    val lsh = Knn.cosinePairs(df, "vec_id", "embedding", threshold = 0.9,
+        numPlanes = 6, numTables = 4, seed = 5L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Knn.cosinePairs(df, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH must be exact within blocking")
+    val plantedPairs = exact.filter { case (a, b) => b == a + 1000L }
+    assert(plantedPairs.size >= 15, s"fixture sanity: ${plantedPairs.size}")
+    val found = plantedPairs.count(lsh.contains).toDouble / plantedPairs.size
+    assert(found >= 0.8, s"planted-pair recall $found")
+  }
+
   test("cosinePairs LSH path plans no round-robin (stray) shuffle") {
     val vecs = (0 until 64).map(i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat).toSeq))
