@@ -13,14 +13,15 @@ import org.apache.spark.sql.types._
   * would amortize its init cost across the partition batch, and partitioning
   * controls batch shape exactly as at 100 TB).
   *
-  * Codecs: IMAGE decode/feature/resize has a REAL implementation over the
-  * JDK's javax.imageio ([[ImageCodecs]], `codec = "imageio"` — PNG/JPEG/
-  * BMP/GIF, no external dependency). Audio/video (PCM decode, container
-  * demux) remain deterministic stubs — this container ships no media
-  * libraries beyond the JDK — clearly marked below so pipelines and tests
-  * exercise the real Spark plumbing (schemas, partition batching, explode
-  * fan-out) with stable outputs. Swap `StubCodecs` per codec to
-  * productionize.
+  * Codecs: IMAGE decode/feature/resize is REAL over the JDK's javax.imageio
+  * ([[ImageCodecs]], `codec = "imageio"` — PNG/JPEG/BMP/GIF) and AUDIO
+  * decode is REAL over javax.sound.sampled ([[AudioCodecs]],
+  * `codec = "wav"` — WAV/AIFF/AU PCM); neither needs a dependency beyond
+  * the JDK. Compressed audio (MP3/AAC) and video container demux have no
+  * JDK codec and remain deterministic stubs — clearly marked below so
+  * pipelines and tests exercise the real Spark plumbing (schemas, partition
+  * batching, explode fan-out) with stable outputs. Swap `StubCodecs` per
+  * codec to productionize.
   */
 object Multimodal {
 
@@ -160,8 +161,18 @@ object Multimodal {
       .select(col("media_id"), posexplode(framesUdf(col("payload"))).as(Seq("frame_idx", "frame")))
   }
 
-  /** Audio feature extraction, same partition-batch shape as images. */
-  def audioFeatures(spark: SparkSession, media: DataFrame, bands: Int = 4): DataFrame = {
+  /** Audio feature extraction, same partition-batch shape as images.
+    * `codec = "wav"` selects the REAL decoder ([[AudioCodecs]],
+    * javax.sound.sampled — WAV/AIFF/AU PCM, no external dependency).
+    */
+  def audioFeatures(
+      spark: SparkSession, media: DataFrame, bands: Int = 4,
+      codec: String = "stub"): DataFrame = {
+    val fn: (Array[Byte], Int) => Array[Float] = codec match {
+      case "wav"  => AudioCodecs.audioFeatures
+      case "stub" => StubCodecs.audioFeatures
+      case other  => throw new IllegalArgumentException(s"unknown codec: $other")
+    }
     val out = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType), nullable = false)))
@@ -170,7 +181,7 @@ object Multimodal {
       .select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
-          Row(r.getLong(0), StubCodecs.audioFeatures(r.getAs[Array[Byte]](1), bands).toSeq)
+          Row(r.getLong(0), fn(r.getAs[Array[Byte]](1), bands).toSeq)
         }
       }(enc)
   }

@@ -204,6 +204,30 @@ object TscQueries {
           round(element_at(col("features"), 2).cast("double"), 4).as("f1"),
           round(element_at(col("features"), 3).cast("double"), 4).as("f2"),
           round(element_at(col("features"), 4).cast("double"), 4).as("f3"))
+    }),
+
+    // REAL audio decode, oracled end to end (the WAV sibling of
+    // q_media_decode): an executor UDF encodes a two-band square-wave WAV
+    // per row (amplitudes derived from media_id), javax.sound decodes the
+    // PCM back, and 4-band windowed energies emerge. Every |sample| is
+    // amp/32768 — a power-of-two division, exact in doubles — so DuckDB
+    // reproduces the band features bit-for-bit from media_id alone.
+    "q_audio_decode" -> ((s, d) => {
+      val wavUdf = udf((id: Long) => graft.multimodal.AudioCodecs.twoBandSquareWav(
+        4096, (id * 37 % 16384).toInt, (id * 53 % 16384).toInt))
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        lit("audio").as("kind"),
+        wavUdf(col("doc_id")).as("payload"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(8000).as("sample_rate"),
+        lit(512L).as("duration_ms"))
+      graft.multimodal.Multimodal.audioFeatures(s, media, bands = 4, codec = "wav")
+        .select(col("media_id"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("b0"),
+          round(element_at(col("features"), 2).cast("double"), 6).as("b1"),
+          round(element_at(col("features"), 3).cast("double"), 6).as("b2"),
+          round(element_at(col("features"), 4).cast("double"), 6).as("b3"))
     }))
 
   private val tscInvariantSql =
@@ -253,6 +277,17 @@ object TscQueries {
              + 0.114*((doc_id*11) % 256)) / 255.0 AS FLOAT) AS DOUBLE), 4) AS f2,
            round(CAST(CAST((0.299*((doc_id*3) % 256) + 0.587*((doc_id*5) % 256)
              + 0.114*((doc_id*11) % 256)) / 255.0 AS FLOAT) AS DOUBLE), 4) AS f3
+         FROM documents""",
+
+    // closed-form band energies of the two-band square WAV: bands 0-1 see
+    // |amp1|/32768, bands 2-3 |amp2|/32768 (4096 samples, band = 1024,
+    // half = 2048 — windows align exactly)
+    "q_audio_decode" ->
+      """SELECT doc_id AS media_id,
+           round(CAST(CAST(CAST((doc_id*37) % 16384 AS DOUBLE) / 32768.0 AS FLOAT) AS DOUBLE), 6) AS b0,
+           round(CAST(CAST(CAST((doc_id*37) % 16384 AS DOUBLE) / 32768.0 AS FLOAT) AS DOUBLE), 6) AS b1,
+           round(CAST(CAST(CAST((doc_id*53) % 16384 AS DOUBLE) / 32768.0 AS FLOAT) AS DOUBLE), 6) AS b2,
+           round(CAST(CAST(CAST((doc_id*53) % 16384 AS DOUBLE) / 32768.0 AS FLOAT) AS DOUBLE), 6) AS b3
          FROM documents"""
   )
 }

@@ -96,6 +96,32 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(out(11L).head - 0.587f) < 1e-6)
   }
 
+  test("wav codec: real PCM decode yields exact band amplitudes") {
+    // amp 8192 -> |s| = 0.25 everywhere in the first half; 4096 -> 0.125
+    val wav = AudioCodecs.twoBandSquareWav(4096, 8192, 4096)
+    val f = AudioCodecs.audioFeatures(wav, 4)
+    assert(f.toSeq === Seq(0.25f, 0.25f, 0.125f, 0.125f))
+    // decode roundtrip: sample values survive the WAV container exactly
+    val samples = AudioCodecs.decodePcm16(wav).get
+    assert(samples.length === 4096)
+    assert(samples(0) === 8192 / 32768.0 && samples(1) === -8192 / 32768.0)
+    // non-audio payload and null degrade to zeros
+    assert(AudioCodecs.audioFeatures(payload(11, 256), 4).forall(_ === 0f))
+    assert(AudioCodecs.audioFeatures(null, 4).forall(_ === 0f))
+  }
+
+  test("wav codec: distributed audioFeatures path matches local codec") {
+    val wavMedia = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(20L, "audio", AudioCodecs.twoBandSquareWav(2048, 16000, 1000),
+          null, null, 8000, 256L)), 1),
+      Multimodal.mediaSchema)
+    val out = Multimodal.audioFeatures(spark, wavMedia, bands = 4, codec = "wav")
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(out(20L) === AudioCodecs.audioFeatures(
+      AudioCodecs.twoBandSquareWav(2048, 16000, 1000), 4).toSeq)
+  }
+
   test("audioFeatures produces band energies for audio rows only") {
     val f = Multimodal.audioFeatures(spark, media, bands = 4)
       .as[(Long, Seq[Float])].collect().toMap
