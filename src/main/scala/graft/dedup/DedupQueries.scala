@@ -93,6 +93,24 @@ object DedupQueries {
         Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
     }),
 
+    // Benchmark decontamination — the pretraining hygiene op: flag every
+    // train document sharing ANY word 5-gram with the eval set (here:
+    // every 50th doc stands in for the benchmark). Shape: explode grams to
+    // postings, distinct the (small) benchmark gram set, LEFT-SEMI join —
+    // an inverted-index membership probe; the 100 TB train side streams
+    // through one shuffle on 5-gram keys and non-matching docs never
+    // materialize a pair.
+    "q_contamination" -> ((s, d) => {
+      val docs = documents(s, d)
+      val grams = docs.select(col("doc_id"),
+        explode(Dedup.wordShingles(col("text"), 5)).as("g"))
+      val bench = grams.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("g")).distinct()
+      grams.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .join(bench, Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+    }),
+
     // End-to-end corpus curation: quality filter -> language filter ->
     // exact dedup -> per-language token statistics. The composability
     // showcase — one declarative plan, fully DuckDB-oracled.
@@ -272,6 +290,17 @@ object DedupQueries {
          SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens
          FROM deduped GROUP BY lang""",
+
+    "q_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          g AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                  || toks[i+3] || ' ' || toks[i+4]))) AS g
+            FROM t WHERE len(toks) >= 5),
+          bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
+          SELECT DISTINCT doc_id FROM g
+          WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)""",
 
     "q_knn_brute" -> bruteTopKSql,
 

@@ -45,7 +45,44 @@ object TextQueries {
     "q_text_repetition" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
         repetitionRatio(col("text")).as("rep_ratio"),
-        topBigramFraction(col("text")).as("top_bigram_frac")))
+        topBigramFraction(col("text")).as("top_bigram_frac"))),
+
+    // PII scrubbing: regex redaction as a pure projection (linear with the
+    // scan, no shuffle). The corpus is synthetic, so emails are planted
+    // in-query on every 10th doc — both engines derive identical inputs —
+    // and the oracle checks the match count and the md5 of the redacted
+    // text.
+    "q_pii_scrub" -> ((s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val withPii = documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(10)) === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit(""))).as("text"))
+      withPii.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        md5(regexp_replace(col("text"), emailRe, "<EMAIL>")).as("scrub_fp"))
+    }),
+
+    // Sequence packing for context-window shard prep: greedy contiguous
+    // binning of documents into `budget`-token bins via a running token
+    // sum. Windows partition by shard (100-doc ranges), NOT a global
+    // order — at 100 TB each shard's window runs in parallel and no
+    // single-task global sort exists.
+    "q_seq_pack" -> ((s, d) => {
+      val budget = 256
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+          floor(col("doc_id") / 100).cast("long").as("shard"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("bin_tokens"))
+    })
   )
 
   private val qualityStopwordsSql = qualityStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -131,6 +168,31 @@ object TextQueries {
               THEN round(1.0 - CAST(len(list_distinct(t.toks)) AS DOUBLE) / len(t.toks), 6)
               ELSE 0.0 END AS rep_ratio,
             COALESCE(round(2.0 * mx.mc / mx.n, 6), 0.0) AS top_bigram_frac
-          FROM t LEFT JOIN mx ON t.doc_id = mx.doc_id"""
+          FROM t LEFT JOIN mx ON t.doc_id = mx.doc_id""",
+
+    "q_pii_scrub" ->
+      """WITH w AS (SELECT doc_id,
+           text || CASE WHEN doc_id % 10 = 0
+             THEN ' contact user' || doc_id || '@example.com' ELSE '' END AS text
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           md5(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS scrub_fp
+         FROM w""",
+
+    "q_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+            CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+            CAST(doc_id // 100 AS BIGINT) AS shard
+          FROM documents),
+          c AS (SELECT doc_id, n_tokens, shard,
+            sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+          SELECT shard, CAST((cum - n_tokens) // 256 AS BIGINT) AS bin,
+            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+          FROM c GROUP BY 1, 2"""
   )
 }
