@@ -14,14 +14,16 @@ import org.apache.spark.sql.types._
   * controls batch shape exactly as at 100 TB).
   *
   * Codecs: IMAGE decode/feature/resize is REAL over the JDK's javax.imageio
-  * ([[ImageCodecs]], `codec = "imageio"` — PNG/JPEG/BMP/GIF) and AUDIO
-  * decode is REAL over javax.sound.sampled ([[AudioCodecs]],
-  * `codec = "wav"` — WAV/AIFF/AU PCM); neither needs a dependency beyond
-  * the JDK. Compressed audio (MP3/AAC) and video container demux have no
-  * JDK codec and remain deterministic stubs — clearly marked below so
-  * pipelines and tests exercise the real Spark plumbing (schemas, partition
-  * batching, explode fan-out) with stable outputs. Swap `StubCodecs` per
-  * codec to productionize.
+  * ([[ImageCodecs]], `codec = "imageio"` — PNG/JPEG/BMP/GIF), AUDIO decode
+  * is REAL over javax.sound.sampled ([[AudioCodecs]], `codec = "wav"` —
+  * WAV/AIFF/AU PCM), and VIDEO demux + frame sampling is REAL for the
+  * motion-PNG container ([[VideoCodecs]], `codec = "mpng"` — index walk,
+  * byte-offset extraction, PNG frames). None needs a dependency beyond the
+  * JDK. Compressed codecs (MP3/AAC, H.264/MP4) have no JDK implementation
+  * and remain deterministic stubs — clearly marked below so pipelines and
+  * tests exercise the real Spark plumbing (schemas, partition batching,
+  * explode fan-out) with stable outputs. Swap `StubCodecs` per codec to
+  * productionize.
   */
 object Multimodal {
 
@@ -154,11 +156,25 @@ object Multimodal {
 
   /** Frame sampling: one video row fans out to `numFrames` frame rows via
     * posexplode — the scalable shape (generator, no driver involvement).
+    * `codec = "mpng"` does REAL container demux ([[VideoCodecs]]): header
+    * parse, frame index walk, byte-offset extraction; emitted frames are
+    * decodable PNG payloads and `frame_idx` is the frame's TRUE index in
+    * the container (the stub's is the sample ordinal).
     */
-  def sampleVideoFrames(spark: SparkSession, media: DataFrame, numFrames: Int): DataFrame = {
-    val framesUdf = udf((p: Array[Byte]) => StubCodecs.sampleFrames(p, numFrames))
-    media.filter(col("kind") === "video")
-      .select(col("media_id"), posexplode(framesUdf(col("payload"))).as(Seq("frame_idx", "frame")))
+  def sampleVideoFrames(
+      spark: SparkSession, media: DataFrame, numFrames: Int,
+      codec: String = "stub"): DataFrame = codec match {
+    case "mpng" =>
+      val framesUdf = udf((p: Array[Byte]) =>
+        VideoCodecs.sampleFrames(p, numFrames).map(f => (f._1, f._2)))
+      media.filter(col("kind") === "video")
+        .select(col("media_id"), explode(framesUdf(col("payload"))).as("f"))
+        .select(col("media_id"), col("f._1").as("frame_idx"), col("f._2").as("frame"))
+    case "stub" =>
+      val framesUdf = udf((p: Array[Byte]) => StubCodecs.sampleFrames(p, numFrames))
+      media.filter(col("kind") === "video")
+        .select(col("media_id"), posexplode(framesUdf(col("payload"))).as(Seq("frame_idx", "frame")))
+    case other => throw new IllegalArgumentException(s"unknown codec: $other")
   }
 
   /** Audio feature extraction, same partition-batch shape as images.

@@ -228,6 +228,34 @@ object TscQueries {
           round(element_at(col("features"), 2).cast("double"), 6).as("b1"),
           round(element_at(col("features"), 3).cast("double"), 6).as("b2"),
           round(element_at(col("features"), 4).cast("double"), 6).as("b3"))
+    }),
+
+    // REAL video demux + frame decode, oracled end to end: an executor UDF
+    // assembles a 6-frame motion-PNG container per row (solid frame colors
+    // derived from media_id × frame index), VideoCodecs walks the frame
+    // index sampling frames 0/2/4 by byte offset, and each sampled frame
+    // PNG-decodes to its luma. DuckDB reproduces frame indices and lumas
+    // from the closed form — demux, sampling geometry, and decode are all
+    // hash-verified.
+    "q_video_frames" -> ((s, d) => {
+      val mpngUdf = udf((id: Long) => graft.multimodal.VideoCodecs.mpngOf(
+        (0 until 6).map(f => graft.multimodal.ImageCodecs.solidPng(8, 8,
+          ((id + f * 17) % 256).toInt,
+          ((id * 7 + f * 29) % 256).toInt,
+          ((id * 13 + f * 41) % 256).toInt))))
+      val lumaUdf = udf((frame: Array[Byte]) =>
+        graft.multimodal.ImageCodecs.imageFeatures(frame, 1)(0))
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        lit("video").as("kind"),
+        mpngUdf(col("doc_id")).as("payload"),
+        lit(8).as("width"), lit(8).as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(250L).as("duration_ms"))
+      graft.multimodal.Multimodal.sampleVideoFrames(s, media, numFrames = 3, codec = "mpng")
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          round(lumaUdf(col("frame")).cast("double"), 4).as("luma"))
     }))
 
   private val tscInvariantSql =
@@ -288,6 +316,16 @@ object TscQueries {
            round(CAST(CAST(CAST((doc_id*37) % 16384 AS DOUBLE) / 32768.0 AS FLOAT) AS DOUBLE), 6) AS b1,
            round(CAST(CAST(CAST((doc_id*53) % 16384 AS DOUBLE) / 32768.0 AS FLOAT) AS DOUBLE), 6) AS b2,
            round(CAST(CAST(CAST((doc_id*53) % 16384 AS DOUBLE) / 32768.0 AS FLOAT) AS DOUBLE), 6) AS b3
-         FROM documents"""
+         FROM documents""",
+
+    // closed-form frame lumas: sampling 3 of 6 frames picks true indices
+    // 0/2/4; each solid frame's luma follows the id x index color formula
+    "q_video_frames" ->
+      """WITH f AS (SELECT doc_id, unnest([0, 2, 4]) AS fi FROM documents)
+         SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+           round(CAST(CAST((0.299*((doc_id + fi*17) % 256)
+             + 0.587*((doc_id*7 + fi*29) % 256)
+             + 0.114*((doc_id*13 + fi*41) % 256)) / 255.0 AS FLOAT) AS DOUBLE), 4) AS luma
+         FROM f"""
   )
 }

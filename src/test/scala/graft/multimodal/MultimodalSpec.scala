@@ -122,6 +122,39 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       AudioCodecs.twoBandSquareWav(2048, 16000, 1000), 4).toSeq)
   }
 
+  test("mpng codec: real demux round-trips frames and samples true indices") {
+    val frames = (0 until 6).map(f => ImageCodecs.solidPng(4, 4, f * 40, 0, 0))
+    val mpng = VideoCodecs.mpngOf(frames)
+    // demux round-trip is byte-exact
+    val out = VideoCodecs.demux(mpng)
+    assert(out.length === 6)
+    assert(out.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // sampling 3 of 6 picks true container indices 0, 2, 4
+    val sampled = VideoCodecs.sampleFrames(mpng, 3)
+    assert(sampled.map(_._1) === IndexedSeq(0, 2, 4))
+    assert(sampled.forall { case (i, f) => f.sameElements(frames(i)) })
+    // sampled frames actually PNG-decode
+    assert(ImageCodecs.dimensions(sampled.head._2) === Some((4, 4)))
+    // malformed containers degrade to empty, never throw
+    assert(VideoCodecs.demux(payload(13, 64)).isEmpty)
+    assert(VideoCodecs.demux(null).isEmpty)
+    assert(VideoCodecs.demux(mpng.take(10)).isEmpty)
+  }
+
+  test("mpng codec: distributed sampleVideoFrames path emits decodable frames") {
+    val mpng = VideoCodecs.mpngOf(
+      (0 until 4).map(f => ImageCodecs.solidPng(4, 4, 0, f * 60, 0)))
+    val vmedia = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(30L, "video", mpng, 4, 4, null, 1000L)), 1),
+      Multimodal.mediaSchema)
+    val rows = Multimodal.sampleVideoFrames(spark, vmedia, numFrames = 2, codec = "mpng")
+      .select("media_id", "frame_idx", "frame")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+    assert(rows.map(_._2).toSeq === Seq(0, 2))
+    assert(rows.forall(r => ImageCodecs.dimensions(r._3) === Some((4, 4))))
+  }
+
   test("audioFeatures produces band energies for audio rows only") {
     val f = Multimodal.audioFeatures(spark, media, bands = 4)
       .as[(Long, Seq[Float])].collect().toMap
