@@ -92,12 +92,15 @@ object TscQueries {
     */
   lazy val scaleQuery: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tsc_global_scale" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(
+      // spread: the sf0.1 single-file scan is ~3 partitions, which would
+      // run the CPU-heavy level loop on 3 of 32 cores; one narrow-row
+      // shuffle up front parallelizes every level job
+      val li = graft.prep.Preprocessing.spread(Tables.lineitem(s, d).select(
         when(col("l_returnflag") === "A", 0)
           .when(col("l_returnflag") === "N", 1).otherwise(2).as("label"),
         col("l_quantity").as("_f0"), col("l_extendedprice").as("_f1"),
         col("l_discount").as("_f2"), col("l_tax").as("_f3"),
-        col("l_orderkey"), col("l_linenumber"))
+        col("l_orderkey"), col("l_linenumber")))
       val feats = Seq("_f0", "_f1", "_f2", "_f3")
       val tree = GlobalTrainer.fit(
         s, li, "label", feats,
