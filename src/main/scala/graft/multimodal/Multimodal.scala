@@ -148,10 +148,14 @@ object Multimodal {
         StubCodecs.resize(p, w, h, toW, toH))
       case other => throw new IllegalArgumentException(s"unknown codec: $other")
     }
-    media.filter(col("kind") === "image")
+    val resized = media.filter(col("kind") === "image")
       .withColumn("payload", resizeUdf(col("payload"), col("width"), col("height")))
-      .withColumn("width", lit(toW))
-      .withColumn("height", lit(toH))
+    // a failed decode degrades to an empty payload — its metadata must not
+    // claim the target dimensions (poison rows stay visibly poisoned)
+    val ok = length(col("payload")) > 0
+    resized
+      .withColumn("width", when(ok, lit(toW)).otherwise(lit(null).cast("int")))
+      .withColumn("height", when(ok, lit(toH)).otherwise(lit(null).cast("int")))
   }
 
   /** Frame sampling: one video row fans out to `numFrames` frame rows via

@@ -44,5 +44,8 @@ object SkewJoin {
       .crossJoin(broadcast(total))
       .withColumn("share", round(col("cnt") / col("_total"), 6))
       .drop("_total")
+      // the join between limit and collect does NOT preserve sort order —
+      // re-sort so "hottest first" is a contract, not a planner accident
+      .orderBy(desc("cnt"))
   }
 }

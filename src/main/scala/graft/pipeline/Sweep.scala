@@ -3,7 +3,10 @@ package graft.pipeline
 import org.apache.spark.sql.SparkSession
 
 /** Experiment entry point (reference: code/src/main.py:5-9). Usage:
-  *   runMain graft.pipeline.Sweep <dataPath> <outDir> [maxPartitions] [tsv] [sampleParams]
+  *   runMain graft.pipeline.Sweep <dataPath> <outDir> [maxPartitions] [tsv] [sampleParams] [testPath]
+  * `testPath` (or "-" to skip) selects a pre-split held-out test file:
+  * dataPath becomes ALL train, no in-pipeline split — the source-disjoint
+  * parity layout (see BootstrapData's split mode).
   */
 object Sweep {
   def main(args: Array[String]): Unit = {

@@ -106,21 +106,33 @@ object Preprocessing {
     * rows.
     */
   private def estimatedSourcePartitions(df: DataFrame): Option[Int] = {
-    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, GlobalLimit, Join, LocalRelation, Repartition, RepartitionByExpression, Sort, Window => LogicalWindow}
     import org.apache.spark.sql.execution.LogicalRDD
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val session = df.sparkSession
     val conf = session.sessionState.conf
-    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
-    val perLeaf = leaves.map {
+    val plan = df.queryExecution.optimizedPlan
+    // a plan already containing an exchange-introducing operator has its
+    // partitioning decided by that exchange — never stack a repartition on
+    // top just because its LEAVES are small file scans
+    val hasShuffle = plan.exists {
+      case _: Aggregate | _: Join | _: LogicalWindow | _: Sort | _: Distinct |
+          _: Repartition | _: RepartitionByExpression | _: GlobalLimit => true
+      case _ => false
+    }
+    if (hasShuffle) return None
+    val perLeaf = plan.collectLeaves().map {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         val totalBytes = fs.location.sizeInBytes
         val openCost = conf.filesOpenCostInBytes
         val cores = session.sparkContext.defaultParallelism
         val bytesPerCore = (totalBytes + openCost) / math.max(1, cores)
-        val maxSplit = math.min(conf.filesMaxPartitionBytes,
-          math.max(openCost, bytesPerCore))
-        Some(math.max(1L, totalBytes / math.max(1L, maxSplit)).toInt)
+        val maxSplit = math.max(1L, math.min(conf.filesMaxPartitionBytes,
+          math.max(openCost, bytesPerCore)))
+        // ceil, matching Spark's ceil-wise split packing: a floor would
+        // call a scan that already reaches the target "too small" and add
+        // a spurious boundary-case shuffle
+        Some(((totalBytes + maxSplit - 1) / maxSplit).max(1L).toInt)
       // driver-local rows are distributed across cores at execution
       // (LocalTableScan parallelizes); no shuffle needed or wanted
       case _: LocalRelation => None

@@ -85,7 +85,9 @@ object TextFunctions {
     * word bigram: 2 × max bigram count / token count (0 when < 2 tokens) —
     * the second Gopher repetition axis ("fraction of characters in the most
     * common n-gram"), counted in tokens so any SQL engine reproduces it
-    * exactly. Per-row frequency counting is a primitive-loop UDF: the HOF
+    * exactly; capped at 1.0 because overlapping occurrences double-count
+    * shared tokens ("go go go go" has 3 overlapping "go go"s over 4
+    * tokens). Per-row frequency counting is a primitive-loop UDF: the HOF
     * equivalent evaluates interpreted per element and would be O(n²) per
     * row (see the dedup shingle lesson).
     */
@@ -107,7 +109,7 @@ object TextFunctions {
     })
     val toks = lowerTokens(text)
     when(size(toks) >= 2,
-      round(lit(2.0) * maxBigram(toks).cast("double") / size(toks), 6))
+      round(least(lit(1.0), lit(2.0) * maxBigram(toks).cast("double") / size(toks)), 6))
       .otherwise(lit(0.0))
   }
 

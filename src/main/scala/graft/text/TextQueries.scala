@@ -167,7 +167,7 @@ object TextQueries {
             CASE WHEN len(t.toks) > 0
               THEN round(1.0 - CAST(len(list_distinct(t.toks)) AS DOUBLE) / len(t.toks), 6)
               ELSE 0.0 END AS rep_ratio,
-            COALESCE(round(2.0 * mx.mc / mx.n, 6), 0.0) AS top_bigram_frac
+            COALESCE(round(least(1.0, 2.0 * mx.mc / mx.n), 6), 0.0) AS top_bigram_frac
           FROM t LEFT JOIN mx ON t.doc_id = mx.doc_id""",
 
     "q_pii_scrub" ->

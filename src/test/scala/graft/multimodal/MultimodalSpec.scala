@@ -42,7 +42,11 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val resized = Multimodal.resizeImages(spark, media, 16, 16)
     val rows = resized.select("media_id", "width", "height", "payload")
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(rows.values.forall(r => r.getInt(1) == 16 && r.getInt(2) == 16))
+    // successful resizes get the target dims; the null-payload row (id 5)
+    // degrades to empty and must NOT claim them
+    assert(Seq(1L, 2L).forall(id =>
+      rows(id).getInt(1) == 16 && rows(id).getInt(2) == 16))
+    assert(rows(5L).isNullAt(1) && rows(5L).isNullAt(2))
     // 32x32 -> 16x16 quarters the byte budget
     assert(rows(1L).getAs[Array[Byte]](3).length === 256)
   }
