@@ -362,6 +362,72 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q6-style: forecast revenue change — pure filter + global agg,
+    // every predicate pushed to the parquet scan, no shuffle beyond the
+    // single-row partial-agg merge
+    "q6_forecast_revenue" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(dec))
+          .cast("double").as("revenue"))),
+
+    // TPC-H Q12-style (adapted: no shipmode column — order priority plays
+    // its role): shipped-in-1996 line counts and return share per priority
+    "q12_priority_shipments" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .cast("long").as("n_returned"))),
+
+    // TPC-H Q14-style: promo revenue share — join to part, conditional
+    // aggregation, one output row
+    "q14_promo_revenue" -> ((s, d) => {
+      val rev = col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast(dec))).cast("double") /
+            sum(rev).cast("double"), 6).as("promo_pct"))
+    }),
+
+    // TPC-H Q18-style: large-volume orders — group-having on the fact
+    // table FIRST (the selective aggregate), then enrich with customer
+    "q18_large_orders" -> ((s, d) => {
+      val big = lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(dec)).cast("double").as("total_qty"))
+        .filter(col("total_qty") > 300)
+      big.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("l_orderkey").as("o_key"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(desc("total_qty"), asc("o_key"))
+        .limit(20)
+    }),
+
+    // TPC-H Q19-style: discounted revenue under disjunctive brand/quantity
+    // predicates — the OR-of-ANDs shape that tests predicate handling
+    // through a join
+    "q19_discounted_revenue" -> ((s, d) =>
+      lineitem(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#13" && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#20" && col("l_quantity").between(20, 30)))
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("revenue"))),
+
     // Events — time-bucketed aggregation (batch form of the streaming
     // window). Hour surfaced as integer epoch-micros so the DuckDB compare
     // is exact regardless of timestamp physical type.
@@ -712,6 +778,44 @@ object RelationalQueries {
          JOIN nation cn ON c_nationkey = cn.n_nationkey
          WHERE sn.n_name <> cn.n_name
          GROUP BY 1, 2""",
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q12_priority_shipments" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1""",
+
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 *
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'""",
+
+    "q18_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           FROM lineitem GROUP BY 1 HAVING total_qty > 300)
+         SELECT c_custkey, c_name, l_orderkey AS o_key, o_totalprice, total_qty
+         FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY total_qty DESC, o_key ASC LIMIT 20""",
+
+    "q19_discounted_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 20 AND 30)""",
 
     "q_asof_join" ->
       """WITH clicks AS (
