@@ -49,7 +49,8 @@ object DedupQueries {
     // cosine arithmetic are all hash-verified exactly.
     "q_dedup_cosine" -> ((s, d) =>
       Knn.cosinePairs(embeddings(s, d), "vec_id", "embedding", threshold = 0.4,
-        numPlanes = cosLshPlanes, numTables = cosLshTables, seed = cosLshSeed)),
+        numPlanes = cosLshPlanes, numTables = cosLshTables, seed = cosLshSeed,
+        expectedDim = Some(cosLshDim))),
 
     // exact all-pairs twin (B×B block-pair replication): the small-data
     // oracle for recall studies — quadratic by nature, NOT a scale path

@@ -17,11 +17,36 @@ import javax.imageio.ImageIO
   */
 object ImageCodecs {
 
+  /** Decode allocation bound: a hostile/corrupt header can claim any WxH
+    * and `ImageIO.read` would allocate width*height pixel buffers BEFORE
+    * any pixel data is validated — the resulting OutOfMemoryError is not an
+    * `Exception` and would kill the executor JVM, breaking the poison-row
+    * contract. 64M px (~256 MB ARGB) comfortably covers real photos while
+    * keeping a malicious row's allocation bounded. Dimensions are peeked
+    * from the header via the reader (no pixel allocation) before decoding.
+    */
+  private val MaxDecodePixels = 64L * 1024 * 1024
+
   private def decode(payload: Array[Byte]): Option[BufferedImage] =
     if (payload == null || payload.length == 0) None
     else
-      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
-      catch { case _: Exception => None }
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              val w = reader.getWidth(0).toLong
+              val h = reader.getHeight(0).toLong
+              if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) None
+              else Option(reader.read(0))
+            } finally reader.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      } catch { case _: Exception => None }
 
   /** Rec.601 luma of a packed RGB pixel, in [0, 255]. */
   private def luma(rgb: Int): Double = {

@@ -106,21 +106,26 @@ object Preprocessing {
     * rows.
     */
   private def estimatedSourcePartitions(df: DataFrame): Option[Int] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, GlobalLimit, Join, LocalRelation, Repartition, RepartitionByExpression, Sort, Window => LogicalWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, Project}
     import org.apache.spark.sql.execution.LogicalRDD
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val session = df.sparkSession
     val conf = session.sessionState.conf
     val plan = df.queryExecution.optimizedPlan
-    // a plan already containing an exchange-introducing operator has its
-    // partitioning decided by that exchange — never stack a repartition on
-    // top just because its LEAVES are small file scans
-    val hasShuffle = plan.exists {
-      case _: Aggregate | _: Join | _: LogicalWindow | _: Sort | _: Distinct |
-          _: Repartition | _: RepartitionByExpression | _: GlobalLimit => true
+    // Source parallelism is only statically readable for plans that are
+    // PURELY narrow over their scan: an allowlist of Project/Filter over
+    // leaves. Anything else (joins, aggregates, windows, Deduplicate, the
+    // typed MapGroups/CoGroup family, repartitions, limits, …) either
+    // introduces an exchange — whose partitioning an extra repartition
+    // would wrongly stack on — or has parallelism we can't predict, so
+    // refuse rather than enumerate every shuffle-introducing operator.
+    val onlyNarrow = plan.collect {
+      case n if n.children.nonEmpty => n
+    }.forall {
+      case _: Project | _: Filter => true
       case _ => false
     }
-    if (hasShuffle) return None
+    if (!onlyNarrow) return None
     val perLeaf = plan.collectLeaves().map {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         val totalBytes = fs.location.sizeInBytes

@@ -258,7 +258,8 @@ object Knn {
       threshold: Double,
       numPlanes: Int = 0,
       numTables: Int = 1,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      expectedDim: Option[Int] = None): DataFrame = {
     require(numTables >= 1, "numTables must be >= 1")
     val base = graft.prep.Preprocessing.spread(df)
       .select(col(idCol), toDoubleArray(col(vecCol)).as("v"))
@@ -266,6 +267,15 @@ object Knn {
     if (numPlanes > 0) {
       // LSH blocking — the scale path
       val dim = df.select(size(col(vecCol))).head().getInt(0)
+      // a caller pinning hyperplanes externally (e.g. an oracle that inlines
+      // them as literals) MUST fail loudly if the data's dim drifts —
+      // silently hashing with different planes would only surface as an
+      // opaque downstream mismatch
+      expectedDim.foreach { e =>
+        require(dim == e,
+          s"embedding dim $dim != expected $e: hyperplanes derived for dim " +
+            s"$e would silently disagree with runtime blocking")
+      }
       val tables = randomHyperplanes(numPlanes * numTables, dim, seed)
         .grouped(numPlanes).toSeq
       // one (table, bucket) row per vector per table; join key packs both

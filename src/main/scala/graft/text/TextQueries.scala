@@ -65,10 +65,12 @@ object TextQueries {
         md5(regexp_replace(col("text"), emailRe, "<EMAIL>")).as("scrub_fp"))
     }),
 
-    // Sequence packing for context-window shard prep: greedy contiguous
-    // binning of documents into `budget`-token bins via a running token
-    // sum. Windows partition by shard (100-doc ranges), NOT a global
-    // order — at 100 TB each shard's window runs in parallel and no
+    // Sequence packing for context-window shard prep: fixed token-offset
+    // binning — bin = floor(preceding-token-count / budget), so a document
+    // straddling a boundary stays in its start bin and a bin may overflow
+    // by up to one document (no greedy reset; downstream truncation handles
+    // the overflow). Windows partition by shard (100-doc ranges), NOT a
+    // global order — at 100 TB each shard's window runs in parallel and no
     // single-task global sort exists.
     "q_seq_pack" -> ((s, d) => {
       val budget = 256

@@ -66,6 +66,38 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial image headers: gigapixel-claiming PNG is refused before allocation") {
+    import java.io.ByteArrayOutputStream
+    import java.util.zip.CRC32
+    // A structurally VALID png prefix (signature + CRC-correct IHDR) whose
+    // header claims w*h far beyond MaxDecodePixels. Without the dimension
+    // peek, ImageIO.read allocates w*h pixel buffers up front and dies with
+    // OutOfMemoryError (not an Exception) — the one poison shape the random
+    // fuzz above cannot produce.
+    def pngClaiming(w: Int, h: Int): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      val ihdr = new ByteArrayOutputStream()
+      ihdr.write("IHDR".getBytes("US-ASCII"))
+      def be32(v: Int): Array[Byte] =
+        Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      ihdr.write(be32(w)); ihdr.write(be32(h))
+      ihdr.write(Array[Byte](8, 2, 0, 0, 0)) // depth, RGB, deflate, filter, no interlace
+      val body = ihdr.toByteArray
+      val crc = new CRC32(); crc.update(body)
+      out.write(be32(13)); out.write(body); out.write(be32(crc.getValue.toInt))
+      out.toByteArray
+    }
+    val bomb = pngClaiming(60000, 60000) // 3.6G px, ~14 GiB as ARGB
+    assert(ImageCodecs.dimensions(bomb).isEmpty)
+    assert(ImageCodecs.imageFeatures(bomb, 4).forall(_ == 0f))
+    assert(ImageCodecs.resize(bomb, 8, 8).isEmpty)
+    // sanity: the guard only rejects OVER-bound dims — a normal image with
+    // the same hand-built header path still decodes
+    assert(ImageCodecs.dimensions(ImageCodecs.solidPng(32, 16, 1, 2, 3))
+      .contains((32, 16)))
+  }
+
   test("adversarial video headers: hostile frame counts and lengths stay bounded") {
     import java.nio.ByteBuffer
     def container(n: Int, lens: Seq[Int]): Array[Byte] = {
