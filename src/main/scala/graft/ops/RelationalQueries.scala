@@ -428,6 +428,246 @@ object RelationalQueries {
           (lit(1).cast(dec) - col("l_discount").cast(dec)))
           .cast("double").as("revenue"))),
 
+    // TPC-H Q2-style (adapted: no partsupp table, so lineitem is the
+    // part-supplier association): for each small part, the supplier(s)
+    // quoting its minimum extended price — the correlated-scalar-min +
+    // join-back shape. distinct because a supplier can hit the min on
+    // several lines; top-100 under a total order keeps output bounded.
+    "q2_min_price_supplier" -> ((s, d) => {
+      val p = part(s, d).filter(col("p_size") < 10)
+        .select(col("p_partkey"), col("p_name"))
+      val li = lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      val minPrice = li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey").as("mp_partkey"))
+        .agg(min(col("l_extendedprice")).as("min_price"))
+      li.join(minPrice, col("l_partkey") === col("mp_partkey") &&
+          col("l_extendedprice") === col("min_price"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("n_name"), col("min_price"))
+        .distinct()
+        .orderBy(asc("p_partkey"), asc("s_suppkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q4-style (adapted: no commit/receipt dates — "problem order"
+    // means a returned line exists): order counts per priority for one
+    // quarter, existence probed with a left-semi join (the EXISTS shape;
+    // semi stops at first match, no fact-side row multiplication).
+    "q4_priority_returns" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .join(lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))),
+
+    // TPC-H Q8-style: one supplier nation's share of revenue delivered to
+    // one region's customers, per order year — conditional aggregation
+    // over the full star join; only constant-size dims broadcast, region
+    // membership via left-semi.
+    "q8_market_share" -> ((s, d) => {
+      val rev = col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec))
+      val custRegion = customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("c_custkey"))
+      val suppNation = supplier(s, d)
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(custRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_7", rev)
+            .otherwise(lit(0).cast(dec))).cast("double") /
+            sum(rev).cast("double"), 6).as("mkt_share"))
+    }),
+
+    // TPC-H Q9-style (adapted: no partsupp supplycost — cost proxied by
+    // retail price × quantity, margin applied AFTER the exact decimal
+    // sums so the double arithmetic is one deterministic expression):
+    // profit on green parts per supplier nation per order year.
+    "q9_product_profit" -> ((s, d) => {
+      val rev = col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec))
+      val cost = col("p_retailprice").cast(dec) * col("l_quantity").cast(dec)
+      lineitem(s, d)
+        .join(part(s, d).filter(col("p_name").contains("red")),
+          col("l_partkey") === col("p_partkey"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(rev).cast("double") - lit(0.1) * sum(cost).cast("double"), 4)
+          .as("profit"))
+    }),
+
+    // TPC-H Q11-style (adapted: inventory value proxied by shipped value
+    // per part for one nation's suppliers): parts whose value exceeds a
+    // fraction of the nation total — HAVING against a 1-row scalar
+    // aggregate, broadcast back over the per-part rows (no second scan).
+    "q11_important_parts" -> ((s, d) => {
+      val perPart = lineitem(s, d)
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_3")
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(col("l_extendedprice").cast(dec)).as("value_dec"))
+      val total = perPart.agg(sum(col("value_dec")).as("total_dec"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value_dec").cast("double") >
+          lit(0.002) * col("total_dec").cast("double"))
+        .select(col("partkey"), col("value_dec").cast("double").as("part_value"))
+    }),
+
+    // TPC-H Q13-style: order-count distribution over customers — LEFT
+    // OUTER join with a compound ON condition (the priority filter rides
+    // the join, NOT a where — null-extended customers must survive), then
+    // a two-level aggregation.
+    "q13_customer_distribution" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "1-URGENT", "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))),
+
+    // TPC-H Q15-style: top revenue supplier(s) for one quarter — max over
+    // an aggregated "view", selected back by equality on the EXACT decimal
+    // total (no double-roundoff ambiguity in the argmax).
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))).as("rev_dec"))
+      val top = rev.agg(max(col("rev_dec")).as("max_dec"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("rev_dec") === col("max_dec"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast("double").as("total_revenue"))
+    }),
+
+    // TPC-H Q16-style (adapted: part-supplier association via lineitem;
+    // "complaint" suppliers proxied by negative balance, excluded with a
+    // left-anti — the NOT IN shape): distinct supplier counts per part
+    // attribute bucket.
+    "q16_supplier_cnt" -> ((s, d) =>
+      lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+        .join(part(s, d).filter(col("p_brand") =!= "Brand#13" &&
+            col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 9, 19, 29, 39, 49)),
+          col("l_partkey") === col("p_partkey"))
+        .join(supplier(s, d).filter(col("s_acctbal") < 0).select(col("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))),
+
+    // TPC-H Q17-style: revenue from small-quantity lines of one brand —
+    // the per-key correlated scalar average (0.2 × part's mean quantity)
+    // as an aggregate join-back; the mean derives from an exact decimal
+    // sum so both engines compare identical doubles. The brand filter
+    // semi-prunes BEFORE the per-part aggregate (don't average the world
+    // to threshold one brand).
+    "q17_small_qty_revenue" -> ((s, d) => {
+      val bli = lineitem(s, d)
+        .join(part(s, d).filter(col("p_brand") === "Brand#13")
+            .select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val perPart = bli.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)))
+          .as("avg_qty"))
+      bli.join(perPart, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice").cast(dec)).cast("double") / 7.0, 6)
+          .as("avg_yearly"))
+    }),
+
+    // TPC-H Q20-style (adapted: availability proxied by shipped volume):
+    // suppliers whose 1996 shipped quantity of a part exceeds a fixed
+    // share of that part's total — two aggregation levels joined on the
+    // part key, then a left-semi into the supplier dimension.
+    "q20_heavy_suppliers" -> ((s, d) => {
+      val li96 = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val perSuppPart = li96.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(dec)).as("sp_qty"))
+      val perPart = li96.groupBy(col("l_partkey").as("pp_partkey"))
+        .agg(sum(col("l_quantity").cast(dec)).as("p_qty"))
+      val qualifying = perSuppPart
+        .join(perPart, col("l_partkey") === col("pp_partkey"))
+        .filter(col("sp_qty").cast("double") >
+          lit(0.3) * col("p_qty").cast("double"))
+        .select(col("l_suppkey")).distinct()
+      supplier(s, d)
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    }),
+
+    // TPC-H Q21-style (adapted: "kept waiting" proxied by return flags):
+    // per supplier, orders where it returned lines, another supplier also
+    // participated (EXISTS → left-semi with a non-equi term), but no OTHER
+    // supplier returned (NOT EXISTS → left-anti) — the double-correlated
+    // existence shape. Probe sides deduped to narrow key rows first.
+    "q21_lone_returner" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val mine = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val others = li
+        .select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("o2_supp"))
+        .distinct()
+      val othersR = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3_key"), col("l_suppkey").as("o3_supp"))
+        .distinct()
+      mine
+        .join(others, col("l_orderkey") === col("o2_key") &&
+          col("l_suppkey") =!= col("o2_supp"), "left_semi")
+        .join(othersR, col("l_orderkey") === col("o3_key") &&
+          col("l_suppkey") =!= col("o3_supp"), "left_anti")
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
+    // TPC-H Q22-style: well-funded customers gone quiet (no orders since
+    // 1999 — this corpus gives every customer SOME order, so "lapsed"
+    // replaces "never ordered") — global scalar average over positive
+    // balances broadcast back as a filter, left-anti NOT EXISTS into the
+    // recent-order set, aggregated per nation.
+    "q22_idle_customers" -> ((s, d) => {
+      val cust = customer(s, d)
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast(dec)).cast("double") / count(lit(1)))
+          .as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(orders(s, d)
+            .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast(dec)).cast("double").as("totacctbal"))
+    }),
+
     // Events — time-bucketed aggregation (batch form of the streaming
     // window). Hour surfaced as integer epoch-micros so the DuckDB compare
     // is exact regardless of timestamp physical type.
@@ -816,6 +1056,144 @@ object RelationalQueries {
          WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
             OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q2_min_price_supplier" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_size < 10),
+         mp AS (SELECT l_partkey AS mp_partkey, min(l_extendedprice) AS min_price
+                FROM lineitem JOIN p ON l_partkey = p_partkey GROUP BY 1)
+         SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, n_name, min_price
+         FROM lineitem
+         JOIN mp ON l_partkey = mp_partkey AND l_extendedprice = min_price
+         JOIN p ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY p_partkey ASC, s_suppkey ASC LIMIT 100""",
+
+    "q4_priority_returns" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY 1""",
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+               THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS mkt_share
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE EXISTS (SELECT 1 FROM customer
+                       JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                       JOIN region ON n1.n_regionkey = r_regionkey
+                       WHERE r_name = 'ASIA' AND c_custkey = o_custkey)
+         GROUP BY 1""",
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             - 0.1 * CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1, 2""",
+
+    "q11_important_parts" ->
+      """WITH pp AS (
+           SELECT l_partkey AS partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_3' GROUP BY 1),
+         t AS (SELECT sum(value_dec) AS total_dec FROM pp)
+         SELECT partkey, CAST(value_dec AS DOUBLE) AS part_value
+         FROM pp, t
+         WHERE CAST(value_dec AS DOUBLE) > 0.002 * CAST(total_dec AS DOUBLE)""",
+
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY 1)
+         GROUP BY 1""",
+
+    "q15_top_supplier" ->
+      """WITH r AS (
+           SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+         FROM r JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rev_dec = (SELECT max(rev_dec) FROM r)""",
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+           AND p_size IN (1, 9, 19, 29, 39, 49)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3""",
+
+    "q17_small_qty_revenue" ->
+      """WITH bli AS (
+           SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13')),
+         pp AS (
+           SELECT l_partkey AS ap_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+           FROM bli GROUP BY 1)
+         SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+         FROM bli JOIN pp ON l_partkey = ap_partkey
+         WHERE l_quantity < 0.2 * avg_qty""",
+
+    "q20_heavy_suppliers" ->
+      """WITH li96 AS (
+           SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'),
+         sp AS (SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sp_qty
+                FROM li96 GROUP BY 1, 2),
+         p AS (SELECT l_partkey AS pp_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS p_qty
+               FROM li96 GROUP BY 1)
+         SELECT s_suppkey, s_name, s_acctbal FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM sp JOIN p ON l_partkey = pp_partkey
+           WHERE CAST(sp_qty AS DOUBLE) > 0.3 * CAST(p_qty AS DOUBLE))""",
+
+    "q21_lone_returner" ->
+      """WITH mine AS (
+           SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+         SELECT s_name, count(*) AS numwait
+         FROM mine m JOIN supplier ON m.l_suppkey = s_suppkey
+         WHERE EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = m.l_orderkey AND l2.l_suppkey <> m.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = m.l_orderkey
+                             AND l3.l_suppkey <> m.l_suppkey AND l3.l_returnflag = 'R')
+         GROUP BY 1""",
+
+    "q22_idle_customers" ->
+      """WITH a AS (
+           SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+           FROM customer WHERE c_acctbal > 0)
+         SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer, a
+         WHERE c_acctbal > avg_bal
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '1999-01-01')
+         GROUP BY 1""",
 
     "q_asof_join" ->
       """WITH clicks AS (
