@@ -113,12 +113,20 @@ object GlobalTrainer {
       .orderBy(desc("cnt"), asc("true_label"))
       .head().getInt(0)
 
+    // Class histograms for the CURRENT open nodes. Level 0 computes them
+    // with one aggregate; every later level derives them for free on the
+    // driver from the scoring counts of the level above (the winning
+    // candidate's per-(branch,label) counts ARE the children's histograms —
+    // scoring and routing share one deterministic distance function, so the
+    // derived counts are exact). Saves one full scan+shuffle per level.
+    var histNext: Option[Map[Int, Map[Int, Long]]] = None
+
     while (open.nonEmpty) {
       val openIds = open.map(_._1)
       val depthOf = open.toMap
 
-      // (1) per-node class histograms — small collect (A2)
-      val hist: Map[Int, Map[Int, Long]] =
+      // (1) per-node class histograms — aggregate at level 0, derived after
+      val hist: Map[Int, Map[Int, Long]] = histNext.getOrElse {
         assign.filter(col("node_id").isin(openIds: _*))
           .groupBy(col("node_id"), col("true_label"))
           .agg(count(lit(1)).as("cnt"))
@@ -127,6 +135,7 @@ object GlobalTrainer {
           .map { case (nid, rows) =>
             nid -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
           }
+      }
 
       // leaf decisions (pure / too small / depth-capped / vanished)
       val (leafNow, splitting) = open.partition { case (nid, depth) =>
@@ -147,22 +156,61 @@ object GlobalTrainer {
       } else {
         val splittingIds = splitting.map(_._1)
 
-        // (2) W2 — distributed exemplar sampling: top-nSplitters random rows
-        // per (node, class) via window rank (reference:
-        // global_model_manager.py:225-233, seeded here per SURVEY §4 "P3")
-        val w = Window.partitionBy(col("node_id"), col("true_label"))
-          .orderBy(rand(params.seed + level))
-        val sampled: Map[(Int, Int), IndexedSeq[Array[Double]]] =
-          assign.filter(col("node_id").isin(splittingIds: _*))
-            .withColumn("rk", row_number().over(w))
-            .filter(col("rk") <= params.nSplitters)
-            .select(col("node_id"), col("true_label"), col("rk"), col("time_series"))
-            .as[(Int, Int, Int, Array[Double])]
-            .collect()
-            .groupBy(t => (t._1, t._2))
-            .map { case (k, rows) =>
-              k -> rows.sortBy(_._3).map(_._4).toIndexedSeq
+        // (2) W2 — distributed exemplar sampling: the k random rows per
+        // (node, class) (reference: global_model_manager.py:225-233, seeded
+        // per SURVEY §4 "P3"). Semantics = "k smallest rand() per group",
+        // but NOT via a window sort — that shuffles every row (arrays
+        // included) each level. Instead: filter to rows whose rand falls
+        // under an oversampled per-group threshold (30k/n, known from the
+        // histogram), collect that near-constant set, and take the k
+        // smallest on the driver. If the k smallest pass the filter the
+        // result is identical to the full sort; P(miss) < e^-20 per group,
+        // and an undersampled group (collected < min(k, n)) falls back to
+        // the exact window path for the level.
+        val kNeed = params.nSplitters
+        val thrTable: Map[(Int, Int), Double] = hist
+          .filter { case (nid, _) => splittingIds.contains(nid) }
+          .flatMap { case (nid, h) =>
+            h.map { case (lbl, n) =>
+              (nid, lbl) -> math.min(1.0, 30.0 * kNeed / math.max(1L, n))
             }
+          }
+        val bcThr = spark.sparkContext.broadcast(thrTable)
+        val thrUdf = udf((nid: Int, lbl: Int) =>
+          bcThr.value.getOrElse((nid, lbl), 1.0))
+        val collected = assign.filter(col("node_id").isin(splittingIds: _*))
+          .withColumn("r", rand(params.seed + level))
+          .filter(col("r") < thrUdf(col("node_id"), col("true_label")))
+          .select(col("node_id"), col("true_label"), col("r"), col("time_series"))
+          .as[(Int, Int, Double, Array[Double])]
+          .collect()
+        bcThr.destroy()
+        val byGroup = collected.groupBy(t => (t._1, t._2))
+        val undersampled = thrTable.exists { case ((nid, lbl), thr) =>
+          thr < 1.0 &&
+            byGroup.getOrElse((nid, lbl), Array.empty).length <
+              math.min(kNeed.toLong, hist(nid)(lbl))
+        }
+        val sampled: Map[(Int, Int), IndexedSeq[Array[Double]]] =
+          if (!undersampled)
+            byGroup.map { case (k, rows) =>
+              k -> rows.sortBy(_._3).take(kNeed).map(_._4).toIndexedSeq
+            }
+          else {
+            // exact fallback — the window sort this level only
+            val w = Window.partitionBy(col("node_id"), col("true_label"))
+              .orderBy(rand(params.seed + level))
+            assign.filter(col("node_id").isin(splittingIds: _*))
+              .withColumn("rk", row_number().over(w))
+              .filter(col("rk") <= params.nSplitters)
+              .select(col("node_id"), col("true_label"), col("rk"), col("time_series"))
+              .as[(Int, Int, Int, Array[Double])]
+              .collect()
+              .groupBy(t => (t._1, t._2))
+              .map { case (k, rows) =>
+                k -> rows.sortBy(_._3).map(_._4).toIndexedSeq
+              }
+          }
 
         // driver assembles candidate splits: measure + one exemplar/class
         val candidates: Map[Int, IndexedSeq[(String, IndexedSeq[Int], IndexedSeq[Array[Double]])]] =
@@ -270,6 +318,18 @@ object GlobalTrainer {
             val depth = depthOf(nid)
             splits(nid).childIds.map(cid => (cid, depth + 1))
           }
+
+          // next level's histograms, free from this level's scoring counts:
+          // the chosen candidate's (branch, label) counts are exactly the
+          // child memberships routing just materialized
+          histNext = Some(chosen.toMap.flatMap { case (nid, ci) =>
+            val childIds = splits(nid).childIds
+            byNodeCand.getOrElse((nid, ci), Array.empty)
+              .groupBy(r => childIds(r.getInt(2)))
+              .map { case (cid, rows) =>
+                cid -> rows.map(r => r.getInt(3) -> r.getLong(4)).toMap
+              }
+          })
         } else {
           open = Nil
         }
