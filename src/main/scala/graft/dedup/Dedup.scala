@@ -375,4 +375,58 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Connected components over a near-duplicate pair graph — the clustering
+    * step of a production dedup pipeline: pair detectors (jaccard/minhash/
+    * simhash/cosine) name DUPLICATION between two docs; components name the
+    * KEEP/DROP decision (keep the min id per cluster, transitively —
+    * A≈B≈C collapses to one survivor even when A and C were never compared).
+    *
+    * Hash-min label propagation: label(v) starts as min(v, neighbors);
+    * each round every vertex adopts the minimum label in its neighborhood;
+    * fixpoint = component-min everywhere. Converges in O(component
+    * diameter) rounds — near-dup clusters are dups of a common source, so
+    * real diameters are tiny (2-4); `maxRounds` bounds the pathological
+    * chain and the final round is a pure convergence check.
+    *
+    * Scale shape: every round is one equi-join + one min-aggregate on
+    * narrow (long, long) rows; the vertex set is only docs with >= 1
+    * candidate pair (orders of magnitude below corpus size at production
+    * thresholds); localCheckpoint per round cuts the iterative lineage so
+    * round N's plan does not replay rounds 1..N-1.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 12): DataFrame = {
+    val sym = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    val edges = sym.localCheckpoint(true) // reused every round
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("v"), least(col("src"), col("mn")).as("label"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // smallest label in each vertex's neighborhood (via its in-edges:
+      // symmetric graph, so in == out)
+      val prop = edges.join(labels, col("dst") === col("v"))
+        .groupBy(col("src").as("pv"))
+        .agg(min(col("label")).as("nbr_min"))
+      // symmetrized edges give every vertex an out-edge -> inner join total
+      val updated = labels.join(prop, col("v") === col("pv"))
+        .select(col("v"), least(col("label"), col("nbr_min")).as("label"),
+          (col("nbr_min") < col("label")).cast("long").as("chg"))
+        .localCheckpoint(true)
+      val changed = updated.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
+      labels = updated.select(col("v"), col("label"))
+      converged = changed == 0
+      round += 1
+    }
+    labels.select(col("v").as("member_id"), col("label").as("cluster_id"))
+  }
 }

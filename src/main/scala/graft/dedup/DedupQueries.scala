@@ -25,6 +25,17 @@ object DedupQueries {
       Dedup.jaccardPairs(documents(s, d), "doc_id", "text",
         blockCols = Seq("lang"), n = 2, threshold = 0.3)),
 
+    // transitive duplicate CLUSTERS over the jaccard pair graph (threshold
+    // 0.1 so multi-hop chains exist in this corpus): hash-min label
+    // propagation to the component minimum — the keep/drop assignment a
+    // production dedup emits. Oracle recomputes components via a recursive
+    // min-reachability CTE.
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.jaccardPairs(documents(s, d), "doc_id", "text",
+          blockCols = Seq("lang"), n = 2, threshold = 0.1),
+        "id_a", "id_b")),
+
     // MinHash+LSH candidates -> EXACT-Jaccard verification: output equals
     // the true near-dup pair set whenever band recall holds (the data's
     // thinnest true pair has J=0.82 -> P(miss) ~ 7e-5 per pair at 16x4
@@ -223,6 +234,28 @@ object DedupQueries {
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
             FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
           WHERE jaccard >= 0.3""",
+
+    // Components = min reachable id per vertex, via recursive reachability
+    // over the same symmetrized pair graph the Spark side propagates on.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, lang, $shinglesSql AS sh
+            FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+            WHERE len(toks) >= 2),
+          pairs AS (
+            SELECT id_a, id_b FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS j
+              FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
+            WHERE j >= 0.1),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(v, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v)
+          SELECT CAST(v AS BIGINT) AS member_id, CAST(min(r) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY 1""",
 
     // True near-dup pair set via an inverted-index posting join (cheap in
     // DuckDB too) — matches q_dedup_minhash whenever LSH recall holds.

@@ -32,6 +32,30 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(kept === Array(1L, 3L, 4L, 5L)) // 2 deduped into 1
   }
 
+  test("connected components: chains, cliques, and isolated pairs resolve to component minima") {
+    // 10-vertex path (diameter 9, forces several propagation rounds),
+    // a triangle, an isolated pair, and ids deliberately out of order so
+    // min-labels must flow AGAINST edge direction too
+    val chain = (0 until 9).map(i => (100L + i, 101L + i))
+    val triangle = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val pair = Seq((31L, 30L))
+    val pairs = (chain ++ triangle ++ pair).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    (100L to 109L).foreach(v => assert(got(v) === 100L, s"chain vertex $v"))
+    Seq(20L, 21L, 22L).foreach(v => assert(got(v) === 20L))
+    assert(got(30L) === 30L && got(31L) === 30L)
+    assert(got.size === 15) // every vertex labeled exactly once
+  }
+
+  test("connected components: maxRounds caps a pathological chain short of its fixpoint") {
+    val chain = (0 until 9).map(i => (100L + i, 101L + i)).toDF("id_a", "id_b")
+    val capped = Dedup.connectedComponents(chain, "id_a", "id_b", maxRounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // far end cannot have converged to 100 in 2 rounds — the cap is real
+    assert(capped(109L) > 100L)
+  }
+
   test("jaccard pairs find the near-duplicate, not the unrelated doc") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
         blockCols = Nil, n = 2, threshold = 0.5)
