@@ -68,6 +68,27 @@ object DedupQueries {
     "q_dedup_cosine_exact" -> ((s, d) =>
       Knn.cosinePairs(embeddings(s, d), "vec_id", "embedding", threshold = 0.4)),
 
+    // recall of the LSH-blocked path measured against the exact twin,
+    // value-oracled (not merely bounded): both pair sets rebuild in SQL, so
+    // the driver hash-checks the exact n_exact/n_found/recall numbers. A
+    // blocking regression (plane drift, bucket packing bug, probe loss)
+    // lands here as a hash mismatch even if q_dedup_cosine's own rows stay
+    // plausible.
+    "q_dedup_cosine_recall" -> ((s, d) => {
+      val lsh = Knn.cosinePairs(embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4, numPlanes = cosLshPlanes, numTables = cosLshTables,
+        seed = cosLshSeed, expectedDim = Some(cosLshDim))
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      val exact = Knn.cosinePairs(embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4)
+        .select(col("id_a"), col("id_b"))
+      exact.join(lsh, Seq("id_a", "id_b"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_found"),
+          round(sum(coalesce(col("hit"), lit(0L))).cast("double") /
+            count(lit(1)), 6).as("recall"))
+    }),
+
     // brute-force cosine top-5 for query vectors vec_id < 10 (oracled)
     "q_knn_brute" -> ((s, d) => {
       val emb = embeddings(s, d)
@@ -193,7 +214,7 @@ object DedupQueries {
     * IEEE doubles, and both engines fold dot products left-to-right, so the
     * signs agree bit-for-bit.
     */
-  private lazy val cosLshOracleSql: String = {
+  private lazy val cosLshSqlFragments: (String, String) = {
     val tables = Knn.randomHyperplanes(cosLshPlanes * cosLshTables, cosLshDim, cosLshSeed)
       .grouped(cosLshPlanes).toSeq
     val bucketCols = tables.zipWithIndex.map { case (planes, t) =>
@@ -205,17 +226,46 @@ object DedupQueries {
       s"($expr) AS b$t"
     }.mkString(", ")
     val anyTable = tables.indices.map(t => s"x.b$t = y.b$t").mkString(" OR ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        b AS (SELECT vec_id, v, $bucketCols FROM e)
-        SELECT id_a, id_b, cosine_sim FROM (
-          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-            round(CASE WHEN sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)) > 0
-              THEN list_dot_product(x.v, y.v) /
-                (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
-              ELSE 0.0 END, 6) AS cosine_sim
-          FROM b x JOIN b y ON x.vec_id < y.vec_id AND ($anyTable)) p
-        WHERE cosine_sim >= 0.4"""
+    (bucketCols, anyTable)
   }
+
+  // shared CTE bodies: embeddings as double vectors, their SRP buckets, the
+  // LSH-candidate pair set, and the exact all-pairs set — composed by the
+  // three cosine oracles below
+  private def cosSim(a: String, b: String): String =
+    s"""round(CASE WHEN sqrt(list_dot_product($a.v, $a.v)) * sqrt(list_dot_product($b.v, $b.v)) > 0
+          THEN list_dot_product($a.v, $b.v) /
+            (sqrt(list_dot_product($a.v, $a.v)) * sqrt(list_dot_product($b.v, $b.v)))
+          ELSE 0.0 END, 6)"""
+  private lazy val cosCommonCtes: String = {
+    val (bucketCols, anyTable) = cosLshSqlFragments
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, $bucketCols FROM e),
+        lshp AS (
+          SELECT id_a, id_b, cosine_sim FROM (
+            SELECT x.vec_id AS id_a, y.vec_id AS id_b, ${cosSim("x", "y")} AS cosine_sim
+            FROM b x JOIN b y ON x.vec_id < y.vec_id AND ($anyTable)) p
+          WHERE cosine_sim >= 0.4),
+        exactp AS (
+          SELECT id_a, id_b, cosine_sim FROM (
+            SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ${cosSim("a", "b2")} AS cosine_sim
+            FROM e a JOIN e b2 ON a.vec_id < b2.vec_id) p
+          WHERE cosine_sim >= 0.4)"""
+  }
+
+  private lazy val cosLshOracleSql: String =
+    s"WITH $cosCommonCtes SELECT id_a, id_b, cosine_sim FROM lshp"
+
+  /** Recall of the LSH-blocked path against the exact pair set, computed
+    * EXACTLY on both engines (both pair sets are SQL-expressible, so the
+    * oracle checks the true recall value, not just a bound).
+    */
+  private lazy val cosRecallOracleSql: String =
+    s"""WITH $cosCommonCtes
+        SELECT count(*) AS n_exact,
+          CAST(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+          round(CAST(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall
+        FROM exactp x LEFT JOIN lshp l ON x.id_a = l.id_a AND x.id_b = l.id_b"""
 
 
   val oracles: Map[String, String] = Map(
@@ -297,6 +347,7 @@ object DedupQueries {
           SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3""",
 
     "q_dedup_cosine" -> cosLshOracleSql,
+    "q_dedup_cosine_recall" -> cosRecallOracleSql,
 
     "q_dedup_cosine_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

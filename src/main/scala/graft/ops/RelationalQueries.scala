@@ -428,6 +428,38 @@ object RelationalQueries {
           (lit(1).cast(dec) - col("l_discount").cast(dec)))
           .cast("double").as("revenue"))),
 
+    // Quantile aggregates (exact): Spark's `percentile` and DuckDB's
+    // `quantile_cont` share the linear-interpolation definition, so values
+    // hash-match after round(6). Exact percentile materializes per-group
+    // value counts — fine for bounded-cardinality groups; the unbounded-
+    // cardinality scale path is q_percentiles_approx below.
+    "q_percentiles" -> ((s, d) =>
+      lineitem(s, d).groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("qty_p90"))),
+
+    // The 100 TB quantile path: approx_percentile (KLL-style sketch,
+    // mergeable across partitions, memory O(1/accuracy) regardless of group
+    // size). A sketch has no DuckDB twin, so the query emits INVARIANT rows
+    // — per group, does the approximation land within 1% relative error of
+    // the exact value (recomputed in-query)? The oracle pins the invariant
+    // columns as literals; an approximation regression lands as a hash
+    // mismatch.
+    "q_percentiles_approx" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val approx = li.groupBy(col("l_returnflag").as("flag"))
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"))
+      val exact = li.groupBy(col("l_returnflag").as("flag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("ep50"))
+      approx.join(exact, Seq("flag"))
+        .select(col("flag"),
+          (abs(col("ap50") - col("ep50")) <= lit(0.01) * col("ep50"))
+            .cast("long").as("within_1pct"))
+    }),
+
     // TPC-H Q2-style (adapted: no partsupp table, so lineitem is the
     // part-supplier association): for each small part, the supplier(s)
     // quoting its minimum extended price — the correlated-scalar-min +
@@ -1056,6 +1088,18 @@ object RelationalQueries {
          WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
             OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q_percentiles" ->
+      """SELECT l_returnflag AS flag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           round(quantile_cont(l_quantity, 0.9), 6) AS qty_p90
+         FROM lineitem GROUP BY 1""",
+
+    "q_percentiles_approx" ->
+      """SELECT l_returnflag AS flag, CAST(1 AS BIGINT) AS within_1pct
+         FROM lineitem GROUP BY 1""",
 
     "q2_min_price_supplier" ->
       """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_size < 10),
