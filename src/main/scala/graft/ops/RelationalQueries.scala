@@ -728,6 +728,18 @@ object RelationalQueries {
           col("purchase_value"))
     }),
 
+    // Events — stream-stream interval join in batch form: purchases
+    // attributed to same-user clicks within the preceding hour. Timestamps
+    // surfaced as epoch-micros for exact cross-engine compare; the
+    // streaming twin (watermarked two-sided state) is
+    // EventStreams.attributionJoin, proven equal in EventStreamsSpec.
+    "q_events_attribution" -> ((s, d) =>
+      graft.streaming.EventStreams.attributionJoin(events(s, d))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          col("value"))),
+
     // Events — lag window + conditional: sessionization (30-min gap rule).
     // Gap compare in integer micros on both sides for exact parity.
     "q_events_sessions" -> ((s, d) => {
@@ -1249,6 +1261,16 @@ object RelationalQueries {
          SELECT c.event_id, c.user_id, c.t_us, p.purchase_value
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.p_user AND c.t_us >= p.p_us""",
+
+    "q_events_attribution" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+           FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us, value
+           FROM events WHERE event_type = 'purchase')
+         SELECT click_id, purchase_id, c.user_id, click_us, purchase_us, value
+         FROM c JOIN p ON c.user_id = p.user_id
+           AND purchase_us >= click_us
+           AND purchase_us < click_us + 3600000000""",
 
     "q_events_sessions" ->
       """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us,

@@ -187,6 +187,36 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each purchase attributed to every click
+    * by the same user in the preceding `horizonMinutes` (event time). The
+    * canonical two-stream join shape: BOTH sides watermarked and the join
+    * condition time-bounded in BOTH directions, so each side's buffered
+    * state is a sliding window (watermark + horizon deep), not the full
+    * history — without the range bound Spark must hold one side forever.
+    * On a batch DataFrame `withWatermark` is a no-op and the same plan is
+    * an ordinary interval join (the oracled q_events_attribution twin).
+    */
+  def attributionJoin(
+      events: DataFrame,
+      horizonMinutes: Long = 60,
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <
+            col("click_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming exact dedup — the streaming twin of the batch
     * `Dedup.exactGroups` keep-first semantics: a row whose `keyCols` were
     * already seen is dropped, and the dedup state is BOUNDED by the

@@ -208,6 +208,34 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       Set("window_start", "window_end", "event_type", "n", "total_value"))
   }
 
+  test("attributionJoin: streaming and batch interval joins agree; horizon bounds matches") {
+    // purchases at +10 and +70 min after user 100's first click: the first
+    // attributes to clicks at 10:00 and 10:05, the second only to 10:50
+    val data = Seq(
+      Event(1, ts(0), 100, "click", 0.0),
+      Event(2, ts(5), 100, "click", 0.0),
+      Event(3, ts(10), 100, "purchase", 9.99),
+      Event(4, ts(50), 100, "click", 0.0),
+      Event(5, ts(10), 200, "purchase", 5.0), // no click for user 200
+      Event(6, Timestamp.valueOf("2026-01-01 11:01:00"), 100, "purchase", 1.0)
+      ) // 11:01: the 10:00 click is out of the 60-min horizon
+    val expect = Set((1L, 3L), (2L, 3L), (2L, 6L), (4L, 6L))
+    val batchOut = EventStreams.attributionJoin(data.toDF())
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(batchOut === expect)
+    val stream = MemoryStream[Event]
+    stream.addData(data: _*)
+    val q = EventStreams.attributionJoin(stream.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamOut = spark.table("attr_out")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(streamOut === expect)
+    } finally q.stop()
+  }
+
   test("streaming and batch windowedAgg agree on the same data") {
     val batchOut = EventStreams.windowedAgg(batch.toDF(), "15 minutes", "5 minutes")
       .select("event_type", "n", "total_value")
