@@ -400,11 +400,25 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxRounds: Int = 12): DataFrame = {
-    val sym = pairs
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs
-        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-    val edges = sym.localCheckpoint(true) // reused every round
+    // materialize the (possibly expensive) pair plan ONCE before the
+    // symmetrizing union — both union branches would otherwise re-execute
+    // the full upstream pair detection
+    val p0 = pairs
+      .select(col(aCol).cast("long").as("pa"), col(bCol).cast("long").as("pb"))
+      .localCheckpoint(true)
+    // run the iteration at GRAPH-proportional parallelism, not corpus
+    // parallelism: post-blocking pair graphs are orders of magnitude
+    // smaller than their corpus, and per-round task overhead × rounds
+    // dominates when thousands of rows ride the corpus partition count.
+    // ~100k edges per partition, capped at the cluster's parallelism.
+    val nEdges = 2 * p0.count()
+    val parts = math.max(1, math.min(
+      p0.sparkSession.sparkContext.defaultParallelism,
+      (nEdges / 100000L).toInt + 1))
+    val edges = p0.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(p0.select(col("pb").as("src"), col("pa").as("dst")))
+      .repartition(parts)
+      .localCheckpoint(true) // reused every round
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("v"), least(col("src"), col("mn")).as("label"))
