@@ -428,6 +428,39 @@ object RelationalQueries {
           (lit(1).cast(dec) - col("l_discount").cast(dec)))
           .cast("double").as("revenue"))),
 
+    // Pivot (wide conditional aggregation): return-flag columns per line
+    // status. Spark compiles pivot to CASE-WHEN aggregates — exactly what
+    // the oracle states; pinned pivot values keep the schema static.
+    "q_pivot" -> ((s, d) =>
+      lineitem(s, d).groupBy(col("l_linestatus").as("status"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast(dec)).cast("double"))),
+
+    // Rolling window frame (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW):
+    // per-user trailing average. Deterministic frame order via
+    // (ts, event_id); round(6) absorbs engine-side summation-order ulps
+    // (Spark recomputes frames, DuckDB uses segment trees).
+    "q_events_rolling" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+      events(s, d).select(col("event_id"), col("user_id"),
+        round(avg(col("value")).over(w), 6).as("rolling_avg"),
+        count(lit(1)).over(w).cast("long").as("n_window"))
+    }),
+
+    // HLL sketch cardinality — the unbounded-cardinality distinct-count
+    // scale path (mergeable across partitions, O(1) memory per group).
+    // No DuckDB twin for the sketch, so invariant rows: within 5% of the
+    // exact count recomputed in-query (HLL++ is exact in sparse mode, so
+    // small SFs pass trivially; rsd 0.02 keeps large SFs inside 5%).
+    "q_approx_distinct" -> ((s, d) =>
+      lineitem(s, d).groupBy(col("l_returnflag").as("flag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("ad"),
+          countDistinct(col("l_orderkey")).as("ed"))
+        .select(col("flag"),
+          (abs(col("ad") - col("ed")).cast("double") <= lit(0.05) * col("ed"))
+            .cast("long").as("within_5pct"))),
+
     // Quantile aggregates (exact): Spark's `percentile` and DuckDB's
     // `quantile_cont` share the linear-interpolation definition, so values
     // hash-match after round(6). Exact percentile materializes per-group
@@ -1100,6 +1133,25 @@ object RelationalQueries {
          WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
             OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q_pivot" ->
+      """SELECT l_linestatus AS status,
+           CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+           CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+         FROM lineitem GROUP BY 1""",
+
+    "q_events_rolling" ->
+      """SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rolling_avg,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_window
+         FROM events""",
+
+    "q_approx_distinct" ->
+      """SELECT l_returnflag AS flag, CAST(1 AS BIGINT) AS within_5pct
+         FROM lineitem GROUP BY 1""",
 
     "q_percentiles" ->
       """SELECT l_returnflag AS flag,
