@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Pins the plan properties that make catalog queries scale: predicate
+  * pushdown reaching the parquet scan, column pruning in ReadSchema, and
+  * pipeline-breaking operators absent where the query promises none. These
+  * hold on any data size — asserting them in CI means a refactor that
+  * silently un-pushes a filter (e.g. wrapping a scan in a UDF projection)
+  * fails here instead of surfacing as a 100x regression on a cluster.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def formattedPlan(name: String): String = {
+    val df = RelationalQueries.queries(name)(spark, d)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q6_forecast_revenue: every predicate pushed to the parquet scan") {
+    val plan = formattedPlan("q6_forecast_revenue")
+    assert(plan.contains("PushedFilters"), plan)
+    // shipdate range, discount range, and quantity bound all reach the scan
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      val pushed = plan.linesIterator
+        .filter(_.contains("PushedFilters")).mkString
+      assert(pushed.contains(c), s"$c not pushed: $pushed")
+    }
+  }
+
+  test("q_scan_project: ReadSchema pruned to exactly the referenced columns") {
+    val plan = formattedPlan("q_scan_project")
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .foreach(c => assert(readSchema.contains(c), readSchema))
+    // untouched wide columns must NOT be read
+    Seq("l_extendedprice", "l_shipdate", "l_comment")
+      .foreach(c => assert(!readSchema.contains(c), s"$c not pruned: $readSchema"))
+  }
+
+  test("q_filter_isin: IN-set and comparison filters pushed to the scan") {
+    val plan = formattedPlan("q_filter_isin")
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_returnflag") && pushed.contains("l_quantity"), pushed)
+  }
+
+  test("q1_pricing_summary stays inside whole-stage codegen") {
+    // AQE prints no codegen spans until the plan is finalized — execute
+    // first, then inspect the adaptive plan's final form
+    val df = RelationalQueries.queries("q1_pricing_summary")(spark, d)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(plan.contains("WholeStageCodegen"), plan)
+  }
+
+  test("q6_forecast_revenue plans no shuffle beyond the single-row agg merge") {
+    val df = RelationalQueries.queries("q6_forecast_revenue")(spark, d)
+    val exchanges = df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    // one exchange: partial-agg -> final single-row merge; anything more
+    // means a stray repartition/sort crept in
+    assert(exchanges <= 1, df.queryExecution.executedPlan.toString)
+  }
+}
