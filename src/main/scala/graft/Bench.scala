@@ -11,13 +11,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
-    // Untimed warmup at the smallest SF: first execution of each plan shape
-    // pays JIT + whole-stage-codegen class compilation (measured 8-20x on
-    // the victim query). Warming the same query at sf0.001 compiles the
-    // same generated classes, so the timed run measures the data path.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try { fn(spark, "/root/testdata/sf0.001").count(); () }
-      catch { case _: Throwable => () }
+    // Untimed warmup: first execution of each plan shape pays JIT +
+    // whole-stage-codegen class compilation (measured 8-20x on the victim
+    // query). Warm at sf0.001 first (cheap, compiles most shapes), then
+    // ONCE at the bench SF itself — AQE finalizes different physical plans
+    // per SF (broadcast-vs-shuffle flips, coalesced stage shapes), so an
+    // sf0.001-only warmup leaves sf0.1's plans cold and new queries read
+    // 3-5x their steady-state time on their first timed run.
+    for (warmDir <- Seq("/root/testdata/sf0.001", sfDir).distinct) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count(); () }
+        catch { case _: Throwable => () }
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
