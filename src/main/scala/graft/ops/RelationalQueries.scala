@@ -428,6 +428,22 @@ object RelationalQueries {
           (lit(1).cast(dec) - col("l_discount").cast(dec)))
           .cast("double").as("revenue"))),
 
+    // Null semantics in one query: NULL forms its own group, count(col)
+    // skips NULLs while count(*) doesn't, and the null-safe equality join
+    // (<=> / IS NOT DISTINCT FROM) matches the NULL group to itself —
+    // where plain = would silently drop it.
+    "q_null_semantics" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey"),
+        when(col("c_acctbal") < 0, lit(null))
+          .otherwise(col("c_nationkey")).cast("int").as("nkey"))
+      val agg = c.groupBy(col("nkey"))
+        .agg(count(lit(1)).as("n_rows"), count(col("nkey")).as("n_nonnull"))
+      val mirror = agg.select(col("nkey").as("k2"), col("n_rows").as("n2"))
+      agg.join(mirror, col("nkey") <=> col("k2"))
+        .select(col("nkey").cast("long").as("nkey"), col("n_rows"),
+          col("n_nonnull"), col("n2"))
+    }),
+
     // Pivot (wide conditional aggregation): return-flag columns per line
     // status. Spark compiles pivot to CASE-WHEN aggregates — exactly what
     // the oracle states; pinned pivot values keep the schema static.
@@ -1133,6 +1149,16 @@ object RelationalQueries {
          WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
             OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q_null_semantics" ->
+      """WITH c AS (SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END AS nkey
+           FROM customer),
+         a AS (SELECT nkey, count(*) AS n_rows, count(nkey) AS n_nonnull
+               FROM c GROUP BY 1)
+         SELECT CAST(a.nkey AS BIGINT) AS nkey, a.n_rows, a.n_nonnull,
+           b.n_rows AS n2
+         FROM a JOIN a b ON a.nkey IS NOT DISTINCT FROM b.nkey""",
 
     "q_pivot" ->
       """SELECT l_linestatus AS status,
