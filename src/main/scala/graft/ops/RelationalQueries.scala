@@ -428,6 +428,17 @@ object RelationalQueries {
           (lit(1).cast(dec) - col("l_discount").cast(dec)))
           .cast("double").as("revenue"))),
 
+    // Array scalar functions over the embedding column — the curation-side
+    // vector ops (sort/order-statistics/membership) as pure codegen'd
+    // projections; scalar float outputs compare exactly (no arithmetic).
+    "q_array_funcs" -> ((s, d) =>
+      embeddings(s, d).select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        sort_array(col("embedding")).getItem(0).as("min_el"),
+        sort_array(col("embedding")).getItem(1).as("min2_el"),
+        sort_array(col("embedding"), asc = false).getItem(0).as("max_el"),
+        array_contains(col("embedding"), lit(0.0f)).cast("long").as("has_zero"))),
+
     // Null semantics in one query: NULL forms its own group, count(col)
     // skips NULLs while count(*) doesn't, and the null-safe equality join
     // (<=> / IS NOT DISTINCT FROM) matches the NULL group to itself —
@@ -1149,6 +1160,14 @@ object RelationalQueries {
          WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
             OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+           list_sort(embedding)[1] AS min_el,
+           list_sort(embedding)[2] AS min2_el,
+           list_sort(embedding, 'DESC')[1] AS max_el,
+           CAST(CASE WHEN list_contains(embedding, CAST(0.0 AS FLOAT)) THEN 1 ELSE 0 END AS BIGINT) AS has_zero
+         FROM embeddings""",
 
     "q_null_semantics" ->
       """WITH c AS (SELECT c_custkey,
