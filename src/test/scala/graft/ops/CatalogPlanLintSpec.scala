@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Catalog-wide plan linter: every query in the driver contract gets its
+  * physical plan screened for scale-hostile operators. A cartesian product
+  * or an unbounded broadcast-nested-loop join that sneaks into a future
+  * query fails HERE, at test scale, instead of on a cluster.
+  *
+  * Allowlist = queries whose non-equi/cross shapes are deliberate and
+  * bounded, each with the reason it is scale-safe.
+  */
+class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  /** (query, reason the flagged shape is bounded by design). */
+  private val allowed: Map[String, String] = Map(
+    "q_dedup_cosine_exact" -> "documented O(n^2) small-data twin (block-pair exact baseline)",
+    "q_knn_brute" -> "brute-force baseline; query side bounded to 10 vectors by design",
+    "q11_important_parts" -> "cross join against a broadcast 1-row scalar aggregate",
+    "q15_top_supplier" -> "cross join against a broadcast 1-row max aggregate",
+    "q22_idle_customers" -> "cross join against a broadcast 1-row average aggregate",
+    "q_knn_lsh" -> "recall invariant joins ANN vs brute-force twin; brute side bounded to 10 query vectors",
+    "q_knn_ivf" -> "recall invariant joins ANN vs brute-force twin; brute side bounded to 10 query vectors",
+    "q_dedup_cosine_recall" -> "recall query joins the LSH path against the documented exact twin")
+
+  test("no catalog query plans a cartesian or nested-loop join off-allowlist") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        if (allowed.contains(name)) None
+        else {
+          // sparkPlan (pre-AQE-finalization) suffices: Cartesian/BNLJ are
+          // join-STRATEGY choices visible before adaptive re-planning, and
+          // not executing keeps the lint fast across the whole catalog
+          val plan =
+            try fn(spark, d).queryExecution.sparkPlan.toString
+            catch { case e: Throwable => s"PLANNING FAILED: $e" }
+          if (plan.contains("CartesianProduct") ||
+              plan.contains("BroadcastNestedLoopJoin") ||
+              plan.startsWith("PLANNING FAILED"))
+            Some(name -> plan.linesIterator
+              .filter(l => l.contains("CartesianProduct") ||
+                l.contains("BroadcastNestedLoopJoin") ||
+                l.contains("PLANNING FAILED"))
+              .mkString("; "))
+          else None
+        }
+    }
+    assert(offenders.isEmpty,
+      offenders.map { case (n, l) => s"$n: $l" }.mkString("\n"))
+  }
+
+  test("allowlist entries still exist in the catalog (no stale excuses)") {
+    val gone = allowed.keySet.diff(graft.SparkEntry.queries.keySet)
+    assert(gone.isEmpty, s"allowlisted but absent: $gone")
+  }
+}
