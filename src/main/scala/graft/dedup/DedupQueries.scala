@@ -36,6 +36,23 @@ object DedupQueries {
           blockCols = Seq("lang"), n = 2, threshold = 0.1),
         "id_a", "id_b")),
 
+    // the production keep/drop decision end to end: pair detection →
+    // transitive clusters → drop every non-representative member (keep the
+    // cluster-min id), keep all unpaired docs. One left-anti against the
+    // drop set — the final shape a 100 TB dedup actually emits.
+    "q_dedup_keep" -> ((s, d) => {
+      val clusters = Dedup.connectedComponents(
+        Dedup.jaccardPairs(documents(s, d), "doc_id", "text",
+          blockCols = Seq("lang"), n = 2, threshold = 0.1),
+        "id_a", "id_b")
+      val drop = clusters.filter(col("member_id") =!= col("cluster_id"))
+        .select(col("member_id"))
+      documents(s, d).select(col("doc_id"))
+        .join(drop, col("doc_id") === col("member_id"), "left_anti")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("kept_id_sum"))
+    }),
+
     // MinHash+LSH candidates -> EXACT-Jaccard verification: output equals
     // the true near-dup pair set whenever band recall holds (the data's
     // thinnest true pair has J=0.82 -> P(miss) ~ 7e-5 per pair at 16x4
@@ -306,6 +323,29 @@ object DedupQueries {
             SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v)
           SELECT CAST(v AS BIGINT) AS member_id, CAST(min(r) AS BIGINT) AS cluster_id
           FROM reach GROUP BY 1""",
+
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, lang, $shinglesSql AS sh
+            FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+            WHERE len(toks) >= 2),
+          pairs AS (
+            SELECT id_a, id_b FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS j
+              FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
+            WHERE j >= 0.1),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(v, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
+          dropset AS (
+            SELECT v FROM (SELECT v, min(r) AS cluster_id FROM reach GROUP BY 1)
+            WHERE v <> cluster_id)
+          SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+          FROM documents WHERE doc_id NOT IN (SELECT v FROM dropset)""",
 
     // True near-dup pair set via an inverted-index posting join (cheap in
     // DuckDB too) — matches q_dedup_minhash whenever LSH recall holds.
