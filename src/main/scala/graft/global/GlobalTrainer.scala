@@ -84,6 +84,9 @@ object GlobalTrainer {
       array(featureCols.map(c => col(c).cast("double")): _*).as("time_series"),
       lit(0).as("node_id"))
     var assign = ts0.persist(StorageLevel.MEMORY_AND_DISK)
+    // superseded level's cache, dropped only after the successor's lazy
+    // persist has been materialized by the next level's first action
+    var pendingUnpersist: Option[DataFrame] = None
     val total = assign.count()
     require(total > 0, "cannot fit on empty data")
 
@@ -185,6 +188,11 @@ object GlobalTrainer {
           .as[(Int, Int, Double, Array[Double])]
           .collect()
         bcThr.destroy()
+        // that collect was this level's first action over `assign`: it ran
+        // every partition, so a lazily-persisted routing result is now fully
+        // cached and the superseded parent can go
+        pendingUnpersist.foreach(_.unpersist())
+        pendingUnpersist = None
         val byGroup = collected.groupBy(t => (t._1, t._2))
         val undersampled = thrTable.exists { case ((nid, lbl), thr) =>
           thr < 1.0 &&
@@ -309,9 +317,21 @@ object GlobalTrainer {
           val routed = assign
             .withColumn("node_id", routeUdf(col("node_id"), col("time_series")))
           val newAssign =
-            if (level % 8 == 7) routed.localCheckpoint(true)
-            else { val p = routed.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p }
-          assign.unpersist()
+            if (level % 8 == 7) {
+              // eager: safe to drop the parent immediately
+              val c = routed.localCheckpoint(true)
+              assign.unpersist()
+              c
+            } else {
+              // LAZY persist: the next level's first action (the exemplar-
+              // sampling scan) populates the cache while doing real work —
+              // an explicit count() here would be a whole extra pass per
+              // level. The superseded parent must stay cached until then
+              // (dropping it now would make that first action recompute the
+              // full routing lineage), so its unpersist is deferred.
+              pendingUnpersist = Some(assign)
+              routed.persist(StorageLevel.MEMORY_AND_DISK)
+            }
           assign = newAssign
 
           open = chosen.keys.toList.flatMap { nid =>
@@ -336,6 +356,7 @@ object GlobalTrainer {
       }
       level += 1
     }
+    pendingUnpersist.foreach(_.unpersist())
     assign.unpersist()
 
     // materialize the driver tree as the shared model type
