@@ -18,7 +18,8 @@ object Bench {
     // per SF (broadcast-vs-shuffle flips, coalesced stage shapes), so an
     // sf0.001-only warmup leaves sf0.1's plans cold and new queries read
     // 3-5x their steady-state time on their first timed run.
-    for (warmDir <- Seq("/root/testdata/sf0.001", sfDir).distinct) {
+    val canonical = (d: String) => new java.io.File(d).getCanonicalPath
+    for (warmDir <- Seq("/root/testdata/sf0.001", sfDir).distinctBy(canonical)) {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try { fn(spark, warmDir).count(); () }
         catch { case _: Throwable => () }

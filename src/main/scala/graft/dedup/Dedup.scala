@@ -399,7 +399,8 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int = 12): DataFrame = {
+      maxRounds: Int = 12,
+      strict: Boolean = true): DataFrame = {
     // materialize the (possibly expensive) pair plan ONCE before the
     // symmetrizing union — both union branches would otherwise re-execute
     // the full upstream pair detection
@@ -450,10 +451,29 @@ object Dedup {
       round += 1
     }
     freeCheckpoint(edges)
+    // a capped, non-converged labeling is NOT component minima — silently
+    // returning it would let duplicates survive a keep/drop decision with
+    // no signal. strict (default) refuses; non-strict callers get a loud
+    // warning and the best-effort labels.
+    if (!converged) {
+      val msg = s"connectedComponents did not converge within $maxRounds " +
+        "rounds: a component's diameter exceeds the cap and labels are NOT " +
+        "component minima. Raise maxRounds (rounds needed = max component " +
+        "diameter) or pass strict = false for best-effort labels."
+      if (strict) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     // the final round's checkpoint backs the returned frame and stays
-    // cached (one narrow vertex-set copy) for the caller to consume
+    // cached (one narrow vertex-set copy) until the caller is done with it
+    // — loops over many graphs should releasePlan(result) after consuming
     labels.select(col("v").as("member_id"), col("label").as("cluster_id"))
   }
+
+  /** Drop the cached blocks behind a `localCheckpoint(true)`d frame — e.g.
+    * a consumed [[connectedComponents]] result — without waiting for the
+    * GC-driven ContextCleaner.
+    */
+  def releasePlan(df: DataFrame): Unit = freeCheckpoint(df)
 
   /** Drop the cached blocks behind a `localCheckpoint(true)`d frame once a
     * successor checkpoint has materialized (the ContextCleaner only frees

@@ -231,6 +231,27 @@ object DedupQueries {
     * IEEE doubles, and both engines fold dot products left-to-right, so the
     * signs agree bit-for-bit.
     */
+  // One source of truth for the jaccard pair graph + reachability CTEs
+  // behind q_dedup_clusters AND q_dedup_keep — both oracles must see the
+  // identical graph or keep/drop silently validates a different clustering.
+  private lazy val jaccardClusterCtes: String =
+    s"""t AS (SELECT doc_id, lang, $shinglesSql AS sh
+          FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+          WHERE len(toks) >= 2),
+        pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS j
+            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
+          WHERE j >= 0.1),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(v, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v)"""
+
   private lazy val cosLshSqlFragments: (String, String) = {
     val tables = Knn.randomHyperplanes(cosLshPlanes * cosLshTables, cosLshDim, cosLshSeed)
       .grouped(cosLshPlanes).toSeq
@@ -304,43 +325,15 @@ object DedupQueries {
 
     // Components = min reachable id per vertex, via recursive reachability
     // over the same symmetrized pair graph the Spark side propagates on.
+    // Shared CTE block so both cluster-family oracles validate the SAME
+    // pair graph (a threshold edit cannot diverge them).
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, lang, $shinglesSql AS sh
-            FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
-            WHERE len(toks) >= 2),
-          pairs AS (
-            SELECT id_a, id_b FROM (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS j
-              FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
-            WHERE j >= 0.1),
-          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                    UNION ALL SELECT id_b, id_a FROM pairs),
-          reach(v, r) AS (
-            SELECT src, src FROM edges
-            UNION
-            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v)
+      s"""WITH RECURSIVE $jaccardClusterCtes
           SELECT CAST(v AS BIGINT) AS member_id, CAST(min(r) AS BIGINT) AS cluster_id
           FROM reach GROUP BY 1""",
 
     "q_dedup_keep" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, lang, $shinglesSql AS sh
-            FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
-            WHERE len(toks) >= 2),
-          pairs AS (
-            SELECT id_a, id_b FROM (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS j
-              FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
-            WHERE j >= 0.1),
-          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                    UNION ALL SELECT id_b, id_a FROM pairs),
-          reach(v, r) AS (
-            SELECT src, src FROM edges
-            UNION
-            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
+      s"""WITH RECURSIVE $jaccardClusterCtes,
           dropset AS (
             SELECT v FROM (SELECT v, min(r) AS cluster_id FROM reach GROUP BY 1)
             WHERE v <> cluster_id)

@@ -181,11 +181,23 @@ object GlobalTrainer {
         val bcThr = spark.sparkContext.broadcast(thrTable)
         val thrUdf = udf((nid: Int, lbl: Int) =>
           bcThr.value.getOrElse((nid, lbl), 1.0))
+        // truncate to the k smallest r per group ON EXECUTORS (array_sort +
+        // slice inside the aggregate): the driver receives k arrays per
+        // (node, class), not the ~30k oversampled rows — at thousands of
+        // open nodes x wide series the un-truncated collect is a driver
+        // OOM. n_coll (pre-truncation count) feeds the exactness guard.
         val collected = assign.filter(col("node_id").isin(splittingIds: _*))
           .withColumn("r", rand(params.seed + level))
           .filter(col("r") < thrUdf(col("node_id"), col("true_label")))
-          .select(col("node_id"), col("true_label"), col("r"), col("time_series"))
-          .as[(Int, Int, Double, Array[Double])]
+          .groupBy(col("node_id"), col("true_label"))
+          .agg(count(lit(1)).as("n_coll"),
+            slice(array_sort(collect_list(struct(col("r"), col("time_series")))),
+              1, kNeed).as("top"))
+          .select(col("node_id"), col("true_label"), col("n_coll"),
+            explode(col("top")).as("s"))
+          .select(col("node_id"), col("true_label"), col("n_coll"),
+            col("s.r").as("r"), col("s.time_series").as("ts"))
+          .as[(Int, Int, Long, Double, Array[Double])]
           .collect()
         bcThr.destroy()
         // that collect was this level's first action over `assign`: it ran
@@ -196,13 +208,13 @@ object GlobalTrainer {
         val byGroup = collected.groupBy(t => (t._1, t._2))
         val undersampled = thrTable.exists { case ((nid, lbl), thr) =>
           thr < 1.0 &&
-            byGroup.getOrElse((nid, lbl), Array.empty).length <
+            byGroup.get((nid, lbl)).map(_.head._3).getOrElse(0L) <
               math.min(kNeed.toLong, hist(nid)(lbl))
         }
         val sampled: Map[(Int, Int), IndexedSeq[Array[Double]]] =
           if (!undersampled)
             byGroup.map { case (k, rows) =>
-              k -> rows.sortBy(_._3).take(kNeed).map(_._4).toIndexedSeq
+              k -> rows.sortBy(_._4).map(_._5).toIndexedSeq
             }
           else {
             // exact fallback — the window sort this level only

@@ -587,7 +587,7 @@ object RelationalQueries {
     // TPC-H Q9-style (adapted: no partsupp supplycost — cost proxied by
     // retail price × quantity, margin applied AFTER the exact decimal
     // sums so the double arithmetic is one deterministic expression):
-    // profit on green parts per supplier nation per order year.
+    // profit on red parts per supplier nation per order year.
     "q9_product_profit" -> ((s, d) => {
       val rev = col("l_extendedprice").cast(dec) *
         (lit(1).cast(dec) - col("l_discount").cast(dec))

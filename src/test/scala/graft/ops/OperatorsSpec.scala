@@ -48,9 +48,15 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.size === 15) // every vertex labeled exactly once
   }
 
-  test("connected components: maxRounds caps a pathological chain short of its fixpoint") {
+  test("connected components: an exhausted maxRounds refuses in strict mode, warns otherwise") {
     val chain = (0 until 9).map(i => (100L + i, 101L + i)).toDF("id_a", "id_b")
-    val capped = Dedup.connectedComponents(chain, "id_a", "id_b", maxRounds = 2)
+    // strict (the default): a non-converged labeling must not come back
+    // looking like a correct one
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxRounds = 2).collect()
+    }
+    val capped = Dedup.connectedComponents(chain, "id_a", "id_b",
+        maxRounds = 2, strict = false)
       .as[(Long, Long)].collect().toMap
     // far end cannot have converged to 100 in 2 rounds — the cap is real
     assert(capped(109L) > 100L)
