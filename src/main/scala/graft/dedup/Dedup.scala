@@ -386,8 +386,10 @@ object Dedup {
     * each round every vertex adopts the minimum label in its neighborhood;
     * fixpoint = component-min everywhere. Converges in O(component
     * diameter) rounds — near-dup clusters are dups of a common source, so
-    * real diameters are tiny (2-4); `maxRounds` bounds the pathological
-    * chain and the final round is a pure convergence check.
+    * real diameters are tiny (2-4) and convergence exits early, so the
+    * generous `maxRounds` default costs nothing in the common case while
+    * bounding the pathological chain; exhausting it without convergence
+    * throws (strict default) rather than returning a wrong labeling.
     *
     * Scale shape: every round is one equi-join + one min-aggregate on
     * narrow (long, long) rows; the vertex set is only docs with >= 1
@@ -399,7 +401,7 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int = 12,
+      maxRounds: Int = 24,
       strict: Boolean = true): DataFrame = {
     // materialize the (possibly expensive) pair plan ONCE before the
     // symmetrizing union — both union branches would otherwise re-execute
