@@ -428,6 +428,15 @@ object RelationalQueries {
           (lit(1).cast(dec) - col("l_discount").cast(dec)))
           .cast("double").as("revenue"))),
 
+    // Ordered string aggregation: collect_set -> sort -> join gives the
+    // deterministic form of string_agg (unordered collect would be
+    // partition-order-dependent and unhashable cross-engine).
+    "q_string_agg" -> ((s, d) =>
+      lineitem(s, d).groupBy(col("l_returnflag").as("flag"))
+        .agg(concat_ws(",", array_sort(collect_set(col("l_linestatus"))))
+            .as("statuses"),
+          countDistinct(col("l_linestatus")).as("n_statuses"))),
+
     // Array scalar functions over the embedding column — the curation-side
     // vector ops (sort/order-statistics/membership) as pure codegen'd
     // projections; scalar float outputs compare exactly (no arithmetic).
@@ -1160,6 +1169,12 @@ object RelationalQueries {
          WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
             OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q_string_agg" ->
+      """SELECT l_returnflag AS flag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+           count(DISTINCT l_linestatus) AS n_statuses
+         FROM lineitem GROUP BY 1""",
 
     "q_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
