@@ -11,17 +11,30 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Conf map for the local profile (kept as data, like [[clusterConf]], so
+    * AQE parity between the two profiles is testable). Skew-join splitting
+    * is ON here too: the same celebrity-hub joins (e.g.
+    * connectedComponents' edges⋈labels) that AQE splits on a cluster should
+    * split locally, so local runs exercise the same physical plan family.
+    * The byte threshold stays at Spark's default — local shuffles are
+    * small, so splitting only triggers on real skew.
+    */
+  def localConf(cores: Int): Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> cores.toString,
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "5",
+    "spark.ui.enabled" -> "false",
+    "spark.sql.session.timeZone" -> "UTC")
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
       appName: String = "graft"): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    localConf(cores).foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -91,7 +91,19 @@ object Dedup {
     * true candidate volume instead of |block|². (A naive
     * all-pairs-in-block cross join was 90 s at sf0.1; this is ~2 s with
     * bit-identical output, since the same integer sizes feed the same
-    * division.) Hot shingle buckets at extreme scale → use [[minhashPairs]].
+    * division.)
+    *
+    * Hot-shingle guard: a shingle present in d documents fans the self-join
+    * out to d·(d−1)/2 candidate rows, so ONE corpus stopword-shingle
+    * ("of the", a boilerplate header) goes quadratic at 100 TB while
+    * carrying ~zero similarity signal. Postings whose document frequency
+    * exceeds `maxDocFreq` are dropped BEFORE the self-join and set sizes
+    * are recomputed over the retained universe, so the output is the exact
+    * Jaccard over the df-filtered shingle space — identical to the
+    * unfiltered output whenever no shingle crosses the cap (any corpus
+    * sample with fewer docs than the cap trivially qualifies). Candidate
+    * volume is thus bounded by maxDocFreq²/2 per shingle regardless of
+    * corpus size; for estimator-based discovery use [[minhashPairs]].
     */
   def jaccardPairs(
       df: DataFrame,
@@ -99,20 +111,34 @@ object Dedup {
       textCol: String,
       blockCols: Seq[String],
       n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxDocFreq: Int = 1000): DataFrame = {
+    require(maxDocFreq > 1, s"maxDocFreq must exceed 1, got $maxDocFreq")
     val base = graft.prep.Preprocessing.spread(df)
       .select(col(idCol) +: wordShingles(col(textCol), n).as("shingles") +:
         blockCols.map(col): _*)
-      .withColumn("sz", size(col("shingles")))
-      .filter(col("sz") > 0)
+      .filter(size(col("shingles")) > 0)
     // join key = 64-bit hash of (blockCols, shingle): an 8-byte fixed key
     // shuffles far cheaper than the string itself. (Collision risk merges
     // two shingles with p ~ |vocab|^2 / 2^64 — negligible.)
     val keyExpr = xxhash64(concat_ws("", blockCols.map(col) :+ col("sh"): _*))
-    val postings = base.select(
-        col(idCol) +: col("sz") +: explode(col("shingles")).as("sh") +:
+    val allPostings = base.select(
+        col(idCol) +: explode(col("shingles")).as("sh") +:
           blockCols.map(col): _*)
       .withColumn("shk", keyExpr)
+      .select(col(idCol), col("shk"))
+    // hot set = keys over the cap (tiny by definition); the df-aggregate
+    // and the anti-join shuffle on the same shk key as the self-join below,
+    // so the exchange is reused rather than re-shingling the corpus
+    val hotKeys = allPostings.groupBy(col("shk"))
+      .agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") > maxDocFreq)
+      .select(col("shk"))
+    val kept = allPostings.join(hotKeys, Seq("shk"), "left_anti")
+    // sizes over the RETAINED universe keep |A∩B| / |A∪B| internally
+    // consistent after the cap (docs whose shingles were all hot drop out)
+    val postings = kept.join(
+        kept.groupBy(col(idCol)).agg(count(lit(1)).as("sz")), Seq(idCol))
       .select(col(idCol), col("sz"), col("shk"))
     postings.as("a").join(postings.as("b"),
         col("a.shk") === col("b.shk") && col(s"a.$idCol") < col(s"b.$idCol"))

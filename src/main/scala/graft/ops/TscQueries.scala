@@ -67,10 +67,11 @@ object TscQueries {
     }),
 
     // Global strategy: one distributed level-synchronous tree
-    // (repartition the single-file scan so level jobs parallelize)
+    // (spread the single-file scan so level jobs parallelize on every
+    // core the cluster has, not a hardcoded count)
     "q_tsc_global_tree" -> ((s, d) => {
       val all = wide(s, d)
-      val train = all.filter(col("vec_id") < 400).repartition(8)
+      val train = graft.prep.Preprocessing.spread(all.filter(col("vec_id") < 400))
       val test = all.filter(col("vec_id") >= 400 && col("vec_id") < 500)
       val tree = GlobalTrainer.fit(
         s, train, "label", featureCols,
@@ -152,8 +153,8 @@ object TscQueries {
       import s.implicits._
       val rows = fixtureSeries(9000L, 200)
         .map { case (id, lbl, ts) => (id, lbl, ts.toSeq) }
-      val test = s.createDataFrame(rows).toDF("id", "label", "ts")
-        .repartition(8)
+      val test = graft.prep.Preprocessing.spread(
+        s.createDataFrame(rows).toDF("id", "label", "ts"))
         .select(Seq(col("id"), col("label")) ++
           (0 until 16).map(i => col("ts").getItem(i).as(s"_t$i")): _*)
       confusion(LocalTrainer.predictTree(

@@ -48,6 +48,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.size === 15) // every vertex labeled exactly once
   }
 
+  test("connected components: a 50k-pair celebrity hub resolves without a wrong label") {
+    // star graph: one boilerplate-ish doc paired with 50k others — the
+    // skew mode of a production near-dup graph. The symmetrized edge set
+    // puts 50k rows on ONE join key (the hub), which AQE skew-join
+    // splitting handles on a cluster (both session profiles enable it;
+    // see parity test below). Diameter 2 -> converges well under the cap,
+    // and every vertex must land on the hub's min label.
+    val star = spark.range(1, 50001)
+      .select(lit(0L).as("id_a"), col("id").as("id_b"))
+    val got = Dedup.connectedComponents(star, "id_a", "id_b", maxRounds = 6)
+    assert(got.count() === 50001L)
+    assert(got.filter(col("cluster_id") =!= 0L).count() === 0L)
+    Dedup.releasePlan(got)
+  }
+
+  test("session profiles: local AQE skew-join parity with the cluster profile") {
+    val local = graft.GraftSession.localConf(cores = 4)
+    val cluster = graft.GraftSession.clusterConf
+    for (k <- Seq("spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor"))
+      assert(local(k) === cluster(k), k)
+  }
+
   test("connected components: an exhausted maxRounds refuses in strict mode, warns otherwise") {
     val chain = (0 until 9).map(i => (100L + i, 101L + i)).toDF("id_a", "id_b")
     // strict (the default): a non-converged labeling must not come back
@@ -69,6 +94,35 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard pairs: df-cap drops a planted hot shingle instead of going quadratic") {
+    // 10k docs that pairwise share ONLY the hot bigram "common common"
+    // (J = 1/3 uncapped): without the cap the self-join materializes
+    // ~50M candidate rows and every pair clears threshold 0.3; with the
+    // default cap (df 10000 > 1000) the hot posting is dropped before the
+    // join and the result is EMPTY — candidate volume tracks the cap, not
+    // the corpus.
+    val hot = spark.range(10000).select(
+      col("id").as("doc_id"),
+      concat(lit("common common u"), col("id")).as("text"))
+    val pairs = Dedup.jaccardPairs(hot, "doc_id", "text",
+      blockCols = Nil, n = 2, threshold = 0.3)
+    assert(pairs.count() === 0L)
+  }
+
+  test("jaccard pairs: df-cap recomputes sizes over the retained shingle universe") {
+    // bigrams: "h h" (df 3, hot at cap 2), then per doc one shared + one
+    // unique rare bigram. Capped: A={h a, a b}, B={h a, a c} -> 1/3.
+    // (Uncapped would be 2/4 = 0.5 — both the drop AND the size recompute
+    // must happen for 0.333333 to come out.)
+    val mini = Seq(
+      (1L, "h h a b"), (2L, "h h a c"), (3L, "h h d e")
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(mini, "doc_id", "text",
+        blockCols = Nil, n = 2, threshold = 0.1, maxDocFreq = 2)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 2L, 0.333333)))
   }
 
   test("minhash LSH surfaces exact duplicates with jaccard 1.0") {
