@@ -210,6 +210,38 @@ object TscQueries {
           round(element_at(col("features"), 4).cast("double"), 4).as("f3"))
     }),
 
+    // REAL JPEG decode: every row carries the frozen in-repo JPEG fixture
+    // (committed bytes — JPEG is lossy, so unlike the PNG sibling above the
+    // expected lumas have no closed form) and executors decode it through
+    // the same javax.imageio path. The oracle is the generator-frozen
+    // grid-pooled lumas (JpegFixtureOracle, regenerated by GenJpegFixture),
+    // which pins byte-exact decode + pooling geometry for the lossy codec.
+    "q_media_decode_jpeg" -> ((s, d) => {
+      val in = getClass.getResourceAsStream("/graft/fixture_image.jpg")
+      require(in != null, "missing resource /graft/fixture_image.jpg")
+      val jpeg =
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          bos.toByteArray
+        } finally in.close()
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        lit("image").as("kind"),
+        lit(jpeg).as("payload"),
+        lit(32).as("width"), lit(32).as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("long").as("duration_ms"))
+      graft.multimodal.Multimodal.imageFeatures(s, media, dim = 4, codec = "imageio")
+        .select(col("media_id"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+          round(element_at(col("features"), 2).cast("double"), 4).as("f1"),
+          round(element_at(col("features"), 3).cast("double"), 4).as("f2"),
+          round(element_at(col("features"), 4).cast("double"), 4).as("f3"))
+    }),
+
     // REAL audio decode, oracled end to end (the WAV sibling of
     // q_media_decode): an executor UDF encodes a two-band square-wave WAV
     // per row (amplitudes derived from media_id), javax.sound decodes the
@@ -309,6 +341,16 @@ object TscQueries {
              + 0.114*((doc_id*11) % 256)) / 255.0 AS FLOAT) AS DOUBLE), 4) AS f2,
            round(CAST(CAST((0.299*((doc_id*3) % 256) + 0.587*((doc_id*5) % 256)
              + 0.114*((doc_id*11) % 256)) / 255.0 AS FLOAT) AS DOUBLE), 4) AS f3
+         FROM documents""",
+
+    // generator-frozen lumas of the committed JPEG fixture — every doc row
+    // decodes the same bytes, so the expected features are four literals
+    "q_media_decode_jpeg" ->
+      s"""SELECT doc_id AS media_id,
+           CAST(${JpegFixtureOracle.f0} AS DOUBLE) AS f0,
+           CAST(${JpegFixtureOracle.f1} AS DOUBLE) AS f1,
+           CAST(${JpegFixtureOracle.f2} AS DOUBLE) AS f2,
+           CAST(${JpegFixtureOracle.f3} AS DOUBLE) AS f3
          FROM documents""",
 
     // closed-form band energies of the two-band square WAV: bands 0-1 see
