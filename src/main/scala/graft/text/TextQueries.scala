@@ -84,6 +84,40 @@ object TextQueries {
         .groupBy(col("shard"), col("bin"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("bin_tokens"))
+    }),
+
+    // Greedy sequence packing — the token-efficient variant real trainers
+    // use: within a shard, docs are taken in id order and a bin closes when
+    // the next doc would overflow the budget (an oversized doc still gets a
+    // bin of its own), so no bin except oversized-singletons exceeds the
+    // budget — unlike the fixed-offset q_seq_pack above, which lets a
+    // straddling doc overflow its bin. The running (bin, fill) state is
+    // inherently sequential, so it runs as one flatMapGroups pass per shard:
+    // shards are fixed 100-doc ranges by construction, so group state is
+    // O(shard size) regardless of corpus scale and shards pack in parallel
+    // (the same sharded-window scale shape as q_seq_pack — no global sort).
+    "q_seq_pack_greedy" -> ((s, d) => {
+      import s.implicits._
+      val budget = 256L
+      documents(s, d)
+        .select(col("doc_id").cast("long"), tokenCount(col("text")).as("n_tokens"),
+          floor(col("doc_id") / 100).cast("long").as("shard"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._3)
+        .flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Long)]) =>
+          val docs = it.toArray.sortBy(_._1)
+          val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          var bin = 0L; var nDocs = 0L; var fill = 0L
+          docs.foreach { case (_, n, _) =>
+            if (nDocs > 0 && fill + n > budget) {
+              bins += ((shard, bin, nDocs, fill)); bin += 1; nDocs = 0; fill = 0
+            }
+            nDocs += 1; fill += n
+          }
+          if (nDocs > 0) bins += ((shard, bin, nDocs, fill))
+          bins.iterator
+        }
+        .toDF("shard", "bin", "n_docs", "bin_tokens")
     })
   )
 
@@ -195,6 +229,30 @@ object TextQueries {
           FROM t)
           SELECT shard, CAST((cum - n_tokens) // 256 AS BIGINT) AS bin,
             count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
-          FROM c GROUP BY 1, 2"""
+          FROM c GROUP BY 1, 2""",
+
+    // the greedy state machine replayed doc-by-doc per shard via a
+    // recursive CTE (rn chains the recursion in the same id order the
+    // Spark side packs in)
+    "q_seq_pack_greedy" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id,
+            CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+            CAST(doc_id // 100 AS BIGINT) AS shard,
+            row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
+          FROM documents),
+          rec AS (
+            SELECT shard, rn, n_tokens,
+              CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.shard, t.rn, t.n_tokens,
+              CASE WHEN rec.fill + t.n_tokens > 256
+                   THEN rec.bin + 1 ELSE rec.bin END,
+              CASE WHEN rec.fill + t.n_tokens > 256
+                   THEN t.n_tokens ELSE rec.fill + t.n_tokens END
+            FROM t JOIN rec ON t.shard = rec.shard AND t.rn = rec.rn + 1)
+          SELECT shard, bin, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+          FROM rec GROUP BY 1, 2"""
   )
 }

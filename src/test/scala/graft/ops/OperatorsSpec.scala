@@ -125,6 +125,20 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got === Set((1L, 2L, 0.333333)))
   }
 
+  test("greedy seq packing: bins respect the budget except oversized singletons") {
+    val d = "/root/testdata/sf0.001"
+    val budget = 256L
+    val bins = graft.text.TextQueries.queries("q_seq_pack_greedy")(spark, d)
+      .select("n_docs", "bin_tokens").as[(Long, Long)].collect()
+    assert(bins.nonEmpty)
+    // the greedy contract: a bin only exceeds the budget when it holds a
+    // single oversized document (the fixed-offset q_seq_pack can't promise
+    // this — it lets a straddling doc overflow a multi-doc bin)
+    bins.foreach { case (nDocs, toks) =>
+      assert(toks <= budget || nDocs == 1L, s"bin nDocs=$nDocs tokens=$toks")
+    }
+  }
+
   test("minhash LSH surfaces exact duplicates with jaccard 1.0") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
         shingleN = 2, numHashes = 32, bands = 16, threshold = 0.9)
