@@ -462,11 +462,15 @@ object Dedup {
       val prop = edges.join(labels, col("dst") === col("v"))
         .groupBy(col("src").as("pv"))
         .agg(min(col("label")).as("nbr_min"))
-      // symmetrized edges give every vertex an out-edge -> inner join total
+      // symmetrized edges give every vertex an out-edge -> inner join total.
+      // LAZY checkpoint: the convergence aggregate below is the action that
+      // materializes it — one job per round instead of an eager-checkpoint
+      // job plus the count (the loop is scheduler-latency-bound: rounds ×
+      // per-job fixed cost dominates on any graph that fits the cap)
       val updated = labels.join(prop, col("v") === col("pv"))
         .select(col("v"), least(col("label"), col("nbr_min")).as("label"),
           (col("nbr_min") < col("label")).cast("long").as("chg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = updated.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
       // each round's checkpoint supersedes the previous one; without the
       // explicit free, every round (and every call in a long session)
