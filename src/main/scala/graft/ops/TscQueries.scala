@@ -163,6 +163,37 @@ object TscQueries {
           col("prediction").cast("long").as("prediction"), col("cnt"))
     }))
 
+  // Fixture-payload memos: every synthetic payload below is a pure function
+  // of id % 256, so a JVM-wide map of <= 256 entries (shared across tasks,
+  // one per executor) makes the queries measure DECODE — the operator under
+  // test — instead of re-encoding the same 256 fixtures once per row.
+  // (id*k % 256 == (id%256)*k % 256 for id >= 0, so features are unchanged.)
+  private def memo256(cache: java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Byte]],
+      id: Long)(build: Long => Array[Byte]): Array[Byte] =
+    cache.computeIfAbsent(java.lang.Long.valueOf(id % 256), r => build(r.longValue))
+
+  private val twoBandMemo = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Byte]]()
+  private def fixtureTwoBandPng(id: Long): Array[Byte] = memo256(twoBandMemo, id) { r =>
+    graft.multimodal.ImageCodecs.twoBandPng(16, 16,
+      ((r % 256).toInt, (r * 7 % 256).toInt, (r * 13 % 256).toInt),
+      ((r * 3 % 256).toInt, (r * 5 % 256).toInt, (r * 11 % 256).toInt))
+  }
+
+  private val solidMemo = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Byte]]()
+  private def fixtureSolidPng(id: Long): Array[Byte] = memo256(solidMemo, id) { r =>
+    graft.multimodal.ImageCodecs.solidPng(16, 16,
+      (r % 256).toInt, (r * 7 % 256).toInt, (r * 13 % 256).toInt)
+  }
+
+  private val mpngMemo = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Byte]]()
+  private def fixtureMpng(id: Long): Array[Byte] = memo256(mpngMemo, id) { r =>
+    graft.multimodal.VideoCodecs.mpngOf(
+      (0 until 6).map(f => graft.multimodal.ImageCodecs.solidPng(8, 8,
+        ((r + f * 17) % 256).toInt,
+        ((r * 7 + f * 29) % 256).toInt,
+        ((r * 13 + f * 41) % 256).toInt)))
+  }
+
   /** Multimodal plumbing driven through the driver gate: documents' text
     * bytes stand in for opaque media payloads (deterministic), exercising
     * the binary-column feature-extraction path end-to-end. The stub codec
@@ -191,10 +222,7 @@ object TscQueries {
     // DuckDB computes from media_id alone — decode, pixel access, AND
     // pooling geometry are all hash-checked.
     "q_media_decode" -> ((s, d) => {
-      val pngUdf = udf((id: Long) => graft.multimodal.ImageCodecs.twoBandPng(
-        16, 16,
-        ((id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt),
-        ((id * 3 % 256).toInt, (id * 5 % 256).toInt, (id * 11 % 256).toInt)))
+      val pngUdf = udf((id: Long) => fixtureTwoBandPng(id))
       val media = Tables.documents(s, d).select(
         col("doc_id").as("media_id"),
         lit("image").as("kind"),
@@ -208,6 +236,28 @@ object TscQueries {
           round(element_at(col("features"), 2).cast("double"), 4).as("f1"),
           round(element_at(col("features"), 3).cast("double"), 4).as("f2"),
           round(element_at(col("features"), 4).cast("double"), 4).as("f3"))
+    }),
+
+    // REAL bilinear resize, oracled end to end: a solid 16x16 PNG (color
+    // derived from media_id) resizes to 8x8 through Graphics2D + PNG
+    // re-encode, then decodes back to its luma. Bilinear resampling of a
+    // constant image is that constant, so the resized luma has the same
+    // closed form as the source color — resample, re-encode, re-decode,
+    // and the metadata update are all hash-checked.
+    "q_media_resize" -> ((s, d) => {
+      val solidUdf = udf((id: Long) => fixtureSolidPng(id))
+      val lumaUdf = udf((p: Array[Byte]) =>
+        graft.multimodal.ImageCodecs.imageFeatures(p, 1)(0))
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        lit("image").as("kind"),
+        solidUdf(col("doc_id")).as("payload"),
+        lit(16).as("width"), lit(16).as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("long").as("duration_ms"))
+      graft.multimodal.Multimodal.resizeImages(s, media, toW = 8, toH = 8, codec = "imageio")
+        .select(col("media_id"), col("width"), col("height"),
+          round(lumaUdf(col("payload")).cast("double"), 4).as("luma"))
     }),
 
     // REAL JPEG decode: every row carries the frozen in-repo JPEG fixture
@@ -274,11 +324,7 @@ object TscQueries {
     // from the closed form — demux, sampling geometry, and decode are all
     // hash-verified.
     "q_video_frames" -> ((s, d) => {
-      val mpngUdf = udf((id: Long) => graft.multimodal.VideoCodecs.mpngOf(
-        (0 until 6).map(f => graft.multimodal.ImageCodecs.solidPng(8, 8,
-          ((id + f * 17) % 256).toInt,
-          ((id * 7 + f * 29) % 256).toInt,
-          ((id * 13 + f * 41) % 256).toInt))))
+      val mpngUdf = udf((id: Long) => fixtureMpng(id))
       val lumaUdf = udf((frame: Array[Byte]) =>
         graft.multimodal.ImageCodecs.imageFeatures(frame, 1)(0))
       val media = Tables.documents(s, d).select(
@@ -341,6 +387,15 @@ object TscQueries {
              + 0.114*((doc_id*11) % 256)) / 255.0 AS FLOAT) AS DOUBLE), 4) AS f2,
            round(CAST(CAST((0.299*((doc_id*3) % 256) + 0.587*((doc_id*5) % 256)
              + 0.114*((doc_id*11) % 256)) / 255.0 AS FLOAT) AS DOUBLE), 4) AS f3
+         FROM documents""",
+
+    // closed-form luma of the solid source color: bilinear resampling of a
+    // constant image is the constant, so the 8x8 re-decode sees the same
+    // (r, g, b) the 16x16 source was painted with
+    "q_media_resize" ->
+      """SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+           round(CAST(CAST((0.299*(doc_id % 256) + 0.587*((doc_id*7) % 256)
+             + 0.114*((doc_id*13) % 256)) / 255.0 AS FLOAT) AS DOUBLE), 4) AS luma
          FROM documents""",
 
     // generator-frozen lumas of the committed JPEG fixture — every doc row
