@@ -66,4 +66,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // means a stray repartition/sort crept in
     assert(exchanges <= 1, df.queryExecution.executedPlan.toString)
   }
+
+  test("media decode/resize queries are shuffle-free scan pipelines") {
+    // decode → features and resize → re-decode are pure per-row transforms;
+    // any Exchange here means a repartition crept into the media path and
+    // a 100 TB media scan would shuffle its payload bytes
+    for (q <- Seq("q_media_decode", "q_media_decode_jpeg", "q_media_resize")) {
+      val df = graft.SparkEntry.queries(q)(spark, d)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.linesIterator.exists(_.contains("Exchange")), s"$q: $plan")
+    }
+  }
+
+  test("q_seq_pack_greedy shuffles once, on the shard key") {
+    val df = graft.SparkEntry.queries("q_seq_pack_greedy")(spark, d)
+    val exchanges = df.queryExecution.executedPlan.toString
+      .linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    // one exchange: the groupByKey on shard; the greedy state machine then
+    // runs inside each group with no further data movement
+    assert(exchanges == 1, df.queryExecution.executedPlan.toString)
+  }
 }
