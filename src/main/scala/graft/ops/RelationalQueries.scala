@@ -779,6 +779,20 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(dec)).cast("double").as("total_value"))),
 
+    // Events — stream-static broadcast enrich in batch form: each event
+    // decorated with the customer's market segment, then rolled up. The
+    // streaming twin (EventStreams.enrichStream on a stream frame) is
+    // stateless and proven batch-equal in EventStreamsSpec.
+    "q_events_enrich" -> ((s, d) => {
+      val dim = customer(s, d).select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+      graft.streaming.EventStreams.enrichStream(events(s, d), dim, "user_id")
+        .groupBy(coalesce(col("segment"), lit("none")).as("segment"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"))
+    }),
+
     // As-of join (custom LogicalPlan + Strategy + sort-merge SparkPlan):
     // each click event picks up the user's most recent at-or-before
     // purchase value. Right side deduped to one row per (user, time) so
@@ -1108,6 +1122,13 @@ object RelationalQueries {
          count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    "q_events_enrich" ->
+      """SELECT COALESCE(c_mktsegment, 'none') AS segment, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events LEFT JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2""",
 
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,

@@ -246,6 +246,17 @@ object EventStreams {
       predictionCol: String = "prediction"): DataFrame =
     graft.local.LocalTrainer.predict(spark, forest, stream, featureCols, predictionCol)
 
+  /** Stream–static enrich: decorate each event with a slowly-changing
+    * reference dimension via a broadcast left-outer join — the standard
+    * firehose-decoration shape. Stateless (no watermark, no streaming
+    * state): the dimension ships to executors once per trigger and the
+    * stream side never shuffles, so a 100 TB/day stream enriches at scan
+    * parallelism. Works identically on a batch frame (the oracled
+    * q_events_enrich twin).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+
   /** File-source entry: stream the events table layout from a directory of
     * parquet (the production shape: object-store prefix, many files).
     */

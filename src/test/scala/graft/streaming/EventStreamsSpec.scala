@@ -39,6 +39,25 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream decorates a stream with a static dim and agrees with batch") {
+    val dim = Seq((100L, "gold"), (300L, "silver")).toDF("user_id", "tier")
+    val stream = MemoryStream[Event]
+    stream.addData(batch: _*)
+    val q = EventStreams.enrichStream(stream.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select("event_id", "tier").as[(Long, Option[String])].collect().toSet
+      val expected = EventStreams.enrichStream(batch.toDF(), dim, "user_id")
+        .select("event_id", "tier").as[(Long, Option[String])].collect().toSet
+      assert(got === expected)
+      // user 100 matched, user 200 carried through unmatched (left outer)
+      assert(got.contains((1L, Some("gold"))) && got.contains((3L, None)))
+    } finally q.stop()
+  }
+
   test("sessionWindows groups by 30-minute gaps per user") {
     val stream = MemoryStream[Event]
     stream.addData(batch: _*)
