@@ -253,9 +253,20 @@ object EventStreams {
     * stream side never shuffles, so a 100 TB/day stream enriches at scan
     * parallelism. Works identically on a batch frame (the oracled
     * q_events_enrich twin).
+    *
+    * Broadcast discipline (BroadcastGatingSpec doctrine): the hint is
+    * GATED on the dimension's estimated plan size — a forced broadcast of
+    * a dim that grew past executor memory is an OOM, not a slow join.
+    * Over the cap the planner decides instead (still broadcast if its own
+    * threshold allows; otherwise a per-micro-batch shuffled join — slower
+    * but correct).
     */
-  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
-    events.join(broadcast(dim), Seq(key), "left_outer")
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String,
+      maxBroadcastBytes: Long = 256L * 1024 * 1024): DataFrame = {
+    val est = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    val side = if (est <= maxBroadcastBytes) broadcast(dim) else dim
+    events.join(side, Seq(key), "left_outer")
+  }
 
   /** File-source entry: stream the events table layout from a directory of
     * parquet (the production shape: object-store prefix, many files).

@@ -58,6 +58,21 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream drops the broadcast hint when the dim exceeds the size cap") {
+    val dim = Seq((100L, "gold")).toDF("user_id", "tier")
+    def hints(df: org.apache.spark.sql.DataFrame) = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    val gated = EventStreams.enrichStream(batch.toDF(), dim, "user_id",
+      maxBroadcastBytes = 1L)
+    assert(hints(gated).isEmpty, "oversized dim must not be force-broadcast")
+    val hinted = EventStreams.enrichStream(batch.toDF(), dim, "user_id")
+    assert(hints(hinted).nonEmpty, "small dim should carry the hint")
+    // both paths produce the same rows
+    assert(gated.select("event_id", "tier").collect().toSet ===
+      hinted.select("event_id", "tier").collect().toSet)
+  }
+
   test("sessionWindows groups by 30-minute gaps per user") {
     val stream = MemoryStream[Event]
     stream.addData(batch: _*)
