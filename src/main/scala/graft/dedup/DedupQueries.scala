@@ -181,6 +181,32 @@ object DedupQueries {
           sum(col("n_tokens")).cast("long").as("total_tokens"),
           round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6)
             .as("avg_tokens"))
+    }),
+
+    // Domain-mixture weighting — the data-mixing step of a pretraining
+    // corpus build: per domain (lang standing in), the sampling weight that
+    // rescales its observed token share to a uniform target mixture
+    // (weight = target_share / observed_share; >1 upsample, <1 downsample).
+    // One aggregation plus a broadcast-sized window over the domain rows —
+    // corpus-scale work is the single groupBy, so the plan holds at 100 TB.
+    "q_mix_weights" -> ((s, d) => {
+      val perDomain = documents(s, d)
+        .select(col("lang"),
+          graft.text.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("domain_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy() // all domains: a handful of rows post-aggregation
+      perDomain
+        .withColumn("share",
+          col("domain_tokens").cast("double") /
+            sum(col("domain_tokens")).over(w))
+        .withColumn("target",
+          lit(1.0) / count(lit(1)).over(w))
+        .select(col("lang"), col("n_docs"), col("domain_tokens"),
+          round(col("share"), 6).as("share"),
+          round(col("target") / col("share"), 6).as("weight"))
     })
   )
 
@@ -408,6 +434,17 @@ object DedupQueries {
          SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens
          FROM deduped GROUP BY lang""",
+
+    "q_mix_weights" ->
+      """WITH per AS (
+           SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS domain_tokens
+           FROM documents GROUP BY lang)
+         SELECT lang, n_docs, domain_tokens,
+           round(CAST(domain_tokens AS DOUBLE) / sum(domain_tokens) OVER (), 6) AS share,
+           round((1.0 / count(*) OVER ()) /
+             (CAST(domain_tokens AS DOUBLE) / sum(domain_tokens) OVER ()), 6) AS weight
+         FROM per""",
 
     "q_contamination" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
