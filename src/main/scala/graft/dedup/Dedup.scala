@@ -414,7 +414,9 @@ object Dedup {
     * diameter) rounds — near-dup clusters are dups of a common source, so
     * real diameters are tiny (2-4) and convergence exits early, so the
     * generous `maxRounds` default costs nothing in the common case while
-    * bounding the pathological chain; exhausting it without convergence
+    * bounding the pathological chain (the sf0.1 corpus already shows a
+    * diameter-17 chain at threshold 0.1, 18 rounds — the default holds 2.5x
+    * headroom over the worst graph seen); exhausting it without convergence
     * throws (strict default) rather than returning a wrong labeling.
     * (Measured, not assumed: a pointer-jumping variant — adopt the label's
     * label each round — cut rounds 18 → 11 on the sf0.1 diameter-17 chain
@@ -432,7 +434,7 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int = 24,
+      maxRounds: Int = 48,
       strict: Boolean = true): DataFrame = {
     // materialize the (possibly expensive) pair plan ONCE before the
     // symmetrizing union — both union branches would otherwise re-execute
