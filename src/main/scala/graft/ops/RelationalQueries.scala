@@ -106,10 +106,13 @@ object RelationalQueries {
     "q_gini_weighted" -> ((s, d) =>
       Metrics.weightedGiniDF(lineitem(s, d), "l_linestatus", "l_returnflag")),
 
-    // J2 — equi inner join (dim side broadcast) + aggregation
+    // J2 — equi inner join + aggregation. No forced hint on customer: it
+    // is scale-proportional (15M rows at sf100), so the planner/AQE decides
+    // — still a broadcast join wherever it actually fits (gating doctrine,
+    // CatalogPlanLintSpec)
     "q_join_inner" -> ((s, d) =>
       orders(s, d)
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(dec)).cast("double").as("total"))),

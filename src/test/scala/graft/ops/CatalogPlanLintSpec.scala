@@ -68,4 +68,62 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     val gone = allowed.keySet.diff(graft.SparkEntry.queries.keySet)
     assert(gone.isEmpty, s"allowlisted but absent: $gone")
   }
+
+  /** Queries that legitimately hint a scale-proportional subtree, with the
+    * reason the hint is safe.
+    */
+  private val hintAllowed: Map[String, String] = Map(
+    "q_events_enrich" -> ("enrichStream gates the hint on the dim's " +
+      "estimated plan size (256 MB cap) — an outgrown dim drops the hint"),
+    "q_knn_brute" -> "broadcast side is the query set, bounded to 10 vectors by the pushed filter",
+    "q_knn_lsh" -> "broadcast side is the query set, bounded to 10 vectors by the pushed filter",
+    "q_knn_ivf" -> "broadcast sides are the 10-vector query set and k centroids")
+
+  test("no catalog query force-broadcasts a scale-proportional table off-allowlist") {
+    // BroadcastGatingSpec doctrine, catalog-wide: constant dims (nation,
+    // region) may carry forced hints; anything that grows with the data
+    // must not — a forced broadcast of a 15M-row side is an executor OOM
+    // at sf100, invisible at test scale where it still fits.
+    val constantDims = Set("n_nationkey", "r_regionkey")
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        if (hintAllowed.contains(name) || eagerlyExecuting.contains(name)) None
+        else (try Some(fn(spark, d).queryExecution.analyzed)
+              catch { case _: Throwable => None }).flatMap { analyzed =>
+          val bad = analyzed.collect {
+            case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+              import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project}
+              // a global aggregate (no grouping) under the hint is 1 row no
+              // matter how big its inputs — the broadcast-scalar pattern
+              def topNonTrivial(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+                  : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+                case Project(_, c) => topNonTrivial(c)
+                case Filter(_, c) => topNonTrivial(c)
+                case other => other
+              }
+              val scalarAgg = topNonTrivial(h.child) match {
+                case a: Aggregate => a.groupingExpressions.isEmpty
+                case _ => false
+              }
+              // otherwise: a hinted subtree whose EVERY leaf is a constant
+              // dim (or a driver-local relation with no scan) is fine; any
+              // scale-proportional scan under a hint is the hazard
+              val onlyConstantScans = h.child.collectLeaves().forall { leaf =>
+                val cols = leaf.output.map(_.name)
+                cols.exists(constantDims.contains) || // nation/region scan
+                  !leaf.isInstanceOf[
+                    org.apache.spark.sql.execution.datasources.LogicalRelation]
+              }
+              if (scalarAgg || onlyConstantScans) None
+              else Some(h.child.collectLeaves()
+                .flatMap(_.output.map(_.name))
+                .filterNot(constantDims.contains).take(3))
+          }.flatten
+          if (bad.isEmpty) None else Some(name -> bad.mkString(", "))
+        }
+    }
+    assert(offenders.isEmpty,
+      offenders.map { case (n, c) => s"$n hints a scale-proportional scan ($c)" }
+        .mkString("\n"))
+  }
 }
