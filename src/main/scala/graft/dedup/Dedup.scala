@@ -511,6 +511,44 @@ object Dedup {
     labels.select(col("v").as("member_id"), col("label").as("cluster_id"))
   }
 
+  /** Bloom-filter benchmark-decontamination probe: build ONE Bloom filter
+    * over the eval set's distinct word n-grams on the driver (the eval set
+    * is benchmark-sized — thousands of documents — so this is a small
+    * aggregation), broadcast it, and flag each training document whose
+    * gram array hits the filter.
+    *
+    * Scale contrast with the exact semi-join (q_contamination): the
+    * semi-join shuffles the ENTIRE train corpus's exploded grams on the
+    * gram key — at 100 TB that shuffle dominates the job. The bloom probe
+    * never shuffles the train side at all: it is a pure projection over
+    * the scan (gram array → boolean), so decontamination rides along with
+    * any other pass over the corpus. The price is one-sided error: no
+    * false negatives ever (a contaminated doc ALWAYS flags), but false
+    * positives at ~1−(1−fpp)^grams_per_doc. Production two-phase: bloom
+    * prefilter, then the exact join on the (tiny) flagged survivor set.
+    *
+    * Returns (idCol, bloom_hit: boolean), one row per train document.
+    */
+  def bloomContaminationFlags(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      fpp: Double = 1e-4,
+      expectedGrams: Long = 1L << 20): DataFrame = {
+    val benchGrams = bench
+      .select(explode(wordShingles(col(textCol), n)).as("g")).distinct()
+    // driver-side action: one pass over the (small) bench gram set. The
+    // sketch merges per-partition, so building distributes; only the final
+    // ~kB..MB bit array lands on the driver.
+    val bloom = benchGrams.stat.bloomFilter("g", expectedGrams, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    val hit = udf((gs: Seq[String]) =>
+      gs != null && gs.exists(g => bc.value.mightContainString(g)))
+    train.select(col(idCol), hit(wordShingles(col(textCol), n)).as("bloom_hit"))
+  }
+
   /** Drop the cached blocks behind a `localCheckpoint(true)`d frame — e.g.
     * a consumed [[connectedComponents]] result — without waiting for the
     * GC-driven ContextCleaner.

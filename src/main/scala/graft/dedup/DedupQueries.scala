@@ -20,10 +20,13 @@ object DedupQueries {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(documents(s, d), "doc_id", "text")),
 
-    // bigram Jaccard near-dup pairs, blocked by lang
+    // bigram Jaccard near-dup pairs, blocked by lang. maxDocFreq is passed
+    // EXPLICITLY (not defaulted) because the DuckDB oracle encodes the same
+    // cap — the two must move together (see jaccardPairsCtes).
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(documents(s, d), "doc_id", "text",
-        blockCols = Seq("lang"), n = 2, threshold = 0.3)),
+        blockCols = Seq("lang"), n = 2, threshold = 0.3,
+        maxDocFreq = jaccardDfCap)),
 
     // transitive duplicate CLUSTERS over the jaccard pair graph (threshold
     // 0.1 so multi-hop chains exist in this corpus): hash-min label
@@ -33,7 +36,8 @@ object DedupQueries {
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
         Dedup.jaccardPairs(documents(s, d), "doc_id", "text",
-          blockCols = Seq("lang"), n = 2, threshold = 0.1),
+          blockCols = Seq("lang"), n = 2, threshold = 0.1,
+          maxDocFreq = jaccardDfCap),
         "id_a", "id_b")),
 
     // the production keep/drop decision end to end: pair detection →
@@ -43,7 +47,8 @@ object DedupQueries {
     "q_dedup_keep" -> ((s, d) => {
       val clusters = Dedup.connectedComponents(
         Dedup.jaccardPairs(documents(s, d), "doc_id", "text",
-          blockCols = Seq("lang"), n = 2, threshold = 0.1),
+          blockCols = Seq("lang"), n = 2, threshold = 0.1,
+          maxDocFreq = jaccardDfCap),
         "id_a", "id_b")
       val drop = clusters.filter(col("member_id") =!= col("cluster_id"))
         .select(col("member_id"))
@@ -161,6 +166,37 @@ object DedupQueries {
         .select(col("doc_id")).distinct()
     }),
 
+    // Bloom-filter decontamination, self-validating: the broadcast-bloom
+    // probe (no shuffle of the train side — the 100 TB plan) runs beside
+    // the exact semi-join twin, and the output row asserts the filter's
+    // one-sided-error contract: every exactly-contaminated doc flags
+    // (no_false_negatives) and the false-positive overhead stays under 5%
+    // of the train corpus (fpp=1e-4 over ~70 grams/doc → ~0.7% expected).
+    // DuckDB recomputes n_train/n_exact exactly and pins both booleans.
+    "q_contamination_bloom" -> ((s, d) => {
+      val docs = documents(s, d)
+      val isBench = pmod(col("doc_id"), lit(50)) === 0
+      val train = docs.filter(!isBench)
+      val flags = Dedup.bloomContaminationFlags(
+        train, docs.filter(isBench), "doc_id", "text", n = 5, fpp = 1e-4)
+      val benchGrams = docs.filter(isBench)
+        .select(explode(Dedup.wordShingles(col("text"), 5)).as("g")).distinct()
+      val exact = train
+        .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 5)).as("g"))
+        .join(benchGrams, Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("exact_hit", lit(true))
+      flags.join(exact, Seq("doc_id"), "left_outer")
+        .select(col("bloom_hit"),
+          coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
+        .agg(count(lit(1)).cast("long").as("n_train"),
+          sum(col("exact_hit").cast("long")).cast("long").as("n_exact"),
+          (sum(when(col("exact_hit") && !col("bloom_hit"), 1L).otherwise(0L))
+            === 0L).as("no_false_negatives"),
+          (sum(when(col("bloom_hit") && !col("exact_hit"), 1L).otherwise(0L))
+            <= ceil(count(lit(1)) * lit(0.05))).as("fp_bounded"))
+    }),
+
     // End-to-end corpus curation: quality filter -> language filter ->
     // exact dedup -> per-language token statistics. The composability
     // showcase — one declarative plan, fully DuckDB-oracled.
@@ -257,20 +293,53 @@ object DedupQueries {
     * IEEE doubles, and both engines fold dot products left-to-right, so the
     * signs agree bit-for-bit.
     */
+  // Document-frequency cap shared by the Spark call sites (explicit
+  // maxDocFreq above) and the SQL twins (jaccardPairsCtes below). The two
+  // MUST encode the same number: Dedup.jaccardPairs drops postings whose
+  // (block, shingle) df exceeds the cap and recomputes set sizes over the
+  // retained universe, so an oracle computing UNCAPPED Jaccard would
+  // silently diverge the moment any shingle crosses the cap (common
+  // bigrams cross 1000 docs somewhere between sf0.1 and sf1).
+  private val jaccardDfCap = 1000
+
+  /** df-capped Jaccard pair CTEs — the exact SQL mirror of
+    * [[Dedup.jaccardPairs]]: posting list per (lang, distinct bigram),
+    * postings with df > [[jaccardDfCap]] dropped BEFORE pairing, set sizes
+    * recomputed over the retained universe, Jaccard from exact integer
+    * counts. Ends in a `pairs(id_a, id_b, jaccard)` CTE.
+    */
+  private def jaccardPairsCtes(threshold: Double): String =
+    s"""t AS (SELECT doc_id, lang, $shinglesSql AS sh
+          FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+          WHERE len(toks) >= 2),
+        post AS (SELECT doc_id, lang, unnest(sh) AS s FROM t),
+        keptp AS (
+          SELECT doc_id, lang, s FROM (
+            SELECT doc_id, lang, s,
+              count(*) OVER (PARTITION BY lang, s) AS df
+            FROM post)
+          WHERE df <= $jaccardDfCap),
+        sz AS (SELECT doc_id, count(*) AS sz FROM keptp GROUP BY 1),
+        co AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM keptp a JOIN keptp b
+            ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b, jaccard FROM (
+            SELECT co.id_a, co.id_b,
+              round(CAST(co.inter AS DOUBLE) /
+                (sa.sz + sb.sz - co.inter), 6) AS jaccard
+            FROM co
+            JOIN sz sa ON co.id_a = sa.doc_id
+            JOIN sz sb ON co.id_b = sb.doc_id) p
+          WHERE jaccard >= $threshold)"""
+
   // One source of truth for the jaccard pair graph + reachability CTEs
   // behind q_dedup_clusters AND q_dedup_keep — both oracles must see the
   // identical graph or keep/drop silently validates a different clustering.
   private lazy val jaccardClusterCtes: String =
-    s"""t AS (SELECT doc_id, lang, $shinglesSql AS sh
-          FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
-          WHERE len(toks) >= 2),
-        pairs AS (
-          SELECT id_a, id_b FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS j
-            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
-          WHERE j >= 0.1),
+    s"""${jaccardPairsCtes(0.1)},
         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                   UNION ALL SELECT id_b, id_a FROM pairs),
         reach(v, r) AS (
@@ -339,15 +408,8 @@ object DedupQueries {
          FROM documents GROUP BY 1""",
 
     "q_dedup_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, lang, $shinglesSql AS sh
-            FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
-            WHERE len(toks) >= 2)
-          SELECT id_a, id_b, jaccard FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
-          WHERE jaccard >= 0.3""",
+      s"""WITH ${jaccardPairsCtes(0.3)}
+          SELECT id_a, id_b, jaccard FROM pairs""",
 
     // Components = min reachable id per vertex, via recursive reachability
     // over the same symmetrized pair graph the Spark side propagates on.
@@ -456,6 +518,24 @@ object DedupQueries {
           bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
           SELECT DISTINCT doc_id FROM g
           WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)""",
+
+    // exact counts + the bloom contract as pinned booleans: DuckDB cannot
+    // rebuild the filter (implementation-defined hashing) but CAN verify
+    // the train/contaminated counts and the one-sided-error invariants
+    "q_contamination_bloom" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          g AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                  || toks[i+3] || ' ' || toks[i+4]))) AS g
+            FROM t WHERE len(toks) >= 5),
+          bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+          exact AS (SELECT DISTINCT doc_id FROM g
+            WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench))
+          SELECT
+            (SELECT count(*) FROM documents WHERE doc_id % 50 <> 0) AS n_train,
+            (SELECT count(*) FROM exact) AS n_exact,
+            TRUE AS no_false_negatives, TRUE AS fp_bounded""",
 
     "q_knn_brute" -> bruteTopKSql,
 

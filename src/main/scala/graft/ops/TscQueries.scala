@@ -264,8 +264,12 @@ object TscQueries {
     // (committed bytes — JPEG is lossy, so unlike the PNG sibling above the
     // expected lumas have no closed form) and executors decode it through
     // the same javax.imageio path. The oracle is the generator-frozen
-    // grid-pooled lumas (JpegFixtureOracle, regenerated by GenJpegFixture),
-    // which pins byte-exact decode + pooling geometry for the lossy codec.
+    // grid-pooled lumas (JpegFixtureOracle, regenerated by GenJpegFixture).
+    // JPEG IDCT output is implementation-defined to ±1 LSB (~0.004 luma)
+    // across JDK vendors, so the comparison is a ±0.01 TOLERANCE check
+    // (boolean per feature), not an exact decimal match — pooling geometry
+    // and decode wiring still can't drift without flipping a flag, but a
+    // conforming alternate IDCT doesn't fail the gate.
     "q_media_decode_jpeg" -> ((s, d) => {
       val in = getClass.getResourceAsStream("/graft/fixture_image.jpg")
       require(in != null, "missing resource /graft/fixture_image.jpg")
@@ -284,12 +288,13 @@ object TscQueries {
         lit(32).as("width"), lit(32).as("height"),
         lit(null).cast("int").as("sample_rate"),
         lit(null).cast("long").as("duration_ms"))
+      def ok(i: Int, expect: Double) =
+        (abs(element_at(col("features"), i).cast("double") - lit(expect))
+          <= lit(0.01)).as(s"f${i - 1}_ok")
       graft.multimodal.Multimodal.imageFeatures(s, media, dim = 4, codec = "imageio")
         .select(col("media_id"),
-          round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
-          round(element_at(col("features"), 2).cast("double"), 4).as("f1"),
-          round(element_at(col("features"), 3).cast("double"), 4).as("f2"),
-          round(element_at(col("features"), 4).cast("double"), 4).as("f3"))
+          ok(1, JpegFixtureOracle.f0), ok(2, JpegFixtureOracle.f1),
+          ok(3, JpegFixtureOracle.f2), ok(4, JpegFixtureOracle.f3))
     }),
 
     // REAL audio decode, oracled end to end (the WAV sibling of
@@ -399,13 +404,11 @@ object TscQueries {
          FROM documents""",
 
     // generator-frozen lumas of the committed JPEG fixture — every doc row
-    // decodes the same bytes, so the expected features are four literals
+    // decodes the same bytes and each pooled luma must land within ±0.01
+    // of the frozen literal (IDCT is vendor-defined to ~±0.004)
     "q_media_decode_jpeg" ->
-      s"""SELECT doc_id AS media_id,
-           CAST(${JpegFixtureOracle.f0} AS DOUBLE) AS f0,
-           CAST(${JpegFixtureOracle.f1} AS DOUBLE) AS f1,
-           CAST(${JpegFixtureOracle.f2} AS DOUBLE) AS f2,
-           CAST(${JpegFixtureOracle.f3} AS DOUBLE) AS f3
+      """SELECT doc_id AS media_id,
+           TRUE AS f0_ok, TRUE AS f1_ok, TRUE AS f2_ok, TRUE AS f3_ok
          FROM documents""",
 
     // closed-form band energies of the two-band square WAV: bands 0-1 see

@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level boilerplate removal (CCNet / RefinedWeb-style bulk
+  * dedup of repeated spans): any word n-gram occurring in more than
+  * `maxDocFreq` documents is treated as boilerplate (headers, footers,
+  * license blurbs, navigation chrome) and every token position it covers
+  * is dropped from every document; the surviving tokens are reassembled
+  * in order.
+  *
+  * Beyond-reference operator: the reference pipeline has no corpus-level
+  * text hygiene; this is the pretraining-curation op that removes
+  * cross-document repeated spans before training.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *  - tokens and n-grams are exploded ONCE each — no per-pair work, no
+  *    self-join; every stage is a hash shuffle on (gram) or (doc, pos);
+  *  - the frequent-gram set is, by construction, small (grams with
+  *    df > cap are the boilerplate tail of the df distribution), so the
+  *    postings⋈frequent join is broadcast-able at any corpus size — but
+  *    the hint is LEFT TO THE PLANNER (AQE sizes it at runtime), because
+  *    a pathological cap could make it large;
+  *  - reassembly is one aggregation per document keyed on the id — the
+  *    same key the token explode already partitioned by.
+  */
+object Boilerplate {
+
+  def removeBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      maxDocFreq: Int = 10): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val id = col(idCol)
+    val base = graft.prep.Preprocessing.spread(df)
+      .select(id,
+        filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit(""))
+          .as("toks"))
+    // positional n-grams: gram at p covers token positions [p, p+n-1].
+    // sequence() guarded — Spark's sequence(0, negative) DESCENDS.
+    val withGrams = base.withColumn("grams",
+      when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+    val gramPost = withGrams.select(id,
+      posexplode(col("grams")).as(Seq("gpos", "gram")))
+    // document frequency over DISTINCT (doc, gram): a gram repeated inside
+    // one doc is repetition (q_text_repetition's signal), not boilerplate
+    val frequent = gramPost.select(id, col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") > maxDocFreq)
+      .select(col("gram"))
+    val covered = gramPost.join(frequent, Seq("gram"))
+      .select(id, explode(sequence(col("gpos"), col("gpos") + (n - 1)))
+        .as("pos"))
+      .distinct()
+    val tokens = base.select(id, posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = tokens.join(covered, Seq(idCol, "pos"), "left_anti")
+    // order restored by sorting (pos, tok) structs — pos is unique per doc
+    val clean = kept.groupBy(id)
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok"))).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    base.select(id, size(col("toks")).cast("long").as("n_tokens"))
+      .join(clean, Seq(idCol), "left_outer")
+      .select(id,
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+}

@@ -118,7 +118,17 @@ object TextQueries {
           bins.iterator
         }
         .toDF("shard", "bin", "n_docs", "bin_tokens")
-    })
+    }),
+
+    // Corpus-level boilerplate removal (CCNet/RefinedWeb bulk span dedup):
+    // bigrams occurring in >40 of these 500 docs are boilerplate; every
+    // covered token position is dropped and documents reassemble in order.
+    // (Production uses longer grams over lines/paragraphs; this corpus has
+    // single-line docs and a tiny vocab, so n=2/cap=40 is what exercises
+    // the drop path — the operator parameterizes both.)
+    "q_text_boilerplate" -> ((s, d) =>
+      Boilerplate.removeBoilerplate(documents(s, d), "doc_id", "text",
+        n = 2, maxDocFreq = 40))
   )
 
   private val qualityStopwordsSql = qualityStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -253,6 +263,35 @@ object TextQueries {
             FROM t JOIN rec ON t.shard = rec.shard AND t.rn = rec.rn + 1)
           SELECT shard, bin, count(*) AS n_docs,
             CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
-          FROM rec GROUP BY 1, 2"""
+          FROM rec GROUP BY 1, 2""",
+
+    // full boilerplate-removal replay: positional bigrams -> df over
+    // distinct (doc, gram) -> positions covered by any frequent gram ->
+    // ordered reassembly of the survivors. Exact string + count parity.
+    "q_text_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+              i -> {'gpos': CAST(i - 1 AS BIGINT),
+                    'gram': toks[i] || ' ' || toks[i+1]}),
+              recursive := true)
+            FROM t),
+          dfreq AS (SELECT gram, count(*) AS df
+            FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY 1),
+          freq AS (SELECT gram FROM dfreq WHERE df > 40),
+          cov AS (SELECT DISTINCT g.doc_id, g.gpos + k.k AS pos
+            FROM g JOIN freq USING (gram), (SELECT unnest(range(0, 2)) AS k) k),
+          tok AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+              i -> {'pos': CAST(i - 1 AS BIGINT), 'tok': toks[i]}),
+              recursive := true)
+            FROM t),
+          kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+            FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+            WHERE cov.doc_id IS NULL),
+          cln AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+            count(*) AS n_kept FROM kept GROUP BY 1)
+          SELECT t.doc_id, coalesce(cln.text_clean, '') AS text_clean,
+            CAST(coalesce(cln.n_kept, 0) AS BIGINT) AS n_kept,
+            CAST(len(t.toks) - coalesce(cln.n_kept, 0) AS BIGINT) AS n_dropped
+          FROM t LEFT JOIN cln USING (doc_id)"""
   )
 }

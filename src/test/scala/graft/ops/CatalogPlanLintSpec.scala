@@ -25,7 +25,12 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     * equi-join + aggregate by construction (OperatorsSpec).
     */
   private val eagerlyExecuting: Set[String] =
-    Set("q_dedup_clusters", "q_dedup_keep")
+    Set("q_dedup_clusters", "q_dedup_keep",
+      // bloom build (df.stat.bloomFilter) is a driver action at query
+      // construction; the probe itself is a pure projection (no join to
+      // lint) and the exact-twin semi-join is the same plan as
+      // q_contamination, which IS linted
+      "q_contamination_bloom")
 
   /** (query, reason the flagged shape is bounded by design). */
   private val allowed: Map[String, String] = Map(
@@ -88,8 +93,14 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         if (hintAllowed.contains(name) || eagerlyExecuting.contains(name)) None
-        else (try Some(fn(spark, d).queryExecution.analyzed)
-              catch { case _: Throwable => None }).flatMap { analyzed =>
+        // An analysis failure is an OFFENSE, not a skip: a query that can't
+        // analyze would otherwise silently escape this lint (it already
+        // fails the strategy lint above, but each gate reports its own).
+        else (try Right(fn(spark, d).queryExecution.analyzed)
+              catch { case e: Throwable =>
+                Left(s"ANALYSIS FAILED: ${e.toString.take(200)}") }) match {
+          case Left(err) => Some(name -> err)
+          case Right(analyzed) =>
           val bad = analyzed.collect {
             case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
               import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project}
@@ -106,13 +117,17 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
                 case _ => false
               }
               // otherwise: a hinted subtree whose EVERY leaf is a constant
-              // dim (or a driver-local relation with no scan) is fine; any
-              // scale-proportional scan under a hint is the hazard
-              val onlyConstantScans = h.child.collectLeaves().forall { leaf =>
-                val cols = leaf.output.map(_.name)
-                cols.exists(constantDims.contains) || // nation/region scan
-                  !leaf.isInstanceOf[
-                    org.apache.spark.sql.execution.datasources.LogicalRelation]
+              // dim or a KNOWN driver-local relation is fine; anything else
+              // under a hint is the hazard. The escape hatch is a closed
+              // list — a hinted Range / LogicalRDD / InMemoryRelation is
+              // NOT provably constant-size and must be allowlisted, not
+              // waved through.
+              import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, OneRowRelation}
+              val onlyConstantScans = h.child.collectLeaves().forall {
+                case _: LocalRelation | _: OneRowRelation => true
+                case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                  lr.output.map(_.name).exists(constantDims.contains)
+                case _ => false
               }
               if (scalarAgg || onlyConstantScans) None
               else Some(h.child.collectLeaves()
