@@ -136,7 +136,12 @@ object Dedup {
       .select(col("shk"))
     val kept = allPostings.join(hotKeys, Seq("shk"), "left_anti")
     // sizes over the RETAINED universe keep |A∩B| / |A∪B| internally
-    // consistent after the cap (docs whose shingles were all hot drop out)
+    // consistent after the cap (docs whose shingles were all hot drop out).
+    // Shape notes from measurement (sf0.1): groupBy+join beats a
+    // window-by-id for the size attach (2.4 s vs 5.9 s warm — WindowExec's
+    // per-partition sort costs more than the extra hash aggregate), and df
+    // counting must stay a groupBy regardless — a window keyed on the
+    // SHINGLE would funnel a corpus-hot shingle into a single task.
     val postings = kept.join(
         kept.groupBy(col(idCol)).agg(count(lit(1)).as("sz")), Seq(idCol))
       .select(col(idCol), col("sz"), col("shk"))

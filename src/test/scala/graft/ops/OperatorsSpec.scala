@@ -125,6 +125,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got === Set((1L, 2L, 0.333333)))
   }
 
+  test("bloom decontamination never false-negatives a contaminated doc") {
+    // bench = 2 docs; train docs 10-12 each share a full 5-gram with a
+    // bench doc, 13-15 are clean. The bloom contract is one-sided error:
+    // every contaminated doc MUST flag (false positives are allowed and
+    // bounded elsewhere, so this spec doesn't assert their absence).
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "x alpha beta gamma delta epsilon y"),
+      (11L, "three four five six seven tail tail"),
+      (12L, "alpha beta gamma delta epsilon"),
+      (13L, "totally unrelated words in this training document"),
+      (14L, "nothing shared with the benchmark at all here"),
+      (15L, "short doc")
+    ).toDF("doc_id", "text")
+    val flags = Dedup.bloomContaminationFlags(train, bench, "doc_id", "text",
+        n = 5, fpp = 1e-4)
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags.size === 6, "one row per train doc, gram-less docs included")
+    assert(Seq(10L, 11L, 12L).forall(flags(_)), s"false negative in $flags")
+    assert(!flags(15L), "a doc with no 5-grams cannot hit the filter")
+  }
+
   test("greedy seq packing: bins respect the budget except oversized singletons") {
     val d = "/root/testdata/sf0.001"
     val budget = 256L
