@@ -772,6 +772,34 @@ object RelationalQueries {
           sum(col("c_acctbal").cast(dec)).cast("double").as("totacctbal"))
     }),
 
+    // Interval-point RANGE JOIN without a nested-loop plan: shipments in
+    // the 30-day window after each probe order's date. The naive BETWEEN
+    // join has no equi-key and plans as a BroadcastNestedLoopJoin
+    // (O(points × intervals) at any scale); RangeJoin restores an
+    // equi-key by time-bucketing, so this stays a shuffled equi-join the
+    // catalog lint accepts and AQE can skew-split. qty_sum is exact:
+    // quantities are small integers stored as double, and integer sums
+    // stay below 2^53 — order of addition cannot perturb the value.
+    "q_range_join" -> ((s, d) => {
+      // epoch DAYS, not seconds: the corpus timestamps are date-granular
+      // and unix_date is timezone-independent (no NTZ/LTZ cast hazard)
+      val win = 30L
+      val probes = orders(s, d)
+        .filter(pmod(col("o_orderkey"), lit(1000)) === 0)
+        .select(col("o_orderkey"),
+          unix_date(col("o_orderdate").cast("date")).cast("long").as("w_start"),
+          (unix_date(col("o_orderdate").cast("date")).cast("long") + win)
+            .as("w_end"))
+      val ship = lineitem(s, d)
+        .select(col("l_quantity"),
+          unix_date(col("l_shipdate").cast("date")).cast("long").as("ship_ts"))
+      RangeJoin.rangePointJoin(probes, "w_start", "w_end",
+          ship, "ship_ts", bucketWidth = win)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_shipments"),
+          sum(col("l_quantity")).as("qty_sum"))
+    }),
+
     // Events — time-bucketed aggregation (batch form of the streaming
     // window). Hour surfaced as integer epoch-micros so the DuckDB compare
     // is exact regardless of timestamp physical type.
@@ -1385,6 +1413,19 @@ object RelationalQueries {
          WHERE c_acctbal > avg_bal
            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+         GROUP BY 1""",
+
+    // the same containment predicate DuckDB plans natively (its optimizer
+    // handles inequality joins); value parity proves the bucketized
+    // rewrite changes the PLAN, not the relation
+    "q_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_shipments,
+           sum(l_quantity) AS qty_sum
+         FROM orders o JOIN lineitem l
+           ON CAST(l.l_shipdate AS DATE) - DATE '1970-01-01'
+                BETWEEN CAST(o.o_orderdate AS DATE) - DATE '1970-01-01'
+                    AND CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' + 30
+         WHERE o.o_orderkey % 1000 = 0
          GROUP BY 1""",
 
     "q_asof_join" ->
