@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Tables._
-import graft.sim.Knn
+import graft.sim.{Knn, SemanticDedup}
 
 /** Dedup + similarity-search query catalog (documents / embeddings tables).
   *
@@ -89,6 +89,21 @@ object DedupQueries {
     // oracle for recall studies — quadratic by nature, NOT a scale path
     "q_dedup_cosine_exact" -> ((s, d) =>
       Knn.cosinePairs(embeddings(s, d), "vec_id", "embedding", threshold = 0.4)),
+
+    // SemDeDup cluster-then-prune: nearest-centroid assignment (broadcast
+    // k-vector centroid set — here the first 32 corpus vectors stand in
+    // for offline-trained kmeans centroids; the PLAN is identical), one
+    // shuffle by cluster, drop any vector cosine-similar to a lower-id
+    // clustermate. Fully value-oracled: DuckDB replays assignment argmax
+    // (identical left-fold dot products, centroid-id tie-break) and the
+    // in-cluster prune, so cluster ids, keep flags, and both joins are
+    // hash-checked exactly.
+    "q_dedup_semantic" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      SemanticDedup.keepFlags(emb, "vec_id", "embedding",
+        centroids = emb.filter(col("vec_id") < 32), cidCol = "vec_id",
+        threshold = 0.5)
+    }),
 
     // recall of the LSH-blocked path measured against the exact twin,
     // value-oracled (not merely bounded): both pair sets rebuild in SQL, so
@@ -365,6 +380,15 @@ object DedupQueries {
   // shared CTE bodies: embeddings as double vectors, their SRP buckets, the
   // LSH-candidate pair set, and the exact all-pairs set — composed by the
   // three cosine oracles below
+  // unrounded cosine over explicit vector EXPRESSIONS (the semantic-dedup
+  // oracle compares raw doubles — argmax and thresholding must see the
+  // same bits the Spark side sees, so no round())
+  private def cosSim2(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) > 0
+          THEN list_dot_product($a, $b) /
+            (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+          ELSE 0.0 END"""
+
   private def cosSim(a: String, b: String): String =
     s"""round(CASE WHEN sqrt(list_dot_product($a.v, $a.v)) * sqrt(list_dot_product($b.v, $b.v)) > 0
           THEN list_dot_product($a.v, $b.v) /
@@ -536,6 +560,31 @@ object DedupQueries {
             (SELECT count(*) FROM documents WHERE doc_id % 50 <> 0) AS n_train,
             (SELECT count(*) FROM exact) AS n_exact,
             TRUE AS no_false_negatives, TRUE AS fp_bounded""",
+
+    // assignment argmax + in-cluster prune replayed exactly: same
+    // left-fold dot products, same sqrt(da)*sqrt(db) denominator order,
+    // same (sim DESC, cid ASC) tie-break — cluster ids and keep flags
+    // are deterministic doubles compared on both engines
+    "q_dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 32),
+          scored AS (
+            SELECT e.vec_id, c.cid, ${cosSim2("e.v", "c.cv")} AS sim
+            FROM e, c),
+          assigned AS (
+            SELECT vec_id, cid AS cluster_id FROM (
+              SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY sim DESC, cid ASC) AS rn
+              FROM scored) r WHERE rn = 1),
+          av AS (SELECT a.vec_id, a.cluster_id, e.v
+                 FROM assigned a JOIN e USING (vec_id)),
+          drops AS (
+            SELECT DISTINCT b.vec_id FROM av a JOIN av b
+              ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+            WHERE ${cosSim2("a.v", "b.v")} >= 0.5)
+          SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS keep
+          FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id""",
 
     "q_knn_brute" -> bruteTopKSql,
 

@@ -44,4 +44,37 @@ object RangeJoin {
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop("__bucket")
   }
+
+  /** Interval–interval OVERLAP join, same construction with one extra
+    * idea: two overlapping intervals can share MANY buckets, so the pair
+    * would surface once per shared bucket. Instead of a post-join dedup
+    * (an extra shuffle over the full result), each pair is emitted only
+    * in the bucket of `max(startL, startR)` — a bucket both sides
+    * provably cover whenever they overlap — so every overlapping pair
+    * emerges exactly once, dedup-free.
+    *
+    * `blockCols`: equality keys shared by both inputs (join runs on
+    * blockCols :+ bucket); intervals are inclusive on both ends; all
+    * interval columns numeric. Fan-out per row is `len/bucketWidth + 1`.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      lStartCol: String,
+      lEndCol: String,
+      right: DataFrame,
+      rStartCol: String,
+      rEndCol: String,
+      blockCols: Seq[String],
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def buckets(df: DataFrame, s: String, e: String) =
+      df.withColumn("__bucket",
+        explode(sequence(floor(col(s) / bucketWidth), floor(col(e) / bucketWidth))))
+    buckets(left, lStartCol, lEndCol)
+      .join(buckets(right, rStartCol, rEndCol), blockCols :+ "__bucket")
+      .filter(col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol))
+      .filter(col("__bucket") ===
+        floor(greatest(col(lStartCol), col(rStartCol)) / bucketWidth))
+      .drop("__bucket")
+  }
 }

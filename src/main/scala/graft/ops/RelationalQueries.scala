@@ -800,6 +800,30 @@ object RelationalQueries {
           sum(col("l_quantity")).as("qty_sum"))
     }),
 
+    // Interval-interval OVERLAP join (RangeJoin.intervalOverlapJoin):
+    // same-customer orders whose 15-day windows overlap — concurrent-
+    // activity detection. Self-join on (custkey, bucket) equi-keys; the
+    // max-start bucket rule makes every overlapping pair emerge exactly
+    // once with NO post-join dedup shuffle. overlap_days sums exact
+    // integer day counts.
+    "q_interval_join" -> ((s, d) => {
+      val win = 15L
+      def windows(alias: String) = orders(s, d).select(
+        col("o_custkey"),
+        col("o_orderkey").as(s"ok_$alias"),
+        unix_date(col("o_orderdate").cast("date")).cast("long").as(s"s_$alias"),
+        (unix_date(col("o_orderdate").cast("date")).cast("long") + win)
+          .as(s"e_$alias"))
+      RangeJoin.intervalOverlapJoin(
+          windows("a"), "s_a", "e_a", windows("b"), "s_b", "e_b",
+          blockCols = Seq("o_custkey"), bucketWidth = win)
+        .filter(col("ok_a") < col("ok_b"))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b"))
+            + lit(1L)).cast("long").as("overlap_days"))
+    }),
+
     // Events — time-bucketed aggregation (batch form of the streaming
     // window). Hour surfaced as integer epoch-micros so the DuckDB compare
     // is exact regardless of timestamp physical type.
@@ -1426,6 +1450,20 @@ object RelationalQueries {
                 BETWEEN CAST(o.o_orderdate AS DATE) - DATE '1970-01-01'
                     AND CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' + 30
          WHERE o.o_orderkey % 1000 = 0
+         GROUP BY 1""",
+
+    // native inequality self-join over the same windows — plan differs,
+    // relation must not
+    "q_interval_join" ->
+      """WITH w AS (SELECT o_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS s,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' + 15 AS e
+           FROM orders)
+         SELECT a.o_custkey AS custkey, count(*) AS n_overlaps,
+           CAST(sum(least(a.e, b.e) - greatest(a.s, b.s) + 1) AS BIGINT) AS overlap_days
+         FROM w a JOIN w b
+           ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+           AND a.s <= b.e AND b.s <= a.e
          GROUP BY 1""",
 
     "q_asof_join" ->

@@ -41,6 +41,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q22_idle_customers" -> "cross join against a broadcast 1-row average aggregate",
     "q_knn_lsh" -> "recall invariant joins ANN vs brute-force twin; brute side bounded to 10 query vectors",
     "q_knn_ivf" -> "recall invariant joins ANN vs brute-force twin; brute side bounded to 10 query vectors",
+    "q_dedup_semantic" -> "centroid-assignment cross join against a fixed 32-vector set bounded by the pushed filter",
     "q_dedup_cosine_recall" -> "recall query joins the LSH path against the documented exact twin")
 
   test("no catalog query plans a cartesian or nested-loop join off-allowlist") {

@@ -47,6 +47,41 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(counts === 0L)
   }
 
+  private lazy val ivA = Seq(
+    ("k1", 1L, 100L, 300L),
+    ("k1", 2L, 250L, 900L),   // long interval spanning many buckets
+    ("k2", 3L, 100L, 300L)    // same span, different block key
+  ).toDF("k", "ida", "s_a", "e_a")
+  private lazy val ivB = Seq(
+    ("k1", 10L, 300L, 310L),  // touches interval 1 at exactly one point
+    ("k1", 11L, 500L, 600L),  // inside interval 2 only
+    ("k1", 12L, 901L, 950L),  // starts right after interval 2 ends
+    ("k2", 13L, 290L, 295L)   // overlaps 3 but only under key k2
+  ).toDF("k", "idb", "s_b", "e_b")
+
+  test("interval overlap join matches the naive non-equi join, blocked by key") {
+    val got = RangeJoin.intervalOverlapJoin(ivA, "s_a", "e_a", ivB, "s_b", "e_b",
+        blockCols = Seq("k"), bucketWidth = 64L)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val naive = ivA.join(ivB, Seq("k"))
+      .filter(col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(got === naive)
+    assert(got === Set(
+      (1L, 10L),            // single-point touch is an overlap (inclusive)
+      (2L, 10L), (2L, 11L), // long interval catches both
+      (3L, 13L)))           // k2 pair; (1,13) blocked by the key
+  }
+
+  test("overlapping pairs emerge exactly once despite sharing many buckets") {
+    // bucketWidth 16: intervals 2 and 11 share ~7 buckets; the max-start
+    // bucket rule must still emit the pair a single time
+    val dup = RangeJoin.intervalOverlapJoin(ivA, "s_a", "e_a", ivB, "s_b", "e_b",
+        blockCols = Seq("k"), bucketWidth = 16L)
+      .groupBy("ida", "idb").count().filter(col("count") > 1).count()
+    assert(dup === 0L)
+  }
+
   test("plans as an equi-join, not a nested loop") {
     val plan = RangeJoin.rangePointJoin(intervals, "s", "e", points, "p",
         bucketWidth = 128L)

@@ -1,0 +1,53 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Planted-geometry semantics for SemDeDup cluster-then-prune (the DuckDB
+  * oracle checks value parity on the synthetic corpus; this pins the
+  * intended behavior on vectors whose geometry is known by construction).
+  */
+class SemanticDedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Seq(1f, 0f, 0f)),      // doubles as centroid 0
+    (1L, Seq(0f, 1f, 0f)),      // doubles as centroid 1
+    (10L, Seq(1f, 0f, 0f)),     // cluster 0, same direction as member 0
+    (11L, Seq(0.999f, 0.04f, 0f)), // near-dup of 0 and 10 -> dropped
+    (12L, Seq(0.7f, 0f, 0.7f)), // cluster 0 but cos 0.7 to mates -> kept
+    (13L, Seq(0f, 0.9f, 0f)),   // cluster 1, same direction as member 1
+    (14L, Seq(1f, 1f, 0f))      // exact tie between centroids -> lower cid
+  ).toDF("vec_id", "embedding")
+
+  private lazy val flags = SemanticDedup.keepFlags(
+      vecs, "vec_id", "embedding",
+      centroids = vecs.filter(col("vec_id") < 2), cidCol = "vec_id",
+      threshold = 0.95)
+    .as[(Long, Long, Boolean)].collect()
+    .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("assignment picks the nearest centroid, ties to the lower centroid id") {
+    assert(flags(10L)._1 === 0L)
+    assert(flags(12L)._1 === 0L)
+    assert(flags(13L)._1 === 1L)
+    assert(flags(14L)._1 === 0L, "cos to both centroids is exactly 0.7071…; lower cid wins")
+  }
+
+  test("a vector similar to a lower-id clustermate is dropped; dissimilar ones keep") {
+    // the centroid source vectors (0, 1) are corpus members too, so they
+    // participate in pruning as the lowest ids of their clusters
+    assert(flags(0L)._2 && flags(1L)._2, "lowest ids always keep")
+    assert(!flags(10L)._2, "same direction as member 0 (cos 1.0)")
+    assert(!flags(11L)._2, "near-dup of members 0 and 10")
+    assert(flags(12L)._2, "same cluster but cos 0.7 < 0.95 to every mate")
+    assert(!flags(13L)._2, "same direction as member 1 (cos 1.0)")
+    assert(flags(14L)._2, "cos to every cluster-0 mate is ~0.707 < 0.95")
+  }
+
+  test("every input vector gets exactly one flag row") {
+    assert(flags.size === 7)
+  }
+}
