@@ -128,8 +128,18 @@ object TextQueries {
     // the drop path — the operator parameterizes both.)
     "q_text_boilerplate" -> ((s, d) =>
       Boilerplate.removeBoilerplate(documents(s, d), "doc_id", "text",
-        n = 2, maxDocFreq = 40))
+        n = 2, maxDocFreq = 40)),
+
+    // BM25 relevance against a fixed query — retrieval-style scoring for
+    // corpus triage. One global stats row broadcast back; the score is a
+    // projection (see TextRanking). round(6) absorbs the ≤1-ulp libm
+    // variance of the three ln() calls.
+    "q_text_bm25" -> ((s, d) =>
+      TextRanking.bm25(documents(s, d), "doc_id", "text",
+        terms = bm25Terms, k1 = 1.2, b = 0.75))
   )
+
+  private val bm25Terms = Seq("spark", "window", "join")
 
   private val qualityStopwordsSql = qualityStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
   private def langListSql(lang: String) =
@@ -292,6 +302,27 @@ object TextQueries {
           SELECT t.doc_id, coalesce(cln.text_clean, '') AS text_clean,
             CAST(coalesce(cln.n_kept, 0) AS BIGINT) AS n_kept,
             CAST(len(t.toks) - coalesce(cln.n_kept, 0) AS BIGINT) AS n_dropped
-          FROM t LEFT JOIN cln USING (doc_id)"""
+          FROM t LEFT JOIN cln USING (doc_id)""",
+
+    // same Lucene-variant BM25 replayed: exact integer tf/df/dl in double
+    // arithmetic, identical formula association, round(6) on the score
+    "q_text_bm25" -> {
+      val (k1, b) = (1.2, 0.75)
+      val termScore = Seq("spark", "window", "join").zipWithIndex.map {
+        case (t, i) =>
+          s"""(ln(1.0 + (s.n_docs - s.df_$i + 0.5) / (s.df_$i + 0.5))
+              * CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) * ($k1 + 1.0)
+              / (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+                 + $k1 * (1.0 - $b + $b * CAST(len(toks) AS DOUBLE) / s.avgdl)))"""
+      }.mkString(" + ")
+      val dfAggs = Seq("spark", "window", "join").zipWithIndex.map {
+        case (t, i) =>
+          s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+            avg(CAST(len(toks) AS DOUBLE)) AS avgdl, $dfAggs FROM t)
+          SELECT doc_id, round($termScore, 6) AS bm25 FROM t, s"""
+    }
   )
 }

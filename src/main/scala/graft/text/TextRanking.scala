@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 relevance scoring against a fixed query term set (Robertson et
+  * al.; the Lucene idf variant ln(1 + (N − df + 0.5)/(df + 0.5)), which
+  * keeps idf positive for df > N/2).
+  *
+  * Scale shape: corpus statistics (N, avgdl, per-term df) are ONE global
+  * aggregate producing a single row — broadcast back as scalars — and the
+  * score itself is a pure projection over the scan (per-term tf from the
+  * token array). No shuffle proportional to the corpus: the plan is
+  * scan → project, plus a 1-row cross join the planner broadcasts. Term
+  * count is query-bounded (a handful), not data-bounded.
+  */
+object TextRanking {
+
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit(""))
+    val base = graft.prep.Preprocessing.spread(df)
+      .select(col(idCol), toks.as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("double"))
+    // one row: N, avgdl, df per term. Document lengths and df counts are
+    // integer-valued doubles, so the sums (hence avg) are exact and
+    // order-independent — safe to compare cross-engine bit-for-bit.
+    val statAggs =
+      count(lit(1)).cast("double").as("__n") +:
+        avg(col("__dl")).as("__avgdl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("__toks"), t), 1L).otherwise(0L))
+            .cast("double").as(s"__df_$i")
+        }
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val score: Column = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__toks"), x => x === lit(t))).cast("double")
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df_$i") + 0.5) / (col(s"__df_$i") + 0.5))
+      idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("__dl") / col("__avgdl")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol), round(score, 6).as("bm25"))
+  }
+}
