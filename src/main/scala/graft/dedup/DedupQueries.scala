@@ -258,6 +258,30 @@ object DedupQueries {
         .select(col("lang"), col("n_docs"), col("domain_tokens"),
           round(col("share"), 6).as("share"),
           round(col("target") / col("share"), 6).as("weight"))
+    }),
+
+    // Domain-mixture sampling EXECUTED — the q_mix_weights weights applied
+    // as a reproducible Bernoulli keep: the draw is a pure function of the
+    // doc id (DeterministicSampling — md5 prefix, not rand()), so the
+    // sample is identical across reruns, repartitionings, and engines,
+    // and DuckDB replays the exact keep set. Corpus side is one scan +
+    // one broadcast join against the handful of domain weights.
+    "q_mix_sample" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        graft.text.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      val weights = docs.groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).cast("double").as("domain_tokens"))
+        .withColumn("weight",
+          (lit(1.0) / count(lit(1)).over(w)) /
+            (col("domain_tokens") / sum(col("domain_tokens")).over(w)))
+        .select(col("lang"), col("weight"))
+      docs.join(weights, Seq("lang"))
+        .filter(graft.prep.DeterministicSampling.weightedKeep(
+          col("doc_id"), col("weight")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).cast("long").as("kept_tokens"))
     })
   )
 
@@ -585,6 +609,24 @@ object DedupQueries {
             WHERE ${cosSim2("a.v", "b.v")} >= 0.5)
           SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS keep
           FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id""",
+
+    // same md5-prefix draw and unrounded weight chain — the keep SET (not
+    // just its size) is replayed, then summarized per domain
+    "q_mix_sample" ->
+      """WITH d AS (SELECT doc_id, lang,
+           CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+         FROM documents),
+         w AS (SELECT lang,
+             (1.0 / count(*) OVER ()) /
+               (domain_tokens / sum(domain_tokens) OVER ()) AS weight
+           FROM (SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS domain_tokens
+                 FROM d GROUP BY 1) p)
+         SELECT d.lang, count(*) AS n_kept,
+           CAST(sum(d.n_tokens) AS BIGINT) AS kept_tokens
+         FROM d JOIN w ON d.lang = w.lang
+         WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+               / 4294967296.0 < least(w.weight, 1.0)
+         GROUP BY 1""",
 
     "q_knn_brute" -> bruteTopKSql,
 

@@ -136,7 +136,13 @@ object TextQueries {
     // variance of the three ln() calls.
     "q_text_bm25" -> ((s, d) =>
       TextRanking.bm25(documents(s, d), "doc_id", "text",
-        terms = bm25Terms, k1 = 1.2, b = 0.75))
+        terms = bm25Terms, k1 = 1.2, b = 0.75)),
+
+    // Context-window chunking (64-token windows, stride 32): long-doc
+    // training prep as a shuffle-free projection + explode (Chunking).
+    "q_text_chunk" -> ((s, d) =>
+      Chunking.chunkDocuments(documents(s, d), "doc_id", "text",
+        window = 64, stride = 32))
   )
 
   private val bm25Terms = Seq("spark", "window", "join")
@@ -323,6 +329,19 @@ object TextQueries {
           s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
             avg(CAST(len(toks) AS DOUBLE)) AS avgdl, $dfAggs FROM t)
           SELECT doc_id, round($termScore, 6) AS bm25 FROM t, s"""
-    }
+    },
+
+    // identical chunk boundaries replayed via positional slices; the
+    // final short chunk and gram-less docs fall out of the same formula
+    "q_text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+          SELECT doc_id, unnest(list_transform(
+            range(0, CASE WHEN len(toks) > 0
+                          THEN (len(toks) - 1) // 32 + 1 ELSE 0 END),
+            i -> {'chunk_idx': CAST(i AS BIGINT),
+                  'chunk_text': array_to_string(toks[i*32+1 : i*32+64], ' '),
+                  'n_tokens': CAST(len(toks[i*32+1 : i*32+64]) AS BIGINT)}),
+            recursive := true)
+          FROM t"""
   )
 }
