@@ -234,6 +234,45 @@ object DedupQueries {
             .as("avg_tokens"))
     }),
 
+    // THE WHOLE PIPELINE: corpus-level boilerplate removal → quality +
+    // language filter → exact dedup on the CLEANED text → benchmark
+    // decontamination of the cleaned 5-grams → context-window chunk
+    // accounting, one declarative plan end to end. Every stage is an
+    // operator proven above on its own; this query pins that they
+    // COMPOSE — Catalyst sees one tree (no materialization barriers), and
+    // the DuckDB twin replays every stage, so a semantics drift anywhere
+    // in the chain lands here even if each stage's own query stays green.
+    "q_corpus_build" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cleaned = graft.text.Boilerplate
+        .removeBoilerplate(docs, "doc_id", "text", n = 2, maxDocFreq = 40)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val scored = cleaned
+        .filter(col("n_kept") >= 5)
+        .filter(col("lang").isin("en", "de", "fr", "es"))
+      val deduped = scored.join(
+        scored.groupBy(graft.text.TextFunctions.fingerprint(col("text_clean"))
+            .as("fp"))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val isBench = pmod(col("doc_id"), lit(50)) === 0
+      val benchGrams = deduped.filter(isBench)
+        .select(explode(Dedup.wordShingles(col("text_clean"), 5)).as("g"))
+        .distinct()
+      val contaminated = deduped.filter(!isBench)
+        .select(col("doc_id"),
+          explode(Dedup.wordShingles(col("text_clean"), 5)).as("g"))
+        .join(benchGrams, Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+      deduped.filter(!isBench)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(floor((col("n_kept") - lit(1)).cast("double") / 32).cast("long")
+            + lit(1L)).cast("long").as("n_chunks"),
+          sum(col("n_kept")).cast("long").as("clean_tokens"))
+    }),
+
     // Domain-mixture weighting — the data-mixing step of a pretraining
     // corpus build: per domain (lang standing in), the sampling weight that
     // rescales its observed token share to a uniform target mixture
@@ -609,6 +648,42 @@ object DedupQueries {
             WHERE ${cosSim2("a.v", "b.v")} >= 0.5)
           SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS keep
           FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id""",
+
+    // every stage replayed over the SAME cleaning chain q_text_boilerplate
+    // validates (shared CTEs) — filters, cleaned-text dedup, cleaned-gram
+    // decontamination, closed-form chunk accounting
+    "q_corpus_build" ->
+      s"""WITH ${graft.text.TextQueries.boilerplateCtes},
+          cleaned AS (SELECT d.doc_id, d.lang,
+              coalesce(cln.text_clean, '') AS text_clean,
+              coalesce(cln.n_kept, 0) AS n_kept
+            FROM documents d LEFT JOIN cln USING (doc_id)),
+          flt AS (SELECT * FROM cleaned
+            WHERE n_kept >= 5 AND lang IN ('en', 'de', 'fr', 'es')),
+          dd AS (SELECT * FROM flt WHERE doc_id IN (
+            SELECT min(doc_id) FROM (
+              SELECT doc_id,
+                md5(lower(regexp_replace(trim(text_clean), '\\s+', ' ', 'g'))) AS fp
+              FROM flt) f GROUP BY fp)),
+          ct AS (SELECT doc_id, lang, n_kept,
+              list_filter(regexp_split_to_array(lower(text_clean), '\\s+'),
+                x -> x <> '') AS toksc
+            FROM dd),
+          cg AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(range(1, len(toksc) - 3),
+                i -> toksc[i] || ' ' || toksc[i+1] || ' ' || toksc[i+2] || ' '
+                  || toksc[i+3] || ' ' || toksc[i+4]))) AS g
+            FROM ct WHERE len(toksc) >= 5),
+          bg AS (SELECT DISTINCT g FROM cg WHERE doc_id % 50 = 0),
+          cont AS (SELECT DISTINCT doc_id FROM cg
+            WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bg))
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum((n_kept - 1) // 32 + 1) AS BIGINT) AS n_chunks,
+            CAST(sum(n_kept) AS BIGINT) AS clean_tokens
+          FROM ct
+          WHERE doc_id % 50 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM cont)
+          GROUP BY 1""",
 
     // same md5-prefix draw and unrounded weight chain — the keep SET (not
     // just its size) is replayed, then summarized per domain

@@ -155,6 +155,35 @@ object TextQueries {
   private val toksSql =
     """list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"""
 
+  /** Boilerplate-removal CTE chain (n=2, cap=40 — the catalog
+    * parameters), ending in `cln(doc_id, text_clean, n_kept)` with `t`
+    * still in scope. ONE source of truth shared by q_text_boilerplate and
+    * the q_corpus_build composition (dedup.DedupQueries) — the two
+    * oracles must replay the identical cleaning or the composition
+    * validates a different corpus.
+    */
+  private[graft] val boilerplateCtes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+            i -> {'gpos': CAST(i - 1 AS BIGINT),
+                  'gram': toks[i] || ' ' || toks[i+1]}),
+            recursive := true)
+          FROM t),
+        dfreq AS (SELECT gram, count(*) AS df
+          FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY 1),
+        freq AS (SELECT gram FROM dfreq WHERE df > 40),
+        cov AS (SELECT DISTINCT g.doc_id, g.gpos + k.k AS pos
+          FROM g JOIN freq USING (gram), (SELECT unnest(range(0, 2)) AS k) k),
+        tok AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+            i -> {'pos': CAST(i - 1 AS BIGINT), 'tok': toks[i]}),
+            recursive := true)
+          FROM t),
+        kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+          FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+          WHERE cov.doc_id IS NULL),
+        cln AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+          count(*) AS n_kept FROM kept GROUP BY 1)"""
+
   val oracles: Map[String, String] = Map(
     "q_text_tokens" ->
       s"""SELECT doc_id,
@@ -285,26 +314,7 @@ object TextQueries {
     // distinct (doc, gram) -> positions covered by any frequent gram ->
     // ordered reassembly of the survivors. Exact string + count parity.
     "q_text_boilerplate" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
-              i -> {'gpos': CAST(i - 1 AS BIGINT),
-                    'gram': toks[i] || ' ' || toks[i+1]}),
-              recursive := true)
-            FROM t),
-          dfreq AS (SELECT gram, count(*) AS df
-            FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY 1),
-          freq AS (SELECT gram FROM dfreq WHERE df > 40),
-          cov AS (SELECT DISTINCT g.doc_id, g.gpos + k.k AS pos
-            FROM g JOIN freq USING (gram), (SELECT unnest(range(0, 2)) AS k) k),
-          tok AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
-              i -> {'pos': CAST(i - 1 AS BIGINT), 'tok': toks[i]}),
-              recursive := true)
-            FROM t),
-          kept AS (SELECT tok.doc_id, tok.pos, tok.tok
-            FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
-            WHERE cov.doc_id IS NULL),
-          cln AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
-            count(*) AS n_kept FROM kept GROUP BY 1)
+      s"""WITH $boilerplateCtes
           SELECT t.doc_id, coalesce(cln.text_clean, '') AS text_clean,
             CAST(coalesce(cln.n_kept, 0) AS BIGINT) AS n_kept,
             CAST(len(t.toks) - coalesce(cln.n_kept, 0) AS BIGINT) AS n_dropped
