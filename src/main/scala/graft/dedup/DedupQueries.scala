@@ -126,6 +126,14 @@ object DedupQueries {
             count(lit(1)), 6).as("recall"))
     }),
 
+    // int8 embedding quantization (VectorQuant): one stats aggregate,
+    // then a pure projection — 4x storage cut, no corpus shuffle. DuckDB
+    // replays the exact integer codes (floor(x+0.5), not round(): engines
+    // disagree on round-half semantics) and the reconstruction error.
+    "q_vec_quantize" -> ((s, d) =>
+      graft.sim.VectorQuant.quantizeInt8(embeddings(s, d), "vec_id",
+        "embedding", dim = cosLshDim)),
+
     // brute-force cosine top-5 for query vectors vec_id < 10 (oracled)
     "q_knn_brute" -> ((s, d) => {
       val emb = embeddings(s, d)
@@ -702,6 +710,27 @@ object DedupQueries {
          WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
                / 4294967296.0 < least(w.weight, 1.0)
          GROUP BY 1""",
+
+    // machine-generated per-dim replay of the same quantizer
+    "q_vec_quantize" -> {
+      val dims = 0 until cosLshDim
+      val statCols = dims.map(d =>
+        s"min(v[${d + 1}]) AS mn_$d, max(v[${d + 1}]) AS mx_$d").mkString(", ")
+      def q(d: Int) =
+        s"""CASE WHEN s.mx_$d = s.mn_$d THEN 0
+            ELSE CAST(floor((v[${d + 1}] - s.mn_$d)
+              / ((s.mx_$d - s.mn_$d) / 255.0) + 0.5) AS INT) END"""
+      def err(d: Int) =
+        s"""CASE WHEN s.mx_$d = s.mn_$d THEN abs(v[${d + 1}] - s.mn_$d)
+            ELSE abs(v[${d + 1}] - (s.mn_$d + CAST(${q(d)} AS DOUBLE)
+              * ((s.mx_$d - s.mn_$d) / 255.0))) END"""
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          s AS (SELECT $statCols FROM e)
+          SELECT vec_id,
+            array_to_string(list_value(${dims.map(q).mkString(", ")}), ',') AS q_csv,
+            round(greatest(${dims.map(err).mkString(", ")}), 6) AS max_abs_err
+          FROM e, s"""
+    },
 
     "q_knn_brute" -> bruteTopKSql,
 

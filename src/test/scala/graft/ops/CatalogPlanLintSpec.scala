@@ -40,6 +40,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q15_top_supplier" -> "cross join against a broadcast 1-row max aggregate",
     "q22_idle_customers" -> "cross join against a broadcast 1-row average aggregate",
     "q_text_bm25" -> "cross join against the broadcast 1-row corpus-stats aggregate",
+    "q_vec_quantize" -> "cross join against the broadcast 1-row per-dim min/max aggregate",
     "q_knn_lsh" -> "recall invariant joins ANN vs brute-force twin; brute side bounded to 10 query vectors",
     "q_knn_ivf" -> "recall invariant joins ANN vs brute-force twin; brute side bounded to 10 query vectors",
     "q_dedup_semantic" -> "centroid-assignment cross join against a fixed 32-vector set bounded by the pushed filter",

@@ -82,6 +82,35 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(dup === 0L)
   }
 
+  test("randomized equivalence with the naive joins (seeded fuzz)") {
+    val rnd = new scala.util.Random(42)
+    val ivs = (1 to 120).map { i =>
+      val s = rnd.nextInt(2000).toLong
+      (i.toLong, s, s + rnd.nextInt(300))
+    }.toDF("iv", "s", "e")
+    val pts = (1 to 400).map(i => (i.toLong, rnd.nextInt(2300).toLong))
+      .toDF("pt", "p")
+    for (w <- Seq(7L, 64L, 1024L)) {
+      val got = RangeJoin.rangePointJoin(ivs, "s", "e", pts, "p", w)
+        .select("iv", "pt").as[(Long, Long)].collect().toSet
+      val naive = ivs.join(pts, col("p").between(col("s"), col("e")))
+        .select("iv", "pt").as[(Long, Long)].collect().toSet
+      assert(got === naive, s"bucketWidth $w")
+    }
+    val ivs2 = ivs.select(col("iv").as("iv2"), col("s").as("s2"), col("e").as("e2"))
+    for (w <- Seq(13L, 256L)) {
+      val got = RangeJoin.intervalOverlapJoin(ivs, "s", "e",
+          ivs2, "s2", "e2", blockCols = Nil, bucketWidth = w)
+        .filter(col("iv") < col("iv2"))
+        .select("iv", "iv2").as[(Long, Long)].collect().toSet
+      val naive = ivs.crossJoin(ivs2)
+        .filter(col("s") <= col("e2") && col("s2") <= col("e") &&
+          col("iv") < col("iv2"))
+        .select("iv", "iv2").as[(Long, Long)].collect().toSet
+      assert(got === naive, s"bucketWidth $w")
+    }
+  }
+
   test("plans as an equi-join, not a nested loop") {
     val plan = RangeJoin.rangePointJoin(intervals, "s", "e", points, "p",
         bucketWidth = 128L)

@@ -1,0 +1,36 @@
+package graft.sim
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class VectorQuantSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("int8 codes and reconstruction error on hand-checkable vectors") {
+    // dim 0 spans [0, 255] (scale 1); dim 1 is constant (scale 0)
+    val df = Seq(
+      (1L, Seq(0f, 7f)),
+      (2L, Seq(255f, 7f)),
+      (3L, Seq(127.5f, 7f))
+    ).toDF("vec_id", "embedding")
+    val got = VectorQuant.quantizeInt8(df, "vec_id", "embedding", dim = 2)
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === (("0,0", 0.0)))
+    assert(got(2L) === (("255,0", 0.0)))
+    // 127.5 quantizes to code 128 (floor(127.5 + 0.5)); error = 0.5
+    assert(got(3L) === (("128,0", 0.5)))
+  }
+
+  test("error is bounded by scale/2 on every dimension") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 300).map(i =>
+      (i.toLong, Seq.fill(4)(rnd.nextFloat() * 20f - 10f))).toDF("vec_id", "embedding")
+    val maxErr = VectorQuant.quantizeInt8(df, "vec_id", "embedding", dim = 4)
+      .agg(org.apache.spark.sql.functions.max("max_abs_err"))
+      .as[Double].head()
+    // every dim spans ≤ 20 -> scale ≤ 20/255 -> error ≤ 10/255 ≈ 0.0392
+    assert(maxErr <= 20.0 / 255.0 / 2.0 + 1e-9, s"max err $maxErr")
+  }
+}

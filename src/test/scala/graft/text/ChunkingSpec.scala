@@ -30,4 +30,17 @@ class ChunkingSpec extends AnyFunSuite with SparkSpec {
     assert(chunksOf("a b c d", window = 2, stride = 2) === List(
       (0L, "a b", 2L), (1L, "c d", 2L)))
   }
+
+  test("the closed-form chunk count (n-1)/stride + 1 matches the operator") {
+    // q_corpus_build accounts chunks with this formula instead of
+    // exploding them — the two must agree for every document length
+    val docs = (1 to 150).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val actual = Chunking.chunkDocuments(docs, "doc_id", "text", 64, 32)
+      .groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    (1 to 150).foreach { n =>
+      assert(actual(n.toLong) === ((n - 1) / 32 + 1).toLong, s"len $n")
+    }
+  }
 }
