@@ -252,12 +252,23 @@ object DedupQueries {
     // in the chain lands here even if each stage's own query stays green.
     "q_corpus_build" -> ((s, d) => {
       val docs = documents(s, d)
+      // STAGE BOUNDARY: the cleaned corpus is consumed by four downstream
+      // subtrees (filter, dedup-groupBy, bench grams, train grams) — left
+      // lazy, each reuse re-runs the whole boilerplate chain (measured
+      // ~19 s vs ~4 s at sf0.1). Production curation pipelines materialize
+      // between stages for exactly this reason; localCheckpoint is that
+      // materialization point (narrow rows: id, cleaned text, counts).
       val cleaned = graft.text.Boilerplate
-        .removeBoilerplate(docs, "doc_id", "text", n = 2, maxDocFreq = 40)
+        .removeBoilerplate(docs, "doc_id", "text", n = 2, maxDocFreq = 40,
+          maxDocFraction = Some(0.06))
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .localCheckpoint()
       val scored = cleaned
         .filter(col("n_kept") >= 5)
         .filter(col("lang").isin("en", "de", "fr", "es"))
+      // (a second boundary after dedup measured as a no-op: post-cleaning
+      // frames are narrow and the residual wall time is per-stage
+      // scheduler latency — constant in data size — not recompute)
       val deduped = scored.join(
         scored.groupBy(graft.text.TextFunctions.fingerprint(col("text_clean"))
             .as("fp"))

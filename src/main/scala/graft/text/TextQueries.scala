@@ -121,14 +121,17 @@ object TextQueries {
     }),
 
     // Corpus-level boilerplate removal (CCNet/RefinedWeb bulk span dedup):
-    // bigrams occurring in >40 of these 500 docs are boilerplate; every
-    // covered token position is dropped and documents reassemble in order.
-    // (Production uses longer grams over lines/paragraphs; this corpus has
-    // single-line docs and a tiny vocab, so n=2/cap=40 is what exercises
-    // the drop path — the operator parameterizes both.)
+    // bigrams occurring in more than max(40, 6% of the corpus) documents
+    // are boilerplate; every covered token position is dropped and
+    // documents reassemble in order. The FRACTIONAL cap is what survives
+    // scale-up — an absolute cap eventually marks every common phrase
+    // (the 40-doc cap that drops 6% of tokens at 500 docs drops ~100% at
+    // 5,000). (Production uses longer grams over lines/paragraphs; this
+    // corpus has single-line docs and a tiny vocab, so n=2 exercises the
+    // drop path — the operator parameterizes all three knobs.)
     "q_text_boilerplate" -> ((s, d) =>
       Boilerplate.removeBoilerplate(documents(s, d), "doc_id", "text",
-        n = 2, maxDocFreq = 40)),
+        n = 2, maxDocFreq = 40, maxDocFraction = Some(0.06))),
 
     // BM25 relevance against a fixed query — retrieval-style scoring for
     // corpus triage. One global stats row broadcast back; the score is a
@@ -155,12 +158,12 @@ object TextQueries {
   private val toksSql =
     """list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"""
 
-  /** Boilerplate-removal CTE chain (n=2, cap=40 — the catalog
-    * parameters), ending in `cln(doc_id, text_clean, n_kept)` with `t`
-    * still in scope. ONE source of truth shared by q_text_boilerplate and
-    * the q_corpus_build composition (dedup.DedupQueries) — the two
-    * oracles must replay the identical cleaning or the composition
-    * validates a different corpus.
+  /** Boilerplate-removal CTE chain (n=2, cap = max(40, 6% of corpus) —
+    * the catalog parameters), ending in `cln(doc_id, text_clean, n_kept)`
+    * with `t` still in scope. ONE source of truth shared by
+    * q_text_boilerplate and the q_corpus_build composition
+    * (dedup.DedupQueries) — the two oracles must replay the identical
+    * cleaning or the composition validates a different corpus.
     */
   private[graft] val boilerplateCtes: String =
     s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -171,7 +174,8 @@ object TextQueries {
           FROM t),
         dfreq AS (SELECT gram, count(*) AS df
           FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY 1),
-        freq AS (SELECT gram FROM dfreq WHERE df > 40),
+        freq AS (SELECT gram FROM dfreq
+          WHERE df > greatest(40.0, 0.06 * (SELECT count(*) FROM t))),
         cov AS (SELECT DISTINCT g.doc_id, g.gpos + k.k AS pos
           FROM g JOIN freq USING (gram), (SELECT unnest(range(0, 2)) AS k) k),
         tok AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),

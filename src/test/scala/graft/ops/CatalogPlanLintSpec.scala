@@ -30,7 +30,12 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
       // construction; the probe itself is a pure projection (no join to
       // lint) and the exact-twin semi-join is the same plan as
       // q_contamination, which IS linted
-      "q_contamination_bloom")
+      "q_contamination_bloom",
+      // localCheckpoints the cleaned corpus at construction (documented
+      // stage boundary); its pre-boundary shapes are linted via
+      // q_text_boilerplate and its post-boundary joins via
+      // q_contamination/q_dedup_exact equivalents
+      "q_corpus_build")
 
   /** (query, reason the flagged shape is bounded by design). */
   private val allowed: Map[String, String] = Map(
@@ -41,6 +46,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q22_idle_customers" -> "cross join against a broadcast 1-row average aggregate",
     "q_text_bm25" -> "cross join against the broadcast 1-row corpus-stats aggregate",
     "q_vec_quantize" -> "cross join against the broadcast 1-row per-dim min/max aggregate",
+    "q_text_boilerplate" -> "fractional df-cap cross-joins the broadcast 1-row corpus count onto the gram-df frame",
     "q_knn_lsh" -> "recall invariant joins ANN vs brute-force twin; brute side bounded to 10 query vectors",
     "q_knn_ivf" -> "recall invariant joins ANN vs brute-force twin; brute side bounded to 10 query vectors",
     "q_dedup_semantic" -> "centroid-assignment cross join against a fixed 32-vector set bounded by the pushed filter",
