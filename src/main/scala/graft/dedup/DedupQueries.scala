@@ -266,9 +266,10 @@ object DedupQueries {
       val scored = cleaned
         .filter(col("n_kept") >= 5)
         .filter(col("lang").isin("en", "de", "fr", "es"))
-      // (a second boundary after dedup measured as a no-op: post-cleaning
-      // frames are narrow and the residual wall time is per-stage
-      // scheduler latency — constant in data size — not recompute)
+      // (measured non-wins recorded: a window-over-fingerprint dedup and a
+      // second checkpoint boundary both changed nothing — the residual
+      // wall time is per-stage scheduler latency, constant in data size,
+      // not recompute or exchange count)
       val deduped = scored.join(
         scored.groupBy(graft.text.TextFunctions.fingerprint(col("text_clean"))
             .as("fp"))

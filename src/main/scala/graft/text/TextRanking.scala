@@ -24,7 +24,9 @@ object TextRanking {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit(""))
+    // coalesce: NULL text scores like an empty document, not NULL
+    val toks = coalesce(
+      filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit("")), array())
     val base = graft.prep.Preprocessing.spread(df)
       .select(col(idCol), toks.as("__toks"))
       .withColumn("__dl", size(col("__toks")).cast("double"))

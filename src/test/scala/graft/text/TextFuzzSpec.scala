@@ -70,6 +70,31 @@ class TextFuzzSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("boilerplate removal, chunking, and bm25 survive hostile input") {
+    val df = hostileStrings.toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val cleaned = Boilerplate.removeBoilerplate(df, "doc_id", "text",
+        n = 2, maxDocFreq = 3).collect()
+    assert(cleaned.length === hostileStrings.length,
+      "every doc keeps a row, even null/empty/garbage")
+    cleaned.foreach { r =>
+      val (nKept, nDropped) = (r.getLong(2), r.getLong(3))
+      assert(nKept >= 0 && nDropped >= 0, s"negative counts: $r")
+    }
+    val chunks = Chunking.chunkDocuments(df, "doc_id", "text",
+        window = 8, stride = 4).collect()
+    chunks.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 8,
+        s"chunk size out of [1, window]: $r")
+    }
+    val scores = TextRanking.bm25(df, "doc_id", "text",
+        terms = Seq("word", "the")).collect()
+    assert(scores.length === hostileStrings.length)
+    scores.foreach { r =>
+      assert(!r.isNullAt(1) && !r.getDouble(1).isNaN, s"NaN bm25: $r")
+    }
+  }
+
   test("dedup signature kernels survive hostile input") {
     val df = hostileStrings.toDF("text")
       .withColumn("doc_id", monotonically_increasing_id())
