@@ -662,8 +662,10 @@ object DedupQueries {
               FROM scored) r WHERE rn = 1),
           av AS (SELECT a.vec_id, a.cluster_id, e.v
                  FROM assigned a JOIN e USING (vec_id)),
+          avp AS (SELECT * FROM av
+                  WHERE isfinite(sqrt(list_dot_product(v, v)))),
           drops AS (
-            SELECT DISTINCT b.vec_id FROM av a JOIN av b
+            SELECT DISTINCT b.vec_id FROM avp a JOIN avp b
               ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
             WHERE ${cosSim2("a.v", "b.v")} >= 0.5)
           SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS keep

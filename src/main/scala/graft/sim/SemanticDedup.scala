@@ -61,8 +61,16 @@ object SemanticDedup {
       .filter(col("__rn") === 1)
       .select(col(idCol), col("__v"), col("__nv"), col("__cid").as("cluster_id"))
     // stages 2+3: cluster-keyed self-join, drop the higher id of any
-    // similar pair
-    val drops = assigned.as("a").join(assigned.as("b"),
+    // similar pair. Non-finite-norm vectors (a NaN or Inf element) are
+    // EXCLUDED from the pairwise side: their cosine comes out NaN, and
+    // both Spark and DuckDB treat NaN as greater than any threshold, so
+    // one poisoned embedding would otherwise mark every clustermate a
+    // duplicate. They keep their own rows (assignment already falls back
+    // deterministically); they just can't drop anyone.
+    val finiteNorm = !isnan(col("__nv")) &&
+      col("__nv") < lit(Double.PositiveInfinity)
+    val prunable = assigned.filter(finiteNorm)
+    val drops = prunable.as("a").join(prunable.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .filter(Vectors.cosineFromNorms(col("a.__v"), col("b.__v"),

@@ -27,7 +27,12 @@ object VectorQuant {
       vecCol: String,
       dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
+    // malformed rows (null / wrong-dim vectors) are DROPPED, not fatal:
+    // under ANSI mode element_at past a short vector's end throws, and one
+    // poison row must not kill a corpus-wide job. Callers needing a
+    // dead-letter channel anti-join the output against the input ids.
     val v = df.select(col(idCol), Vectors.toDoubleArray(col(vecCol)).as("__v"))
+      .filter(size(col("__v")) === dim)
     val statAggs = (0 until dim).flatMap { d =>
       Seq(min(element_at(col("__v"), d + 1)).as(s"__mn_$d"),
         max(element_at(col("__v"), d + 1)).as(s"__mx_$d"))

@@ -1,0 +1,75 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Poison-row fuzzing for the vector operators — same contract as the
+  * text/codec fuzz suites: a 100 TB embedding table WILL contain nulls,
+  * truncated vectors, NaN/Inf elements, and zero vectors, and under ANSI
+  * mode one out-of-bounds element_at fails the whole task.
+  */
+class VectorFuzzSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val hostile = Seq(
+    (0L, Seq(1f, 2f, 3f, 4f)),            // well-formed
+    (1L, null.asInstanceOf[Seq[Float]]),  // null vector
+    (2L, Seq.empty[Float]),               // empty vector
+    (3L, Seq(1f)),                        // truncated
+    (4L, Seq(1f, 2f, 3f, 4f, 5f, 6f)),    // too long
+    (5L, Seq(0f, 0f, 0f, 0f)),            // zero vector (norm 0)
+    (6L, Seq(Float.NaN, 1f, 2f, 3f)),     // NaN element
+    (7L, Seq(Float.PositiveInfinity, 1f, 2f, 3f)), // Inf element
+    (8L, Seq(4f, 3f, 2f, 1f))             // second well-formed row
+  ).toDF("vec_id", "embedding")
+
+  test("quantizeInt8 drops malformed rows instead of throwing under ANSI") {
+    val out = VectorQuant.quantizeInt8(hostile, "vec_id", "embedding", dim = 4)
+      .select("vec_id").as[Long].collect().toSet
+    // null/empty/truncated/too-long dropped; NaN/Inf/zero rows quantize
+    // (their codes are garbage-in-garbage-out, but they must not throw)
+    assert(out === Set(0L, 5L, 6L, 7L, 8L))
+  }
+
+  test("semantic dedup survives hostile vectors without throwing") {
+    val flags = SemanticDedup.keepFlags(hostile, "vec_id", "embedding",
+        centroids = hostile.filter(col("vec_id") === 0), cidCol = "vec_id",
+        threshold = 0.9)
+      .as[(Long, Long, Boolean)].collect()
+    // every row gets a verdict — degenerate vectors fall back to sim 0
+    // (the when(denom > 0) guard) and keep
+    assert(flags.length === hostile.count())
+  }
+
+  test("cosine arithmetic degrades to 0 on zero-norm and NaN vectors") {
+    // zero vector: denom 0 -> guard branch -> exactly 0, not NaN
+    def simOf(ida: Long, idb: Long): Double =
+      hostile.filter(col("vec_id") === ida).as("a")
+        .crossJoin(hostile.filter(col("vec_id") === idb).as("b"))
+        .select(Vectors.cosineSimilarity(
+          Vectors.toDoubleArray(col("a.embedding")),
+          Vectors.toDoubleArray(col("b.embedding"))).as("sim"))
+        .as[Double].head()
+    assert(simOf(5L, 5L) === 0.0)
+    // NaN/Inf elements escape as NaN sims (Spark and DuckDB both rank
+    // NaN above every number, so when(denom > 0) does NOT guard them,
+    // and NaN >= threshold is TRUE) — which is why the dedup operators
+    // exclude non-finite-norm vectors from their pairwise joins
+    assert(simOf(6L, 0L).isNaN)
+    assert(simOf(7L, 0L).isNaN)
+  }
+
+  test("a poisoned vector cannot drop its clustermates") {
+    // id 7 (Inf) shares cluster 0 with good vectors; NaN >= threshold
+    // would mark them all duplicates without the finite-norm guard
+    val flags = SemanticDedup.keepFlags(hostile, "vec_id", "embedding",
+        centroids = hostile.filter(col("vec_id") === 0), cidCol = "vec_id",
+        threshold = 0.99)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(flags(8L), "good vector dropped by a NaN-sim pair")
+    assert(flags(7L), "the poisoned vector itself keeps (it drops no one, no one drops it)")
+  }
+}
