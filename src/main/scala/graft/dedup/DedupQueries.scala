@@ -479,7 +479,9 @@ object DedupQueries {
           ELSE 0.0 END, 6)"""
   private lazy val cosCommonCtes: String = {
     val (bucketCols, anyTable) = cosLshSqlFragments
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE isfinite(sqrt(list_dot_product(
+            CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))),
         b AS (SELECT vec_id, v, $bucketCols FROM e),
         lshp AS (
           SELECT id_a, id_b, cosine_sim FROM (
@@ -762,7 +764,9 @@ object DedupQueries {
        FROM embeddings WHERE vec_id < 10"""
 
   private lazy val bruteTopKSql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE isfinite(sqrt(list_dot_product(
+            CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
         scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
           CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)) > 0

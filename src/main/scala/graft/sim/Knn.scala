@@ -17,6 +17,15 @@ import Vectors._
   */
 object Knn {
 
+  /** Poison guard shared by every cosine path: NaN ranks above all
+    * numbers in both Spark and DuckDB, so a single NaN/Inf embedding's
+    * NaN similarity would outrank every honest neighbor (and clear any
+    * threshold). Rows whose norm is not finite are dropped at prep time —
+    * the norm is already computed once per row, so the check is free.
+    */
+  private def finiteNorm(normCol: String) =
+    !isnan(col(normCol)) && col(normCol) < lit(Double.PositiveInfinity)
+
   /** Brute-force cosine top-k. `queries`/`candidates`: (idCol, vecCol).
     * Output: (query_id, neighbor_id, rank, cosine_sim). Self-pairs excluded.
     */
@@ -29,10 +38,12 @@ object Knn {
     val q = queries.select(col(idCol).as("query_id"),
       toDoubleArray(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
+      .filter(finiteNorm("qn"))
     val c = graft.prep.Preprocessing.spread(candidates)
       .select(col(idCol).as("neighbor_id"),
         toDoubleArray(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
+      .filter(finiteNorm("cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
@@ -97,10 +108,12 @@ object Knn {
     val q = queries.select(col(idCol).as("query_id"),
         toDoubleArray(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
+      .filter(finiteNorm("qn"))
       .withColumn("bucket", explode(probes(srpBucket(col("qv"), planes))))
     val c = candidates.select(col(idCol).as("neighbor_id"),
         toDoubleArray(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
+      .filter(finiteNorm("cn"))
       .withColumn("bucket", srpBucket(col("cv"), planes))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -222,10 +235,12 @@ object Knn {
     val c = graft.prep.Preprocessing.spread(candidates)
       .select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
+      .filter(finiteNorm("cn"))
       .withColumn("cell", cellOf(col("cv")))
     val q = queries
       .select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
+      .filter(finiteNorm("qn"))
       .withColumn("cell", explode(probeCells(col("qv"))))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -264,6 +279,7 @@ object Knn {
     val base = graft.prep.Preprocessing.spread(df)
       .select(col(idCol), toDoubleArray(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
+      .filter(finiteNorm("nrm"))
     if (numPlanes > 0) {
       // LSH blocking — the scale path
       val dim = df.select(size(col(vecCol))).head().getInt(0)

@@ -61,6 +61,19 @@ class VectorFuzzSpec extends AnyFunSuite with SparkSpec {
     assert(simOf(7L, 0L).isNaN)
   }
 
+  test("knn search never surfaces a value-poisoned corpus vector as a neighbor") {
+    // a NaN/Inf corpus vector's NaN sim would otherwise rank FIRST in
+    // every query's top-k (NaN sorts above every number descending), and a
+    // null one would throw. Dim-MISMATCHED vectors are a schema contract
+    // (the kernel folds the common prefix, yielding an honest partial
+    // sim) — value poison is what the finite-norm guard removes.
+    val queries = hostile.filter(col("vec_id") === 0)
+    val got = Knn.bruteForceTopK(queries, hostile, "vec_id", "embedding", k = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!got.exists(Set(1L, 6L, 7L)), s"poisoned neighbor in $got")
+    assert(got.contains(8L), "honest neighbors still returned")
+  }
+
   test("a poisoned vector cannot drop its clustermates") {
     // id 7 (Inf) shares cluster 0 with good vectors; NaN >= threshold
     // would mark them all duplicates without the finite-norm guard
