@@ -331,6 +331,25 @@ object RelationalQueries {
         datediff(to_date(lit("1998-12-31")), col("o_orderdate")).cast("long")
           .as("days_to_end"))),
 
+    // JSON functions: extraction from a semi-structured payload column —
+    // the landing-zone shape of scraped/API corpora. The JSON is PLANTED
+    // in-query by string concat (not to_json — serializer whitespace/key
+    // order differ by engine) so both engines parse identical bytes; the
+    // extraction (scalar field, nested path, array index, missing key →
+    // NULL) is a pure projection that rides the scan.
+    "q_json_funcs" -> ((s, d) =>
+      orders(s, d).select(col("o_orderkey"),
+        concat(lit("""{"status":""""), col("o_orderstatus"),
+          lit("""","meta":{"priority":""""), col("o_orderpriority"),
+          lit(""""},"amounts":["""), col("o_totalprice").cast("string"),
+          lit(",0.5]}")).as("payload"))
+        .select(col("o_orderkey"),
+          get_json_object(col("payload"), "$.status").as("status"),
+          get_json_object(col("payload"), "$.meta.priority").as("priority"),
+          get_json_object(col("payload"), "$.amounts[0]").cast("double")
+            .as("amount"),
+          get_json_object(col("payload"), "$.missing").as("absent"))),
+
     // TPC-H Q10-style: revenue lost to returned items per customer, top 20
     // (customer joins unhinted — scale-proportional; nation keeps the hint)
     "q10_returned_items" -> ((s, d) =>
@@ -1438,6 +1457,20 @@ object RelationalQueries {
            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                            AND o_orderdate >= TIMESTAMP '1999-01-01')
          GROUP BY 1""",
+
+    // identical planted payload bytes, DuckDB's JSON path extraction
+    "q_json_funcs" ->
+      """WITH j AS (SELECT o_orderkey,
+           '{"status":"' || o_orderstatus || '","meta":{"priority":"' ||
+           o_orderpriority || '"},"amounts":[' || CAST(o_totalprice AS VARCHAR) ||
+           ',0.5]}' AS payload
+         FROM orders)
+         SELECT o_orderkey,
+           json_extract_string(payload, '$.status') AS status,
+           json_extract_string(payload, '$.meta.priority') AS priority,
+           CAST(json_extract_string(payload, '$.amounts[0]') AS DOUBLE) AS amount,
+           json_extract_string(payload, '$.missing') AS absent
+         FROM j""",
 
     // the same containment predicate DuckDB plans natively (its optimizer
     // handles inequality joins); value parity proves the bucketized
