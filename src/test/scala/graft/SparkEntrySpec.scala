@@ -25,8 +25,10 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(all.size === all.distinct.size, "duplicate query names across catalogs")
   }
 
-  test("catalog size: at least 50 queries, at least 40 oracled") {
-    assert(SparkEntry.queries.size >= 50, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size >= 40, SparkEntry.oracleSql.size.toString)
+  test("catalog size: at least 110 queries, at least 105 oracled") {
+    // floor, not exact count — catches an accidentally dropped catalog
+    // merge without needing an edit per added query
+    assert(SparkEntry.queries.size >= 110, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size >= 105, SparkEntry.oracleSql.size.toString)
   }
 }
