@@ -897,6 +897,54 @@ object RelationalQueries {
           unix_micros(col("purchase_ts")).as("purchase_us"),
           col("value"))),
 
+    // Events — ordered conversion funnel view→click→purchase with 24-hour
+    // stage windows: each stage's first time must follow the previous
+    // stage's within the window (a click before the first view, or hours
+    // later, doesn't convert). Three per-user min-aggregations chained by
+    // equi-joins + one final count — every stage shuffles on user_id, so
+    // the exchanges line up and stage counts shrink monotonically. Micros
+    // on both engines for exact compares.
+    "q_events_funnel" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t")).as("t_view"))
+      val dayUs = 86400000000L
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("t") >= col("t_view") && col("t") < col("t_view") + dayUs)
+        .groupBy(col("user_id")).agg(min(col("t")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("t") >= col("t_click") && col("t") < col("t_click") + dayUs)
+        .groupBy(col("user_id")).agg(min(col("t")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left_outer")
+        .join(p, Seq("user_id"), "left_outer")
+        .agg(count(lit(1)).as("n_view"),
+          count(col("t_click")).as("n_click"),
+          count(col("t_purchase")).as("n_purchase"))
+    }),
+
+    // Events — signup-cohort day-7 retention: per cohort day, how many
+    // signup users produced ANY event exactly 7 days later. Distinct
+    // (user, day) activity + one equi-join on (user, day0+7) — the
+    // retention matrix shape at any scale.
+    "q_events_retention" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        unix_date(col("ts").cast("date")).cast("long").as("day"),
+        col("event_type"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+      val act = ev.select(col("user_id"), col("day")).distinct()
+        .withColumnRenamed("user_id", "a_user")
+      cohort.join(act,
+          col("a_user") === col("user_id") && col("day") === col("d0") + 7,
+          "left_outer")
+        .groupBy(col("d0").as("cohort_day"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("day")).as("n_retained_d7"))
+    }),
+
     // Events — lag window + conditional: sessionization (30-min gap rule).
     // Gap compare in integer micros on both sides for exact parity.
     "q_events_sessions" -> ((s, d) => {
@@ -1519,6 +1567,35 @@ object RelationalQueries {
          FROM c JOIN p ON c.user_id = p.user_id
            AND purchase_us >= click_us
            AND purchase_us < click_us + 3600000000""",
+
+    "q_events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+         v AS (SELECT user_id, min(t) AS t_view FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.t) AS t_click FROM e
+               JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.t >= v.t_view
+                 AND e.t < v.t_view + 86400000000 GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.t) AS t_purchase FROM e
+               JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.t >= c.t_click
+                 AND e.t < c.t_click + 86400000000 GROUP BY 1)
+         SELECT count(*) AS n_view, count(c.t_click) AS n_click,
+           count(p.t_purchase) AS n_purchase
+         FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON c.user_id = p.user_id""",
+
+    "q_events_retention" ->
+      """WITH e AS (SELECT user_id, event_type,
+             CAST(ts AS DATE) - DATE '1970-01-01' AS day FROM events),
+         cohort AS (SELECT user_id, min(day) AS d0 FROM e
+                    WHERE event_type = 'signup' GROUP BY 1),
+         act AS (SELECT DISTINCT user_id, day FROM e)
+         SELECT cohort.d0 AS cohort_day, count(*) AS n_users,
+           count(act.day) AS n_retained_d7
+         FROM cohort LEFT JOIN act
+           ON act.user_id = cohort.user_id AND act.day = cohort.d0 + 7
+         GROUP BY 1""",
 
     "q_events_sessions" ->
       """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us,
