@@ -187,6 +187,73 @@ object EventStreams {
       }
   }
 
+  /** Funnel-stage state: first qualifying time per stage (-1 = not yet). */
+  final case class FunnelState(tView: Long, tClick: Long, done: Boolean)
+
+  /** A user advancing to funnel stage 1 (view), 2 (click), 3 (purchase). */
+  final case class FunnelUpdate(user_id: Long, stage: Int, at: Timestamp)
+
+  /** STREAMING conversion funnel (view → click → purchase with a
+    * per-stage time window): emits one row the moment a user advances a
+    * stage, instead of recomputing the whole funnel per batch. Per-user
+    * state is three timestamps; event-time timeout removes it once the
+    * watermark passes tView + 2·window (after which no further
+    * advancement is possible), so state is bounded by ACTIVE funnels, not
+    * users ever seen.
+    *
+    * Semantics match the batch q_events_funnel fold exactly when per-user
+    * event-time order is preserved across triggers (events within one
+    * trigger are sorted; a stage-1 event arriving in a LATER trigger than
+    * an already-rejected stage-2 event cannot retroactively unlock it —
+    * streaming can't rewind emissions). Batch mode hands each key all its
+    * events at once, so the same fold IS the batch funnel; pass
+    * `setTimeouts = false` there (no watermark exists to time against).
+    */
+  def funnelStages(
+      spark: SparkSession,
+      events: Dataset[Event],
+      windowMinutes: Long = 1440,
+      watermarkDelay: String = "1 hour",
+      setTimeouts: Boolean = true): Dataset[FunnelUpdate] = {
+    import spark.implicits._
+    val winMs = windowMinutes * 60000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, false))
+            val out = Seq.newBuilder[FunnelUpdate]
+            batch.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              e.event_type match {
+                case "view" if s.tView < 0 =>
+                  s = s.copy(tView = t)
+                  out += FunnelUpdate(userId, 1, e.ts)
+                case "click" if s.tView >= 0 && s.tClick < 0 &&
+                    t >= s.tView && t < s.tView + winMs =>
+                  s = s.copy(tClick = t)
+                  out += FunnelUpdate(userId, 2, e.ts)
+                case "purchase" if s.tClick >= 0 && !s.done &&
+                    t >= s.tClick && t < s.tClick + winMs =>
+                  s = s.copy(done = true)
+                  out += FunnelUpdate(userId, 3, e.ts)
+                case _ => ()
+              }
+            }
+            // state survives even when done — removing it would let a later
+            // duplicate view re-open the funnel and re-emit stage 1
+            state.update(s)
+            if (setTimeouts && s.tView >= 0)
+              state.setTimeoutTimestamp(s.tView + 2 * winMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join: each purchase attributed to every click
     * by the same user in the preceding `horizonMinutes` (event time). The
     * canonical two-stream join shape: BOTH sides watermarked and the join

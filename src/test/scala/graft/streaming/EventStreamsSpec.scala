@@ -187,6 +187,50 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamStyle === lagStyle)
   }
 
+  test("funnelStages emits one row per stage advancement across triggers") {
+    val stream = MemoryStream[Event]
+    val q = EventStreams.funnelStages(spark, stream.toDS(),
+        windowMinutes = 30)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // trigger 1: a click BEFORE any view converts nothing; then the view
+      stream.addData(
+        Event(1, ts(0), 100, "click", 0),
+        Event(2, ts(2), 100, "view", 0))
+      q.processAllAvailable()
+      // trigger 2: in-window click advances; out-of-window purchase doesn't
+      stream.addData(
+        Event(3, ts(10), 100, "click", 0),
+        Event(4, ts(45), 100, "purchase", 0)) // 35 min after click
+      q.processAllAvailable()
+      // trigger 3: an in-window purchase completes the funnel; a second
+      // view re-emits nothing (state survives completion)
+      stream.addData(
+        Event(5, ts(30), 100, "purchase", 0),
+        Event(6, ts(31), 100, "view", 0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out")
+        .as[(Long, Int, Timestamp)].collect().sortBy(_._3.getTime)
+      assert(rows.map(r => (r._1, r._2)).toSeq ===
+        Seq((100L, 1), (100L, 2), (100L, 3)))
+    } finally q.stop()
+  }
+
+  test("funnelStages batch mode agrees with the q_events_funnel fold") {
+    val ev = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    val stageCounts = EventStreams.funnelStages(spark, ev,
+        windowMinutes = 1440, setTimeouts = false)
+      .groupByKey(_.stage).count().collect().toMap
+    val batchRow = graft.SparkEntry.queries("q_events_funnel")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(stageCounts.getOrElse(1, 0L) === batchRow.getLong(0), "n_view")
+    assert(stageCounts.getOrElse(2, 0L) === batchRow.getLong(1), "n_click")
+    assert(stageCounts.getOrElse(3, 0L) === batchRow.getLong(2), "n_purchase")
+  }
+
   test("dedupStream drops within-watermark duplicate keys across triggers") {
     val stream = MemoryStream[Event]
     val q = EventStreams.dedupStream(stream.toDF(), Seq("event_id"), "10 minutes")
