@@ -67,6 +67,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 1, df.queryExecution.executedPlan.toString)
   }
 
+  test("range/interval joins prune their scans and push the probe filter") {
+    // the bucketized joins must stay lean at the scan: q_range_join reads
+    // 2 of orders' 9 columns and 2 of lineitem's 16, and the probe-order
+    // filter reaches the parquet scan
+    val plan = formattedPlan("q_range_join")
+    val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    Seq("o_orderkey", "o_orderdate", "l_quantity", "l_shipdate")
+      .foreach(c => assert(schemas.contains(c), s"$c missing: $schemas"))
+    Seq("o_custkey", "o_totalprice", "l_extendedprice", "l_comment")
+      .foreach(c => assert(!schemas.contains(c), s"$c not pruned: $schemas"))
+    val iplan = formattedPlan("q_interval_join")
+    val ischemas = iplan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!ischemas.contains("o_totalprice") && !ischemas.contains("o_orderstatus"),
+      s"interval join reads unused columns: $ischemas")
+  }
+
+  test("shuffle-free projection queries stay shuffle-free") {
+    // chunking, JSON extraction, and quantization promise scan-pipeline
+    // plans (quantization's only exchange is the 1-row stats aggregate)
+    for (q <- Seq("q_text_chunk", "q_json_funcs")) {
+      val df = graft.SparkEntry.queries(q)(spark, d)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.linesIterator.exists(_.contains("Exchange")), s"$q: $plan")
+    }
+    // broadcast of the 1-row stats is the intended shape; only SHUFFLE
+    // exchanges are the hazard (a corpus repartition would appear here)
+    val vq = graft.SparkEntry.queries("q_vec_quantize")(spark, d)
+    val shuffles = vq.queryExecution.executedPlan.toString
+      .linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 1, vq.queryExecution.executedPlan.toString)
+  }
+
   test("media decode/resize queries are shuffle-free scan pipelines") {
     // decode → features and resize → re-decode are pure per-row transforms;
     // any Exchange here means a repartition crept into the media path and
