@@ -14,6 +14,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    // Load sentinel: a fixed single-threaded FMA loop whose wall time
+    // depends ONLY on how much CPU this box gives one thread. Timed before
+    // warmup, between the two query halves, and after the last query; if
+    // the box is quiet all three sit within a few percent of each other,
+    // and external load (the r8 contamination: byte-identical queries
+    // reporting 16x) shows up as inflated sentinel values — making a
+    // contaminated run self-evident from the JSON alone, no re-run needed.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var x = 1.0
+      var i = 0
+      while (i < 100000000) { x = x * 1.0000000001 + 1e-12; i += 1 }
+      // consume x so the loop cannot be dead-code-eliminated
+      if (x.isNaN) System.err.println("unreachable")
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // untimed: first run pays JIT compilation of the loop
+    def cal3(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val calPre = calibrate()
     // Untimed warmup at sf0.001: first execution of each plan shape pays
     // JIT + whole-stage-codegen class compilation (measured 8-20x on the
     // victim query); the cheap SF compiles those once. Target-SF plan
@@ -37,17 +57,30 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    var calMid = -1.0
+    val resultsFull = ordered.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx == ordered.size / 2) calMid = calibrate()
       val timed =
         if (reps >= 3) (1 to reps).map(_ => timeOnce(fn))
         else { timeOnce(fn); (1 to reps).map(_ => timeOnce(fn)) }
-      name -> median(timed)
+      // median = the headline (robust to one AQE-inflated rep); min = the
+      // box's best case, immune to transient load spikes WITHIN a rep set —
+      // a real regression moves BOTH, contamination moves only the median.
+      (name, median(timed), timed.min)
     }
+    if (calMid < 0) calMid = calibrate()
+    val calPost = calibrate()
+    val results = resultsFull.map { case (n, med, _) => (n, med) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsMin = resultsFull.map { case (k, _, mn) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val totalMin = if (resultsFull.nonEmpty) resultsFull.map(_._3).sum else 0.0
+    val calJson = s""""calibration_sec":{"pre":${cal3(calPre)},"mid":${cal3(calMid)},"post":${cal3(calPost)}}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,$calJson,"total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     // Persist the full per-query set (the durable machine-readable
     // channel). Path from env, defaulting next to the repo when present,
     // else the CWD. On write failure the full line goes to stdout instead
@@ -70,7 +103,7 @@ object Bench {
     // queries dropped ("omitted" counts them; the full set is in the file).
     val byTime = results.sortBy(-_._2)
     val budget = 1800
-    val head = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"nq":${results.size},"detail":"BENCH_LOCAL.json","sf":"$sfDir","omitted":NNN,"queries":{"""
+    val head = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,$calJson,"nq":${results.size},"detail":"BENCH_LOCAL.json","sf":"$sfDir","omitted":NNN,"queries":{"""
     val tail0 = "}}"
     var used = head.length + tail0.length
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -727,7 +727,9 @@ object DedupQueries {
                / 4294967296.0 < least(w.weight, 1.0)
          GROUP BY 1""",
 
-    // machine-generated per-dim replay of the same quantizer
+    // machine-generated per-dim replay of the same quantizer; the isfinite
+    // norm filter mirrors the Spark-side poison guard (one NaN/Inf element
+    // would corrupt that dimension's global min/max for every row)
     "q_vec_quantize" -> {
       val dims = 0 until cosLshDim
       val statCols = dims.map(d =>
@@ -740,7 +742,9 @@ object DedupQueries {
         s"""CASE WHEN s.mx_$d = s.mn_$d THEN abs(v[${d + 1}] - s.mn_$d)
             ELSE abs(v[${d + 1}] - (s.mn_$d + CAST(${q(d)} AS DOUBLE)
               * ((s.mx_$d - s.mn_$d) / 255.0))) END"""
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE isfinite(sqrt(list_dot_product(
+              CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))),
           s AS (SELECT $statCols FROM e)
           SELECT vec_id,
             array_to_string(list_value(${dims.map(q).mkString(", ")}), ',') AS q_csv,

@@ -17,14 +17,11 @@ import Vectors._
   */
 object Knn {
 
-  /** Poison guard shared by every cosine path: NaN ranks above all
-    * numbers in both Spark and DuckDB, so a single NaN/Inf embedding's
-    * NaN similarity would outrank every honest neighbor (and clear any
-    * threshold). Rows whose norm is not finite are dropped at prep time —
-    * the norm is already computed once per row, so the check is free.
+  /** Rows whose norm is not finite are dropped at prep time — the norm is
+    * already computed once per row, so the check is free (see
+    * [[Vectors.finiteNorm]] for why the guard exists).
     */
-  private def finiteNorm(normCol: String) =
-    !isnan(col(normCol)) && col(normCol) < lit(Double.PositiveInfinity)
+  private def finiteNorm(normCol: String) = Vectors.finiteNorm(col(normCol))
 
   /** Brute-force cosine top-k. `queries`/`candidates`: (idCol, vecCol).
     * Output: (query_id, neighbor_id, rank, cosine_sim). Self-pairs excluded.

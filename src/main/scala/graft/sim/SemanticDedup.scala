@@ -67,9 +67,7 @@ object SemanticDedup {
     // one poisoned embedding would otherwise mark every clustermate a
     // duplicate. They keep their own rows (assignment already falls back
     // deterministically); they just can't drop anyone.
-    val finiteNorm = !isnan(col("__nv")) &&
-      col("__nv") < lit(Double.PositiveInfinity)
-    val prunable = assigned.filter(finiteNorm)
+    val prunable = assigned.filter(Vectors.finiteNorm(col("__nv")))
     val drops = prunable.as("a").join(prunable.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

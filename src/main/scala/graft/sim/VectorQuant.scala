@@ -1,6 +1,8 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Per-dimension linear int8 quantization for embedding storage: corpus
@@ -9,17 +11,65 @@ import org.apache.spark.sql.functions._
   * (max_d − min_d)/255 — 4 bytes/dim float32 becomes 1 byte/dim with
   * reconstruction error ≤ scale/2 per dimension.
   *
-  * Scale shape: the stats row is a map-side-combined aggregate over the
-  * scan; quantization itself is a pure projection — the corpus is read
-  * once and never shuffled. floor(x + 0.5) is used instead of round():
-  * SQL engines disagree on round-half semantics (HALF_UP vs banker's),
-  * floor is identical everywhere, so the quantized codes replay
-  * bit-for-bit cross-engine.
+  * Scale shape: the stats pass is a typed Aggregator whose buffer is two
+  * O(dim) arrays — elementwise min/max folded per partition, then merged
+  * across the 32 partial buffers. One pass, one tiny final row, and the
+  * aggregate stays a SINGLE expression at ANY width (the previous
+  * formulation built 2·dim named agg expressions — 1,536–8,192 of them at
+  * production widths 768–4096, past codegen comfort). Quantization itself
+  * is a pure projection — the corpus is read once and never shuffled.
+  * floor(x + 0.5) is used instead of round(): SQL engines disagree on
+  * round-half semantics (HALF_UP vs banker's), floor is identical
+  * everywhere, so the quantized codes replay bit-for-bit cross-engine.
+  *
+  * Poison guard: a single NaN/Inf element would make that dimension's
+  * global min/max NaN/Inf and silently corrupt EVERY row's code for the
+  * dimension — so rows with a non-finite norm are dropped with the other
+  * malformed shapes (the norm is finite iff every element is), mirroring
+  * the finite-norm guards on all the cosine paths (see [[Knn]]).
   *
   * Output: (idCol, q_csv — the int codes as a canonical comma string,
   * max_abs_err — the worst per-dim reconstruction error, rounded).
   */
 object VectorQuant {
+
+  /** Elementwise min/max over all rows in one pass; buffer = two O(dim)
+    * arrays. Runs as an ObjectHashAggregate with a single agg expression
+    * regardless of dim — no per-dimension expression blowup.
+    */
+  private final class MinMaxAgg(dim: Int)
+      extends Aggregator[Seq[Double], (Array[Double], Array[Double]), (Seq[Double], Seq[Double])] {
+    def zero: (Array[Double], Array[Double]) =
+      (Array.fill(dim)(Double.PositiveInfinity),
+        Array.fill(dim)(Double.NegativeInfinity))
+    def reduce(
+        b: (Array[Double], Array[Double]),
+        v: Seq[Double]): (Array[Double], Array[Double]) = {
+      var i = 0
+      while (i < dim) {
+        val x = v(i)
+        if (x < b._1(i)) b._1(i) = x
+        if (x > b._2(i)) b._2(i) = x
+        i += 1
+      }
+      b
+    }
+    def merge(
+        a: (Array[Double], Array[Double]),
+        b: (Array[Double], Array[Double])): (Array[Double], Array[Double]) = {
+      var i = 0
+      while (i < dim) {
+        if (b._1(i) < a._1(i)) a._1(i) = b._1(i)
+        if (b._2(i) > a._2(i)) a._2(i) = b._2(i)
+        i += 1
+      }
+      a
+    }
+    def finish(b: (Array[Double], Array[Double])): (Seq[Double], Seq[Double]) =
+      (b._1.toSeq, b._2.toSeq)
+    def bufferEncoder: Encoder[(Array[Double], Array[Double])] = ExpressionEncoder()
+    def outputEncoder: Encoder[(Seq[Double], Seq[Double])] = ExpressionEncoder()
+  }
 
   def quantizeInt8(
       df: DataFrame,
@@ -27,28 +77,38 @@ object VectorQuant {
       vecCol: String,
       dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    // malformed rows (null / wrong-dim vectors) are DROPPED, not fatal:
-    // under ANSI mode element_at past a short vector's end throws, and one
-    // poison row must not kill a corpus-wide job. Callers needing a
+    // malformed rows (null / wrong-dim / non-finite vectors) are DROPPED,
+    // not fatal: under ANSI mode element access past a short vector's end
+    // throws, and one poison row must not kill a corpus-wide job — nor
+    // poison the global stats (see scaladoc). Callers needing a
     // dead-letter channel anti-join the output against the input ids.
     val v = df.select(col(idCol), Vectors.toDoubleArray(col(vecCol)).as("__v"))
       .filter(size(col("__v")) === dim)
-    val statAggs = (0 until dim).flatMap { d =>
-      Seq(min(element_at(col("__v"), d + 1)).as(s"__mn_$d"),
-        max(element_at(col("__v"), d + 1)).as(s"__mx_$d"))
-    }
-    val stats = v.agg(statAggs.head, statAggs.tail: _*)
-    def x(d: Int) = element_at(col("__v"), d + 1)
-    def mn(d: Int) = col(s"__mn_$d")
-    def scale(d: Int) = (col(s"__mx_$d") - mn(d)) / 255.0
-    def q(d: Int): Column = when(col(s"__mx_$d") === mn(d), lit(0))
-      .otherwise(floor((x(d) - mn(d)) / scale(d) + 0.5).cast("int"))
-    def err(d: Int): Column = when(col(s"__mx_$d") === mn(d), abs(x(d) - mn(d)))
-      .otherwise(abs(x(d) - (mn(d) + q(d).cast("double") * scale(d))))
-    val worst = if (dim == 1) err(0) else greatest((0 until dim).map(err): _*)
+      .withColumn("__nrm", Vectors.norm(col("__v")))
+      .filter(Vectors.finiteNorm(col("__nrm")))
+      .drop("__nrm")
+    val mm = udaf(new MinMaxAgg(dim), ExpressionEncoder[Seq[Double]]())
+    val stats = v.agg(mm(col("__v")).as("__mm"))
+      .select(col("__mm._1").as("__mn"), col("__mm._2").as("__mx"))
+    // per-element (code, reconstruction error) in one indexed transform —
+    // mins/maxs are plain array lookups, so the projection width is
+    // constant in dim
+    val qe = transform(col("__v"), (x, i) => {
+      val mn = get(col("__mn"), i)
+      val mx = get(col("__mx"), i)
+      val scale = (mx - mn) / 255.0
+      val q = when(mx === mn, lit(0))
+        .otherwise(floor((x - mn) / scale + 0.5).cast("int"))
+      val e = when(mx === mn, abs(x - mn))
+        .otherwise(abs(x - (mn + q.cast("double") * scale)))
+      struct(q.as("q"), e.as("e"))
+    })
     v.crossJoin(broadcast(stats))
+      .withColumn("__qe", qe)
       .select(col(idCol),
-        concat_ws(",", (0 until dim).map(d => q(d).cast("string")): _*).as("q_csv"),
-        round(worst, 6).as("max_abs_err"))
+        array_join(transform(col("__qe"), s => s.getField("q").cast("string")),
+          ",").as("q_csv"),
+        round(array_max(transform(col("__qe"), s => s.getField("e"))), 6)
+          .as("max_abs_err"))
   }
 }

@@ -39,6 +39,16 @@ object Vectors {
   def cosineFromNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     when(na * nb > 0, fastDot(a, b) / (na * nb)).otherwise(lit(0.0))
 
+  /** Poison guard shared by every cosine/stats path: NaN ranks above all
+    * numbers in both Spark and DuckDB, so a single NaN/Inf embedding's NaN
+    * similarity would outrank every honest neighbor (and clear any
+    * threshold), and a non-finite element poisons any global aggregate it
+    * reaches. The norm is finite iff every element is — test it once per
+    * row where the norm is already computed.
+    */
+  def finiteNorm(n: Column): Column =
+    !isnan(n) && n < lit(Double.PositiveInfinity)
+
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))

@@ -28,9 +28,22 @@ class VectorFuzzSpec extends AnyFunSuite with SparkSpec {
   test("quantizeInt8 drops malformed rows instead of throwing under ANSI") {
     val out = VectorQuant.quantizeInt8(hostile, "vec_id", "embedding", dim = 4)
       .select("vec_id").as[Long].collect().toSet
-    // null/empty/truncated/too-long dropped; NaN/Inf/zero rows quantize
-    // (their codes are garbage-in-garbage-out, but they must not throw)
-    assert(out === Set(0L, 5L, 6L, 7L, 8L))
+    // null/empty/truncated/too-long dropped, and so are NaN/Inf rows: one
+    // non-finite element would make that dimension's GLOBAL min/max
+    // NaN/Inf, corrupting every clean row's code for the dimension
+    assert(out === Set(0L, 5L, 8L))
+  }
+
+  test("poison rows do not perturb clean rows' codes") {
+    // row 0's codes must be identical whether or not the NaN/Inf rows are
+    // present — i.e. the finite-norm guard runs BEFORE the stats aggregate
+    def codesOf(df: org.apache.spark.sql.DataFrame): Map[Long, (String, Double)] =
+      VectorQuant.quantizeInt8(df, "vec_id", "embedding", dim = 4)
+        .as[(Long, String, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val withPoison = codesOf(hostile)
+    val cleanOnly = codesOf(hostile.filter(col("vec_id").isin(0L, 5L, 8L)))
+    assert(withPoison === cleanOnly)
   }
 
   test("semantic dedup survives hostile vectors without throwing") {

@@ -23,6 +23,36 @@ class VectorQuantSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) === (("128,0", 0.5)))
   }
 
+  test("wide-dim hardening: dim=1024 runs as one array-typed aggregate") {
+    val dim = 1024
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 50).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 4f - 2f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = VectorQuant.quantizeInt8(df, "vec_id", "embedding", dim = dim)
+    // the stats pass must stay a SINGLE aggregate expression at any width —
+    // the per-dimension named-agg formulation produced 2*dim = 2048 agg
+    // expressions here (planner pathology / silent codegen fallback)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+    assert(plan.length < 50000, s"plan width grew with dim: ${plan.length} chars")
+    // codes match a driver-side replay of the same formula
+    val vecs = rows.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    val mins = (0 until dim).map(d => vecs.values.map(_(d)).min).toArray
+    val maxs = (0 until dim).map(d => vecs.values.map(_(d)).max).toArray
+    val got = out.as[(Long, String, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got.size === rows.size)
+    rows.take(5).foreach { case (id, _) =>
+      val v = vecs(id)
+      val expect = (0 until dim).map { d =>
+        if (maxs(d) == mins(d)) 0
+        else math.floor((v(d) - mins(d)) / ((maxs(d) - mins(d)) / 255.0) + 0.5).toInt
+      }.mkString(",")
+      assert(got(id) === expect, s"row $id codes diverge")
+    }
+  }
+
   test("error is bounded by scale/2 on every dimension") {
     val rnd = new scala.util.Random(7)
     val df = (1 to 300).map(i =>
