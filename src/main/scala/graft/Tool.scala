@@ -22,6 +22,8 @@ object Tool {
     mode match {
       case "explain" =>
         q(spark, sfDir).explain("formatted")
+      case "show" =>
+        q(spark, sfDir).show(args.lift(3).map(_.toInt).getOrElse(20), false)
       case "time" =>
         val reps = args.lift(3).map(_.toInt).getOrElse(3)
         (1 to reps).foreach { i =>

@@ -90,20 +90,23 @@ object DedupQueries {
     "q_dedup_cosine_exact" -> ((s, d) =>
       Knn.cosinePairs(embeddings(s, d), "vec_id", "embedding", threshold = 0.4)),
 
-    // SemDeDup cluster-then-prune: nearest-centroid assignment (broadcast
-    // k-vector centroid set — here the first 32 corpus vectors stand in
-    // for offline-trained kmeans centroids; the PLAN is identical), one
-    // shuffle by cluster, drop any vector cosine-similar to a lower-id
-    // clustermate. Fully value-oracled: DuckDB replays assignment argmax
-    // (identical left-fold dot products, centroid-id tie-break) and the
-    // in-cluster prune, so cluster ids, keep flags, and both joins are
-    // hash-checked exactly.
-    "q_dedup_semantic" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      SemanticDedup.keepFlags(emb, "vec_id", "embedding",
-        centroids = emb.filter(col("vec_id") < 32), cidCol = "vec_id",
-        threshold = 0.5)
-    }),
+    // SemDeDup cluster-then-prune with the TRAINED quantizer: nearest-
+    // centroid assignment against the offline k-means centroids
+    // (SemanticCentroids — seeded spherical Lloyd's over a corpus sample,
+    // frozen as literals; the full production recipe of Abbas et al.
+    // 2023), one shuffle by cluster, drop any vector cosine-similar to a
+    // lower-id clustermate. Fully value-oracled: DuckDB inlines the SAME
+    // frozen centroids and replays assignment argmax (identical left-fold
+    // dot products, centroid-id tie-break) and the in-cluster prune, so
+    // cluster ids, keep flags, and both joins are hash-checked exactly.
+    // Threshold 0.4 = the corpus's near-dup band (the same bar
+    // q_dedup_cosine uses), so the prune path demonstrably fires here
+    // (~20 drops at sf0.01); at 0.5 this synthetic corpus has no
+    // in-cluster pair above the bar and the drop join would be a no-op.
+    "q_dedup_semantic" -> ((s, d) =>
+      SemanticDedup.keepFlags(embeddings(s, d), "vec_id", "embedding",
+        centroids = semanticCentroidFrame(s), cidCol = "cid",
+        threshold = 0.4)),
 
     // recall of the LSH-blocked path measured against the exact twin,
     // value-oracled (not merely bounded): both pair sets rebuild in SQL, so
@@ -168,6 +171,22 @@ object DedupQueries {
       annRecallSummary(
         Knn.ivfTopK(q, emb, "vec_id", "embedding", k = 5,
           nlist = 8, nprobe = 5),
+        Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
+    }),
+
+    // Quantized (asymmetric-distance) ANN: float queries scored against
+    // int8-dequantized candidates — the 4x scan-bytes cut that makes
+    // 100 TB ANN affordable. Same self-validating recall contract as
+    // q_knn_lsh/q_knn_ivf, but vs the FLOAT brute-force path, so the
+    // invariant pins how much ranking fidelity quantization costs
+    // (measured ~1.0 on this corpus: per-dim error <= scale/2 barely
+    // moves cosine ranks).
+    "q_knn_quantized" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      annRecallSummary(
+        Knn.quantizedTopK(q, emb, "vec_id", "embedding", k = 5,
+          dim = cosLshDim),
         Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
     }),
 
@@ -382,6 +401,26 @@ object DedupQueries {
   private val cosLshTables = 4
   private val cosLshSeed = 42L
   private val cosLshDim = 64 // embeddings.embedding element count (TESTDATA.md)
+
+  /** The frozen offline-trained SemDeDup quantizer as a 32-row local
+    * relation (cid, embedding) — broadcast-sized by construction; see
+    * [[graft.sim.SemanticCentroids]] for training provenance.
+    */
+  private[graft] def semanticCentroidFrame(s: SparkSession): DataFrame = {
+    import s.implicits._
+    graft.sim.SemanticCentroids.values.toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("cid", "embedding")
+  }
+
+  /** The same frozen centroids as a DuckDB VALUES relation — shortest-
+    * round-trip double literals parse to the identical IEEE doubles, so
+    * both engines score the identical quantizer.
+    */
+  private lazy val semanticCentroidsSql: String =
+    graft.sim.SemanticCentroids.values.zipWithIndex.map { case (v, i) =>
+      s"($i, CAST([${v.map(_.toString).mkString(", ")}] AS DOUBLE[]))"
+    }.mkString(",\n             ")
 
   /** Oracle for the LSH-blocked cosine path: per table, bucket k-th bit =
     * sign of the k-th hyperplane projection (most-significant first,
@@ -646,13 +685,15 @@ object DedupQueries {
             (SELECT count(*) FROM exact) AS n_exact,
             TRUE AS no_false_negatives, TRUE AS fp_bounded""",
 
-    // assignment argmax + in-cluster prune replayed exactly: same
-    // left-fold dot products, same sqrt(da)*sqrt(db) denominator order,
-    // same (sim DESC, cid ASC) tie-break — cluster ids and keep flags
-    // are deterministic doubles compared on both engines
+    // assignment argmax + in-cluster prune replayed exactly against the
+    // SAME frozen trained centroids: same left-fold dot products, same
+    // sqrt(da)*sqrt(db) denominator order, same (sim DESC, cid ASC)
+    // tie-break — cluster ids and keep flags are deterministic doubles
+    // compared on both engines
     "q_dedup_semantic" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 32),
+          c AS (SELECT cid, cv FROM (VALUES
+             $semanticCentroidsSql) t(cid, cv)),
           scored AS (
             SELECT e.vec_id, c.cid, ${cosSim2("e.v", "c.cv")} AS sim
             FROM e, c),
@@ -669,7 +710,7 @@ object DedupQueries {
           drops AS (
             SELECT DISTINCT b.vec_id FROM avp a JOIN avp b
               ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-            WHERE ${cosSim2("a.v", "b.v")} >= 0.5)
+            WHERE ${cosSim2("a.v", "b.v")} >= 0.4)
           SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS keep
           FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id""",
 
@@ -757,7 +798,8 @@ object DedupQueries {
     // ANN self-validation rows: counts come from the data, the recall
     // bound is the asserted invariant (see annRecallSummary).
     "q_knn_lsh" -> annSummarySql,
-    "q_knn_ivf" -> annSummarySql
+    "q_knn_ivf" -> annSummarySql,
+    "q_knn_quantized" -> annSummarySql
   )
 
   private lazy val annSummarySql =

@@ -15,7 +15,9 @@ import Vectors._
   * turning the scan into an equi-join — the IVF-style layout you want when
   * the corpus is billions of vectors.
   */
-object Knn {
+// Serializable: ivfTopK's cell-assignment UDFs call the object-level
+// `unit` helper, so the executor-side closure captures this object.
+object Knn extends Serializable {
 
   /** Rows whose norm is not finite are dropped at prep time — the norm is
     * already computed once per row, so the check is free (see
@@ -168,6 +170,44 @@ object Knn {
     centroids
   }
 
+  private[sim] def unit(v: Array[Double]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    val s = math.sqrt(n)
+    if (s == 0) v else v.map(_ / s)
+  }
+
+  /** Offline quantizer training — deterministic corpus sample → spherical
+    * Lloyd's — shared by [[ivfTopK]] and the SemDeDup centroid recipe
+    * (GenSemanticCentroids freezes its output as literals).
+    *
+    * Sampling: rank by a seeded random key and take the global lowest
+    * `sampleSize` (TakeOrdered — per-partition top-k then driver merge, no
+    * shuffle, no full count). A bare limit().collect() would train the
+    * centroids on the first file's distribution only. Non-finite vectors
+    * are excluded — one NaN sample row would poison every centroid update
+    * it touches.
+    *
+    * Spherical: unit-normalize before Lloyd's so cell geometry agrees with
+    * the cosine metric the search ranks by — raw-L2 cells cut across
+    * cosine neighborhoods and wreck recall.
+    */
+  def trainSphericalKmeans(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      sampleSize: Int,
+      iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val sample = df.select(toDoubleArray(col(vecCol)).as("v"))
+      .withColumn("_n", norm(col("v")))
+      .filter(finiteNorm("_n"))
+      .withColumn("_r", rand(seed))
+      .orderBy(col("_r")).limit(sampleSize)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    kmeansCentroids(sample.map(unit), k, iters, seed)
+  }
+
   /** IVF top-k: assign candidates to their nearest centroid cell, probe the
     * `nprobe` nearest cells per query, score within the probed cells only.
     */
@@ -182,25 +222,8 @@ object Knn {
       sampleSize: Int = 2000,
       seed: Long = 42L): DataFrame = {
     val spark = candidates.sparkSession
-    // Uniform corpus sample for the quantizer: rank by a seeded random key
-    // and take the global lowest `sampleSize` (TakeOrdered — per-partition
-    // top-k then driver merge, no shuffle, no full count). A bare
-    // limit().collect() would train the centroids on the first file's
-    // distribution only.
-    val sample = candidates.select(toDoubleArray(col(vecCol)).as("v"))
-      .withColumn("_r", rand(seed))
-      .orderBy(col("_r")).limit(sampleSize)
-      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-    // Spherical quantizer: unit-normalize before Lloyd's so cell geometry
-    // agrees with the cosine metric the search ranks by — raw-L2 cells cut
-    // across cosine neighborhoods and wreck recall.
-    def unit(v: Array[Double]): Array[Double] = {
-      var n = 0.0; var i = 0
-      while (i < v.length) { n += v(i) * v(i); i += 1 }
-      val s = math.sqrt(n)
-      if (s == 0) v else v.map(_ / s)
-    }
-    val centroids = kmeansCentroids(sample.map(unit), nlist, iters = 10, seed = seed)
+    val centroids = trainSphericalKmeans(candidates, vecCol, nlist,
+      sampleSize, iters = 10, seed = seed)
     val bc = spark.sparkContext.broadcast(centroids)
 
     def cellDistances(v: Seq[Double]): Array[Double] = {
@@ -241,6 +264,55 @@ object Knn {
       .withColumn("cell", explode(probeCells(col("qv"))))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("cosine_sim"))
+  }
+
+  /** Quantized (asymmetric-distance) cosine top-k: candidates are reduced
+    * to int8 codes (VectorQuant — 1 byte/dim instead of 4), queries stay
+    * float, and scoring runs against the DEQUANTIZED reconstruction
+    * mn_d + q_d·scale_d. This is the op that makes 100 TB ANN affordable:
+    * the corpus-side scan shrinks 4×, and per-dim reconstruction error
+    * ≤ scale/2 perturbs cosine ranks only marginally (recall vs the float
+    * path is pinned by `q_knn_quantized`'s in-plan invariant).
+    *
+    * Plan shape mirrors [[bruteForceTopK]]: one stats aggregate (a single
+    * O(dim)-buffer array aggregate, broadcast back), code projection +
+    * dequantized scoring in one pass over the candidate scan, small query
+    * set broadcast, window top-k per query. At production scale the code
+    * array is what you PERSIST (the quantize step runs once at ingest);
+    * here the plan derives it inline from the float column.
+    */
+  def quantizedTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int): DataFrame = {
+    val cPrep = VectorQuant.prepare(
+      graft.prep.Preprocessing.spread(candidates), idCol, vecCol, dim)
+    val stats = VectorQuant.statsOf(cPrep, dim)
+    // candidate side: codes only — the float vector is dropped before the
+    // scoring join (the 4× scan cut); dequantization is a pure projection
+    val c = cPrep.crossJoin(broadcast(stats))
+      .select(col(idCol).as("neighbor_id"),
+        VectorQuant.dequantize(
+          VectorQuant.codeArray(col("__v"), col("__mn"), col("__mx")),
+          col("__mn"), col("__mx")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .filter(finiteNorm("cn"))
+    val q = queries.select(col(idCol).as("query_id"),
+        toDoubleArray(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .filter(finiteNorm("qn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
     val w = Window.partitionBy(col("query_id"))

@@ -71,44 +71,70 @@ object VectorQuant {
     def outputEncoder: Encoder[(Seq[Double], Seq[Double])] = ExpressionEncoder()
   }
 
+  /** (idCol, __v double array) with malformed rows dropped: null /
+    * wrong-dim / non-finite vectors are DROPPED, not fatal — under ANSI
+    * mode element access past a short vector's end throws, and one poison
+    * row must not kill a corpus-wide job nor poison the global stats (see
+    * scaladoc). Callers needing a dead-letter channel anti-join the output
+    * against the input ids.
+    */
+  private[graft] def prepare(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame =
+    df.select(col(idCol), Vectors.toDoubleArray(col(vecCol)).as("__v"))
+      .filter(size(col("__v")) === dim)
+      .withColumn("__nrm", Vectors.norm(col("__v")))
+      .filter(Vectors.finiteNorm(col("__nrm")))
+      .drop("__nrm")
+
+  /** One-row (__mn, __mx) arrays over a [[prepare]]d frame. */
+  private[graft] def statsOf(v: DataFrame, dim: Int): DataFrame = {
+    val mm = udaf(new MinMaxAgg(dim), ExpressionEncoder[Seq[Double]]())
+    v.agg(mm(col("__v")).as("__mm"))
+      .select(col("__mm._1").as("__mn"), col("__mm._2").as("__mx"))
+  }
+
+  /** int8 code array for a vector given the broadcast stats arrays. */
+  private[graft] def codeArray(
+      v: org.apache.spark.sql.Column,
+      mns: org.apache.spark.sql.Column,
+      mxs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(v, (x, i) => {
+      val mn = get(mns, i)
+      val mx = get(mxs, i)
+      when(mx === mn, lit(0))
+        .otherwise(floor((x - mn) / ((mx - mn) / 255.0) + 0.5).cast("int"))
+    })
+
+  /** Dequantized vector from an int8 code array: mn_d + q_d · scale_d —
+    * the asymmetric-distance reconstruction a quantized ANN scores
+    * against (reconstruction error ≤ scale/2 per dimension).
+    */
+  private[graft] def dequantize(
+      codes: org.apache.spark.sql.Column,
+      mns: org.apache.spark.sql.Column,
+      mxs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(codes, (q, i) => {
+      val mn = get(mns, i)
+      val mx = get(mxs, i)
+      mn + q.cast("double") * ((mx - mn) / 255.0)
+    })
+
   def quantizeInt8(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    // malformed rows (null / wrong-dim / non-finite vectors) are DROPPED,
-    // not fatal: under ANSI mode element access past a short vector's end
-    // throws, and one poison row must not kill a corpus-wide job — nor
-    // poison the global stats (see scaladoc). Callers needing a
-    // dead-letter channel anti-join the output against the input ids.
-    val v = df.select(col(idCol), Vectors.toDoubleArray(col(vecCol)).as("__v"))
-      .filter(size(col("__v")) === dim)
-      .withColumn("__nrm", Vectors.norm(col("__v")))
-      .filter(Vectors.finiteNorm(col("__nrm")))
-      .drop("__nrm")
-    val mm = udaf(new MinMaxAgg(dim), ExpressionEncoder[Seq[Double]]())
-    val stats = v.agg(mm(col("__v")).as("__mm"))
-      .select(col("__mm._1").as("__mn"), col("__mm._2").as("__mx"))
-    // per-element (code, reconstruction error) in one indexed transform —
-    // mins/maxs are plain array lookups, so the projection width is
-    // constant in dim
-    val qe = transform(col("__v"), (x, i) => {
-      val mn = get(col("__mn"), i)
-      val mx = get(col("__mx"), i)
-      val scale = (mx - mn) / 255.0
-      val q = when(mx === mn, lit(0))
-        .otherwise(floor((x - mn) / scale + 0.5).cast("int"))
-      val e = when(mx === mn, abs(x - mn))
-        .otherwise(abs(x - (mn + q.cast("double") * scale)))
-      struct(q.as("q"), e.as("e"))
-    })
+    val v = prepare(df, idCol, vecCol, dim)
+    val stats = statsOf(v, dim)
+    // codes + reconstruction error in indexed transforms — mins/maxs are
+    // plain array lookups, so the projection width is constant in dim
     v.crossJoin(broadcast(stats))
-      .withColumn("__qe", qe)
+      .withColumn("__q", codeArray(col("__v"), col("__mn"), col("__mx")))
       .select(col(idCol),
-        array_join(transform(col("__qe"), s => s.getField("q").cast("string")),
-          ",").as("q_csv"),
-        round(array_max(transform(col("__qe"), s => s.getField("e"))), 6)
-          .as("max_abs_err"))
+        array_join(transform(col("__q"), q => q.cast("string")), ",").as("q_csv"),
+        round(array_max(zip_with(col("__v"),
+          dequantize(col("__q"), col("__mn"), col("__mx")),
+          (x, dv) => abs(x - dv))), 6).as("max_abs_err"))
   }
 }

@@ -49,7 +49,8 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_text_boilerplate" -> "fractional df-cap cross-joins the broadcast 1-row corpus count onto the gram-df frame",
     "q_knn_lsh" -> "recall invariant joins ANN vs brute-force twin; brute side bounded to 10 query vectors",
     "q_knn_ivf" -> "recall invariant joins ANN vs brute-force twin; brute side bounded to 10 query vectors",
-    "q_dedup_semantic" -> "centroid-assignment cross join against a fixed 32-vector set bounded by the pushed filter",
+    "q_knn_quantized" -> "recall invariant joins quantized vs float brute twin; query sides bounded to 10 vectors; stats cross join is a broadcast 1-row aggregate",
+    "q_dedup_semantic" -> "centroid-assignment cross join against the frozen 32-row trained-centroid local relation",
     "q_dedup_cosine_recall" -> "recall query joins the LSH path against the documented exact twin")
 
   test("no catalog query plans a cartesian or nested-loop join off-allowlist") {
@@ -91,7 +92,8 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
       "estimated plan size (256 MB cap) — an outgrown dim drops the hint"),
     "q_knn_brute" -> "broadcast side is the query set, bounded to 10 vectors by the pushed filter",
     "q_knn_lsh" -> "broadcast side is the query set, bounded to 10 vectors by the pushed filter",
-    "q_knn_ivf" -> "broadcast sides are the 10-vector query set and k centroids")
+    "q_knn_ivf" -> "broadcast sides are the 10-vector query set and k centroids",
+    "q_knn_quantized" -> "broadcast sides are the 10-vector query set and the 1-row stats aggregate")
 
   test("no catalog query force-broadcasts a scale-proportional table off-allowlist") {
     // BroadcastGatingSpec doctrine, catalog-wide: constant dims (nation,

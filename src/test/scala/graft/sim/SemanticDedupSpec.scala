@@ -50,4 +50,25 @@ class SemanticDedupSpec extends AnyFunSuite with SparkSpec {
   test("every input vector gets exactly one flag row") {
     assert(flags.size === 7)
   }
+
+  test("the frozen trained quantizer spreads assignment across all clusters") {
+    // the round-8 demo fed the first 32 corpus vectors as centroids; the
+    // trained quantizer (seeded spherical k-means, frozen in
+    // SemanticCentroids) must actually partition the corpus: every
+    // centroid used, no cluster swallowing a corpus-scale share (the
+    // clusterSize² prune bound is only meaningful if assignment spreads).
+    val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val sizes = SemanticDedup.keepFlags(emb, "vec_id", "embedding",
+        centroids = graft.dedup.DedupQueries.semanticCentroidFrame(spark),
+        cidCol = "cid", threshold = 0.4)
+      .groupBy(col("cluster_id")).count()
+      .as[(Long, Long)].collect().toMap
+    val n = sizes.values.sum
+    assert(sizes.size === graft.sim.SemanticCentroids.k,
+      s"only ${sizes.size}/${graft.sim.SemanticCentroids.k} centroids used")
+    // measured max is 27/500 (5.4%); 15% leaves headroom without letting
+    // a degenerate quantizer (one mega-cluster) slip through
+    assert(sizes.values.max <= n * 0.15,
+      s"cluster skew: max=${sizes.values.max} of $n")
+  }
 }

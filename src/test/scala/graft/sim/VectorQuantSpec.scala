@@ -53,6 +53,21 @@ class VectorQuantSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("quantized ANN reproduces the float top-k within the recall bound") {
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 3)
+    val fl = Knn.bruteForceTopK(q, df, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val qt = Knn.quantizedTopK(q, df, "vec_id", "embedding", k = 5, dim = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (fl & qt).size.toDouble / fl.size
+    // per-dim reconstruction error <= scale/2 = 1/255 here; only near-exact
+    // rank ties can flip, so recall stays above the catalog's 0.85 bound
+    assert(recall >= 0.85, s"quantized recall $recall")
+  }
+
   test("error is bounded by scale/2 on every dimension") {
     val rnd = new scala.util.Random(7)
     val df = (1 to 300).map(i =>
