@@ -278,8 +278,10 @@ object DedupQueries {
       // between stages for exactly this reason; localCheckpoint is that
       // materialization point (narrow rows: id, cleaned text, counts).
       val cleaned = graft.text.Boilerplate
-        .removeBoilerplate(docs, "doc_id", "text", n = 2, maxDocFreq = 40,
-          maxDocFraction = Some(0.06))
+        .removeBoilerplate(docs, "doc_id", "text",
+          n = graft.text.TextQueries.boilerplateN,
+          maxDocFreq = graft.text.TextQueries.boilerplateDfCap,
+          maxDocFraction = Some(graft.text.TextQueries.boilerplateDfFraction))
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .localCheckpoint()
       val scored = cleaned

@@ -131,7 +131,8 @@ object TextQueries {
     // drop path — the operator parameterizes all three knobs.)
     "q_text_boilerplate" -> ((s, d) =>
       Boilerplate.removeBoilerplate(documents(s, d), "doc_id", "text",
-        n = 2, maxDocFreq = 40, maxDocFraction = Some(0.06))),
+        n = boilerplateN, maxDocFreq = boilerplateDfCap,
+        maxDocFraction = Some(boilerplateDfFraction))),
 
     // BM25 relevance against a fixed query — retrieval-style scoring for
     // corpus triage. One global stats row broadcast back; the score is a
@@ -145,7 +146,19 @@ object TextQueries {
     // training prep as a shuffle-free projection + explode (Chunking).
     "q_text_chunk" -> ((s, d) =>
       Chunking.chunkDocuments(documents(s, d), "doc_id", "text",
-        window = 64, stride = 32))
+        window = 64, stride = 32)),
+
+    // BM25 in the search-engine shape: the SAME terms as q_text_bm25 but
+    // fed as a relation — per-term df from one aggregation over the
+    // posting join, any query runnable without re-planning. Scores equal
+    // the scalar variant to the 6-dp rounding, and the oracle replays the
+    // relational formulation exactly.
+    "q_text_bm25_rel" -> ((s, d) => {
+      import s.implicits._
+      TextRanking.bm25Relation(documents(s, d), "doc_id", "text",
+        terms = bm25Terms.toDF("term"), termCol = "term",
+        k1 = 1.2, b = 0.75)
+    })
   )
 
   private val bm25Terms = Seq("spark", "window", "join")
@@ -158,26 +171,41 @@ object TextQueries {
   private val toksSql =
     """list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"""
 
-  /** Boilerplate-removal CTE chain (n=2, cap = max(40, 6% of corpus) —
-    * the catalog parameters), ending in `cln(doc_id, text_clean, n_kept)`
-    * with `t` still in scope. ONE source of truth shared by
-    * q_text_boilerplate and the q_corpus_build composition
-    * (dedup.DedupQueries) — the two oracles must replay the identical
-    * cleaning or the composition validates a different corpus.
+  /** Boilerplate-removal catalog parameters — ONE source of truth for the
+    * Spark call sites (q_text_boilerplate here, the q_corpus_build
+    * composition in dedup.DedupQueries) AND the SQL twin below, which
+    * interpolates them: editing a knob cannot silently desynchronize the
+    * oracles (the jaccardDfCap pattern).
     */
-  private[graft] val boilerplateCtes: String =
+  private[graft] val boilerplateN = 2
+  private[graft] val boilerplateDfCap = 40
+  private[graft] val boilerplateDfFraction = 0.06
+
+  /** Boilerplate-removal CTE chain (gram width [[boilerplateN]], cap =
+    * max([[boilerplateDfCap]], [[boilerplateDfFraction]] of corpus)),
+    * ending in `cln(doc_id, text_clean, n_kept)` with `t` still in scope.
+    * Shared by q_text_boilerplate and the q_corpus_build composition — the
+    * two oracles must replay the identical cleaning or the composition
+    * validates a different corpus.
+    */
+  private[graft] val boilerplateCtes: String = {
+    val gramExpr = (1 to boilerplateN).map(j => s"toks[i+${j - 1}]")
+      .mkString(" || ' ' || ")
     s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+        g AS (SELECT doc_id, unnest(list_transform(
+            range(1, greatest(len(toks) - ${boilerplateN - 2}, 1)),
             i -> {'gpos': CAST(i - 1 AS BIGINT),
-                  'gram': toks[i] || ' ' || toks[i+1]}),
+                  'gram': $gramExpr}),
             recursive := true)
           FROM t),
         dfreq AS (SELECT gram, count(*) AS df
           FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY 1),
         freq AS (SELECT gram FROM dfreq
-          WHERE df > greatest(40.0, 0.06 * (SELECT count(*) FROM t))),
+          WHERE df > greatest($boilerplateDfCap.0,
+            $boilerplateDfFraction * (SELECT count(*) FROM t))),
         cov AS (SELECT DISTINCT g.doc_id, g.gpos + k.k AS pos
-          FROM g JOIN freq USING (gram), (SELECT unnest(range(0, 2)) AS k) k),
+          FROM g JOIN freq USING (gram),
+            (SELECT unnest(range(0, $boilerplateN)) AS k) k),
         tok AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
             i -> {'pos': CAST(i - 1 AS BIGINT), 'tok': toks[i]}),
             recursive := true)
@@ -187,6 +215,7 @@ object TextQueries {
           WHERE cov.doc_id IS NULL),
         cln AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
           count(*) AS n_kept FROM kept GROUP BY 1)"""
+  }
 
   val oracles: Map[String, String] = Map(
     "q_text_tokens" ->
@@ -343,6 +372,31 @@ object TextQueries {
           s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
             avg(CAST(len(toks) AS DOUBLE)) AS avgdl, $dfAggs FROM t)
           SELECT doc_id, round($termScore, 6) AS bm25 FROM t, s"""
+    },
+
+    // the relational BM25 replayed relationally: posting join against the
+    // VALUES term set, tf/df aggregates, per-doc sum, score-0 docs
+    // restored through the left join on the doc spine
+    "q_text_bm25_rel" -> {
+      val (k1, b) = (1.2, 0.75)
+      val termValues = bm25Terms.map(t => s"('$t')").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          terms(term) AS (SELECT * FROM (VALUES $termValues)),
+          stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+            avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+          m AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+            FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                    unnest(toks) AS tok FROM t) p
+            JOIN terms ON p.tok = terms.term
+            GROUP BY 1, 2, 3),
+          dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+            FROM m GROUP BY 1),
+          sc AS (SELECT doc_id,
+              sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * m.tf * ($k1 + 1.0)
+                / (m.tf + $k1 * (1.0 - $b + $b * m.dl / s.avgdl))) AS score
+            FROM m JOIN dfreq d USING (term), stats s GROUP BY 1)
+          SELECT t.doc_id, round(coalesce(sc.score, 0.0), 6) AS bm25
+          FROM t LEFT JOIN sc USING (doc_id)"""
     },
 
     // identical chunk boundaries replayed via positional slices; the

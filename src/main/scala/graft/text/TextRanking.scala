@@ -51,4 +51,62 @@ object TextRanking {
     base.crossJoin(broadcast(stats))
       .select(col(idCol), round(score, 6).as("bm25"))
   }
+
+  /** BM25 against a query-terms RELATION — the search-engine shape: terms
+    * arrive as a (small) DataFrame instead of a compiled-in list, so the
+    * same plan serves any query without re-codegen, and per-term document
+    * frequencies come from ONE aggregation.
+    *
+    * Scale shape: the corpus side explodes to (doc, token) rows that
+    * immediately broadcast-hash-join the term set — non-matching tokens
+    * never leave the scan pipeline, so the only corpus-proportional
+    * shuffle is the (doc, term) tf aggregate over MATCHED postings
+    * (query-bounded selectivity). df per term is a tiny aggregate over
+    * that frame (rows = term count), broadcast back; corpus stats are one
+    * broadcast scalar row. Unmatched docs rejoin with score 0 through a
+    * left join on the doc spine.
+    *
+    * Scores equal [[bm25]] for the same term set to the 6-dp rounding
+    * (the per-doc sum associates in row order rather than term-list
+    * order — a ≤1-ulp double difference absorbed by round(6)).
+    */
+  def bm25Relation(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: DataFrame,
+      termCol: String = "term",
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = coalesce(
+      filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit("")), array())
+    val base = graft.prep.Preprocessing.spread(df)
+      .select(col(idCol), toks.as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("double"))
+    val stats = base.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val t = broadcast(terms.select(col(termCol).as("__term")).distinct())
+    val matched = base
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__tok"))
+      .join(t, col("__tok") === col("__term"))
+      .groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = matched.groupBy(col("__term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val scored = matched
+      .join(broadcast(dfreq), Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (log(lit(1.0) +
+          (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
+          col("__tf") * (k1 + 1.0) /
+          (col("__tf") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("__dl") / col("__avgdl"))))
+          .as("__s"))
+      .groupBy(col(idCol)).agg(sum(col("__s")).as("__score"))
+    base.select(col(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        round(coalesce(col("__score"), lit(0.0)), 6).as("bm25"))
+  }
 }

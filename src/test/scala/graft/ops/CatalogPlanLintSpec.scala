@@ -45,6 +45,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q15_top_supplier" -> "cross join against a broadcast 1-row max aggregate",
     "q22_idle_customers" -> "cross join against a broadcast 1-row average aggregate",
     "q_text_bm25" -> "cross join against the broadcast 1-row corpus-stats aggregate",
+    "q_text_bm25_rel" -> "cross join against the broadcast 1-row corpus-stats aggregate",
     "q_vec_quantize" -> "cross join against the broadcast 1-row per-dim min/max aggregate",
     "q_text_boilerplate" -> "fractional df-cap cross-joins the broadcast 1-row corpus count onto the gram-df frame",
     "q_knn_lsh" -> "recall invariant joins ANN vs brute-force twin; brute side bounded to 10 query vectors",
@@ -93,7 +94,8 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_knn_brute" -> "broadcast side is the query set, bounded to 10 vectors by the pushed filter",
     "q_knn_lsh" -> "broadcast side is the query set, bounded to 10 vectors by the pushed filter",
     "q_knn_ivf" -> "broadcast sides are the 10-vector query set and k centroids",
-    "q_knn_quantized" -> "broadcast sides are the 10-vector query set and the 1-row stats aggregate")
+    "q_knn_quantized" -> "broadcast sides are the 10-vector query set and the 1-row stats aggregate",
+    "q_text_bm25_rel" -> "broadcast side is the per-term df aggregate — rows bounded by the query term count")
 
   test("no catalog query force-broadcasts a scale-proportional table off-allowlist") {
     // BroadcastGatingSpec doctrine, catalog-wide: constant dims (nation,

@@ -34,4 +34,24 @@ class TextRankingSpec extends AnyFunSuite with SparkSpec {
     assert(scores(3L) === 0.0)
     assert(scores(2L) > scores(1L))
   }
+
+  test("the term-relation variant reproduces the scalar scores exactly") {
+    val rel = TextRanking.bm25Relation(docs, "doc_id", "text",
+        terms = Seq("spark", "join").toDF("term"), termCol = "term",
+        k1 = 1.2, b = 0.75)
+      .as[(Long, Double)].collect().toMap
+    val scalar = TextRanking.bm25(docs, "doc_id", "text",
+        terms = Seq("spark", "join"), k1 = 1.2, b = 0.75)
+      .as[(Long, Double)].collect().toMap
+    assert(rel === scalar)
+    assert(rel(3L) === 0.0, "no-match doc restored with score 0 via the spine join")
+  }
+
+  test("duplicate terms in the relation do not double-score") {
+    val rel = TextRanking.bm25Relation(docs, "doc_id", "text",
+        terms = Seq("spark", "spark").toDF("term"), termCol = "term",
+        k1 = 1.2, b = 0.75)
+      .as[(Long, Double)].collect().toMap
+    assert(rel(1L) === scores(1L), "distinct() dedups the term relation")
+  }
 }
