@@ -35,6 +35,15 @@ object SemanticDedup {
 
   /** (idCol, cluster_id, keep) — one row per input vector. `centroids`
     * carries (cidCol, vecCol); callers keep it bounded (broadcast-sized).
+    *
+    * `maxClusterSize`: when set, the clusterSize² prune bound holds BY
+    * CONTRACT, not by caller discipline — clusters whose assignment
+    * exceeds the cap are split into prune sub-groups (see
+    * [[boundedSubgroups]]) before the pairwise join. The REPORTED
+    * cluster_id is unchanged (splitting bounds which pairs are compared,
+    * not the assignment); the trade-off is that a near-dup pair split
+    * across sub-groups goes undetected — the standard bounded-work
+    * concession, and only oversized clusters pay it.
     */
   def keepFlags(
       vecs: DataFrame,
@@ -42,7 +51,8 @@ object SemanticDedup {
       vecCol: String,
       centroids: DataFrame,
       cidCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxClusterSize: Option[Int] = None): DataFrame = {
     val v = graft.prep.Preprocessing.spread(vecs)
       .select(col(idCol), Vectors.toDoubleArray(col(vecCol)).as("__v"))
       .withColumn("__nv", Vectors.norm(col("__v")))
@@ -67,9 +77,14 @@ object SemanticDedup {
     // one poisoned embedding would otherwise mark every clustermate a
     // duplicate. They keep their own rows (assignment already falls back
     // deterministically); they just can't drop anyone.
-    val prunable = assigned.filter(Vectors.finiteNorm(col("__nv")))
+    val withSub = maxClusterSize match {
+      case Some(max) => boundedSubgroups(assigned, idCol, max)
+      case None => assigned.withColumn("__sub", lit("0"))
+    }
+    val prunable = withSub.filter(Vectors.finiteNorm(col("__nv")))
     val drops = prunable.as("a").join(prunable.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.__sub") === col("b.__sub") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .filter(Vectors.cosineFromNorms(col("a.__v"), col("b.__v"),
         col("a.__nv"), col("b.__nv")) >= threshold)
@@ -79,5 +94,99 @@ object SemanticDedup {
       .join(drops, Seq(idCol), "left_outer")
       .select(col(idCol), col("cluster_id"),
         not(coalesce(col("__dropped"), lit(false))).as("keep"))
+  }
+
+  /** Splits oversized clusters into prune sub-groups so no group exceeds
+    * ~max: adds a `__sub` string column to `assigned` (members of
+    * non-oversized clusters all carry "0").
+    *
+    * Two rounds:
+    *  1. SEMANTIC split — per oversized cluster, train ceil(size/max)
+    *     sub-centroids on a bounded member sample ([[Knn.trainSphericalKmeans]]
+    *     — the same seeded recipe as the top-level quantizer; a driver
+    *     loop over at most k clusters, each a bounded sample + Lloyd's)
+    *     and re-assign members by argmax cosine. Similar vectors stay
+    *     together, so near-dup recall inside the cluster survives the
+    *     split wherever the geometry allows it.
+    *  2. SALT backstop — k-means does not hard-bound group sizes (a flood
+    *     of identical vectors all land on one sub-centroid), so any
+    *     (cluster, sub) still over the cap is hash-chunked:
+    *     pmod(xxhash64(id), ceil(size/max)). This bounds every group in
+    *     expectation regardless of geometry; pairs split across chunks go
+    *     uncompared, but an identical-vector flood has its pairs in every
+    *     chunk, so the drop path still fires there.
+    *
+    * Driver boundary: the two size checks collect ≤ k and ≤ k·ceil(n/max)
+    * tiny rows — the same bounded per-level stats boundary as the
+    * reference's own training loop; the corpus itself never leaves
+    * executors.
+    */
+  private[graft] def boundedSubgroups(
+      assigned: DataFrame,
+      idCol: String,
+      max: Int): DataFrame = {
+    require(max >= 2, s"maxClusterSize must be >= 2, got $max")
+    // STAGE BOUNDARY: the guard consumes the assignment several times
+    // (size check, one training sample per oversized cluster, the
+    // re-assign join) — left lazy, each driver action would replay the
+    // full centroid-assignment pass. Same documented materialization
+    // pattern as q_corpus_build's cleaned corpus.
+    val a = assigned.localCheckpoint()
+    val sizes = a.groupBy(col("cluster_id")).count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    val oversized = sizes.filter(_._2 > max)
+    if (oversized.isEmpty) return a.withColumn("__sub", lit("0"))
+
+    // round 1: semantic split — train sub-centroids per oversized cluster
+    val subCentRows: Seq[(String, Int, Seq[Double])] = oversized.toSeq
+      .sortBy(_._1.toString)
+      .flatMap { case (cid, size) =>
+        val nSub = ((size + max - 1) / max).toInt
+        val members = a.filter(col("cluster_id") === lit(cid))
+        Knn.trainSphericalKmeans(members, "__v", k = nSub,
+            sampleSize = math.min(size, 2000L).toInt, iters = 5,
+            seed = 42L + cid.toString.hashCode)
+          .zipWithIndex.map { case (cvec, s) => (cid.toString, s, cvec.toSeq) }
+      }
+    val spark = a.sparkSession
+    import spark.implicits._
+    val subCents = subCentRows.toDF("__scid", "__ssub", "__scv")
+      .withColumn("__snc", Vectors.norm(col("__scv")))
+    val wSub = Window.partitionBy(col(idCol))
+      .orderBy(col("__ssim").desc, col("__ssub").asc)
+    val reassigned = a
+      .join(broadcast(subCents),
+        col("cluster_id").cast("string") === col("__scid"))
+      .select(col(idCol), col("cluster_id"), col("__ssub"),
+        Vectors.cosineFromNorms(col("__v"), col("__scv"),
+          col("__nv"), col("__snc")).as("__ssim"))
+      .withColumn("__rn", row_number().over(wSub))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("cluster_id"),
+        concat(lit("s"), col("__ssub").cast("string")).as("__sub"))
+
+    // round 2: salt backstop for groups k-means failed to shrink
+    val subSizes = reassigned.groupBy(col("cluster_id"), col("__sub")).count()
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+    val stillOver = subSizes.filter(_._2 > max)
+    val salted =
+      if (stillOver.isEmpty) reassigned
+      else {
+        val saltMod = typedlit(stillOver.map { case ((cid, sub), size) =>
+          s"$cid|$sub" -> ((size + max - 1) / max).toInt
+        })
+        reassigned.withColumn("__mod",
+            element_at(saltMod,
+              concat(col("cluster_id").cast("string"), lit("|"), col("__sub"))))
+          .withColumn("__sub",
+            when(col("__mod").isNull, col("__sub"))
+              .otherwise(concat(col("__sub"), lit("/"),
+                pmod(xxhash64(col(idCol)), col("__mod")).cast("string"))))
+          .drop("__mod")
+      }
+    a.join(
+      salted.select(col(idCol), col("__sub")), Seq(idCol), "left_outer")
+      .withColumn("__sub", coalesce(col("__sub"), lit("0")))
   }
 }

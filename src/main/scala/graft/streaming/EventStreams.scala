@@ -205,9 +205,21 @@ object EventStreams {
     * event-time order is preserved across triggers (events within one
     * trigger are sorted; a stage-1 event arriving in a LATER trigger than
     * an already-rejected stage-2 event cannot retroactively unlock it —
-    * streaming can't rewind emissions). Batch mode hands each key all its
-    * events at once, so the same fold IS the batch funnel; pass
-    * `setTimeouts = false` there (no watermark exists to time against).
+    * streaming can't rewind emissions; the exact delta is pinned by
+    * EventStreamsSpec's adversarial-trigger test). Batch mode hands each
+    * key all its events at once, so the same fold IS the batch funnel;
+    * pass `setTimeouts = false` there (no watermark exists to time
+    * against).
+    *
+    * Bounded-state trade-off: the event-time timeout removes state for
+    * COMPLETED funnels too — a view arriving after the watermark passes
+    * tView + 2·window re-opens the funnel and re-emits stage 1 (and
+    * later stages) for the same user, where the batch fold (which keys
+    * everything to the user's first view ever) would not. Keeping done
+    * markers forever would make state grow with users-ever-seen instead
+    * of active funnels — the wrong trade at 100 TB/day; deduplicate
+    * per-user stages downstream if exactly-once-per-user emission
+    * matters. Pinned by the post-expiry re-open spec.
     */
   def funnelStages(
       spark: SparkSession,
@@ -244,8 +256,10 @@ object EventStreams {
                 case _ => ()
               }
             }
-            // state survives even when done — removing it would let a later
-            // duplicate view re-open the funnel and re-emit stage 1
+            // state survives completion UNTIL the event-time timeout: a
+            // duplicate view inside the window cannot re-open the funnel,
+            // but one arriving after expiry re-emits stage 1 (the
+            // documented bounded-state trade-off — see scaladoc)
             state.update(s)
             if (setTimeouts && s.tView >= 0)
               state.setTimeoutTimestamp(s.tView + 2 * winMs)

@@ -51,6 +51,60 @@ class SemanticDedupSpec extends AnyFunSuite with SparkSpec {
     assert(flags.size === 7)
   }
 
+  test("maxClusterSize splits a planted mega-cluster semantically") {
+    // 120 vectors in ONE cluster, two orthogonal direction bundles: the
+    // guard's k-means round should rediscover the bundles, so every prune
+    // group lands under the cap WITHOUT salting (sub-groups end in "s<i>",
+    // no "/" chunk suffix) and near-dups stay co-grouped.
+    val rnd = new scala.util.Random(5)
+    val mega = ((0 until 60).map(i =>
+        (i.toLong, Seq(1f, rnd.nextFloat() * 0.05f, rnd.nextFloat() * 0.05f))) ++
+      (60 until 120).map(i =>
+        (i.toLong, Seq(rnd.nextFloat() * 0.05f, 1f, rnd.nextFloat() * 0.05f))))
+      .toDF("vec_id", "embedding")
+    val assigned = mega
+      .select(col("vec_id"), Vectors.toDoubleArray(col("embedding")).as("__v"))
+      .withColumn("__nv", Vectors.norm(col("__v")))
+      .withColumn("cluster_id", lit(0L))
+    val grouped = SemanticDedup.boundedSubgroups(assigned, "vec_id", max = 80)
+      .select(col("vec_id"), col("__sub")).as[(Long, String)].collect()
+    val bySub = grouped.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(bySub.values.forall(_.size <= 80),
+      s"group over cap: ${bySub.view.mapValues(_.size).toMap}")
+    assert(bySub.keys.forall(!_.contains("/")),
+      s"separable geometry should not need the salt backstop: ${bySub.keys}")
+    // the bundles stay intact: ids 0-59 share one sub-group, 60-119 the other
+    assert(bySub.values.toSet ===
+      Set((0L until 60L).toSet, (60L until 120L).toSet),
+      "semantic split should rediscover the two direction bundles")
+  }
+
+  test("maxClusterSize salt backstop bounds an identical-vector flood and dedup still fires") {
+    // 200 IDENTICAL vectors: k-means cannot separate them (every
+    // sub-centroid coincides), so the salt round must chunk the group —
+    // and because every chunk holds identical vectors, the drop path
+    // still collapses each chunk to its minimum id.
+    val flood = (0 until 200).map(i => (i.toLong, Seq(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val assigned = flood
+      .select(col("vec_id"), Vectors.toDoubleArray(col("embedding")).as("__v"))
+      .withColumn("__nv", Vectors.norm(col("__v")))
+      .withColumn("cluster_id", lit(0L))
+    val subs = SemanticDedup.boundedSubgroups(assigned, "vec_id", max = 50)
+      .groupBy(col("__sub")).count().as[(String, Long)].collect().toMap
+    assert(subs.size >= 2, s"salt must split the flood: $subs")
+    // xxhash64 chunking balances in expectation; 2x slack absorbs skew
+    assert(subs.values.forall(_ <= 100), s"chunk over 2x cap: $subs")
+    val flags = SemanticDedup.keepFlags(flood, "vec_id", "embedding",
+        centroids = Seq((0L, Seq(1f, 0f, 0f))).toDF("cid", "embedding"),
+        cidCol = "cid", threshold = 0.99, maxClusterSize = Some(50))
+      .as[(Long, Long, Boolean)].collect()
+    val kept = flags.filter(_._3).map(_._1)
+    assert(kept.length === subs.size,
+      s"each chunk keeps exactly its minimum id: kept=${kept.sorted.toSeq}")
+    assert(flags.length === 200)
+  }
+
   test("the frozen trained quantizer spreads assignment across all clusters") {
     // the round-8 demo fed the first 32 corpus vectors as centroids; the
     // trained quantizer (seeded spherical k-means, frozen in

@@ -217,6 +217,67 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStages adversarial triggers: a click arriving BEFORE its view's trigger is lost") {
+    // The documented streaming-vs-batch divergence window: the click's
+    // EVENT time is after the view's, but it ARRIVES in an earlier
+    // trigger, when no view state exists to unlock it. Streaming cannot
+    // rewind emissions, so stage 2 never fires; the batch fold (all
+    // events at once, event-time order) sees view -> click. This pins the
+    // EXACT delta rather than hiding it.
+    val stream = MemoryStream[Event]
+    val q = EventStreams.funnelStages(spark, stream.toDS(),
+        windowMinutes = 30)
+      .writeStream.format("memory").queryName("funnel_adv")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(Event(1, ts(10), 100, "click", 0)) // rejected: no view yet
+      q.processAllAvailable()
+      stream.addData(Event(2, ts(0), 100, "view", 0)) // earlier event time
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_adv")
+        .as[(Long, Int, Timestamp)].collect().map(r => (r._1, r._2)).toSeq
+      assert(streamed === Seq((100L, 1)), "streaming: stage 1 only")
+      // the same rows as ONE batch: the fold sees event-time order
+      val batched = EventStreams.funnelStages(spark,
+          Seq(Event(1, ts(10), 100, "click", 0),
+            Event(2, ts(0), 100, "view", 0)).toDS(),
+          windowMinutes = 30, setTimeouts = false)
+        .collect().map(u => (u.user_id, u.stage)).toSeq.sorted
+      assert(batched === Seq((100L, 1), (100L, 2)),
+        "batch: the view unlocks the click")
+    } finally q.stop()
+  }
+
+  test("funnelStages re-opens a funnel after its state expires (bounded-state trade-off)") {
+    // Completed funnel, then the watermark passes tView + 2*window and the
+    // event-time timeout removes the state; a later view RE-emits stage 1
+    // for the same user — the documented divergence from the batch fold,
+    // which keys everything to the user's first view ever.
+    val stream = MemoryStream[Event]
+    val q = EventStreams.funnelStages(spark, stream.toDS(),
+        windowMinutes = 30) // timeout at tView + 60 min
+      .writeStream.format("memory").queryName("funnel_reopen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(
+        Event(1, ts(0), 100, "view", 0),
+        Event(2, ts(5), 100, "click", 0),
+        Event(3, ts(10), 100, "purchase", 0))
+      q.processAllAvailable()
+      // sentinel rolls the watermark (1h delay) past ts(60): 200-60=140min
+      stream.addData(Event(4, ts(200), 999, "click", 0))
+      q.processAllAvailable()
+      // above the watermark, after expiry: the funnel re-opens
+      stream.addData(Event(5, ts(150), 100, "view", 0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_reopen")
+        .filter($"user_id" === 100L)
+        .as[(Long, Int, Timestamp)].collect().sortBy(_._3.getTime)
+      assert(rows.map(_._2).toSeq === Seq(1, 2, 3, 1),
+        s"completed funnel re-emits stage 1 after expiry: $rows")
+    } finally q.stop()
+  }
+
   test("funnelStages batch mode agrees with the q_events_funnel fold") {
     val ev = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
