@@ -148,6 +148,15 @@ object TextQueries {
       Chunking.chunkDocuments(documents(s, d), "doc_id", "text",
         window = 64, stride = 32)),
 
+    // CCNet-style LM quality scoring: an add-k-smoothed bigram language
+    // model trained from the corpus IN the same plan, each doc scored by
+    // its mean bigram log-prob (the perplexity-filter signal). Exact
+    // integer counts in double arithmetic; round(6) absorbs the per-doc
+    // ln-sum association order.
+    "q_text_lm_score" -> ((s, d) =>
+      LanguageModel.bigramLogProbScores(documents(s, d), "doc_id", "text",
+        k = 0.5)),
+
     // BM25 in the search-engine shape: the SAME terms as q_text_bm25 but
     // fed as a relation — per-term df from one aggregation over the
     // posting join, any query runnable without re-planning. Scores equal
@@ -373,6 +382,29 @@ object TextQueries {
             avg(CAST(len(toks) AS DOUBLE)) AS avgdl, $dfAggs FROM t)
           SELECT doc_id, round($termScore, 6) AS bm25 FROM t, s"""
     },
+
+    // the bigram LM replayed: sequential bigram postings with
+    // multiplicity, bigram/prefix counts, vocabulary scalar, identical
+    // smoothing formula, sum/count (not avg()) so both engines divide
+    // the same way
+    "q_text_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          bgp AS (SELECT doc_id, toks[i] AS w1,
+              toks[i] || ' ' || toks[i+1] AS bg
+            FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                  FROM t WHERE len(toks) >= 2)),
+          cbg AS (SELECT w1, bg, count(*) AS cbg FROM bgp GROUP BY 1, 2),
+          cw1 AS (SELECT w1, count(*) AS cw1 FROM bgp GROUP BY 1),
+          v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+            FROM (SELECT unnest(toks) AS tok FROM t)),
+          sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              sum(ln((cbg + 0.5) / (cw1 + 0.5 * v.v))) / count(*) AS avg_lp
+            FROM bgp JOIN cbg USING (w1, bg) JOIN cw1 USING (w1), v
+            GROUP BY doc_id)
+          SELECT t.doc_id,
+            coalesce(sc.n_bigrams, 0) AS n_bigrams,
+            round(coalesce(sc.avg_lp, 0.0), 6) AS avg_logprob
+          FROM t LEFT JOIN sc USING (doc_id)""",
 
     // the relational BM25 replayed relationally: posting join against the
     // VALUES term set, tf/df aggregates, per-doc sum, score-0 docs

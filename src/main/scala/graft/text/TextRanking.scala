@@ -60,11 +60,17 @@ object TextRanking {
     * Scale shape: the corpus side explodes to (doc, token) rows that
     * immediately broadcast-hash-join the term set — non-matching tokens
     * never leave the scan pipeline, so the only corpus-proportional
-    * shuffle is the (doc, term) tf aggregate over MATCHED postings
-    * (query-bounded selectivity). df per term is a tiny aggregate over
-    * that frame (rows = term count), broadcast back; corpus stats are one
-    * broadcast scalar row. Unmatched docs rejoin with score 0 through a
-    * left join on the doc spine.
+    * shuffles are (doc, term) tf aggregates over MATCHED postings
+    * (query-bounded selectivity). df per term is a tiny aggregate
+    * (rows = term count), broadcast back; corpus stats are one broadcast
+    * scalar row; unmatched docs rejoin with score 0 through an id-keyed
+    * left join on the doc spine. The plan reads the corpus a CONSTANT
+    * number of times (stats, tf-for-score, tf-for-df, spine — each a
+    * 2-column pipelined scan; a production search deployment materializes
+    * the posting frame once and pays one) and every join is equi-keyed or
+    * a broadcast scalar — nothing quadratic, nothing skew-keyed (df comes
+    * from an aggregate, NOT a per-term window, so a stopword term cannot
+    * funnel the matched frame through one task).
     *
     * Scores equal [[bm25]] for the same term set to the 6-dp rounding
     * (the per-doc sum associates in row order rather than term-list

@@ -46,6 +46,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q22_idle_customers" -> "cross join against a broadcast 1-row average aggregate",
     "q_text_bm25" -> "cross join against the broadcast 1-row corpus-stats aggregate",
     "q_text_bm25_rel" -> "cross join against the broadcast 1-row corpus-stats aggregate",
+    "q_text_lm_score" -> "cross join against the broadcast 1-row vocabulary-size aggregate",
     "q_vec_quantize" -> "cross join against the broadcast 1-row per-dim min/max aggregate",
     "q_text_boilerplate" -> "fractional df-cap cross-joins the broadcast 1-row corpus count onto the gram-df frame",
     "q_knn_lsh" -> "recall invariant joins ANN vs brute-force twin; brute side bounded to 10 query vectors",

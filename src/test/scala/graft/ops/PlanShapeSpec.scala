@@ -111,6 +111,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q_knn_quantized: one array-typed stats aggregate, rank-limited top-k") {
+    val df = graft.SparkEntry.queries("q_knn_quantized")(spark, d)
+    val plan = df.queryExecution.sparkPlan.toString
+    // the int8 stats pass is a single ObjectHashAggregate (partial+final),
+    // not 2*dim named agg expressions; appearing more than once would mean
+    // the stats subtree is being recomputed per consumer
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) === 2, plan)
+    // top-k runs through the rank-pushdown WindowGroupLimit, so each
+    // partition retains k rows before the window shuffle
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("q_text_bm25_rel: term match is a broadcast hash join; only the stats cross is a BNLJ") {
+    val df = graft.SparkEntry.queries("q_text_bm25_rel")(spark, d)
+    val plan = df.queryExecution.sparkPlan.toString
+    // exploded tokens equi-join the broadcast term set — a nested-loop or
+    // sort-merge against the corpus-side explode would be the regression
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) === 1,
+      s"only the 1-row corpus-stats cross join may nest-loop: $plan")
+  }
+
   test("q_seq_pack_greedy shuffles once, on the shard key") {
     val df = graft.SparkEntry.queries("q_seq_pack_greedy")(spark, d)
     val exchanges = df.queryExecution.executedPlan.toString
