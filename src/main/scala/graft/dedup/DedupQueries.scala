@@ -174,6 +174,20 @@ object DedupQueries {
         Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
     }),
 
+    // The full production ANN stack (FAISS IVF+SQ8 shape): coarse
+    // quantizer cells bound the probe set AND candidates ride as int8
+    // codes — nlist/nprobe cuts the work, int8 cuts the scan bytes 4x.
+    // Same recall contract vs the FLOAT brute-force truth, so the
+    // invariant prices cells and quantization together.
+    "q_knn_ivf_quantized" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      annRecallSummary(
+        Knn.ivfTopK(q, emb, "vec_id", "embedding", k = 5,
+          nlist = 8, nprobe = 5, quantized = true, dim = Some(cosLshDim)),
+        Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
+    }),
+
     // Quantized (asymmetric-distance) ANN: float queries scored against
     // int8-dequantized candidates — the 4x scan-bytes cut that makes
     // 100 TB ANN affordable. Same self-validating recall contract as
@@ -801,7 +815,8 @@ object DedupQueries {
     // bound is the asserted invariant (see annRecallSummary).
     "q_knn_lsh" -> annSummarySql,
     "q_knn_ivf" -> annSummarySql,
-    "q_knn_quantized" -> annSummarySql
+    "q_knn_quantized" -> annSummarySql,
+    "q_knn_ivf_quantized" -> annSummarySql
   )
 
   private lazy val annSummarySql =

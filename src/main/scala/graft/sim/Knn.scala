@@ -220,7 +220,11 @@ object Knn extends Serializable {
       nlist: Int = 16,
       nprobe: Int = 2,
       sampleSize: Int = 2000,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      quantized: Boolean = false,
+      dim: Option[Int] = None): DataFrame = {
+    require(!quantized || dim.nonEmpty,
+      "quantized IVF needs the embedding dim for the int8 codes")
     val spark = candidates.sparkSession
     val centroids = trainSphericalKmeans(candidates, vecCol, nlist,
       sampleSize, iters = 10, seed = seed)
@@ -252,8 +256,26 @@ object Knn extends Serializable {
       ds.zipWithIndex.sortBy(_._1).take(nprobe).map(_._2).toSeq
     })
 
-    val c = graft.prep.Preprocessing.spread(candidates)
-      .select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("cv"))
+    // `quantized` = the FAISS IVF+SQ8 stack: candidates ride as int8
+    // codes (4x scan cut) and both cell assignment and scoring run on the
+    // dequantized reconstruction — exactly what a code-only store can
+    // compute at search time. Float path otherwise.
+    val base = graft.prep.Preprocessing.spread(candidates)
+    val cVec =
+      if (!quantized)
+        base.select(col(idCol).as("neighbor_id"),
+          toDoubleArray(col(vecCol)).as("cv"))
+      else {
+        val d = dim.get
+        val prep = VectorQuant.prepare(base, idCol, vecCol, d)
+        val stats = VectorQuant.statsOf(prep, d)
+        prep.crossJoin(broadcast(stats))
+          .select(col(idCol).as("neighbor_id"),
+            VectorQuant.dequantize(
+              VectorQuant.codeArray(col("__v"), col("__mn"), col("__mx")),
+              col("__mn"), col("__mx")).as("cv"))
+      }
+    val c = cVec
       .withColumn("cn", norm(col("cv")))
       .filter(finiteNorm("cn"))
       .withColumn("cell", cellOf(col("cv")))

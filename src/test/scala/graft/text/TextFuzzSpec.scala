@@ -93,6 +93,21 @@ class TextFuzzSpec extends AnyFunSuite with SparkSpec {
     scores.foreach { r =>
       assert(!r.isNullAt(1) && !r.getDouble(1).isNaN, s"NaN bm25: $r")
     }
+    val relScores = TextRanking.bm25Relation(df, "doc_id", "text",
+        terms = Seq("word", "the").toDF("term")).collect()
+    assert(relScores.length === hostileStrings.length)
+    relScores.foreach { r =>
+      assert(!r.isNullAt(1) && !r.getDouble(1).isNaN, s"NaN bm25_rel: $r")
+    }
+    val lm = LanguageModel.bigramLogProbScores(df, "doc_id", "text").collect()
+    assert(lm.length === hostileStrings.length,
+      "every doc keeps an LM row, even null/empty/single-token")
+    lm.foreach { r =>
+      assert(!r.isNullAt(2) && !r.getDouble(2).isNaN, s"NaN lm score: $r")
+      // smoothed probabilities are < 1, so every real score is negative;
+      // gram-less docs are exactly 0
+      assert(r.getDouble(2) <= 0.0, s"positive log-prob: $r")
+    }
   }
 
   test("dedup signature kernels survive hostile input") {
