@@ -354,6 +354,54 @@ object DedupQueries {
           round(col("target") / col("share"), 6).as("weight"))
     }),
 
+    // Temperature-scaled mixture weights (the mT5/XLM-R multilingual
+    // recipe: sampling share ∝ observed_share^alpha, alpha < 1 flattens
+    // the distribution toward low-resource domains). Same single
+    // aggregation + domain-row window as q_mix_weights; the upsample
+    // factor temp_share/share is what a sampler multiplies each domain's
+    // keep rate by.
+    "q_mix_temperature" -> ((s, d) => {
+      val alpha = 0.3
+      val perDomain = documents(s, d)
+        .select(col("lang"),
+          graft.text.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).cast("long").as("domain_tokens"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      perDomain
+        .withColumn("share",
+          col("domain_tokens").cast("double") /
+            sum(col("domain_tokens")).over(w))
+        .withColumn("temp_share",
+          pow(col("share"), alpha) / sum(pow(col("share"), alpha)).over(w))
+        .select(col("lang"), col("domain_tokens"),
+          round(col("share"), 6).as("share"),
+          round(col("temp_share"), 6).as("temp_share"),
+          round(col("temp_share") / col("share"), 6).as("upsample"))
+    }),
+
+    // Graded decontamination: instead of the binary flag, the FRACTION of
+    // each train doc's distinct 5-grams that appear in the benchmark set —
+    // the threshold knob real pipelines tune (drop at >x% overlap, keep
+    // incidental collisions). Same inverted-index shape as
+    // q_contamination: one semi-ish join on gram keys, counts per doc.
+    "q_contamination_overlap" -> ((s, d) => {
+      val docs = documents(s, d)
+      val grams = docs.select(col("doc_id"),
+        explode(Dedup.wordShingles(col("text"), 5)).as("g"))
+      val bench = grams.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("g")).distinct().withColumn("__hit", lit(1L))
+      grams.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .join(bench, Seq("g"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          sum(coalesce(col("__hit"), lit(0L))).cast("long").as("n_matched"))
+        .filter(col("n_matched") > 0)
+        .select(col("doc_id"), col("n_grams"), col("n_matched"),
+          round(col("n_matched").cast("double") / col("n_grams"), 6)
+            .as("overlap"))
+    }),
+
     // Domain-mixture sampling EXECUTED — the q_mix_weights weights applied
     // as a reproducible Bernoulli keep: the draw is a pure function of the
     // doc id (DeterministicSampling — md5 prefix, not rand()), so the
@@ -682,6 +730,37 @@ object DedupQueries {
           bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
           SELECT DISTINCT doc_id FROM g
           WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)""",
+
+    "q_mix_temperature" ->
+      """WITH per AS (
+           SELECT lang,
+             CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS domain_tokens
+           FROM documents GROUP BY lang),
+         sh AS (SELECT lang, domain_tokens,
+             CAST(domain_tokens AS DOUBLE) / sum(domain_tokens) OVER () AS share
+           FROM per)
+         SELECT lang, domain_tokens,
+           round(share, 6) AS share,
+           round(pow(share, 0.3) / sum(pow(share, 0.3)) OVER (), 6) AS temp_share,
+           round((pow(share, 0.3) / sum(pow(share, 0.3)) OVER ()) / share, 6) AS upsample
+         FROM sh""",
+
+    "q_contamination_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          g AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                  || toks[i+3] || ' ' || toks[i+4]))) AS g
+            FROM t WHERE len(toks) >= 5),
+          bench AS (SELECT DISTINCT g, 1 AS hit FROM g WHERE doc_id % 50 = 0)
+          SELECT doc_id, n_grams, n_matched,
+            round(CAST(n_matched AS DOUBLE) / n_grams, 6) AS overlap
+          FROM (
+            SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(coalesce(bench.hit, 0)) AS BIGINT) AS n_matched
+            FROM g LEFT JOIN bench USING (g)
+            WHERE g.doc_id % 50 <> 0 GROUP BY 1) s
+          WHERE n_matched > 0""",
 
     // exact counts + the bloom contract as pinned booleans: DuckDB cannot
     // rebuild the filter (implementation-defined hashing) but CAN verify
