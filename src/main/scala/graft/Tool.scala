@@ -2,9 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Developer utility: explain / time a single catalog query.
+/** Developer utility: explain / show / time a single catalog query.
   *   runMain graft.Tool explain <query> <sfDir>
+  *   runMain graft.Tool show <query> <sfDir> [rows]
   *   runMain graft.Tool time <query> <sfDir> [reps]
+  *   runMain graft.Tool stages <query> <sfDir>
   */
 object Tool {
   def main(args: Array[String]): Unit = {
