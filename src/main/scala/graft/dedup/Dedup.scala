@@ -554,6 +554,33 @@ object Dedup {
     train.select(col(idCol), hit(wordShingles(col(textCol), n)).as("bloom_hit"))
   }
 
+  /** Corpus version diff — the data-versioning step between two corpus
+    * builds: classify every document id as added (absent before), removed
+    * (absent now), changed (canonical fingerprint differs), or unchanged.
+    * Production pipelines diff corpus versions to bound re-processing
+    * (re-embed/re-dedup only added+changed) and to audit what a filter
+    * change actually did.
+    *
+    * Scale shape: one fingerprint projection per side (the same canonical
+    * md5 as [[exactGroups]] — whitespace/case-insensitive), then a single
+    * full-outer equi-join on the id. Nothing quadratic, no skew (ids are
+    * unique), each side scanned once.
+    */
+  def corpusDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def fp(df: DataFrame, name: String) = df.select(col(idCol),
+      graft.text.TextFunctions.fingerprint(col(textCol)).as(name))
+    fp(oldDf, "__fp_old").join(fp(newDf, "__fp_new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__fp_old").isNull, lit("added"))
+          .when(col("__fp_new").isNull, lit("removed"))
+          .when(col("__fp_old") =!= col("__fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"))
+  }
+
   /** Drop the cached blocks behind a `localCheckpoint(true)`d frame — e.g.
     * a consumed [[connectedComponents]] result — without waiting for the
     * GC-driven ContextCleaner.

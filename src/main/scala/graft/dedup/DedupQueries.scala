@@ -354,6 +354,27 @@ object DedupQueries {
           round(col("target") / col("share"), 6).as("weight"))
     }),
 
+    // Corpus version diff — both "versions" derived in-plan so each
+    // engine sees identical inputs (the q_pii_scrub planting technique):
+    // v2 edits every 7th doc, drops every 13th, and adds a shifted copy
+    // of every 11th. One fingerprint projection per side + a single
+    // full-outer id join; the summary counts what a re-process has to
+    // touch (added+changed) vs skip (unchanged).
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = documents(s, d)
+      val v2 = docs
+        .filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" [edited v2]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.corpusDiff(docs, v2, "doc_id", "text")
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Temperature-scaled mixture weights (the mT5/XLM-R multilingual
     // recipe: sampling share ∝ observed_share^alpha, alpha < 1 flattens
     // the distribution toward low-resource domains). Same single
@@ -730,6 +751,28 @@ object DedupQueries {
           bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
           SELECT DISTINCT doc_id FROM g
           WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)""",
+
+    "q_corpus_diff" ->
+      """WITH v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' [edited v2]'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
+         f1 AS (SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         f2 AS (SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           FROM v2),
+         d AS (SELECT
+             CASE WHEN f1.doc_id IS NULL THEN 'added'
+                  WHEN f2.doc_id IS NULL THEN 'removed'
+                  WHEN f1.fp <> f2.fp THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+           FROM f1 FULL OUTER JOIN f2 ON f1.doc_id = f2.doc_id)
+         SELECT change_type, count(*) AS n_docs FROM d GROUP BY 1""",
 
     "q_mix_temperature" ->
       """WITH per AS (

@@ -407,4 +407,16 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val const = (1 to 90).map(i => (i % 3, 0)).toDF("label", "prediction")
     assert(math.abs(Metrics.balancedAccuracy(const, "label", "prediction") - 1.0 / 3) < 1e-6)
   }
+
+  test("corpus diff classifies added/removed/changed/unchanged; whitespace drift is unchanged") {
+    val v1 = Seq((1L, "same text"), (2L, "old text"), (3L, "gone"),
+      (4L, "Spaced   Out")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "same text"), (2L, "new text"), (5L, "brand new"),
+      // canonical fingerprint: case/whitespace drift is NOT a change
+      (4L, "spaced out")).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.corpusDiff(v1, v2, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
 }
