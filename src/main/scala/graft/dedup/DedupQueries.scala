@@ -137,6 +137,18 @@ object DedupQueries {
       graft.sim.VectorQuant.quantizeInt8(embeddings(s, d), "vec_id",
         "embedding", dim = cosLshDim)),
 
+    // Chunk→document embedding pooling: elementwise mean per group (every
+    // 50 vectors stand in for one document's chunks) as ONE grouped
+    // ObjectHashAggregate with an O(dim) buffer — not explode+groupBy(dim),
+    // which would shuffle rows×dim records. Micro-unit integer CSV is the
+    // cross-engine canonical form (sum order and double formatting both
+    // differ engine-to-engine; integers don't).
+    "q_vec_mean_pool" -> ((s, d) =>
+      graft.sim.VectorQuant.meanPool(
+        embeddings(s, d).withColumn("group_id",
+          floor(col("vec_id") / 50).cast("long")),
+        "group_id", "embedding", dim = cosLshDim)),
+
     // brute-force cosine top-5 for query vectors vec_id < 10 (oracled)
     "q_knn_brute" -> ((s, d) => {
       val emb = embeddings(s, d)
@@ -930,6 +942,26 @@ object DedupQueries {
             round(greatest(${dims.map(err).mkString(", ")}), 6) AS max_abs_err
           FROM e, s"""
     },
+
+    // per-dim mean replayed via positional unnest + grouped avg, then
+    // reassembled in dim order as micro-unit integers
+    "q_vec_mean_pool" ->
+      s"""WITH e AS (SELECT CAST(vec_id // 50 AS BIGINT) AS group_id,
+            CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+          WHERE isfinite(sqrt(list_dot_product(
+            CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))),
+         p AS (SELECT group_id, d.i AS dim_i, v[d.i] AS x
+           FROM e, (SELECT unnest(range(1, ${cosLshDim + 1})) AS i) d),
+         m AS (SELECT group_id, dim_i,
+             CAST(round(avg(x) * 1000000.0) AS BIGINT) AS micro
+           FROM p GROUP BY 1, 2)
+         SELECT group_id, CAST(min(cnt) AS BIGINT) AS n_vecs,
+           string_agg(CAST(micro AS VARCHAR), ',' ORDER BY dim_i) AS mean_micro_csv
+         FROM (SELECT m.group_id, m.dim_i, m.micro,
+                 (SELECT count(*) FROM e e2 WHERE e2.group_id = m.group_id) AS cnt
+               FROM m) g
+         GROUP BY group_id""",
 
     "q_knn_brute" -> bruteTopKSql,
 

@@ -119,6 +119,63 @@ object VectorQuant {
       mn + q.cast("double") * ((mx - mn) / 255.0)
     })
 
+  /** Elementwise mean over grouped vectors in one pass; buffer = one
+    * O(dim) sum array + a count. The grouped counterpart of [[MinMaxAgg]]:
+    * runs as an ObjectHashAggregate with a single agg expression per
+    * group, vs the explode+groupBy(dim) phrasing that shuffles rows×dim
+    * records.
+    */
+  private final class MeanPoolAgg(dim: Int)
+      extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
+    def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+    def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { b._1(i) += v(i); i += 1 }
+      (b._1, b._2 + 1)
+    }
+    def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+    def finish(b: (Array[Double], Long)): Seq[Double] =
+      if (b._2 == 0) Seq.fill(dim)(0.0) else b._1.map(_ / b._2).toSeq
+    def bufferEncoder: Encoder[(Array[Double], Long)] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  }
+
+  /** Mean-pool vectors per group — the chunk→document embedding pooling
+    * step of an embedding pipeline (documents are embedded per chunk; the
+    * doc-level vector is the elementwise mean). One hash aggregate keyed
+    * on the group column with an O(dim) buffer per group; malformed and
+    * non-finite vectors are dropped by the same [[prepare]] contract as
+    * quantization (one poison chunk must not corrupt its document's
+    * vector).
+    *
+    * Output: (groupCol, n_vecs, mean vector as a CSV of integer
+    * MICRO-UNITS, round(x·10⁶)) — the canonical cross-engine
+    * representation: per-dim sums associate in row order, so raw doubles
+    * differ in the last ulp between engines, and double→string exponent
+    * formatting differs too (Java "1.0E-4" vs DuckDB "1e-04"); integers
+    * format identically everywhere and the micro-unit rounding absorbs
+    * the ulp.
+    */
+  def meanPool(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val v = prepare(df, groupCol, vecCol, dim)
+    val mp = udaf(new MeanPoolAgg(dim), ExpressionEncoder[Seq[Double]]())
+    v.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vecs"), mp(col("__v")).as("__mean"))
+      .select(col(groupCol), col("n_vecs"),
+        array_join(transform(col("__mean"),
+          x => round(x * 1e6, 0).cast("long").cast("string")),
+          ",").as("mean_micro_csv"))
+  }
+
   def quantizeInt8(
       df: DataFrame,
       idCol: String,

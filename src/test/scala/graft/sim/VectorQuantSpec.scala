@@ -68,6 +68,21 @@ class VectorQuantSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.85, s"quantized recall $recall")
   }
 
+  test("mean pooling averages per group elementwise; poison rows excluded") {
+    val df = Seq(
+      (0L, Seq(1f, 2f)), (0L, Seq(3f, 6f)),          // group 0 -> (2, 4)
+      (1L, Seq(10f, 0f)),                            // group 1 -> (10, 0)
+      (1L, Seq(Float.NaN, 1f)),                      // poison: dropped
+      (2L, Seq(1f))                                  // wrong dim: dropped
+    ).toDF("group_id", "embedding")
+    val got = VectorQuant.meanPool(df, "group_id", "embedding", dim = 2)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      0L -> ((2L, "2000000,4000000")),
+      1L -> ((1L, "10000000,0"))))
+  }
+
   test("error is bounded by scale/2 on every dimension") {
     val rnd = new scala.util.Random(7)
     val df = (1 to 300).map(i =>
