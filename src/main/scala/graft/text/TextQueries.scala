@@ -148,6 +148,53 @@ object TextQueries {
       Chunking.chunkDocuments(documents(s, d), "doc_id", "text",
         window = 64, stride = 32)),
 
+    // Corpus vocabulary statistics: the top-50 tokens by document
+    // frequency with corpus-wide term frequency — the vocab audit every
+    // corpus build starts with. One explode → distinct (doc, token) for
+    // df + one posting aggregate for tf; top-k via orderBy+limit
+    // (TakeOrdered — per-partition top-k then driver merge, no global
+    // sort materialization).
+    "q_text_vocab" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        explode(tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .join(tf, Seq("tok"))
+        .orderBy(desc("df"), desc("tf"), asc("tok"))
+        .limit(50)
+    }),
+
+    // Self-validating count-min heavy hitters: the sketch answers token
+    // frequencies in O(eps^-1) space at ANY corpus size (the 100 TB vocab
+    // path — exact groupBy needs vocab-proportional state); the invariant
+    // row pins count-min's one-sided-error contract against in-plan exact
+    // counts for the top-20 tokens: estimates never undercount, and
+    // overshoot stays within eps * total tokens. DuckDB replays the exact
+    // counts and pins both booleans (the q_contamination_bloom pattern —
+    // the sketch itself is implementation-defined hashing).
+    "q_text_heavy_hitters" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{sum => fsum}
+      val eps = 0.001
+      val toks = documents(s, d).select(col("doc_id"),
+        explode(tokens(col("text"))).as("tok"))
+      val cms = toks.stat.countMinSketch("tok", eps = eps,
+        confidence = 0.99, seed = 42)
+      val bc = s.sparkContext.broadcast(cms)
+      val est = udf((t: String) => bc.value.estimateCount(t))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .orderBy(desc("tf"), asc("tok")).limit(20)
+        .withColumn("est", est(col("tok")))
+      val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
+      top.crossJoin(broadcast(total))
+        .agg(max(col("n_total")).cast("long").as("n_tokens_total"),
+          count(lit(1)).as("n_checked"),
+          (fsum(when(col("est") < col("tf"), 1L).otherwise(0L)) === 0L)
+            .as("no_undercount"),
+          (fsum(when(col("est").cast("double") >
+            col("tf").cast("double") + lit(eps) * col("n_total"), 1L)
+            .otherwise(0L)) === 0L).as("overshoot_bounded"))
+    }),
+
     // CCNet-style LM quality scoring: an add-k-smoothed bigram language
     // model trained from the corpus IN the same plan, each doc scored by
     // its mean bigram log-prob (the perplexity-filter signal). Exact
@@ -382,6 +429,24 @@ object TextQueries {
             avg(CAST(len(toks) AS DOUBLE)) AS avgdl, $dfAggs FROM t)
           SELECT doc_id, round($termScore, 6) AS bm25 FROM t, s"""
     },
+
+    "q_text_vocab" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+          tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+          df AS (SELECT tok, count(*) AS df
+            FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1)
+          SELECT df.tok, df.df, tf.tf FROM df JOIN tf USING (tok)
+          ORDER BY df.df DESC, tf.tf DESC, df.tok ASC LIMIT 50""",
+
+    // exact totals + the count-min contract as pinned booleans: DuckDB
+    // cannot rebuild the sketch (implementation-defined hashing) but CAN
+    // verify the token totals and the one-sided-error invariants
+    "q_text_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents)
+          SELECT CAST(count(*) AS BIGINT) AS n_tokens_total,
+            CAST(20 AS BIGINT) AS n_checked,
+            TRUE AS no_undercount, TRUE AS overshoot_bounded
+          FROM toks""",
 
     // the bigram LM replayed: sequential bigram postings with
     // multiplicity, bigram/prefix counts, vocabulary scalar, identical

@@ -35,7 +35,11 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
       // stage boundary); its pre-boundary shapes are linted via
       // q_text_boilerplate and its post-boundary joins via
       // q_contamination/q_dedup_exact equivalents
-      "q_corpus_build")
+      "q_corpus_build",
+      // count-min sketch build (df.stat.countMinSketch) is a driver
+      // action at query construction (the bloom pattern); the remaining
+      // plan is a TakeOrdered top-k + a broadcast 1-row total
+      "q_text_heavy_hitters")
 
   /** (query, reason the flagged shape is bounded by design). */
   private val allowed: Map[String, String] = Map(
