@@ -171,6 +171,25 @@ object RelationalQueries {
           col("o_totalprice"))
     }),
 
+    // The full ranking-function matrix in one plan: rank / dense_rank /
+    // percent_rank / cume_dist / ntile / lag over a deterministic order
+    // (ties broken by key so every function replays exactly). One window
+    // shuffle on the partition key serves all seven expressions —
+    // Catalyst fuses same-spec window functions into one WindowExec.
+    "q_window_rank_funcs" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      customer(s, d).filter(col("c_custkey") <= 500)
+        .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          lag(col("c_custkey"), 1).over(w).as("prev_key"),
+          lead(col("c_custkey"), 1).over(w).as("next_key"))
+    }),
+
     // W1 + R2 — deterministic class-balanced partition-id assignment,
     // validated by per-(segment, pid) counts
     "q_partition_balance" -> ((s, d) =>
@@ -309,6 +328,21 @@ object RelationalQueries {
       orders(s, d).cube(col("o_orderstatus").as("status"),
           col("o_orderpriority").as("priority"))
         .agg(count(lit(1)).as("cnt"))),
+
+    // Explicit GROUPING SETS — the one multi-dim aggregation shape the
+    // Column API doesn't expose (rollup/cube only); reached through the
+    // spark.sql entry point over a registered view. grouping() columns
+    // disambiguate "aggregated over" from a genuinely NULL key.
+    "q_grouping_sets" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus AS status, o_orderpriority AS priority,
+          CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+          count(*) AS cnt,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    }),
 
     // String functions over parts
     "q_string_funcs" -> ((s, d) =>
@@ -1098,6 +1132,19 @@ object RelationalQueries {
               ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
           FROM orders) t WHERE rk <= 3""",
 
+    "q_window_rank_funcs" ->
+      """SELECT c_mktsegment AS segment, c_custkey,
+         CAST(rank() OVER w AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+         round(percent_rank() OVER w, 6) AS prank,
+         round(cume_dist() OVER w, 6) AS cdist,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         lag(c_custkey, 1) OVER w AS prev_key,
+         lead(c_custkey, 1) OVER w AS next_key
+         FROM customer WHERE c_custkey <= 500
+         WINDOW w AS (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal DESC, c_custkey ASC)""",
+
     "q_partition_balance" ->
       """WITH p AS (SELECT c_mktsegment,
            CAST((row_number() OVER (PARTITION BY c_mktsegment
@@ -1212,6 +1259,15 @@ object RelationalQueries {
            EXCEPT
            SELECT o_custkey AS c_custkey FROM orders)
          SELECT count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM e""",
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+         CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+         count(*) AS cnt,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
 
     "q_rollup" ->
       """SELECT l_returnflag AS flag, l_linestatus AS status, count(*) AS cnt,
