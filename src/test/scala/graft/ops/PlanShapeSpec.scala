@@ -133,6 +133,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"only the 1-row corpus-stats cross join may nest-loop: $plan")
   }
 
+  test("q_window_rank_funcs fuses all seven ranking expressions into one WindowExec") {
+    val df = graft.SparkEntry.queries("q_window_rank_funcs")(spark, d)
+    // sparkPlan (pre-AQE wrapper, which hides children from collect()):
+    // same partition/order spec -> Catalyst evaluates rank, dense_rank,
+    // percent_rank, cume_dist, ntile, lag, lead over ONE shuffle+sort;
+    // a second "Window [" node would mean a spec drifted and doubled
+    // the sort
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.sliding("Window [".length).count(_ == "Window [") === 1,
+      plan.linesIterator.filter(_.contains("Window")).mkString("\n"))
+  }
+
   test("q_seq_pack_greedy shuffles once, on the shard key") {
     val df = graft.SparkEntry.queries("q_seq_pack_greedy")(spark, d)
     val exchanges = df.queryExecution.executedPlan.toString
