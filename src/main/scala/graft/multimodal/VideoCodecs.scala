@@ -47,6 +47,50 @@ object VideoCodecs {
     out.result()
   }
 
+  /** Animated-GIF container write — the one MULTI-FRAME format the JDK
+    * can both encode and decode natively (javax.imageio's GIF plugin), so
+    * unlike MP4/MKV this needs no stub: a real sequence write with a real
+    * frame-index read ([[gifFrames]]). GIF is palette-based and LOSSLESS
+    * for ≤256-color images, so grayscale fixtures round-trip
+    * pixel-exactly.
+    */
+  def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Decode every GIF frame. Frames come back RAW per GIF frame — the
+    * reader does not composite disposal methods, so callers using delta
+    * frames see deltas; full-size replacement frames (the fixture shape)
+    * are unaffected. Poison contract as everywhere in this package:
+    * malformed payloads yield empty, never exceptions.
+    */
+  def gifFrames(payload: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
+    if (payload == null || payload.length < 6) return IndexedSeq.empty
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return IndexedSeq.empty
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        (0 until n).map(reader.read)
+      } finally reader.dispose()
+    } catch { case _: Exception => IndexedSeq.empty }
+  }
+
   /** `k` evenly spaced frames (first frame always included; order
     * preserved). Real frame sampling: index walk + slice, no decode of
     * unsampled frames — at scale the savings IS the point of sampling.

@@ -343,6 +343,43 @@ object TscQueries {
         .select(col("media_id"),
           col("frame_idx").cast("long").as("frame_idx"),
           round(lumaUdf(col("frame")).cast("double"), 4).as("luma"))
+    }),
+
+    // REAL animated-GIF mux + demux: the JDK's only natively encodable
+    // multi-frame container (javax.imageio GIF plugin — MP4/MKV stay
+    // documented stubs because the JDK ships no codec for them). Per row,
+    // k = 3 + id%3 solid-gray 8x8 frames (level (id*31 + 17*f) % 256)
+    // round-trip through a sequence-written GIF; palette encoding is
+    // LOSSLESS for grayscale, so the decoded corner pixel equals the
+    // planted level exactly and DuckDB replays frame counts and levels
+    // from the closed form — container write, frame index, and per-frame
+    // decode are all hash-verified.
+    "q_video_gif" -> ((s, d) => {
+      val gifUdf = udf((id: Long) => {
+        val k = 3 + (id % 3).toInt
+        val frames = (0 until k).map { f =>
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val g = ((id * 31 + 17 * f) % 256).toInt
+          val gr = img.createGraphics()
+          gr.setColor(new java.awt.Color(g, g, g))
+          gr.fillRect(0, 0, 8, 8)
+          gr.dispose()
+          img
+        }
+        graft.multimodal.VideoCodecs.animatedGif(frames)
+      })
+      val levelsUdf = udf((payload: Array[Byte]) =>
+        graft.multimodal.VideoCodecs.gifFrames(payload)
+          .map(img => (img.getRGB(0, 0) & 0xFF).toString).mkString(","))
+      Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          levelsUdf(gifUdf(col("doc_id"))).as("levels_csv"))
+        .select(col("media_id"),
+          when(col("levels_csv") === "", lit(0L))
+            .otherwise(size(split(col("levels_csv"), ",")).cast("long"))
+            .as("n_frames"),
+          col("levels_csv"))
     }))
 
   private val tscInvariantSql =
@@ -430,6 +467,17 @@ object TscQueries {
            round(CAST(CAST((0.299*((doc_id + fi*17) % 256)
              + 0.587*((doc_id*7 + fi*29) % 256)
              + 0.114*((doc_id*13 + fi*41) % 256)) / 255.0 AS FLOAT) AS DOUBLE), 4) AS luma
-         FROM f"""
+         FROM f""",
+
+    // closed-form replay of the planted GIF frames: count and the exact
+    // palette-lossless gray levels per frame, in frame order
+    "q_video_gif" ->
+      """WITH f AS (SELECT doc_id,
+           unnest(range(0, CAST(3 + doc_id % 3 AS BIGINT))) AS i
+         FROM documents)
+         SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_frames,
+           string_agg(CAST((doc_id * 31 + 17 * i) % 256 AS VARCHAR),
+             ',' ORDER BY i) AS levels_csv
+         FROM f GROUP BY doc_id"""
   )
 }

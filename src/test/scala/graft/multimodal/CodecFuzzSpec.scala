@@ -66,6 +66,28 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("gif codec round-trips exactly and never throws on mangled containers") {
+    val frames = (0 until 4).map { f =>
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val gr = img.createGraphics()
+      gr.setColor(new java.awt.Color(f * 60, f * 60, f * 60))
+      gr.fillRect(0, 0, 8, 8)
+      gr.dispose()
+      img
+    }
+    val valid = VideoCodecs.animatedGif(frames)
+    // palette-lossless round-trip: exact planted gray levels, in order
+    assert(VideoCodecs.gifFrames(valid).map(i => i.getRGB(0, 0) & 0xFF)
+      === (0 until 4).map(_ * 60))
+    (1 to Iters).foreach { _ =>
+      val p = if (rnd.nextBoolean()) randomBytes(512) else mangle(valid)
+      VideoCodecs.gifFrames(p).foreach(i => i.getRGB(0, 0)) // degrade, never throw
+    }
+    assert(VideoCodecs.gifFrames(null).isEmpty)
+    assert(VideoCodecs.gifFrames(Array.emptyByteArray).isEmpty)
+  }
+
   test("adversarial image headers: gigapixel-claiming PNG is refused before allocation") {
     import java.io.ByteArrayOutputStream
     import java.util.zip.CRC32
