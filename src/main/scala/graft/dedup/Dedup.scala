@@ -571,13 +571,20 @@ object Dedup {
       newDf: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    def fp(df: DataFrame, name: String) = df.select(col(idCol),
-      graft.text.TextFunctions.fingerprint(col(textCol)).as(name))
-    fp(oldDf, "__fp_old").join(fp(newDf, "__fp_new"), Seq(idCol), "full_outer")
+    // presence is tested on an explicit marker, NOT on fingerprint
+    // nullness: a NULL text fingerprints to NULL, which would misread a
+    // present-but-null row as an absent one (a null-text doc in v1 only
+    // would classify "added" instead of "removed"). The eqNullSafe compare
+    // then treats two NULL texts as unchanged.
+    def fp(df: DataFrame, name: String, here: String) = df.select(col(idCol),
+      graft.text.TextFunctions.fingerprint(col(textCol)).as(name),
+      lit(true).as(here))
+    fp(oldDf, "__fp_old", "__in_old")
+      .join(fp(newDf, "__fp_new", "__in_new"), Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__fp_old").isNull, lit("added"))
-          .when(col("__fp_new").isNull, lit("removed"))
-          .when(col("__fp_old") =!= col("__fp_new"), lit("changed"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(!(col("__fp_old") <=> col("__fp_new")), lit("changed"))
           .otherwise(lit("unchanged")).as("change_type"))
   }
 

@@ -781,7 +781,7 @@ object DedupQueries {
          d AS (SELECT
              CASE WHEN f1.doc_id IS NULL THEN 'added'
                   WHEN f2.doc_id IS NULL THEN 'removed'
-                  WHEN f1.fp <> f2.fp THEN 'changed'
+                  WHEN f1.fp IS DISTINCT FROM f2.fp THEN 'changed'
                   ELSE 'unchanged' END AS change_type
            FROM f1 FULL OUTER JOIN f2 ON f1.doc_id = f2.doc_id)
          SELECT change_type, count(*) AS n_docs FROM d GROUP BY 1""",

@@ -78,16 +78,22 @@ object VideoCodecs {
   def gifFrames(payload: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
     if (payload == null || payload.length < 6) return IndexedSeq.empty
     try {
+      // the stream must be CLOSED, not just the reader disposed: with
+      // ImageIO's default disk cache this is a FileCacheImageInputStream
+      // holding an open temp file, and a per-row leak exhausts executor
+      // fds on a large corpus
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return IndexedSeq.empty
-      val reader = readers.next()
       try {
-        reader.setInput(iis, false)
-        val n = reader.getNumImages(true)
-        (0 until n).map(reader.read)
-      } finally reader.dispose()
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return IndexedSeq.empty
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false)
+          val n = reader.getNumImages(true)
+          (0 until n).map(reader.read)
+        } finally reader.dispose()
+      } finally iis.close()
     } catch { case _: Exception => IndexedSeq.empty }
   }
 

@@ -49,12 +49,10 @@ object Boilerplate {
     require(maxDocFraction.forall(f => f > 0 && f <= 1),
       s"maxDocFraction must be in (0, 1], got $maxDocFraction")
     val id = col(idCol)
-    // coalesce: a NULL text must behave as zero tokens, not poison the
-    // row (size(NULL) is NULL and would surface as NULL n_dropped)
+    // a NULL text must behave as zero tokens, not poison the row
+    // (size(NULL) is NULL and would surface as NULL n_dropped)
     val base = graft.prep.Preprocessing.spread(df)
-      .select(id,
-        coalesce(filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit("")),
-          array()).as("toks"))
+      .select(id, TextFunctions.safeLowerTokens(col(textCol)).as("toks"))
     // positional n-grams: gram at p covers token positions [p, p+n-1].
     // sequence() guarded — Spark's sequence(0, negative) DESCENDS.
     val withGrams = base.withColumn("grams",

@@ -25,9 +25,8 @@ object Chunking {
     require(window >= 1, s"window must be >= 1, got $window")
     require(stride >= 1 && stride <= window,
       s"stride must be in [1, window], got $stride")
-    // coalesce: NULL text behaves as zero tokens (no chunks), not NULL
-    val toks = coalesce(
-      filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit("")), array())
+    // NULL text behaves as zero tokens (no chunks), not NULL
+    val toks = TextFunctions.safeLowerTokens(col(textCol))
     val base = df.select(col(idCol), toks.as("__toks"))
     // last chunk start index = floor((len-1)/stride); sequence() is guarded
     // because Spark's sequence(0, negative) DESCENDS rather than empties

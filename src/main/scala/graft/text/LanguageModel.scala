@@ -25,8 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object LanguageModel {
 
-  private def toks(textCol: Column): Column = coalesce(
-    filter(split(lower(textCol), "\\s+"), t => t =!= lit("")), array())
+  private def toks(textCol: Column): Column =
+    TextFunctions.safeLowerTokens(textCol)
 
   /** (w1, bg) structs for each sequential bigram, with multiplicity. */
   private def bigramArr(t: Column): Column =

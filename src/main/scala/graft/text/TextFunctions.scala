@@ -20,6 +20,16 @@ object TextFunctions {
 
   def lowerTokens(text: Column): Column = tokens(lower(text))
 
+  /** Null-safe lowercase tokens: NULL text behaves as an empty document
+    * (zero tokens), not NULL. ONE definition shared by every operator
+    * whose DuckDB twin tokenizes with `toksSql` (chunking, BM25, the
+    * bigram LM, vocab stats) — the Spark side and the SQL side must
+    * lowercase and filter identically or the oracles silently diverge on
+    * the first mixed-case corpus.
+    */
+  def safeLowerTokens(text: Column): Column =
+    coalesce(lowerTokens(text), array())
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 

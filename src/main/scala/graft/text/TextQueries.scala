@@ -155,8 +155,10 @@ object TextQueries {
     // (TakeOrdered — per-partition top-k then driver merge, no global
     // sort materialization).
     "q_text_vocab" -> ((s, d) => {
+      // safeLowerTokens, NOT tokens(): the oracle tokenizes with toksSql,
+      // which lowercases — mixed-case corpora would silently diverge
       val toks = documents(s, d).select(col("doc_id"),
-        explode(tokens(col("text"))).as("tok"))
+        explode(safeLowerTokens(col("text"))).as("tok"))
       val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
       toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
         .join(tf, Seq("tok"))
@@ -176,7 +178,7 @@ object TextQueries {
       import org.apache.spark.sql.functions.{sum => fsum}
       val eps = 0.001
       val toks = documents(s, d).select(col("doc_id"),
-        explode(tokens(col("text"))).as("tok"))
+        explode(safeLowerTokens(col("text"))).as("tok"))
       val cms = toks.stat.countMinSketch("tok", eps = eps,
         confidence = 0.99, seed = 42)
       val bc = s.sparkContext.broadcast(cms)

@@ -24,9 +24,8 @@ object TextRanking {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    // coalesce: NULL text scores like an empty document, not NULL
-    val toks = coalesce(
-      filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit("")), array())
+    // NULL text scores like an empty document, not NULL
+    val toks = TextFunctions.safeLowerTokens(col(textCol))
     val base = graft.prep.Preprocessing.spread(df)
       .select(col(idCol), toks.as("__toks"))
       .withColumn("__dl", size(col("__toks")).cast("double"))
@@ -84,8 +83,7 @@ object TextRanking {
       termCol: String = "term",
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val toks = coalesce(
-      filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit("")), array())
+    val toks = TextFunctions.safeLowerTokens(col(textCol))
     val base = graft.prep.Preprocessing.spread(df)
       .select(col(idCol), toks.as("__toks"))
       .withColumn("__dl", size(col("__toks")).cast("double"))

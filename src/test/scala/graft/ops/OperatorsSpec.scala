@@ -409,14 +409,20 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("corpus diff classifies added/removed/changed/unchanged; whitespace drift is unchanged") {
+    val nul = null.asInstanceOf[String]
     val v1 = Seq((1L, "same text"), (2L, "old text"), (3L, "gone"),
-      (4L, "Spaced   Out")).toDF("doc_id", "text")
+      (4L, "Spaced   Out"),
+      // null-text rows: presence must come from the side marker, not the
+      // (null) fingerprint — 6 is removed, 7 is changed, 8 is unchanged
+      (6L, nul), (7L, nul), (8L, nul)).toDF("doc_id", "text")
     val v2 = Seq((1L, "same text"), (2L, "new text"), (5L, "brand new"),
       // canonical fingerprint: case/whitespace drift is NOT a change
-      (4L, "spaced out")).toDF("doc_id", "text")
+      (4L, "spaced out"),
+      (7L, "now has text"), (8L, nul)).toDF("doc_id", "text")
     val got = graft.dedup.Dedup.corpusDiff(v1, v2, "doc_id", "text")
       .as[(Long, String)].collect().toMap
     assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
-      4L -> "unchanged", 5L -> "added"))
+      4L -> "unchanged", 5L -> "added",
+      6L -> "removed", 7L -> "changed", 8L -> "unchanged"))
   }
 }
