@@ -191,6 +191,12 @@ object Knn extends Serializable {
     * Spherical: unit-normalize before Lloyd's so cell geometry agrees with
     * the cosine metric the search ranks by — raw-L2 cells cut across
     * cosine neighborhoods and wreck recall.
+    *
+    * Degrade-don't-throw: a corpus with ZERO finite-norm vectors (every
+    * embedding poisoned) yields an empty sample; this returns an EMPTY
+    * centroid array instead of tripping kmeansCentroids' require — callers
+    * degrade (empty search result, salt-only split) rather than letting
+    * one fully-hostile input kill a corpus-wide job.
     */
   def trainSphericalKmeans(
       df: DataFrame,
@@ -205,7 +211,8 @@ object Knn extends Serializable {
       .withColumn("_r", rand(seed))
       .orderBy(col("_r")).limit(sampleSize)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-    kmeansCentroids(sample.map(unit), k, iters, seed)
+    if (sample.isEmpty) Array.empty
+    else kmeansCentroids(sample.map(unit), k, iters, seed)
   }
 
   /** IVF top-k: assign candidates to their nearest centroid cell, probe the
@@ -228,6 +235,14 @@ object Knn extends Serializable {
     val spark = candidates.sparkSession
     val centroids = trainSphericalKmeans(candidates, vecCol, nlist,
       sampleSize, iters = 10, seed = seed)
+    if (centroids.isEmpty) {
+      // zero finite-norm candidate vectors: the finiteNorm guard below
+      // would drop every candidate row anyway, so degrade to an empty
+      // result with the output schema instead of crashing in training
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0L).as("rank"),
+        lit(0.0).as("cosine_sim")).limit(0)
+    }
     val bc = spark.sparkContext.broadcast(centroids)
 
     def cellDistances(v: Seq[Double]): Array[Double] = {

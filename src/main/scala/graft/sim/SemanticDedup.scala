@@ -137,24 +137,38 @@ object SemanticDedup {
     val oversized = sizes.filter(_._2 > max)
     if (oversized.isEmpty) return a.withColumn("__sub", lit("0"))
 
-    // round 1: semantic split — train sub-centroids per oversized cluster
-    val subCentRows: Seq[(String, Int, Seq[Double])] = oversized.toSeq
+    // round 1: semantic split — train sub-centroids per oversized cluster.
+    // A cluster whose finite training sample is EMPTY (every member
+    // embedding non-finite — all poison rows deterministically tie-break
+    // into one cluster) gets no centroids back (see
+    // [[Knn.trainSphericalKmeans]]): it SKIPS the semantic round and falls
+    // straight to the salt backstop, which needs no training data — one
+    // all-NaN cluster must not kill the corpus-wide job (ADVICE r9).
+    val trained: Seq[(String, Long, Array[Array[Double]])] = oversized.toSeq
       .sortBy(_._1.toString)
-      .flatMap { case (cid, size) =>
+      .map { case (cid, size) =>
         val nSub = ((size + max - 1) / max).toInt
         val members = a.filter(col("cluster_id") === lit(cid))
-        Knn.trainSphericalKmeans(members, "__v", k = nSub,
+        (cid.toString, size,
+          Knn.trainSphericalKmeans(members, "__v", k = nSub,
             sampleSize = math.min(size, 2000L).toInt, iters = 5,
-            seed = 42L + cid.toString.hashCode)
-          .zipWithIndex.map { case (cvec, s) => (cid.toString, s, cvec.toSeq) }
+            seed = 42L + cid.toString.hashCode))
       }
+    val saltOnly: Map[String, Int] = trained.collect {
+      case (cid, size, cents) if cents.isEmpty =>
+        cid -> ((size + max - 1) / max).toInt
+    }.toMap
+    val subCentRows: Seq[(String, Int, Seq[Double])] = trained.flatMap {
+      case (cid, _, cents) =>
+        cents.zipWithIndex.map { case (cvec, s) => (cid, s, cvec.toSeq) }
+    }
     val spark = a.sparkSession
     import spark.implicits._
     val subCents = subCentRows.toDF("__scid", "__ssub", "__scv")
       .withColumn("__snc", Vectors.norm(col("__scv")))
     val wSub = Window.partitionBy(col(idCol))
       .orderBy(col("__ssim").desc, col("__ssub").asc)
-    val reassigned = a
+    val semantic = a
       .join(broadcast(subCents),
         col("cluster_id").cast("string") === col("__scid"))
       .select(col(idCol), col("cluster_id"), col("__ssub"),
@@ -164,6 +178,19 @@ object SemanticDedup {
       .filter(col("__rn") === 1)
       .select(col(idCol), col("cluster_id"),
         concat(lit("s"), col("__ssub").cast("string")).as("__sub"))
+    val reassigned =
+      if (saltOnly.isEmpty) semantic
+      else {
+        val saltMap = typedlit(saltOnly)
+        val direct = a
+          .filter(element_at(saltMap, col("cluster_id").cast("string")).isNotNull)
+          .select(col(idCol), col("cluster_id"),
+            concat(lit("p"),
+              pmod(xxhash64(col(idCol)),
+                element_at(saltMap, col("cluster_id").cast("string")))
+                .cast("string")).as("__sub"))
+        semantic.unionByName(direct)
+      }
 
     // round 2: salt backstop for groups k-means failed to shrink
     val subSizes = reassigned.groupBy(col("cluster_id"), col("__sub")).count()
