@@ -141,7 +141,12 @@ object Knn extends Serializable {
       seed: Long): Array[Array[Double]] = {
     require(samples.nonEmpty && k > 0)
     val rng = new scala.util.Random(seed)
-    val dim = samples.head.length
+    // a hostile corpus can hand us RAGGED sample lengths (schema says
+    // array<float>, nothing enforces a uniform dim). Fold the common
+    // prefix, exactly like the search kernels (see cellDistances /
+    // DtwExpression): dim is the longest sample, shorter vectors
+    // contribute their prefix only — no AIOOBE, deterministic
+    val dim = samples.map(_.length).max
     var centroids = rng.shuffle(samples.toVector).take(math.min(k, samples.length))
       .map(_.clone).toArray
     var it = 0
@@ -152,14 +157,17 @@ object Knn extends Serializable {
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < centroids.length) {
+          val cv = centroids(c)
           var d = 0.0; var i = 0
-          while (i < dim) { val x = v(i) - centroids(c)(i); d += x * x; i += 1 }
+          val n = math.min(v.length, cv.length)
+          while (i < n) { val x = v(i) - cv(i); d += x * x; i += 1 }
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
         counts(best) += 1
         var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        val n = math.min(v.length, dim)
+        while (i < n) { sums(best)(i) += v(i); i += 1 }
       }
       centroids = centroids.indices.map { c =>
         if (counts(c) == 0) centroids(c)
@@ -205,9 +213,17 @@ object Knn extends Serializable {
       sampleSize: Int,
       iters: Int,
       seed: Long): Array[Array[Double]] = {
+    // misconfiguration fails loudly — ONLY the genuinely-empty finite
+    // sample (fully-poisoned corpus) takes the degrade path below
+    require(k > 0, s"k must be > 0, got $k")
+    require(sampleSize > 0, s"sampleSize must be > 0, got $sampleSize")
+    // finite AND strictly positive norm: a zero-norm vector (all zeros, or
+    // zero-length) has no direction, so it cannot vote for a SPHERICAL
+    // centroid — unit() would pass it through un-normalized and dilute
+    // whichever cell it lands in
     val sample = df.select(toDoubleArray(col(vecCol)).as("v"))
       .withColumn("_n", norm(col("v")))
-      .filter(finiteNorm("_n"))
+      .filter(finiteNorm("_n") && col("_n") > 0)
       .withColumn("_r", rand(seed))
       .orderBy(col("_r")).limit(sampleSize)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
@@ -238,10 +254,13 @@ object Knn extends Serializable {
     if (centroids.isEmpty) {
       // zero finite-norm candidate vectors: the finiteNorm guard below
       // would drop every candidate row anyway, so degrade to an empty
-      // result with the output schema instead of crashing in training
-      return queries.select(col(idCol).as("query_id"),
-        col(idCol).as("neighbor_id"), lit(0L).as("rank"),
-        lit(0.0).as("cosine_sim")).limit(0)
+      // result with the output schema instead of crashing in training.
+      // neighbor_id comes from CANDIDATES (as in the normal path) so the
+      // degraded schema cannot diverge if the two frames' id types differ
+      return queries.select(col(idCol).as("query_id"))
+        .crossJoin(candidates.select(col(idCol).as("neighbor_id")))
+        .select(col("query_id"), col("neighbor_id"),
+          lit(0L).as("rank"), lit(0.0).as("cosine_sim")).limit(0)
     }
     val bc = spark.sparkContext.broadcast(centroids)
 

@@ -105,6 +105,48 @@ class SemanticDedupSpec extends AnyFunSuite with SparkSpec {
     assert(flags.length === 200)
   }
 
+  test("an oversized all-poison cluster falls to the salt-only backstop, clean clusters untouched") {
+    // 120 all-NaN vectors in ONE oversized cluster: the semantic round's
+    // training sample is empty (finite-norm filter drops every member), so
+    // the round-10 degrade path must route the whole cluster straight to
+    // the xxhash64 salt backstop ("p<i>" labels) WITHOUT throwing — one
+    // fully-hostile cluster must not kill the corpus-wide job. A clean
+    // non-oversized cluster rides along and must keep the "0" label.
+    val nanRows = (0 until 120).map(i =>
+      (i.toLong, Seq(Double.NaN, 1.0, 0.0), 0L))
+    val cleanRows = (120 until 130).map(i =>
+      (i.toLong, Seq(0.0, 1.0, 0.0), 1L))
+    val assigned = (nanRows ++ cleanRows).toDF("vec_id", "__v", "cluster_id")
+      .withColumn("__nv", Vectors.norm(col("__v")))
+    val subs = SemanticDedup.boundedSubgroups(assigned, "vec_id", max = 50)
+      .select(col("vec_id"), col("__sub")).as[(Long, String)].collect()
+    assert(subs.length === 130, "every member keeps exactly one row")
+    val poison = subs.filter(_._1 < 120)
+    assert(poison.forall(_._2.startsWith("p")),
+      s"all-poison cluster must be salt-only: ${poison.map(_._2).distinct.toSeq}")
+    val bySub = poison.groupBy(_._2).view.mapValues(_.length)
+    assert(bySub.size >= 2, s"salt must actually chunk: ${bySub.toMap}")
+    assert(bySub.values.forall(_ <= 100), s"chunk over 2x cap: ${bySub.toMap}")
+    assert(subs.filter(_._1 >= 120).forall(_._2 === "0"),
+      "clean non-oversized cluster keeps the identity label")
+  }
+
+  test("keepFlags end-to-end survives an oversized all-poison cluster") {
+    // same scenario through the public API: 200 NaN vectors all assigned
+    // to the single centroid's cluster, over the cap. Expect a verdict for
+    // every row and no throw; poison rows keep (the pairwise prune join
+    // excludes non-finite-norm vectors, so they drop no one and no one
+    // drops them).
+    val flood = (0 until 200).map(i => (i.toLong, Seq(Float.NaN, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val flags = SemanticDedup.keepFlags(flood, "vec_id", "embedding",
+        centroids = Seq((0L, Seq(1f, 0f, 0f))).toDF("cid", "embedding"),
+        cidCol = "cid", threshold = 0.9, maxClusterSize = Some(50))
+      .as[(Long, Long, Boolean)].collect()
+    assert(flags.length === 200)
+    assert(flags.forall(_._3), "poison rows participate in no pair, so all keep")
+  }
+
   test("the frozen trained quantizer spreads assignment across all clusters") {
     // the round-8 demo fed the first 32 corpus vectors as centroids; the
     // trained quantizer (seeded spherical k-means, frozen in

@@ -87,6 +87,43 @@ class VectorFuzzSpec extends AnyFunSuite with SparkSpec {
     assert(got.contains(8L), "honest neighbors still returned")
   }
 
+  test("a fully-poisoned corpus degrades ivfTopK to an empty typed result, not a crash") {
+    // null + NaN + Inf rows only: quantizer training has zero finite-norm
+    // samples, so trainSphericalKmeans returns NO centroids and ivfTopK
+    // must emit an EMPTY frame with the normal output schema (round-10
+    // degrade contract) instead of tripping a require inside Lloyd's
+    val poison = hostile.filter(col("vec_id").isin(1L, 6L, 7L))
+    assert(Knn.trainSphericalKmeans(poison, "embedding", k = 4,
+      sampleSize = 100, iters = 5, seed = 1L).isEmpty)
+    val degraded = Knn.ivfTopK(
+      queries = hostile.filter(col("vec_id") === 0),
+      candidates = poison, "vec_id", "embedding", k = 3)
+    assert(degraded.count() === 0)
+    // schema parity with the normal path — names AND types (ADVICE r10:
+    // neighbor_id must derive from candidates in both branches).
+    // Nullability is excluded: Spark's own optimizer treats output
+    // nullability as advisory (lit(0.0) is non-null, round(sim) nullable)
+    val normal = Knn.ivfTopK(
+      queries = hostile.filter(col("vec_id") === 0),
+      candidates = hostile, "vec_id", "embedding", k = 3)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(degraded) === shape(normal))
+  }
+
+  test("quantizer misconfiguration still fails loudly, only true poison degrades") {
+    // the degrade path is reserved for a genuinely-empty finite sample; a
+    // caller passing a non-positive k/sampleSize is a bug and must throw
+    intercept[IllegalArgumentException] {
+      Knn.trainSphericalKmeans(hostile, "embedding", k = 0,
+        sampleSize = 100, iters = 5, seed = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Knn.trainSphericalKmeans(hostile, "embedding", k = 4,
+        sampleSize = 0, iters = 5, seed = 1L)
+    }
+  }
+
   test("a poisoned vector cannot drop its clustermates") {
     // id 7 (Inf) shares cluster 0 with good vectors; NaN >= threshold
     // would mark them all duplicates without the finite-norm guard
