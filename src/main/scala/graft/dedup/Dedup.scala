@@ -588,6 +588,99 @@ object Dedup {
           .otherwise(lit("unchanged")).as("change_type"))
   }
 
+  /** Exact substring (duplicated-span) dedup — Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": excise
+    * every ≥`minLen`-token span that also appears verbatim in ANOTHER
+    * document, keeping the copy in the lowest doc id. Document-level dedup
+    * (exact/MinHash/SimHash/SemDeDup) misses exactly this: boilerplate
+    * paragraphs, license headers, and quoted passages embedded in
+    * otherwise-unique documents.
+    *
+    * Variant notes vs the paper: their single-string suffix array treats
+    * the corpus as one byte stream and excises every occurrence; a suffix
+    * array does not shard, so the distributed shape is gram-anchored —
+    * every `minLen`-token window keyed by md5, duplicated keys become
+    * seeds, covered positions are excised. We (a) scope duplication
+    * CROSS-document (within-doc repetition is priced by the repetition
+    * scorer instead), and (b) keep the lowest-doc-id occurrence so one
+    * copy of the content survives the corpus. Both choices are
+    * deterministic and replayed verbatim by the DuckDB oracle.
+    *
+    * Scale shape (nothing quadratic at any step): the window relation is
+    * one row per token position — ~`n_tokens` rows keyed by a 32-char md5,
+    * NOT by the span text, so shuffle width is constant per row. Seeds
+    * come from ONE two-phase hash aggregate on that key (count-distinct
+    * docs + min doc — partial aggs absorb hot boilerplate keys; a span in
+    * a million docs is still one seed row and a linear fan-back, never a
+    * pair join). Coverage is seeds⋈windows on the key (equi-join, each
+    * window matches at most one seed row), exploded to at most
+    * `minLen × dup_windows` (doc, pos) rows and distinct'd — overlapping
+    * spans merge here for free. The rebuild is a left-anti join on
+    * (doc, pos) plus one groupBy(doc) — both partition on the doc id.
+    * Window construction costs O(minLen) bytes per position (the slice
+    * feeding md5); that is the classic space-time trade the MapReduce
+    * formulation makes vs the paper's suffix array.
+    *
+    * Output: (doc_id, n_tokens, n_removed, clean_text) — one row per input
+    * document. Documents whose every token was excised (or whose text is
+    * NULL/empty) still get a row with clean_text = '' via the id spine:
+    * a groupBy over kept tokens alone would silently drop them (the
+    * meanPool vanishing-group lesson).
+    *
+    * Text canonicalization: spans MATCH case-insensitively (the
+    * [[wordShingles]] doctrine) but the rebuilt text keeps the original
+    * casing; positions align because both token streams split on the same
+    * `\s+`. Inter-token whitespace is normalized to single spaces by the
+    * rebuild.
+    */
+  def substringDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val L = minLen
+    val base = docs.select(col(idCol),
+        filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+          t => t =!= "").as("__raw"))
+      .withColumn("__low", transform(col("__raw"), t => lower(t)))
+      .withColumn("__n", size(col("__raw")))
+    // one row per L-token window: (doc, pos, md5-of-span). sequence() is
+    // only generated for docs long enough to hold a window (sequence(0, x)
+    // with x < 0 would count DOWN and fabricate negative positions)
+    val windows = base.filter(col("__n") >= L)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), col("__n") - L),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(col("__low"), i + 1, lit(L))))
+            .as("k")))).as("w"))
+      .select(col(idCol), col("w.pos").as("pos"), col("w.k").as("k"))
+    val seeds = windows.groupBy(col("k"))
+      .agg(countDistinct(col(idCol)).as("__nd"), min(col(idCol)).as("__canon"))
+      .filter(col("__nd") >= 2)
+      .select(col("k"), col("__canon"))
+    val covered = windows.join(seeds, "k")
+      .filter(col(idCol) =!= col("__canon"))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + L - 1))
+        .as("__p"))
+      .distinct()
+    val toks = base.select(col(idCol), posexplode(col("__raw")))
+      .toDF(idCol, "__p", "__tok")
+    val rebuilt = toks.join(covered, Seq(idCol, "__p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__p"), col("__tok")))),
+          s => s.getField("__tok"))).as("__clean"))
+    base.select(col(idCol), col("__n"))
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        col("__n").cast("long").as("n_tokens"),
+        (col("__n") - coalesce(col("__kept"), lit(0L))).cast("long")
+          .as("n_removed"),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
   /** Drop the cached blocks behind a `localCheckpoint(true)`d frame — e.g.
     * a consumed [[connectedComponents]] result — without waiting for the
     * GC-driven ContextCleaner.

@@ -20,6 +20,15 @@ object DedupQueries {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(documents(s, d), "doc_id", "text")),
 
+    // exact substring (duplicated-span) dedup, Lee et al. 2022: excise
+    // every >=substringMinLen-token span that also appears verbatim in
+    // another document, keeping the lowest-doc-id copy. minLen is passed
+    // EXPLICITLY because the DuckDB oracle replays the same window length
+    // (see the q_dedup_substring oracle) — the two must move together.
+    "q_dedup_substring" -> ((s, d) =>
+      Dedup.substringDedup(documents(s, d), "doc_id", "text",
+        minLen = substringMinLen)),
+
     // bigram Jaccard near-dup pairs, blocked by lang. maxDocFreq is passed
     // EXPLICITLY (not defaulted) because the DuckDB oracle encodes the same
     // cap — the two must move together (see jaccardPairsCtes).
@@ -536,6 +545,13 @@ object DedupQueries {
   // bigrams cross 1000 docs somewhere between sf0.1 and sf1).
   private val jaccardDfCap = 1000
 
+  // Span length (in whitespace tokens) for exact substring dedup — shared
+  // by the Spark call site and the SQL twin, same doctrine as
+  // [[jaccardDfCap]]. 10 here so the operator actually fires on the
+  // synthetic corpus (~1000 cross-doc 10-gram seeds at every SF);
+  // production pipelines use ~50 per Lee et al. 2022 §4.
+  private val substringMinLen = 10
+
   /** df-capped Jaccard pair CTEs — the exact SQL mirror of
     * [[Dedup.jaccardPairs]]: posting list per (lang, distinct bigram),
     * postings with df > [[jaccardDfCap]] dropped BEFORE pairing, set sizes
@@ -651,6 +667,46 @@ object DedupQueries {
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
          min(doc_id) AS keep_id, count(*) AS dup_cnt
          FROM documents GROUP BY 1""",
+
+    // Exact SQL replay of Dedup.substringDedup: same md5-keyed L-token
+    // windows, same cross-doc seed rule (>=2 distinct docs, lowest doc
+    // canonical), same position-coverage excision and single-space
+    // rebuild. Window length interpolated from substringMinLen so a knob
+    // edit cannot desynchronize the twins.
+    "q_dedup_substring" ->
+      s"""WITH base AS (
+            SELECT doc_id,
+              list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> x <> '') AS raw,
+              list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS low
+            FROM documents),
+          win AS (
+            SELECT doc_id, i - 1 AS pos,
+              md5(list_aggregate(low[i:i+$substringMinLen-1], 'string_agg', ' ')) AS k
+            FROM base, LATERAL unnest(range(1, len(low) - $substringMinLen + 2)) AS u(i)
+            WHERE len(low) >= $substringMinLen),
+          seeds AS (
+            SELECT k, min(doc_id) AS canon FROM win
+            GROUP BY k HAVING count(DISTINCT doc_id) >= 2),
+          covered AS (
+            SELECT DISTINCT w.doc_id, u.p
+            FROM win w JOIN seeds s ON w.k = s.k AND w.doc_id <> s.canon,
+              LATERAL unnest(range(w.pos, w.pos + $substringMinLen)) AS u(p)),
+          toks AS (
+            SELECT doc_id, i - 1 AS p, raw[i] AS tok
+            FROM base, LATERAL unnest(range(1, len(raw) + 1)) AS u(i)),
+          kept AS (
+            SELECT t.doc_id, t.p, t.tok
+            FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+            WHERE c.doc_id IS NULL),
+          reb AS (
+            SELECT doc_id, count(*) AS kept_n,
+              string_agg(tok, ' ' ORDER BY p) AS clean
+            FROM kept GROUP BY doc_id)
+          SELECT b.doc_id,
+            CAST(len(b.raw) AS BIGINT) AS n_tokens,
+            CAST(len(b.raw) - coalesce(r.kept_n, 0) AS BIGINT) AS n_removed,
+            coalesce(r.clean, '') AS clean_text
+          FROM base b LEFT JOIN reb r ON b.doc_id = r.doc_id""",
 
     "q_dedup_jaccard" ->
       s"""WITH ${jaccardPairsCtes(0.3)}
