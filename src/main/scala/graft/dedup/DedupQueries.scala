@@ -375,6 +375,29 @@ object DedupQueries {
           round(col("target") / col("share"), 6).as("weight"))
     }),
 
+    // Mixture weights under the REAL token accounting: domain budgets in
+    // frozen-merge BPE tokens instead of whitespace tokens (production
+    // budgets are subword-based; whitespace counts skew the share of
+    // agglutinative/verbose domains). Same aggregation + domain-row
+    // window shape as q_mix_weights.
+    "q_mix_weights_bpe" -> ((s, d) => {
+      val perDomain = documents(s, d)
+        .select(col("lang"),
+          size(graft.text.Bpe.tokenize(col("text"))).cast("long").as("__nb"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nb")).cast("long").as("domain_bpe_tokens"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      perDomain
+        .withColumn("share",
+          col("domain_bpe_tokens").cast("double") /
+            sum(col("domain_bpe_tokens")).over(w))
+        .withColumn("target", lit(1.0) / count(lit(1)).over(w))
+        .select(col("lang"), col("n_docs"), col("domain_bpe_tokens"),
+          round(col("share"), 6).as("share"),
+          round(col("target") / col("share"), 6).as("weight"))
+    }),
+
     // Corpus version diff — both "versions" derived in-plan so each
     // engine sees identical inputs (the q_pii_scrub planting technique):
     // v2 edits every 7th doc, drops every 13th, and adds a shifted copy
@@ -808,6 +831,33 @@ object DedupQueries {
            round((1.0 / count(*) OVER ()) /
              (CAST(domain_tokens AS DOUBLE) / sum(domain_tokens) OVER ()), 6) AS weight
          FROM per""",
+
+    // BPE-token twin of q_mix_weights: per-doc token counts replayed via
+    // the frozen-merge replace chain ('<' count per wrapped word), then
+    // the identical share/weight arithmetic. The left-join spine keeps
+    // zero-word docs in n_docs.
+    "q_mix_weights_bpe" ->
+      s"""WITH base AS (
+            SELECT doc_id, lang,
+              list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS ws
+            FROM documents),
+          w AS (
+            SELECT doc_id, ${graft.text.Bpe.bpeWordSqlExpr("ws[i]")} AS wr
+            FROM base, LATERAL unnest(range(1, len(ws) + 1)) AS u(i)),
+          perdoc AS (
+            SELECT doc_id,
+              CAST(sum(len(wr) - len(replace(wr, '<', ''))) AS BIGINT) AS nb
+            FROM w GROUP BY doc_id),
+          per AS (
+            SELECT b.lang, count(*) AS n_docs,
+              CAST(coalesce(sum(p.nb), 0) AS BIGINT) AS domain_bpe_tokens
+            FROM base b LEFT JOIN perdoc p USING (doc_id)
+            GROUP BY b.lang)
+          SELECT lang, n_docs, domain_bpe_tokens,
+            round(CAST(domain_bpe_tokens AS DOUBLE) / sum(domain_bpe_tokens) OVER (), 6) AS share,
+            round((1.0 / count(*) OVER ()) /
+              (CAST(domain_bpe_tokens AS DOUBLE) / sum(domain_bpe_tokens) OVER ()), 6) AS weight
+          FROM per""",
 
     "q_contamination" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

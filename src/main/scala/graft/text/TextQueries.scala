@@ -22,6 +22,18 @@ object TextQueries {
         bpeIshTokenCount(col("text")).as("n_bpe_tokens"),
         length(col("text")).cast("long").as("n_chars_obs"))),
 
+    // REAL trained-merge BPE (vs q_text_tokens' regex approximation):
+    // the frozen BpeMerges table applied as a pure projection; the oracle
+    // replays the identical merge chain, so the full token stream
+    // hash-matches, not just counts
+    "q_text_bpe" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+          Bpe.tokenize(col("text")).as("__bpe"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("__bpe")).cast("long").as("n_bpe_tokens"),
+          concat_ws(" ", col("__bpe")).as("bpe_text"))),
+
     // quality signals + composite score
     "q_text_quality" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
@@ -282,6 +294,30 @@ object TextQueries {
           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
           CAST(length(text) AS BIGINT) AS n_chars_obs
           FROM documents""",
+
+    // Full replay of the frozen-merge BPE: per word, the identical
+    // wrapped replace chain (interpolated from BpeMerges via
+    // Bpe.bpeWordSqlExpr); token count = '<' count, token stream
+    // unwrapped and re-joined in document order. Docs with no words
+    // (NULL/empty text) come back via the left join spine.
+    "q_text_bpe" ->
+      s"""WITH base AS (
+            SELECT doc_id,
+              list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS ws
+            FROM documents),
+          w AS (
+            SELECT doc_id, i, ${Bpe.bpeWordSqlExpr("ws[i]")} AS wr
+            FROM base, LATERAL unnest(range(1, len(ws) + 1)) AS u(i)),
+          a AS (
+            SELECT doc_id,
+              CAST(sum(len(wr) - len(replace(wr, '<', ''))) AS BIGINT) AS n_bpe_tokens,
+              string_agg(replace(replace(replace(wr, '><', ' '), '<', ''), '>', ''), ' ' ORDER BY i) AS bpe_text
+            FROM w GROUP BY doc_id)
+          SELECT b.doc_id,
+            CAST(len(b.ws) AS BIGINT) AS n_tokens,
+            coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+            coalesce(a.bpe_text, '') AS bpe_text
+          FROM base b LEFT JOIN a USING (doc_id)""",
 
     "q_text_quality" ->
       s"""WITH t AS (SELECT doc_id, text,
