@@ -435,6 +435,34 @@ object Dedup {
     * thresholds); localCheckpoint per round cuts the iterative lineage so
     * round N's plan does not replay rounds 1..N-1.
     */
+  /** The DECLARATIVE shape of one [[connectedComponents]] propagation
+    * round over the full pair-detection subtree, with no checkpoint, no
+    * count, no action — the plan the catalog lint screens. The runtime
+    * loop's per-round plan is exactly this round applied to checkpointed
+    * inputs (same joins, same aggregates); only the stage-boundary
+    * materializations differ, and those affect replay cost, never join
+    * strategy. Output schema matches the runtime result so downstream
+    * consumers (q_dedup_keep's anti-join) lint against the real thing.
+    */
+  private[graft] def componentsRoundPlan(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val p0 = pairs
+      .select(col(aCol).cast("long").as("pa"), col(bCol).cast("long").as("pb"))
+    val edges = p0.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(p0.select(col("pb").as("src"), col("pa").as("dst")))
+    val labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("v"), least(col("src"), col("mn")).as("label"))
+    val prop = edges.join(labels, col("dst") === col("v"))
+      .groupBy(col("src").as("pv"))
+      .agg(min(col("label")).as("nbr_min"))
+    labels.join(prop, col("v") === col("pv"))
+      .select(col("v").as("member_id"),
+        least(col("label"), col("nbr_min")).as("cluster_id"))
+  }
+
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
@@ -541,13 +569,17 @@ object Dedup {
       textCol: String,
       n: Int = 5,
       fpp: Double = 1e-4,
-      expectedGrams: Long = 1L << 20): DataFrame = {
+      expectedGrams: Long = 1L << 20,
+      prebuilt: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
     val benchGrams = bench
       .select(explode(wordShingles(col(textCol), n)).as("g")).distinct()
     // driver-side action: one pass over the (small) bench gram set. The
     // sketch merges per-partition, so building distributes; only the final
-    // ~kB..MB bit array lands on the driver.
-    val bloom = benchGrams.stat.bloomFilter("g", expectedGrams, fpp)
+    // ~kB..MB bit array lands on the driver. `prebuilt` (lint only)
+    // injects a filter so the probe PLAN constructs without this action —
+    // bloom contents never change plan shape.
+    val bloom = prebuilt.getOrElse(
+      benchGrams.stat.bloomFilter("g", expectedGrams, fpp))
     val bc = train.sparkSession.sparkContext.broadcast(bloom)
     val hit = udf((gs: Seq[String]) =>
       gs != null && gs.exists(g => bc.value.mightContainString(g)))

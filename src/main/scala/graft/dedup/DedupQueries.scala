@@ -250,29 +250,7 @@ object DedupQueries {
     // (no_false_negatives) and the false-positive overhead stays under 5%
     // of the train corpus (fpp=1e-4 over ~70 grams/doc → ~0.7% expected).
     // DuckDB recomputes n_train/n_exact exactly and pins both booleans.
-    "q_contamination_bloom" -> ((s, d) => {
-      val docs = documents(s, d)
-      val isBench = pmod(col("doc_id"), lit(50)) === 0
-      val train = docs.filter(!isBench)
-      val flags = Dedup.bloomContaminationFlags(
-        train, docs.filter(isBench), "doc_id", "text", n = 5, fpp = 1e-4)
-      val benchGrams = docs.filter(isBench)
-        .select(explode(Dedup.wordShingles(col("text"), 5)).as("g")).distinct()
-      val exact = train
-        .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 5)).as("g"))
-        .join(benchGrams, Seq("g"), "left_semi")
-        .select(col("doc_id")).distinct()
-        .withColumn("exact_hit", lit(true))
-      flags.join(exact, Seq("doc_id"), "left_outer")
-        .select(col("bloom_hit"),
-          coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
-        .agg(count(lit(1)).cast("long").as("n_train"),
-          sum(col("exact_hit").cast("long")).cast("long").as("n_exact"),
-          (sum(when(col("exact_hit") && !col("bloom_hit"), 1L).otherwise(0L))
-            === 0L).as("no_false_negatives"),
-          (sum(when(col("bloom_hit") && !col("exact_hit"), 1L).otherwise(0L))
-            <= ceil(count(lit(1)) * lit(0.05))).as("fp_bounded"))
-    }),
+    "q_contamination_bloom" -> ((s, d) => contaminationBloom(s, d, None)),
 
     // End-to-end corpus curation: quality filter -> language filter ->
     // exact dedup -> per-language token statistics. The composability
@@ -304,50 +282,7 @@ object DedupQueries {
     // COMPOSE — Catalyst sees one tree (no materialization barriers), and
     // the DuckDB twin replays every stage, so a semantics drift anywhere
     // in the chain lands here even if each stage's own query stays green.
-    "q_corpus_build" -> ((s, d) => {
-      val docs = documents(s, d)
-      // STAGE BOUNDARY: the cleaned corpus is consumed by four downstream
-      // subtrees (filter, dedup-groupBy, bench grams, train grams) — left
-      // lazy, each reuse re-runs the whole boilerplate chain (measured
-      // ~19 s vs ~4 s at sf0.1). Production curation pipelines materialize
-      // between stages for exactly this reason; localCheckpoint is that
-      // materialization point (narrow rows: id, cleaned text, counts).
-      val cleaned = graft.text.Boilerplate
-        .removeBoilerplate(docs, "doc_id", "text",
-          n = graft.text.TextQueries.boilerplateN,
-          maxDocFreq = graft.text.TextQueries.boilerplateDfCap,
-          maxDocFraction = Some(graft.text.TextQueries.boilerplateDfFraction))
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .localCheckpoint()
-      val scored = cleaned
-        .filter(col("n_kept") >= 5)
-        .filter(col("lang").isin("en", "de", "fr", "es"))
-      // (measured non-wins recorded: a window-over-fingerprint dedup and a
-      // second checkpoint boundary both changed nothing — the residual
-      // wall time is per-stage scheduler latency, constant in data size,
-      // not recompute or exchange count)
-      val deduped = scored.join(
-        scored.groupBy(graft.text.TextFunctions.fingerprint(col("text_clean"))
-            .as("fp"))
-          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-      val isBench = pmod(col("doc_id"), lit(50)) === 0
-      val benchGrams = deduped.filter(isBench)
-        .select(explode(Dedup.wordShingles(col("text_clean"), 5)).as("g"))
-        .distinct()
-      val contaminated = deduped.filter(!isBench)
-        .select(col("doc_id"),
-          explode(Dedup.wordShingles(col("text_clean"), 5)).as("g"))
-        .join(benchGrams, Seq("g"), "left_semi")
-        .select(col("doc_id")).distinct()
-      deduped.filter(!isBench)
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(floor((col("n_kept") - lit(1)).cast("double") / 32).cast("long")
-            + lit(1L)).cast("long").as("n_chunks"),
-          sum(col("n_kept")).cast("long").as("clean_tokens"))
-    }),
+    "q_corpus_build" -> ((s, d) => corpusBuild(s, d, materialize = true)),
 
     // Domain-mixture weighting — the data-mixing step of a pretraining
     // corpus build: per domain (lang standing in), the sampling weight that
@@ -684,6 +619,120 @@ object DedupQueries {
           round(CAST(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall
         FROM exactp x LEFT JOIN lshp l ON x.id_a = l.id_a AND x.id_b = l.id_b"""
 
+
+  /** Shared body of q_contamination_bloom. `prebuilt` (lint only) skips
+    * the bloom-build driver action — sketch contents never change the
+    * plan shape, so the screened plan is the runtime plan.
+    */
+  private def contaminationBloom(
+      s: SparkSession,
+      d: String,
+      prebuilt: Option[org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
+    val docs = documents(s, d)
+    val isBench = pmod(col("doc_id"), lit(50)) === 0
+    val train = docs.filter(!isBench)
+    val flags = Dedup.bloomContaminationFlags(
+      train, docs.filter(isBench), "doc_id", "text", n = 5, fpp = 1e-4,
+      prebuilt = prebuilt)
+    val benchGrams = docs.filter(isBench)
+      .select(explode(Dedup.wordShingles(col("text"), 5)).as("g")).distinct()
+    val exact = train
+      .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 5)).as("g"))
+      .join(benchGrams, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("exact_hit", lit(true))
+    flags.join(exact, Seq("doc_id"), "left_outer")
+      .select(col("bloom_hit"),
+        coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
+      .agg(count(lit(1)).cast("long").as("n_train"),
+        sum(col("exact_hit").cast("long")).cast("long").as("n_exact"),
+        (sum(when(col("exact_hit") && !col("bloom_hit"), 1L).otherwise(0L))
+          === 0L).as("no_false_negatives"),
+        (sum(when(col("bloom_hit") && !col("exact_hit"), 1L).otherwise(0L))
+          <= ceil(count(lit(1)) * lit(0.05))).as("fp_bounded"))
+  }
+
+  /** Shared body of q_corpus_build. `materialize = false` (lint only)
+    * elides the cleaned-corpus localCheckpoint so the WHOLE declarative
+    * chain is one screenable tree; the runtime path keeps the boundary
+    * (four downstream subtrees reuse the cleaned corpus — left lazy, each
+    * reuse re-runs the boilerplate chain, measured ~19 s vs ~4 s at
+    * sf0.1; narrow rows: id, cleaned text, counts).
+    */
+  private def corpusBuild(
+      s: SparkSession,
+      d: String,
+      materialize: Boolean): DataFrame = {
+    val docs = documents(s, d)
+    val cleanedPlan = graft.text.Boilerplate
+      .removeBoilerplate(docs, "doc_id", "text",
+        n = graft.text.TextQueries.boilerplateN,
+        maxDocFreq = graft.text.TextQueries.boilerplateDfCap,
+        maxDocFraction = Some(graft.text.TextQueries.boilerplateDfFraction))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val cleaned =
+      if (materialize) cleanedPlan.localCheckpoint() else cleanedPlan
+    val scored = cleaned
+      .filter(col("n_kept") >= 5)
+      .filter(col("lang").isin("en", "de", "fr", "es"))
+    // (measured non-wins recorded: a window-over-fingerprint dedup and a
+    // second checkpoint boundary both changed nothing — the residual
+    // wall time is per-stage scheduler latency, constant in data size,
+    // not recompute or exchange count)
+    val deduped = scored.join(
+      scored.groupBy(graft.text.TextFunctions.fingerprint(col("text_clean"))
+          .as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val isBench = pmod(col("doc_id"), lit(50)) === 0
+    val benchGrams = deduped.filter(isBench)
+      .select(explode(Dedup.wordShingles(col("text_clean"), 5)).as("g"))
+      .distinct()
+    val contaminated = deduped.filter(!isBench)
+      .select(col("doc_id"),
+        explode(Dedup.wordShingles(col("text_clean"), 5)).as("g"))
+      .join(benchGrams, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    deduped.filter(!isBench)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(floor((col("n_kept") - lit(1)).cast("double") / 32).cast("long")
+          + lit(1L)).cast("long").as("n_chunks"),
+        sum(col("n_kept")).cast("long").as("clean_tokens"))
+  }
+
+  /** Lint twins for the queries whose runtime path materializes
+    * mid-plan (localCheckpoint / sketch build at construction): the SAME
+    * logical content with the stage boundary elided, so
+    * CatalogPlanLintSpec screens a full declarative tree instead of a
+    * trivial post-checkpoint scan. NOT an execution path — Verify/Bench
+    * run the `queries` entries.
+    */
+  val lintVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // one symbolic propagation round over the full pair-detection subtree
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.componentsRoundPlan(
+        Dedup.jaccardPairs(documents(s, d), "doc_id", "text",
+          blockCols = Seq("lang"), n = 2, threshold = 0.1,
+          maxDocFreq = jaccardDfCap),
+        "id_a", "id_b")),
+    "q_dedup_keep" -> ((s, d) => {
+      val clusters = Dedup.componentsRoundPlan(
+        Dedup.jaccardPairs(documents(s, d), "doc_id", "text",
+          blockCols = Seq("lang"), n = 2, threshold = 0.1,
+          maxDocFreq = jaccardDfCap),
+        "id_a", "id_b")
+      val drop = clusters.filter(col("member_id") =!= col("cluster_id"))
+        .select(col("member_id"))
+      documents(s, d).select(col("doc_id"))
+        .join(drop, col("doc_id") === col("member_id"), "left_anti")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("kept_id_sum"))
+    }),
+    "q_contamination_bloom" -> ((s, d) => contaminationBloom(s, d,
+      Some(org.apache.spark.util.sketch.BloomFilter.create(1000, 1e-4)))),
+    "q_corpus_build" -> ((s, d) => corpusBuild(s, d, materialize = false)))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->

@@ -186,28 +186,7 @@ object TextQueries {
     // overshoot stays within eps * total tokens. DuckDB replays the exact
     // counts and pins both booleans (the q_contamination_bloom pattern —
     // the sketch itself is implementation-defined hashing).
-    "q_text_heavy_hitters" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{sum => fsum}
-      val eps = 0.001
-      val toks = documents(s, d).select(col("doc_id"),
-        explode(safeLowerTokens(col("text"))).as("tok"))
-      val cms = toks.stat.countMinSketch("tok", eps = eps,
-        confidence = 0.99, seed = 42)
-      val bc = s.sparkContext.broadcast(cms)
-      val est = udf((t: String) => bc.value.estimateCount(t))
-      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-        .orderBy(desc("tf"), asc("tok")).limit(20)
-        .withColumn("est", est(col("tok")))
-      val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
-      top.crossJoin(broadcast(total))
-        .agg(max(col("n_total")).cast("long").as("n_tokens_total"),
-          count(lit(1)).as("n_checked"),
-          (fsum(when(col("est") < col("tf"), 1L).otherwise(0L)) === 0L)
-            .as("no_undercount"),
-          (fsum(when(col("est").cast("double") >
-            col("tf").cast("double") + lit(eps) * col("n_total"), 1L)
-            .otherwise(0L)) === 0L).as("overshoot_bounded"))
-    }),
+    "q_text_heavy_hitters" -> ((s, d) => heavyHitters(s, d, None)),
 
     // CCNet-style LM quality scoring: an add-k-smoothed bigram language
     // model trained from the corpus IN the same plan, each doc scored by
@@ -286,6 +265,44 @@ object TextQueries {
         cln AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
           count(*) AS n_kept FROM kept GROUP BY 1)"""
   }
+
+  /** Shared body of q_text_heavy_hitters. `prebuilt` (lint only) skips
+    * the count-min-sketch driver action; sketch contents never change
+    * the plan shape, so the screened plan is the runtime plan.
+    */
+  private def heavyHitters(
+      s: SparkSession,
+      d: String,
+      prebuilt: Option[org.apache.spark.util.sketch.CountMinSketch]): DataFrame = {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val eps = 0.001
+    val toks = documents(s, d).select(col("doc_id"),
+      explode(safeLowerTokens(col("text"))).as("tok"))
+    val cms = prebuilt.getOrElse(toks.stat.countMinSketch("tok", eps = eps,
+      confidence = 0.99, seed = 42))
+    val bc = s.sparkContext.broadcast(cms)
+    val est = udf((t: String) => bc.value.estimateCount(t))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .orderBy(desc("tf"), asc("tok")).limit(20)
+      .withColumn("est", est(col("tok")))
+    val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
+    top.crossJoin(broadcast(total))
+      .agg(max(col("n_total")).cast("long").as("n_tokens_total"),
+        count(lit(1)).as("n_checked"),
+        (fsum(when(col("est") < col("tf"), 1L).otherwise(0L)) === 0L)
+          .as("no_undercount"),
+        (fsum(when(col("est").cast("double") >
+          col("tf").cast("double") + lit(eps) * col("n_total"), 1L)
+          .otherwise(0L)) === 0L).as("overshoot_bounded"))
+  }
+
+  /** Lint twin (see DedupQueries.lintVariants): the heavy-hitters plan
+    * with an injected empty sketch so construction is action-free.
+    */
+  val lintVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_heavy_hitters" -> ((s, d) => heavyHitters(s, d,
+      Some(org.apache.spark.util.sketch.CountMinSketch.create(
+        0.001, 0.99, 42)))))
 
   val oracles: Map[String, String] = Map(
     "q_text_tokens" ->

@@ -16,30 +16,23 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
 
-  /** Queries whose CONSTRUCTION eagerly executes (connectedComponents
-    * localCheckpoints during planning): the lint would only see a trivial
-    * post-checkpoint scan — no signal — while paying the full pair
-    * detection + label propagation. Skipped here; their inner shapes are
-    * covered elsewhere: the jaccard pair-detection plan is linted via
-    * q_dedup_jaccard (same plan), and the propagation rounds are
-    * equi-join + aggregate by construction (OperatorsSpec).
+  /** Queries whose runtime path materializes mid-plan (localCheckpoint /
+    * sketch build at construction) are screened via their `lintVariants`
+    * twin — same logical content, stage boundary elided — so NOTHING in
+    * the catalog escapes the lint. The twins live next to the queries
+    * (DedupQueries.lintVariants, TextQueries.lintVariants); this spec
+    * fails if a twin goes stale or a new eager query ships without one.
     */
-  private val eagerlyExecuting: Set[String] =
-    Set("q_dedup_clusters", "q_dedup_keep",
-      // bloom build (df.stat.bloomFilter) is a driver action at query
-      // construction; the probe itself is a pure projection (no join to
-      // lint) and the exact-twin semi-join is the same plan as
-      // q_contamination, which IS linted
-      "q_contamination_bloom",
-      // localCheckpoints the cleaned corpus at construction (documented
-      // stage boundary); its pre-boundary shapes are linted via
-      // q_text_boilerplate and its post-boundary joins via
-      // q_contamination/q_dedup_exact equivalents
-      "q_corpus_build",
-      // count-min sketch build (df.stat.countMinSketch) is a driver
-      // action at query construction (the bloom pattern); the remaining
-      // plan is a TakeOrdered top-k + a broadcast 1-row total
-      "q_text_heavy_hitters")
+  private val lintVariants: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    graft.dedup.DedupQueries.lintVariants ++ graft.text.TextQueries.lintVariants
+
+  /** The screened catalog: every driver-contract query, with the eager
+    * ones swapped for their declarative twins.
+    */
+  private def screened =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> lintVariants.getOrElse(name, fn)
+    }
 
   /** (query, reason the flagged shape is bounded by design). */
   private val allowed: Map[String, String] = Map(
@@ -53,6 +46,8 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_text_lm_score" -> "cross join against the broadcast 1-row vocabulary-size aggregate",
     "q_vec_quantize" -> "cross join against the broadcast 1-row per-dim min/max aggregate",
     "q_text_boilerplate" -> "fractional df-cap cross-joins the broadcast 1-row corpus count onto the gram-df frame",
+    "q_corpus_build" -> "same boilerplate df-cap shape as q_text_boilerplate, repeated per consuming subtree in the unmaterialized lint twin (runtime plan checkpoints the cleaned corpus once)",
+    "q_text_heavy_hitters" -> "cross join against the broadcast 1-row total-token-count aggregate",
     "q_knn_lsh" -> "recall invariant joins ANN vs brute-force twin; brute side bounded to 10 query vectors",
     "q_knn_ivf" -> "recall invariant joins ANN vs brute-force twin; brute side bounded to 10 query vectors",
     "q_knn_quantized" -> "recall invariant joins quantized vs float brute twin; query sides bounded to 10 vectors; stats cross join is a broadcast 1-row aggregate",
@@ -60,10 +55,15 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_dedup_semantic" -> "centroid-assignment cross join against the frozen 32-row trained-centroid local relation",
     "q_dedup_cosine_recall" -> "recall query joins the LSH path against the documented exact twin")
 
+  test("lint variants cover a live query and never go stale") {
+    val gone = lintVariants.keySet.diff(graft.SparkEntry.queries.keySet)
+    assert(gone.isEmpty, s"lint variant for absent query: $gone")
+  }
+
   test("no catalog query plans a cartesian or nested-loop join off-allowlist") {
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    val offenders = screened.flatMap {
       case (name, fn) =>
-        if (allowed.contains(name) || eagerlyExecuting.contains(name)) None
+        if (allowed.contains(name)) None
         else {
           // sparkPlan (pre-AQE-finalization) suffices: Cartesian/BNLJ are
           // join-STRATEGY choices visible before adaptive re-planning, and
@@ -110,9 +110,9 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     // must not — a forced broadcast of a 15M-row side is an executor OOM
     // at sf100, invisible at test scale where it still fits.
     val constantDims = Set("n_nationkey", "r_regionkey")
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    val offenders = screened.flatMap {
       case (name, fn) =>
-        if (hintAllowed.contains(name) || eagerlyExecuting.contains(name)) None
+        if (hintAllowed.contains(name)) None
         // An analysis failure is an OFFENSE, not a skip: a query that can't
         // analyze would otherwise silently escape this lint (it already
         // fails the strategy lint above, but each gate reports its own).
