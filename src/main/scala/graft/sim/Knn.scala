@@ -330,6 +330,154 @@ object Knn extends Serializable {
         round(col("sim"), 6).as("cosine_sim"))
   }
 
+  /** Product-quantization codebooks: the corpus sample is unit-normalized
+    * (cosine geometry, as [[trainSphericalKmeans]]) and split into `m`
+    * contiguous subspaces of dim/m dims; each subspace trains its own
+    * `ksub`-centroid plain-L2 k-means over the sample's subvectors
+    * ([[kmeansCentroids]], seed offset per subspace). Result is
+    * [m][ksub][dim/m]. Same bounded-sample driver boundary and same
+    * degrade contract as the spherical trainer: a corpus with zero
+    * finite-positive-norm vectors returns an EMPTY array.
+    */
+  def trainPqCodebooks(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      sampleSize: Int,
+      iters: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
+    require(m > 0 && dim % m == 0,
+      s"dim $dim must split evenly into m=$m subspaces")
+    require(ksub > 0, s"ksub must be > 0, got $ksub")
+    require(sampleSize > 0, s"sampleSize must be > 0, got $sampleSize")
+    val dsub = dim / m
+    val sample = df.select(toDoubleArray(col(vecCol)).as("v"))
+      .filter(size(col("v")) === dim)
+      .withColumn("_n", norm(col("v")))
+      .filter(finiteNorm("_n") && col("_n") > 0)
+      .withColumn("_r", rand(seed))
+      .orderBy(col("_r")).limit(sampleSize)
+      .select(col("v")).collect().map(r => unit(r.getSeq[Double](0).toArray))
+    if (sample.isEmpty) Array.empty
+    else Array.tabulate(m) { s =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      kmeansCentroids(subs, ksub, iters, seed + s)
+    }
+  }
+
+  /** PQ-ADC cosine top-k with exact refine — the FAISS
+    * IndexPQ+refine shape, the 100 TB tier above SQ8: candidates ride as
+    * `m` sub-centroid codes (16 bytes/vector at m=16 vs 64 int8 bytes vs
+    * 256 float bytes — a 16× scan cut), the asymmetric first pass ranks
+    * the float query against code RECONSTRUCTIONS, and only the
+    * per-query `shortlist` survivors fetch their float vectors (one
+    * equi-join by id) for exact cosine re-ranking. The refine step is
+    * what makes PQ honest on corpora with thin similarity margins:
+    * reconstruction error reorders neighbors within the shortlist, and
+    * the exact pass restores them — recall is pinned in-plan by
+    * q_knn_pq's invariant vs the float brute twin. `shortlist` is a
+    * constant (not corpus-proportional), so the refine join touches
+    * O(queries × shortlist) float rows no matter how big the corpus.
+    *
+    * Candidates are unit-normalized before encoding (codebooks live on
+    * the unit sphere), so the first-pass cosine uses the reconstruction's
+    * own norm; queries stay raw floats both passes.
+    *
+    * Degrades like [[ivfTopK]]: a fully-poisoned corpus (no trainable
+    * sample) returns an empty frame with the normal output schema.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      m: Int = 16,
+      ksub: Int = 64,
+      shortlist: Int = 100,
+      sampleSize: Int = 2000,
+      seed: Long = 42L): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val spark = candidates.sparkSession
+    val books = trainPqCodebooks(candidates, vecCol, dim, m, ksub,
+      sampleSize, iters = 10, seed = seed)
+    if (books.isEmpty) {
+      return queries.select(col(idCol).as("query_id"))
+        .crossJoin(candidates.select(col(idCol).as("neighbor_id")))
+        .select(col("query_id"), col("neighbor_id"),
+          lit(0L).as("rank"), lit(0.0).as("cosine_sim")).limit(0)
+    }
+    val bc = spark.sparkContext.broadcast(books)
+    val dsub = dim / m
+    // encode: unit-normalize, per subspace argmin L2 to its codebook
+    // (ties to the lower code — deterministic)
+    val encode = udf((v: Seq[Double]) => {
+      val u = unit(v.toArray)
+      val bks = bc.value
+      Array.tabulate(m) { s =>
+        val cb = bks(s)
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < cb.length) {
+          var d = 0.0; var i = 0
+          while (i < dsub) {
+            val x = u(s * dsub + i) - cb(j)(i); d += x * x; i += 1
+          }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        best
+      }
+    })
+    // asymmetric reconstruction: codes -> concatenated sub-centroids
+    val reconstruct = udf((codes: Seq[Int]) => {
+      val bks = bc.value
+      val out = new Array[Double](dim)
+      var s = 0
+      while (s < m) {
+        System.arraycopy(bks(s)(codes(s)), 0, out, s * dsub, dsub)
+        s += 1
+      }
+      out
+    })
+    val base = graft.prep.Preprocessing.spread(candidates)
+      .select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("fv"))
+      .filter(size(col("fv")) === dim)
+      .withColumn("fn", norm(col("fv")))
+      .filter(finiteNorm("fn") && col("fn") > 0)
+    // the code relation — at production scale THIS is what you persist;
+    // the float column rides here only because the refine join below
+    // reads it back from the same frame
+    val coded = base.select(col("neighbor_id"),
+      reconstruct(encode(col("fv"))).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+        toDoubleArray(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .filter(finiteNorm("qn"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(desc("psim"), asc("neighbor_id"))
+    val short = coded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"),
+        cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("psim"))
+      .withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"))
+    // exact refine: fetch the shortlist's float vectors by id and re-rank
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    short.join(base, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromNorms(col("qv"), col("fv"), col("qn"), col("fn")).as("sim"))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("cosine_sim"))
+  }
+
   /** Quantized (asymmetric-distance) cosine top-k: candidates are reduced
     * to int8 codes (VectorQuant — 1 byte/dim instead of 4), queries stay
     * float, and scoring runs against the DEQUANTIZED reconstruction
