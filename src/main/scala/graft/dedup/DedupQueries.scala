@@ -209,6 +209,27 @@ object DedupQueries {
         Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
     }),
 
+    // Wide-dim end-to-end probe: the production embedding width (1536,
+    // the text-embedding standard) through the full quantize → IVF+SQ8 →
+    // top-k stack. The corpus's 64-dim vectors are expanded IN-PLAN by
+    // deterministic tiling (tile r scales the base vector by r), which
+    // multiplies every dot product and both norms by the same factor —
+    // cosine geometry is IDENTICAL to the 64-dim corpus, so the recall
+    // invariant stays anchored while the stats aggregate, int8 codes,
+    // cell assignment and scoring all run at the real width. PlanShapeSpec
+    // pins the dim-1536 stats pass to ONE ObjectHashAggregate.
+    "q_knn_wide" -> ((s, d) => {
+      val wide = flatten(transform(sequence(lit(1), lit(24)),
+        r => transform(graft.sim.Vectors.toDoubleArray(col("embedding")),
+          x => x * r.cast("double"))))
+      val emb = embeddings(s, d).select(col("vec_id"), wide.as("embedding"))
+      val q = emb.filter(col("vec_id") < 10)
+      annRecallSummary(
+        Knn.ivfTopK(q, emb, "vec_id", "embedding", k = 5,
+          nlist = 8, nprobe = 5, quantized = true, dim = Some(24 * cosLshDim)),
+        Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
+    }),
+
     // Product quantization + exact refine — the 16-32x billion-vector
     // FAISS tier above SQ8: candidates ride as m=16 sub-centroid codes
     // (16 bytes vs 256 float bytes), the asymmetric pass ranks against
@@ -1142,7 +1163,8 @@ object DedupQueries {
     "q_knn_ivf" -> annSummarySql,
     "q_knn_quantized" -> annSummarySql,
     "q_knn_ivf_quantized" -> annSummarySql,
-    "q_knn_pq" -> annSummarySql
+    "q_knn_pq" -> annSummarySql,
+    "q_knn_wide" -> annSummarySql
   )
 
   private lazy val annSummarySql =

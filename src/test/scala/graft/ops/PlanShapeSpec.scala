@@ -123,6 +123,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("q_knn_wide: dim-1536 stats pass stays ONE ObjectHashAggregate, rank-limited top-k") {
+    // the wide-dim probe's point: at the production embedding width the
+    // int8 min/max stats must still be a single partial+final array-typed
+    // aggregate (an O(dim) buffer), not 2*1536 named agg expressions and
+    // not one pass per consumer
+    val df = graft.SparkEntry.queries("q_knn_wide")(spark, d)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) === 2, plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("q_text_bm25_rel: term match is a broadcast hash join; only the stats cross is a BNLJ") {
     val df = graft.SparkEntry.queries("q_text_bm25_rel")(spark, d)
     val plan = df.queryExecution.sparkPlan.toString
