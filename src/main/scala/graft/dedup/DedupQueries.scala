@@ -1147,13 +1147,19 @@ object DedupQueries {
            FROM e, (SELECT unnest(range(1, ${cosLshDim + 1})) AS i) d),
          m AS (SELECT group_id, dim_i,
              CAST(round(avg(x) * 1000000.0) AS BIGINT) AS micro
-           FROM p GROUP BY 1, 2)
-         SELECT group_id, CAST(min(cnt) AS BIGINT) AS n_vecs,
-           string_agg(CAST(micro AS VARCHAR), ',' ORDER BY dim_i) AS mean_micro_csv
-         FROM (SELECT m.group_id, m.dim_i, m.micro,
-                 (SELECT count(*) FROM e e2 WHERE e2.group_id = m.group_id) AS cnt
-               FROM m) g
-         GROUP BY group_id""",
+           FROM p GROUP BY 1, 2),
+         agg AS (
+           SELECT group_id, CAST(min(cnt) AS BIGINT) AS n_vecs,
+             string_agg(CAST(micro AS VARCHAR), ',' ORDER BY dim_i) AS mean_micro_csv
+           FROM (SELECT m.group_id, m.dim_i, m.micro,
+                   (SELECT count(*) FROM e e2 WHERE e2.group_id = m.group_id) AS cnt
+                 FROM m) g
+           GROUP BY group_id),
+         spine AS (SELECT DISTINCT CAST(vec_id // 50 AS BIGINT) AS group_id
+           FROM embeddings)
+         SELECT s.group_id, coalesce(a.n_vecs, 0) AS n_vecs,
+           coalesce(a.mean_micro_csv, '') AS mean_micro_csv
+         FROM spine s LEFT JOIN agg a USING (group_id)""",
 
     "q_knn_brute" -> bruteTopKSql,
 

@@ -159,6 +159,15 @@ object VectorQuant {
     * formatting differs too (Java "1.0E-4" vs DuckDB "1e-04"); integers
     * format identically everywhere and the micro-unit rounding absorbs
     * the ulp.
+    *
+    * EVERY input group gets a row: a group whose vectors were ALL dropped
+    * by [[prepare]] (each chunk poisoned) comes back as (group, n_vecs=0,
+    * "") via the group-spine left join — callers can tell "document with
+    * zero clean chunks" (n_vecs=0, act: re-embed or drop) from "document
+    * absent from the input" (no row). A bare groupBy over the prepared
+    * rows would silently omit exactly the documents most in need of
+    * attention. The spine is one extra distinct on the group key — same
+    * partitioning as the pooling aggregate, nothing corpus-wide.
     */
   def meanPool(
       df: DataFrame,
@@ -168,12 +177,15 @@ object VectorQuant {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     val v = prepare(df, groupCol, vecCol, dim)
     val mp = udaf(new MeanPoolAgg(dim), ExpressionEncoder[Seq[Double]]())
-    v.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_vecs"), mp(col("__v")).as("__mean"))
-      .select(col(groupCol), col("n_vecs"),
-        array_join(transform(col("__mean"),
+    val pooled = v.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), mp(col("__v")).as("__mean"))
+    df.select(col(groupCol)).distinct()
+      .join(pooled, Seq(groupCol), "left_outer")
+      .select(col(groupCol),
+        coalesce(col("__n"), lit(0L)).as("n_vecs"),
+        coalesce(array_join(transform(col("__mean"),
           x => round(x * 1e6, 0).cast("long").cast("string")),
-          ",").as("mean_micro_csv"))
+          ","), lit("")).as("mean_micro_csv"))
   }
 
   def quantizeInt8(

@@ -78,9 +78,26 @@ class VectorQuantSpec extends AnyFunSuite with SparkSpec {
     val got = VectorQuant.meanPool(df, "group_id", "embedding", dim = 2)
       .as[(Long, Long, String)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
+    // group 2's only vector was dropped by prepare — the group-spine
+    // contract still emits it as (n_vecs=0, "") so callers can tell
+    // "zero clean chunks" from "absent from input" (ADVICE r9)
     assert(got === Map(
       0L -> ((2L, "2000000,4000000")),
-      1L -> ((1L, "10000000,0"))))
+      1L -> ((1L, "10000000,0")),
+      2L -> ((0L, ""))))
+  }
+
+  test("a fully-poisoned group and an absent group are distinguishable") {
+    val df = Seq(
+      (5L, Seq(Float.NaN, 1f)), (5L, Seq(Float.PositiveInfinity, 0f)),
+      (6L, Seq(1f, 1f))
+    ).toDF("group_id", "embedding")
+    val got = VectorQuant.meanPool(df, "group_id", "embedding", dim = 2)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(5L) === ((0L, "")), "all-poison group surfaces with n_vecs=0")
+    assert(got(6L) === ((1L, "1000000,1000000")))
+    assert(!got.contains(7L), "absent group stays absent")
   }
 
   test("error is bounded by scale/2 on every dimension") {
