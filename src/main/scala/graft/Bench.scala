@@ -48,10 +48,16 @@ object Bench {
       try { fn(spark, "/root/testdata/sf0.001").count(); () }
       catch { case _: Throwable => () }
     }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed rep must NOT masquerade as a measurement: an analysis-time
+    // exception costs milliseconds and would silently DEFLATE the headline
+    // total (round-11: nine broken events queries recorded as ~0.04 s
+    // each). Right(seconds) on success, Left(error) on any throw.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
+      }
     }
     // Median with even-count averaging: for reps=2 the plain upper-middle
     // pick would report the max (i.e. the AQE-inflated first rep).
@@ -73,31 +79,48 @@ object Bench {
     // set. cal_q_spread = max/min over all queries — flat (≈1.0) certifies
     // no load spike landed on ANY query's window, so the headline needs no
     // per-query adjudication at all.
+    // Per query: (name, median, min, calQ, firstError). A query with ANY
+    // failed rep is recorded as an error: -1 in the per-query maps,
+    // excluded from both totals, listed in the "errors" object.
     val resultsFull = ordered.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx == ordered.size / 2) calMid = calibrate()
       val calQ = calibrateN(10000000)
       val timed =
         if (reps >= 3) (1 to reps).map(_ => timeOnce(fn))
         else { timeOnce(fn); (1 to reps).map(_ => timeOnce(fn)) }
-      (name, median(timed), timed.min, calQ)
+      val firstErr = timed.collectFirst { case Left(e) => e }
+      val ok = timed.collect { case Right(s) => s }
+      if (firstErr.isDefined || ok.isEmpty)
+        (name, -1.0, -1.0, calQ, firstErr.orElse(Some("no successful rep")))
+      else (name, median(ok), ok.min, calQ, None)
     }
     if (calMid < 0) calMid = calibrate()
     val calPost = calibrate()
-    val qsMedian = resultsFull.map { case (k, med, _, _) => s"\"" + k + "\":" + med }
+    val qsMedian = resultsFull.map { case (k, med, _, _, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val qsMin = resultsFull.map { case (k, _, mn, _) => s"\"" + k + "\":" + mn }
+    val qsMin = resultsFull.map { case (k, _, mn, _, _) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val qsCal = resultsFull.map { case (k, _, _, c) => s"\"" + k + "\":" + cal3(c) }
+    val qsCal = resultsFull.map { case (k, _, _, c, _) => s"\"" + k + "\":" + cal3(c) }
       .mkString("{", ",", "}")
-    val totalMedian = if (resultsFull.nonEmpty) resultsFull.map(_._2).sum else 0.0
-    val totalMin = if (resultsFull.nonEmpty) resultsFull.map(_._3).sum else 0.0
+    def jesc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val errEntries = resultsFull.collect { case (k, _, _, _, Some(e)) =>
+      "\"" + k + "\":\"" + jesc(e) + "\"" }
+    val errJson = errEntries.mkString("{", ",", "}")
+    val okResults = resultsFull.filter(_._5.isEmpty)
+    val totalMedian = if (okResults.nonEmpty) okResults.map(_._2).sum else 0.0
+    val totalMin = if (okResults.nonEmpty) okResults.map(_._3).sum else 0.0
     val calQs = resultsFull.map(_._4)
     val calSpread =
       if (calQs.isEmpty || calQs.min <= 0) -1.0 else calQs.max / calQs.min
     val calJson =
       s""""calibration_sec":{"pre":${cal3(calPre)},"mid":${cal3(calMid)},"post":${cal3(calPost)}},"cal_q_spread":${cal3(calSpread)}"""
     val fullJson =
-      s"""{"metric":"total","value":$totalMin,"unit":"sec","reps":$reps,"stat":"min_of_reps",$calJson,"total_median":$totalMedian,"queries":$qsMin,"queries_median":$qsMedian,"cal_per_query":$qsCal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalMin,"unit":"sec","reps":$reps,"stat":"min_of_reps",$calJson,"total_median":$totalMedian,"nq_failed":${errEntries.size},"errors":$errJson,"queries":$qsMin,"queries_median":$qsMedian,"cal_per_query":$qsCal,"sf":"$sfDir"}"""
     // Persist the full per-query set (the durable machine-readable
     // channel). Path from env, defaulting next to the repo when present,
     // else the CWD. On write failure the full line goes to stdout instead
@@ -118,9 +141,9 @@ object Bench {
     // The LAST line is therefore a compact variant capped at 1800 chars:
     // same envelope, queries ordered heaviest-first, trailing light
     // queries dropped ("omitted" counts them; the full set is in the file).
-    val byTime = resultsFull.map { case (k, _, mn, _) => (k, mn) }.sortBy(-_._2)
+    val byTime = resultsFull.map { case (k, _, mn, _, _) => (k, mn) }.sortBy(-_._2)
     val budget = 1800
-    val head = s"""{"metric":"total","value":$totalMin,"unit":"sec","reps":$reps,"stat":"min_of_reps",$calJson,"total_median":$totalMedian,"nq":${resultsFull.size},"detail":"BENCH_LOCAL.json","sf":"$sfDir","omitted":NNN,"queries":{"""
+    val head = s"""{"metric":"total","value":$totalMin,"unit":"sec","reps":$reps,"stat":"min_of_reps",$calJson,"total_median":$totalMedian,"nq":${resultsFull.size},"nq_failed":${errEntries.size},"detail":"BENCH_LOCAL.json","sf":"$sfDir","omitted":NNN,"queries":{"""
     val tail0 = "}}"
     var used = head.length + tail0.length
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -24,7 +24,8 @@ object SparkEntry {
     ops.RelationalQueries.queries ++
       text.TextQueries.queries ++
       dedup.DedupQueries.queries ++
-      ops.TscQueries.queries
+      ops.TscQueries.queries ++
+      layout.LayoutQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the driver's rows-only check.
@@ -33,5 +34,6 @@ object SparkEntry {
     ops.RelationalQueries.oracles ++
       text.TextQueries.oracles ++
       dedup.DedupQueries.oracles ++
-      ops.TscQueries.oracles
+      ops.TscQueries.oracles ++
+      layout.LayoutQueries.oracles
 }

@@ -1,0 +1,156 @@
+package graft.layout
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.Tables
+
+/** Data-layout & skew diagnostics catalog: the write-side tooling a 100 TB
+  * lake needs — Morton-key clustering quality (file-skipping bounding
+  * boxes) and key-skew profiling (the decide-before-salting report).
+  * Every query is exact integer/bit arithmetic plus the repo-standard
+  * `round(ratio, 6)` finish, so all are value-oracled against DuckDB.
+  */
+object LayoutQueries {
+
+  /** 31-bit mask: keeps every intermediate of the spread/interleave chain
+    * positive in BOTH engines (bit 30 spreads to bit 61, shifts to 62 —
+    * never touches the sign bit), so the SQL twin needs no unsigned tricks.
+    */
+  private val Mask31 = 0x7fffffffL
+
+  private def zkey31(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    ZOrder.zkey(x.bitwiseAND(lit(Mask31)), y.bitwiseAND(lit(Mask31)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Morton key as a pure codegen'd projection — bit-for-bit oracled.
+    "q_zorder_key" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("line_no"),
+        zkey31(col("l_partkey"), col("l_suppkey")).as("zkey"))),
+
+    // Layout quality, measured: bucket the table into 16 equal runs under
+    // (a) Morton-key order and (b) linear primary-key order, and emit each
+    // bucket's (partkey, suppkey) bounding box — the per-file min/max a
+    // parquet footer would carry under that layout. The zorder rows' total
+    // box area landing far below linear IS the file-skipping win.
+    // (Global-window ntile = one partition by design: this is a layout
+    // REPORT over per-bucket summaries, not a production scan path.)
+    "q_zorder_layout" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val z = ZOrder.layoutBoxes(
+        li.withColumn("_zk", zkey31(col("l_partkey"), col("l_suppkey"))),
+        "l_partkey", "l_suppkey",
+        Seq(col("_zk"), col("l_orderkey"), col("l_linenumber")),
+        buckets = 16).withColumn("layout", lit("zorder"))
+      val lin = ZOrder.layoutBoxes(
+        li, "l_partkey", "l_suppkey",
+        Seq(col("l_orderkey"), col("l_linenumber")),
+        buckets = 16).withColumn("layout", lit("linear"))
+      z.unionByName(lin)
+        .select(col("layout"), col("bucket").cast("long").as("bucket"), col("n_rows"),
+          col("x_min"), col("x_max"), col("y_min"), col("y_max"),
+          col("box_area"))
+    }),
+
+    // Key-skew profile: top-20 heaviest l_suppkey values with share of all
+    // rows, cumulative share, and ratio to the mean key load — the report
+    // that decides broadcast vs AQE-skew vs salted join. Deterministic
+    // (rank ties broken by key), all ratios from exact counts.
+    "q_skew_profile" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wOrd = Window.orderBy(col("cnt").desc, col("key"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts
+        .withColumn("_total", sum(col("cnt")).over(wAll))
+        .withColumn("_nkeys", count(lit(1)).over(wAll))
+        .withColumn("rnk", rank().over(wOrd).cast("long"))
+        .withColumn("cum_cnt", sum(col("cnt")).over(wCum))
+        .filter(col("rnk") <= 20)
+        .select(col("rnk"), col("key"), col("cnt"),
+          round(col("cnt") / col("_total"), 6).as("share"),
+          round(col("cum_cnt") / col("_total"), 6).as("cum_share"),
+          round(col("cnt") * col("_nkeys") / col("_total"), 6).as("mean_ratio"))
+    }))
+
+  /** The identical mask-shift spread chain as SQL CTE stages (see
+    * [[ZOrder.spreadBitsLong]] for the masks in hex).
+    */
+  private val zkeyCtes =
+    """WITH b AS (
+      |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+      |         l_partkey & 2147483647 AS x, l_suppkey & 2147483647 AS y,
+      |         l_linenumber
+      |  FROM lineitem
+      |), s1 AS (
+      |  SELECT *, (x | (x << 16)) & 281470681808895 AS xv,
+      |            (y | (y << 16)) & 281470681808895 AS yv FROM b
+      |), s2 AS (
+      |  SELECT * REPLACE ((xv | (xv << 8)) & 71777214294589695 AS xv,
+      |                    (yv | (yv << 8)) & 71777214294589695 AS yv) FROM s1
+      |), s3 AS (
+      |  SELECT * REPLACE ((xv | (xv << 4)) & 1085102592571150095 AS xv,
+      |                    (yv | (yv << 4)) & 1085102592571150095 AS yv) FROM s2
+      |), s4 AS (
+      |  SELECT * REPLACE ((xv | (xv << 2)) & 3689348814741910323 AS xv,
+      |                    (yv | (yv << 2)) & 3689348814741910323 AS yv) FROM s3
+      |), s5 AS (
+      |  SELECT * REPLACE ((xv | (xv << 1)) & 6148914691236517205 AS xv,
+      |                    (yv | (yv << 1)) & 6148914691236517205 AS yv) FROM s4
+      |), zk AS (
+      |  SELECT l_orderkey, line_no, l_linenumber, x, y,
+      |         (xv | (yv << 1)) AS zkey FROM s5
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_zorder_key" ->
+      (zkeyCtes + "\nSELECT l_orderkey, line_no, zkey FROM zk"),
+
+    "q_zorder_layout" ->
+      (zkeyCtes + """
+        |, zb AS (
+        |  SELECT x, y, ntile(16) OVER (ORDER BY zkey, l_orderkey, l_linenumber) AS bucket
+        |  FROM zk
+        |), lb AS (
+        |  SELECT x, y, ntile(16) OVER (ORDER BY l_orderkey, l_linenumber) AS bucket
+        |  FROM zk
+        |), zagg AS (
+        |  SELECT 'zorder' AS layout, bucket, COUNT(*) AS n_rows,
+        |         MIN(x) AS x_min, MAX(x) AS x_max,
+        |         MIN(y) AS y_min, MAX(y) AS y_max
+        |  FROM zb GROUP BY bucket
+        |), lagg AS (
+        |  SELECT 'linear' AS layout, bucket, COUNT(*) AS n_rows,
+        |         MIN(x) AS x_min, MAX(x) AS x_max,
+        |         MIN(y) AS y_min, MAX(y) AS y_max
+        |  FROM lb GROUP BY bucket
+        |), u AS (
+        |  SELECT * FROM zagg UNION ALL SELECT * FROM lagg
+        |)
+        |SELECT layout, bucket, n_rows, x_min, x_max, y_min, y_max,
+        |       (x_max - x_min + 1) * (y_max - y_min + 1) AS box_area
+        |FROM u""".stripMargin),
+
+    "q_skew_profile" ->
+      """WITH counts AS (
+        |  SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+        |), ranked AS (
+        |  SELECT key, cnt,
+        |         SUM(cnt) OVER () AS _total,
+        |         COUNT(*) OVER () AS _nkeys,
+        |         RANK() OVER (ORDER BY cnt DESC, key) AS rnk,
+        |         SUM(cnt) OVER (ORDER BY cnt DESC, key
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+        |  FROM counts
+        |)
+        |SELECT rnk, key, cnt,
+        |       ROUND(cnt / _total, 6) AS share,
+        |       ROUND(cum_cnt / _total, 6) AS cum_share,
+        |       ROUND(cnt * _nkeys / _total, 6) AS mean_ratio
+        |FROM ranked WHERE rnk <= 20""".stripMargin)
+}

@@ -1,0 +1,117 @@
+package graft.layout
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) multi-dimensional clustering for data layout — the
+  * file-skipping lever at 100 TB: parquet footers carry per-column min/max,
+  * and a scan with predicates on BOTH x and y skips a file only when the
+  * file's bounding box misses the predicate box. Rows sorted by a single
+  * dimension give tight boxes on that dimension and full-range boxes on
+  * every other; rows sorted by the interleaved-bit Morton key give boxes
+  * tight in ALL interleaved dimensions at once (each additional sorted bit
+  * halves one side of the box, alternating sides). `clusterByZ` is the
+  * write-side layout operator: range-repartition + in-partition sort by the
+  * Morton key, so each output file covers one compact Z-curve segment.
+  *
+  * The key is pure bit arithmetic over codegen'd built-ins (`shiftleft`,
+  * `bitwiseAND`/`OR`) — no UDF, stays inside whole-stage codegen, and the
+  * identical mask-shift chain is expressible in ANSI SQL, so the catalog
+  * queries are value-oracled bit-for-bit against DuckDB.
+  *
+  * Same magic-mask spread as the classic interleave (Delta/Iceberg Z-order
+  * use interleaved byte order; Hacker's Delight §7-2 "spreading bits").
+  */
+object ZOrder {
+
+  /** Spread the low 32 bits of `x` to the even bit positions of a long
+    * (bit i of x lands at bit 2i). JVM twin of [[spreadBits]] for tests
+    * and driver-side use.
+    */
+  def spreadBitsLong(x: Long): Long = {
+    var v = x & 0xffffffffL
+    v = (v | (v << 16)) & 0x0000ffff0000ffffL
+    v = (v | (v << 8)) & 0x00ff00ff00ff00ffL
+    v = (v | (v << 4)) & 0x0f0f0f0f0f0f0f0fL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  /** Inverse of [[spreadBitsLong]]: collect the even bit positions back to
+    * a 32-bit value (for the round-trip property and key decoding).
+    */
+  def unspreadBitsLong(z: Long): Long = {
+    var v = z & 0x5555555555555555L
+    v = (v | (v >>> 1)) & 0x3333333333333333L
+    v = (v | (v >>> 2)) & 0x0f0f0f0f0f0f0f0fL
+    v = (v | (v >>> 4)) & 0x00ff00ff00ff00ffL
+    v = (v | (v >>> 8)) & 0x0000ffff0000ffffL
+    v = (v | (v >>> 16)) & 0x00000000ffffffffL
+    v
+  }
+
+  /** Morton key of two non-negative 32-bit coordinates: x on even bits,
+    * y on odd bits. JVM twin of [[zkey]].
+    */
+  def interleaveLong(x: Long, y: Long): Long =
+    spreadBitsLong(x) | (spreadBitsLong(y) << 1)
+
+  /** Column form of [[spreadBitsLong]] — six mask-shift steps over
+    * codegen'd built-ins.
+    */
+  def spreadBits(c: Column): Column = {
+    var v = c.bitwiseAND(lit(0xffffffffL))
+    v = v.bitwiseOR(shiftleft(v, 16)).bitwiseAND(lit(0x0000ffff0000ffffL))
+    v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00ff00ff00ff00ffL))
+    v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0f0f0f0f0f0f0f0fL))
+    v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x3333333333333333L))
+    v = v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x5555555555555555L))
+    v
+  }
+
+  /** Morton key column over two non-negative integral columns (values are
+    * masked to their low 32 bits; cast/scale upstream if wider).
+    */
+  def zkey(x: Column, y: Column): Column =
+    spreadBits(x.cast("long")).bitwiseOR(shiftleft(spreadBits(y.cast("long")), 1))
+
+  /** Write-side layout: range-repartition on the Morton key (each output
+    * partition = one contiguous Z-curve segment, the unit that becomes one
+    * parquet file) and sort within partitions so row groups inside a file
+    * are compact segments too. `numPartitions` ≈ target file count: size it
+    * to data volume / desired file size at the real scale.
+    */
+  def clusterByZ(
+      df: DataFrame, xCol: String, yCol: String,
+      numPartitions: Int): DataFrame = {
+    val key = zkey(col(xCol), col(yCol))
+    df.repartitionByRange(numPartitions, key)
+      .sortWithinPartitions(key)
+  }
+
+  /** Layout quality report: bucket rows into `buckets` equal-size runs of
+    * the given ordering and emit each bucket's (x, y) bounding box and
+    * box area — exactly the per-file min/max a parquet footer would carry
+    * under that layout. Deterministic (ntile over a total order), so the
+    * zorder-vs-linear comparison is value-oracled, not a heuristic:
+    * Σ area(zorder buckets) ≪ Σ area(linear buckets) IS the file-skipping
+    * win, measured.
+    */
+  def layoutBoxes(
+      df: DataFrame, xCol: String, yCol: String,
+      orderBy: Seq[Column], buckets: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderBy: _*)
+    df.withColumn("_bucket", ntile(buckets).over(w))
+      .groupBy(col("_bucket").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(xCol)).cast("long").as("x_min"),
+        max(col(xCol)).cast("long").as("x_max"),
+        min(col(yCol)).cast("long").as("y_min"),
+        max(col(yCol)).cast("long").as("y_max"))
+      .withColumn("box_area",
+        (col("x_max") - col("x_min") + lit(1L)) *
+          (col("y_max") - col("y_min") + lit(1L)))
+  }
+}

@@ -13,6 +13,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object VideoCodecs {
 
+  // In-memory stream caching for byte-array sources; see the rationale on
+  // the identical line in [[ImageCodecs]] (whichever initializes first
+  // sets the process-wide flag).
+  javax.imageio.ImageIO.setUseCache(false)
+
   private val Magic = Array[Byte]('M', 'P', 'N', 'G')
 
   /** Assemble an MPNG container from encoded frame payloads. */

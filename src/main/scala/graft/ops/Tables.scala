@@ -12,15 +12,28 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read nanos as long, truncate to micros, and
-    * surface a proper timestamp column — queries downstream see `ts` as
-    * TimestampType exactly as they would on a micros-precision source.
+  /** events.parquet's `ts` physical type has varied across fixture
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    * loads as long via the legacy nanosAsLong conf), TIMESTAMP(MICROS)
+    * adjusted-to-UTC (loads as TimestampType), or micros without the UTC
+    * flag (loads as TimestampNTZType). Branch on the LOADED type rather
+    * than assuming one generation, so downstream queries always see `ts`
+    * as session-zoned TimestampType regardless of the writer. The session
+    * timezone is pinned to UTC everywhere (GraftSession/Verify/Bench), so
+    * the NTZ→LTZ cast is value-preserving.
     */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = load(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanos-as-long generation: truncate to micros
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ =>
+        // TimestampNTZType (or any other timestamp flavor): normalize
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")

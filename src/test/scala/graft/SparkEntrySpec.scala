@@ -20,15 +20,17 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert((oKeys -- qKeys).isEmpty, s"orphan oracles: ${oKeys -- qKeys}")
     val all = Seq(
       ops.RelationalQueries.queries.keys, text.TextQueries.queries.keys,
-      dedup.DedupQueries.queries.keys, ops.TscQueries.queries.keys)
+      dedup.DedupQueries.queries.keys, ops.TscQueries.queries.keys,
+      layout.LayoutQueries.queries.keys)
       .flatten.toSeq
     assert(all.size === all.distinct.size, "duplicate query names across catalogs")
   }
 
-  test("catalog size: at least 110 queries, at least 105 oracled") {
+  test("catalog size: at least 136 queries, at least 136 oracled") {
     // floor, not exact count — catches an accidentally dropped catalog
-    // merge without needing an edit per added query
-    assert(SparkEntry.queries.size >= 110, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size >= 105, SparkEntry.oracleSql.size.toString)
+    // merge (or a silently shrinking query set, the round-11 failure mode)
+    // without needing an edit per added query
+    assert(SparkEntry.queries.size >= 136, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size >= 136, SparkEntry.oracleSql.size.toString)
   }
 }

@@ -1,0 +1,66 @@
+package graft.layout
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ZOrderSpec extends AnyFunSuite with SparkSpec {
+
+  test("spread/unspread round-trips and interleave separates planes") {
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val x = rnd.nextInt(Int.MaxValue).toLong
+      val y = rnd.nextInt(Int.MaxValue).toLong
+      val z = ZOrder.interleaveLong(x, y)
+      assert(ZOrder.unspreadBitsLong(z) === x)
+      assert(ZOrder.unspreadBitsLong(z >>> 1) === y)
+      assert(z >= 0L, "31-bit inputs must never reach the sign bit")
+    }
+    // known value: x=0b101 (bits 0,2), y=0b11 (bits 0,1)
+    // → even bits 0,4 from x, odd bits 1,3 from y = 0b11011 = 27
+    assert(ZOrder.interleaveLong(5L, 3L) === 27L)
+  }
+
+  test("zkey column matches the JVM kernel row-for-row") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pairs = Seq.fill(500)((rnd.nextInt(Int.MaxValue).toLong,
+      rnd.nextInt(Int.MaxValue).toLong))
+    val df = pairs.toDF("x", "y")
+      .withColumn("zk", ZOrder.zkey(col("x"), col("y")))
+    val got = df.select("x", "y", "zk").collect()
+    got.foreach { r =>
+      assert(r.getLong(2) === ZOrder.interleaveLong(r.getLong(0), r.getLong(1)))
+    }
+  }
+
+  test("zorder buckets' bounding boxes are far tighter than linear-order buckets") {
+    val li = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .withColumn("_zk", ZOrder.zkey(col("l_partkey"), col("l_suppkey")))
+    def totalArea(order: Seq[org.apache.spark.sql.Column]): Long =
+      ZOrder.layoutBoxes(li, "l_partkey", "l_suppkey", order, buckets = 16)
+        .agg(sum(col("box_area"))).head.getLong(0)
+    val zArea = totalArea(Seq(col("_zk"), col("l_orderkey"), col("l_linenumber")))
+    val linArea = totalArea(Seq(col("l_orderkey"), col("l_linenumber")))
+    // linear order (scan order) leaves every bucket spanning ~the full
+    // (part, supp) plane; z-order cuts each bucket to a curve segment.
+    // The margin is deliberately loose — the claim is "clusters at all",
+    // the exact ratio is data-dependent.
+    assert(zArea * 2 < linArea, s"zorder=$zArea linear=$linArea")
+  }
+
+  test("clusterByZ yields the requested partition count, sorted within each") {
+    val li = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val clustered = ZOrder.clusterByZ(li, "l_partkey", "l_suppkey", numPartitions = 8)
+    assert(clustered.rdd.getNumPartitions === 8)
+    val zk = ZOrder.zkey(col("l_partkey"), col("l_suppkey"))
+    val unsortedPartitions = clustered.withColumn("_zk", zk)
+      .select("_zk").rdd.mapPartitions { it =>
+        val a = it.map(_.getLong(0)).toArray
+        Iterator.single(a.zip(a.drop(1)).exists { case (p, n) => p > n })
+      }.collect()
+    assert(!unsortedPartitions.contains(true), "a partition was not zkey-sorted")
+    assert(clustered.count() === li.count())
+  }
+}
