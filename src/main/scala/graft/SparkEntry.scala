@@ -25,7 +25,8 @@ object SparkEntry {
       text.TextQueries.queries ++
       dedup.DedupQueries.queries ++
       ops.TscQueries.queries ++
-      layout.LayoutQueries.queries
+      layout.LayoutQueries.queries ++
+      quality.QualityQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the driver's rows-only check.
@@ -35,5 +36,6 @@ object SparkEntry {
       text.TextQueries.oracles ++
       dedup.DedupQueries.oracles ++
       ops.TscQueries.oracles ++
-      layout.LayoutQueries.oracles
+      layout.LayoutQueries.oracles ++
+      quality.QualityQueries.oracles
 }

@@ -1,0 +1,163 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Data profiling and constraint validation — the admission gate a 100 TB
+  * training-data lake runs before a corpus version ships (the Deequ /
+  * expectations shape, re-expressed as plain declarative aggregates so
+  * Catalyst fuses and codegens everything).
+  *
+  * Profilers are ONE aggregate pass over the table (all columns' stats in
+  * a single job; exact NDV per column plans as one Expand — for very wide
+  * tables swap `countDistinct` for `approx_count_distinct` at the marked
+  * line, the only scale knob). Checks are each one aggregate / one
+  * anti-join; `report` unions them into the violations table a scheduler
+  * can gate on.
+  *
+  * Numeric parity doctrine (matches the catalog-wide rules): sums through
+  * DECIMAL (order-independent), ratios from exact counts, final
+  * `round(, 6)` surfaced as DOUBLE.
+  */
+object DataQuality {
+
+  private val dec = DecimalType(28, 6)
+
+  /** Long-format numeric profile: one row per column with
+    * (col_name, n, n_null, null_frac, ndv, min_num, max_num, avg_num).
+    * Single scan: per-column aggregates land in one wide row, then `stack`
+    * pivots to long format driver-free.
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileNumeric needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        // the scale knob: approx_count_distinct(col(c)) for very wide tables
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        sum(col(c).cast(dec)).cast("double").as(s"${c}__sum"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `${c}__nn`, `${c}__ndv`, `${c}__min`, `${c}__max`, `${c}__sum`"
+    }.mkString(", ")
+    wide
+      .select(col("__n"), expr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, _nn, ndv, min_num, max_num, _sum)"))
+      .select(
+        col("col_name"),
+        col("__n").as("n"),
+        (col("__n") - col("_nn")).as("n_null"),
+        round((col("__n") - col("_nn")) / col("__n"), 6).as("null_frac"),
+        col("ndv"),
+        col("min_num"), col("max_num"),
+        round(col("_sum") / col("_nn"), 6).as("avg_num"))
+  }
+
+  /** Long-format string profile: one row per column with
+    * (col_name, n, n_null, null_frac, ndv, min_len, max_len, avg_len).
+    * Lengths are exact character counts (both engines count codepoints the
+    * same way for the fixture's data), so every stat is integer-exact
+    * until the final rounded ratio.
+    */
+  def profileStrings(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileStrings needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        min(length(col(c))).cast("long").as(s"${c}__minl"),
+        max(length(col(c))).cast("long").as(s"${c}__maxl"),
+        sum(length(col(c)).cast("long")).as(s"${c}__suml"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `${c}__nn`, `${c}__ndv`, `${c}__minl`, `${c}__maxl`, `${c}__suml`"
+    }.mkString(", ")
+    wide
+      .select(col("__n"), expr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, _nn, ndv, min_len, max_len, _suml)"))
+      .select(
+        col("col_name"),
+        col("__n").as("n"),
+        (col("__n") - col("_nn")).as("n_null"),
+        round((col("__n") - col("_nn")) / col("__n"), 6).as("null_frac"),
+        col("ndv"),
+        col("min_len"), col("max_len"),
+        round(col("_suml") / col("_nn"), 6).as("avg_len"))
+  }
+
+  /** A finished check row: (check_name, n_checked, violations).
+    * ("check_name", not "check" — CHECK is a reserved word downstream.) */
+  private def asCheck(name: String, df: DataFrame): DataFrame =
+    df.select(lit(name).as("check_name"),
+      col("n_checked").cast("long").as("n_checked"),
+      col("violations").cast("long").as("violations"))
+
+  /** Duplicate-key violations: rows beyond the first per distinct key
+    * tuple. One hash aggregate. SQL COUNT DISTINCT semantics: tuples
+    * containing a null are dropped from the distinct count (so a null key
+    * inflates `violations`) — key columns are assumed null-free; pair with
+    * [[checkNonNull]] when they may not be.
+    */
+  def checkUnique(name: String, df: DataFrame, cols: Seq[String]): DataFrame =
+    asCheck(name, df.agg(
+      count(lit(1)).as("n_checked"),
+      (count(lit(1)) - countDistinct(col(cols.head), cols.tail.map(col): _*))
+        .as("violations")))
+
+  /** Referential integrity: child rows whose key has no parent (null child
+    * keys are orphans too — a null FK can't resolve). Plans as the child
+    * scan left-anti-joined to the parent key set; Catalyst broadcasts the
+    * parent side when it is small enough, and at 100 TB the anti join
+    * shuffles on the key like any equi-join — no driver collect.
+    */
+  def checkForeignKey(
+      name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    // ONE child scan: left-outer to the distinct parent keys, then count
+    // total and unmatched in the same aggregate (a separate total + anti
+    // count would scan the child twice and cross-join two 1-row frames).
+    val pk = parent.select(col(parentKey).as(childKey)).distinct()
+      .withColumn("_pk_hit", lit(1))
+    asCheck(name, child.select(col(childKey))
+      .join(pk, Seq(childKey), "left_outer")
+      .agg(
+        count(lit(1)).as("n_checked"),
+        count(when(col("_pk_hit").isNull, 1)).as("violations")))
+  }
+
+  /** Out-of-range values (nulls are not range violations — pair with
+    * [[checkNonNull]] when nulls are also illegal).
+    */
+  def checkRange(name: String, df: DataFrame, c: String,
+      lo: Double, hi: Double): DataFrame =
+    asCheck(name, df.agg(
+      count(lit(1)).as("n_checked"),
+      count(when(!col(c).between(lo, hi), 1)).as("violations")))
+
+  /** Null violations. */
+  def checkNonNull(name: String, df: DataFrame, c: String): DataFrame =
+    asCheck(name, df.agg(
+      count(lit(1)).as("n_checked"),
+      (count(lit(1)) - count(col(c))).as("violations")))
+
+  /** Values outside the accepted set (nulls excluded, as with ranges). */
+  def checkAccepted(name: String, df: DataFrame, c: String,
+      values: Seq[String]): DataFrame =
+    asCheck(name, df.agg(
+      count(lit(1)).as("n_checked"),
+      count(when(!col(c).isin(values: _*), 1)).as("violations")))
+
+  /** Union the checks into the gate table: (check, n_checked, violations,
+    * pass). Each check stays its own job tree; the union is free.
+    */
+  def report(checks: Seq[DataFrame]): DataFrame = {
+    require(checks.nonEmpty, "report needs at least one check")
+    checks.reduce(_ unionByName _)
+      .withColumn("pass", col("violations") === lit(0L))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.quality
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.Tables
+
+/** Catalog entries for the data-profiling / constraint-validation surface
+  * — every stat is integer-exact or decimal-summed, so all three queries
+  * are value-oracled bit-for-bit against DuckDB.
+  */
+object QualityQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // One-pass numeric column profile over the fact table.
+    "q_profile_numeric" -> ((s, d) =>
+      DataQuality.profileNumeric(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // One-pass string column profile over the documents table.
+    "q_profile_strings" -> ((s, d) =>
+      DataQuality.profileStrings(Tables.documents(s, d),
+        Seq("text", "lang", "source"))),
+
+    // The admission-gate report over the star schema: key uniqueness,
+    // referential integrity, null/range/accepted-set constraints. The
+    // accepted-lang check deliberately FAILS on the fixture (es/zh rows
+    // exist) so the report provably surfaces violations, not just zeros.
+    "q_dq_report" -> ((s, d) => DataQuality.report(Seq(
+      DataQuality.checkUnique("unique_lineitem_pk",
+        Tables.lineitem(s, d), Seq("l_orderkey", "l_linenumber")),
+      DataQuality.checkForeignKey("fk_lineitem_orders",
+        Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+      DataQuality.checkForeignKey("fk_orders_customer",
+        Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey"),
+      DataQuality.checkNonNull("nonnull_l_shipdate",
+        Tables.lineitem(s, d), "l_shipdate"),
+      DataQuality.checkRange("range_l_discount",
+        Tables.lineitem(s, d), "l_discount", 0.0, 0.1),
+      DataQuality.checkAccepted("accepted_doc_lang",
+        Tables.documents(s, d), "lang", Seq("en", "de", "fr"))))))
+
+  private def numProfileSql(c: String): String =
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+       |       COUNT(*) - COUNT($c) AS n_null,
+       |       ROUND((COUNT(*) - COUNT($c)) / COUNT(*), 6) AS null_frac,
+       |       COUNT(DISTINCT $c) AS ndv,
+       |       CAST(MIN($c) AS DOUBLE) AS min_num,
+       |       CAST(MAX($c) AS DOUBLE) AS max_num,
+       |       ROUND(CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) / COUNT($c), 6) AS avg_num
+       |FROM lineitem""".stripMargin
+
+  private def strProfileSql(c: String): String =
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+       |       COUNT(*) - COUNT($c) AS n_null,
+       |       ROUND((COUNT(*) - COUNT($c)) / COUNT(*), 6) AS null_frac,
+       |       COUNT(DISTINCT $c) AS ndv,
+       |       CAST(MIN(LENGTH($c)) AS BIGINT) AS min_len,
+       |       CAST(MAX(LENGTH($c)) AS BIGINT) AS max_len,
+       |       ROUND(SUM(LENGTH($c)) / COUNT($c), 6) AS avg_len
+       |FROM documents""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_profile_numeric" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(numProfileSql).mkString("\nUNION ALL\n"),
+
+    "q_profile_strings" ->
+      Seq("text", "lang", "source")
+        .map(strProfileSql).mkString("\nUNION ALL\n"),
+
+    "q_dq_report" ->
+      """WITH checks AS (
+        |  SELECT 'unique_lineitem_pk' AS check_name,
+        |         (SELECT COUNT(*) FROM lineitem) AS n_checked,
+        |         (SELECT COUNT(*) FROM lineitem) -
+        |         (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS violations
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders',
+        |         (SELECT COUNT(*) FROM lineitem),
+        |         (SELECT COUNT(*) FROM lineitem l
+        |          WHERE l.l_orderkey IS NULL
+        |             OR NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'fk_orders_customer',
+        |         (SELECT COUNT(*) FROM orders),
+        |         (SELECT COUNT(*) FROM orders d
+        |          WHERE d.o_custkey IS NULL
+        |             OR NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = d.o_custkey))
+        |  UNION ALL
+        |  SELECT 'nonnull_l_shipdate',
+        |         (SELECT COUNT(*) FROM lineitem),
+        |         (SELECT COUNT(*) - COUNT(l_shipdate) FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'range_l_discount',
+        |         (SELECT COUNT(*) FROM lineitem),
+        |         (SELECT COUNT(*) FILTER (WHERE NOT (l_discount BETWEEN 0.0 AND 0.1)) FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'accepted_doc_lang',
+        |         (SELECT COUNT(*) FROM documents),
+        |         (SELECT COUNT(*) FILTER (WHERE lang NOT IN ('en','de','fr')) FROM documents)
+        |)
+        |SELECT check_name, n_checked, violations, violations = 0 AS pass
+        |FROM checks""".stripMargin)
+}

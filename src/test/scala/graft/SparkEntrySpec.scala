@@ -21,16 +21,16 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     val all = Seq(
       ops.RelationalQueries.queries.keys, text.TextQueries.queries.keys,
       dedup.DedupQueries.queries.keys, ops.TscQueries.queries.keys,
-      layout.LayoutQueries.queries.keys)
+      layout.LayoutQueries.queries.keys, quality.QualityQueries.queries.keys)
       .flatten.toSeq
     assert(all.size === all.distinct.size, "duplicate query names across catalogs")
   }
 
-  test("catalog size: at least 136 queries, at least 136 oracled") {
+  test("catalog size: at least 139 queries, at least 139 oracled") {
     // floor, not exact count — catches an accidentally dropped catalog
     // merge (or a silently shrinking query set, the round-11 failure mode)
     // without needing an edit per added query
-    assert(SparkEntry.queries.size >= 136, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size >= 136, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.queries.size >= 139, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size >= 139, SparkEntry.oracleSql.size.toString)
   }
 }

@@ -1,0 +1,106 @@
+package graft.quality
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Planted-violation doctrine: every check must COUNT the poison it claims
+  * to catch, on frames where the expected number is known by construction.
+  */
+class DataQualitySpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val dirty = {
+    import spark.implicits._
+    // 6 rows: duplicate key (1,1)×2, a null key, an out-of-range value,
+    // a null name, a bad category
+    Seq(
+      (Some(1L), Some(1), 5.0, Some("a"), "en"),
+      (Some(1L), Some(1), 6.0, Some("b"), "en"),
+      (Some(2L), Some(1), -1.0, Some("c"), "xx"),
+      (Some(3L), Some(2), 7.0, None, "de"),
+      (None, Some(1), 8.0, Some("e"), "en"),
+      (Some(4L), Some(1), 9.0, Some("f"), "de"))
+      .toDF("k1", "k2", "v", "name", "cat")
+  }
+
+  test("checkUnique counts surplus rows per duplicate key tuple") {
+    val r = DataQuality.checkUnique("u", dirty.filter(col("k1").isNotNull),
+      Seq("k1", "k2")).head
+    // 5 non-null-key rows, 4 distinct tuples → 1 violation
+    assert(r.getAs[Long]("n_checked") === 5L)
+    assert(r.getAs[Long]("violations") === 1L)
+  }
+
+  test("checkForeignKey counts orphans including null child keys") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = DataQuality.checkForeignKey("fk", dirty, "k1", parent, "pk").head
+    // orphans: k1=3, k1=4, k1=null → 3 of 6
+    assert(r.getAs[Long]("n_checked") === 6L)
+    assert(r.getAs[Long]("violations") === 3L)
+  }
+
+  test("range / nonNull / accepted checks count exactly the planted poison") {
+    val range = DataQuality.checkRange("r", dirty, "v", 0.0, 10.0).head
+    assert(range.getAs[Long]("violations") === 1L) // v = -1.0
+    val nn = DataQuality.checkNonNull("n", dirty, "name").head
+    assert(nn.getAs[Long]("violations") === 1L)
+    val acc = DataQuality.checkAccepted("a", dirty, "cat", Seq("en", "de")).head
+    assert(acc.getAs[Long]("violations") === 1L) // cat = xx
+  }
+
+  test("report unions checks with a pass flag") {
+    val rep = DataQuality.report(Seq(
+      DataQuality.checkNonNull("nn_name", dirty, "name"),
+      DataQuality.checkNonNull("nn_cat", dirty, "cat"))).collect()
+    assert(rep.length === 2)
+    val byName = rep.map(r => r.getAs[String]("check_name") ->
+      r.getAs[Boolean]("pass")).toMap
+    assert(byName("nn_name") === false)
+    assert(byName("nn_cat") === true)
+  }
+
+  test("numeric profile: one row per column, stats exact on a known frame") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.0), 10.0), (Some(2.0), 20.0), (None, 30.0), (Some(2.0), 40.0))
+      .toDF("a", "b")
+    val prof = DataQuality.profileNumeric(df, Seq("a", "b")).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val a = prof("a")
+    assert(a.getAs[Long]("n") === 4L)
+    assert(a.getAs[Long]("n_null") === 1L)
+    assert(a.getAs[Long]("ndv") === 2L)
+    assert(a.getAs[Double]("min_num") === 1.0)
+    assert(a.getAs[Double]("max_num") === 2.0)
+    assert(math.abs(a.getAs[Double]("avg_num") - 5.0 / 3) < 1e-6)
+    assert(a.getAs[Double]("null_frac") === 0.25)
+    val b = prof("b")
+    assert(b.getAs[Long]("ndv") === 4L)
+    assert(b.getAs[Double]("avg_num") === 25.0)
+  }
+
+  test("string profile: lengths and ndv exact on a known frame") {
+    import spark.implicits._
+    val df = Seq(Some("ab"), Some("abcd"), None, Some("ab"))
+      .toDF("s")
+    val r = DataQuality.profileStrings(df, Seq("s")).head
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("n_null") === 1L)
+    assert(r.getAs[Long]("ndv") === 2L)
+    assert(r.getAs[Long]("min_len") === 2L)
+    assert(r.getAs[Long]("max_len") === 4L)
+    assert(math.abs(r.getAs[Double]("avg_len") - 8.0 / 3) < 1e-6)
+  }
+
+  test("profilers are one aggregate pass (no per-column scan fan-out)") {
+    val plan = DataQuality.profileNumeric(
+      graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001"),
+      Seq("l_quantity", "l_extendedprice")).queryExecution.executedPlan.toString
+    // exact multi-distinct plans via Expand; the point is ONE scan
+    val scans = "FileScan parquet".r.findAllIn(plan).length +
+      "BatchScan".r.findAllIn(plan).length
+    assert(scans === 1, s"expected a single scan, got $scans:\n$plan")
+  }
+}
