@@ -29,6 +29,25 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental-ingest dedup: admit only batch docs whose canonical
+    * fingerprint is NOT already in the corpus, then dedup within the batch
+    * (min-id winner) — the nightly-delta shape: the corpus side reduces to
+    * its DISTINCT 32-char fingerprints (never its text), so the anti join
+    * broadcasts when the corpus fingerprint set fits and shuffles on `fp`
+    * otherwise; the batch is scanned once. Returns (fp, keep_id, dup_cnt)
+    * like [[exactGroups]], restricted to genuinely-new content.
+    */
+  def incrementalDedup(
+      corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    batch
+      .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .join(
+        corpus.select(TextFunctions.fingerprint(col(textCol)).as("fp")).distinct(),
+        Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
   /** Distinct word n-gram shingles of the lowercased token stream.
     * Implemented as a primitive UDF: the equivalent Catalyst higher-order
     * expression evaluates interpreted AND gets inlined multiple times when

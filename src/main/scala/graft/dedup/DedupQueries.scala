@@ -321,6 +321,17 @@ object DedupQueries {
     // in the chain lands here even if each stage's own query stays green.
     "q_corpus_build" -> ((s, d) => corpusBuild(s, d, materialize = true)),
 
+    // Incremental-ingest dedup: even doc_ids play the standing corpus,
+    // odd doc_ids the nightly batch — admit only fingerprints the corpus
+    // lacks, min-id winner within the batch.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+    }),
+
     // Domain-mixture weighting — the data-mixing step of a pretraining
     // corpus build: per domain (lang standing in), the sampling weight that
     // rescales its observed token share to a uniform target mixture
@@ -776,6 +787,19 @@ object DedupQueries {
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
          min(doc_id) AS keep_id, count(*) AS dup_cnt
          FROM documents GROUP BY 1""",
+
+    "q_dedup_incremental" ->
+      """WITH corpus AS (
+           SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents WHERE doc_id % 2 = 0
+         ), batch AS (
+           SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents WHERE doc_id % 2 = 1
+         )
+         SELECT fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
+         FROM batch b
+         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+         GROUP BY 1""",
 
     // Exact SQL replay of Dedup.substringDedup: same md5-keyed L-token
     // windows, same cross-doc seed rule (>=2 distinct docs, lowest doc

@@ -57,6 +57,52 @@ object ZOrder {
   def interleaveLong(x: Long, y: Long): Long =
     spreadBitsLong(x) | (spreadBitsLong(y) << 1)
 
+  /** 3-D spread: the low 21 bits of `x` land at bit positions 3i (the
+    * standard 3-D Morton magic masks). 21 bits × 3 dims = 63 key bits,
+    * sign-safe.
+    */
+  def spreadBits3Long(x: Long): Long = {
+    var v = x & 0x1fffffL
+    v = (v | (v << 32)) & 0x001f00000000ffffL
+    v = (v | (v << 16)) & 0x001f0000ff0000ffL
+    v = (v | (v << 8)) & 0x100f00f00f00f00fL
+    v = (v | (v << 4)) & 0x10c30c30c30c30c3L
+    v = (v | (v << 2)) & 0x1249249249249249L
+    v
+  }
+
+  /** Inverse of [[spreadBits3Long]]. */
+  def unspreadBits3Long(z: Long): Long = {
+    var v = z & 0x1249249249249249L
+    v = (v | (v >>> 2)) & 0x10c30c30c30c30c3L
+    v = (v | (v >>> 4)) & 0x100f00f00f00f00fL
+    v = (v | (v >>> 8)) & 0x001f0000ff0000ffL
+    v = (v | (v >>> 16)) & 0x001f00000000ffffL
+    v = (v | (v >>> 32)) & 0x1fffffL
+    v
+  }
+
+  /** 3-D Morton key: x at bits 3i, y at 3i+1, z at 3i+2 (21 bits each). */
+  def interleave3Long(x: Long, y: Long, z: Long): Long =
+    spreadBits3Long(x) | (spreadBits3Long(y) << 1) | (spreadBits3Long(z) << 2)
+
+  /** Column form of [[spreadBits3Long]]. */
+  def spreadBits3(c: Column): Column = {
+    var v = c.bitwiseAND(lit(0x1fffffL))
+    v = v.bitwiseOR(shiftleft(v, 32)).bitwiseAND(lit(0x001f00000000ffffL))
+    v = v.bitwiseOR(shiftleft(v, 16)).bitwiseAND(lit(0x001f0000ff0000ffL))
+    v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x100f00f00f00f00fL))
+    v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x10c30c30c30c30c3L))
+    v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x1249249249249249L))
+    v
+  }
+
+  /** 3-D Morton key column (values masked to their low 21 bits). */
+  def zkey3(x: Column, y: Column, z: Column): Column =
+    spreadBits3(x.cast("long"))
+      .bitwiseOR(shiftleft(spreadBits3(y.cast("long")), 1))
+      .bitwiseOR(shiftleft(spreadBits3(z.cast("long")), 2))
+
   /** Column form of [[spreadBitsLong]] — six mask-shift steps over
     * codegen'd built-ins.
     */

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE / CDC-apply for snapshot maintenance — the incremental-update
+  * primitive a 100 TB corpus needs between full rebuilds (nightly deltas
+  * into a training-data lake, crawl refreshes, label fixes).
+  *
+  * Deliberately NOT a full-outer join: `updates ∪ (base anti-join
+  * updateKeys)` touches the base exactly once and never shuffles it when
+  * the update batch is small — the anti join broadcasts the narrow
+  * DISTINCT KEY SET of the batch (not its payload), so a 100 TB base +
+  * 1 GB delta plans as scan-filter-union. A full-outer join would shuffle
+  * both sides on the key regardless of delta size. When the delta is
+  * shuffle-scale too, Catalyst falls back to a shuffled anti join — still
+  * one pass over base.
+  */
+object MergeOps {
+
+  /** Upsert: update rows win per key, base rows without an update
+    * survive, new-key update rows insert. Update rows with a legitimately
+    * NULL column overwrite (row-presence semantics, not column-coalesce).
+    * Requires identical schemas; key collisions WITHIN the batch are the
+    * caller's contract (dedup the batch first — both copies would emit).
+    */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    require(base.columns.sorted.sameElements(updates.columns.sorted),
+      s"schema mismatch: base ${base.columns.mkString(",")} vs updates ${updates.columns.mkString(",")}")
+    updates.unionByName(
+      base.join(updates.select(col(key)).distinct(), Seq(key), "left_anti"))
+  }
+
+  /** CDC apply: `changes` carries an op column — 'd' rows delete their
+    * key, anything else upserts. One pass over base (anti join against
+    * ALL change keys — deletes and upserts both mask the base row).
+    */
+  def applyChanges(
+      base: DataFrame, changes: DataFrame, key: String,
+      opCol: String = "op"): DataFrame = {
+    val upserts = changes.filter(col(opCol) =!= "d").drop(opCol)
+    require(base.columns.sorted.sameElements(upserts.columns.sorted),
+      "changes must be base schema + op column")
+    upserts.unionByName(
+      base.join(changes.select(col(key)).distinct(), Seq(key), "left_anti"))
+  }
+}

@@ -1009,6 +1009,22 @@ object RelationalQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).cast("long").as("n_sessions"),
           sum(col("n_events")).cast("long").as("n_events"))
+    }),
+
+    // MERGE/upsert snapshot maintenance: a deterministic delta (every
+    // 10th order flips status to 'X'; every 97th re-inserts under an
+    // offset key) applied via MergeOps.upsert — base scanned once, never
+    // shuffled when the delta key set broadcasts. Verified through the
+    // post-merge status histogram + key checksum.
+    "q_merge_upsert" -> ((s, d) => {
+      val o = orders(s, d)
+      val updated = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+      val inserts = o.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      MergeOps.upsert(o, updated.unionByName(inserts), "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
     })
   )
 
@@ -1673,6 +1689,24 @@ object RelationalQueries {
            CAST(sum(CASE WHEN prev_us IS NULL
                  OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
            count(*) AS n_events
-         FROM l GROUP BY 1"""
+         FROM l GROUP BY 1""",
+
+    "q_merge_upsert" ->
+      """WITH updates AS (
+           SELECT * REPLACE ('X' AS o_orderstatus)
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT * REPLACE (o_orderkey + 100000000 AS o_orderkey)
+           FROM orders WHERE o_orderkey % 97 = 0
+         ), merged AS (
+           SELECT * FROM updates
+           UNION ALL
+           SELECT * FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM updates u
+                             WHERE u.o_orderkey = o.o_orderkey)
+         )
+         SELECT o_orderstatus, COUNT(*) AS n,
+                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+         FROM merged GROUP BY 1"""
   )
 }

@@ -22,6 +22,30 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(ZOrder.interleaveLong(5L, 3L) === 27L)
   }
 
+  test("3-D spread/unspread round-trips; zkey3 column matches the kernel") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 2000).foreach { _ =>
+      val Seq(x, y, z) = Seq.fill(3)(rnd.nextInt(1 << 21).toLong)
+      val k = ZOrder.interleave3Long(x, y, z)
+      assert(k >= 0L)
+      assert(ZOrder.unspreadBits3Long(k) === x)
+      assert(ZOrder.unspreadBits3Long(k >>> 1) === y)
+      assert(ZOrder.unspreadBits3Long(k >>> 2) === z)
+    }
+    assert(ZOrder.interleave3Long(1L, 1L, 1L) === 7L)
+    assert(ZOrder.interleave3Long(3L, 0L, 0L) === 9L) // x bits 0,1 → 0,3
+    val rows = Seq.fill(200)((rnd.nextInt(1 << 21).toLong,
+      rnd.nextInt(1 << 21).toLong, rnd.nextInt(1 << 21).toLong))
+    val got = rows.toDF("x", "y", "z")
+      .withColumn("k", ZOrder.zkey3(col("x"), col("y"), col("z")))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(3) ===
+        ZOrder.interleave3Long(r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+  }
+
   test("zkey column matches the JVM kernel row-for-row") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MergeOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private def base = {
+    import spark.implicits._
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "name", "v")
+  }
+
+  test("upsert: update wins per key, new key inserts, untouched rows survive") {
+    import spark.implicits._
+    val updates = Seq((2L, "B", 99), (4L, "d", 40)).toDF("k", "name", "v")
+    val out = MergeOps.upsert(base, updates, "k").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out === Map(1L -> ("a", 10), 2L -> ("B", 99),
+      3L -> ("c", 30), 4L -> ("d", 40)))
+  }
+
+  test("upsert: a NULL column in the update row overwrites (row presence, not coalesce)") {
+    import spark.implicits._
+    val updates = Seq((2L, Option.empty[String], 99)).toDF("k", "name", "v")
+    val r = MergeOps.upsert(base, updates, "k").filter(col("k") === 2L).head
+    assert(r.isNullAt(1) && r.getInt(2) === 99)
+  }
+
+  test("upsert rejects schema mismatch") {
+    import spark.implicits._
+    val bad = Seq((2L, "B")).toDF("k", "name")
+    intercept[IllegalArgumentException] { MergeOps.upsert(base, bad, "k") }
+  }
+
+  test("applyChanges: deletes remove, upserts replace, one pass") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, "A", 11, "u"), (3L, "c", 0, "d"), (5L, "e", 50, "u"))
+      .toDF("k", "name", "v", "op")
+    val out = MergeOps.applyChanges(base, changes, "k").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out === Map(1L -> ("A", 11), 2L -> ("b", 20), 5L -> ("e", 50)))
+  }
+
+  test("upsert of a small delta never shuffles the base side") {
+    import spark.implicits._
+    val updates = Seq((2L, "B", 99)).toDF("k", "name", "v")
+    val plan = MergeOps.upsert(base, updates, "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti join:\n$plan")
+  }
+}
