@@ -44,4 +44,31 @@ object MergeOps {
     upserts.unionByName(
       base.join(changes.select(col(key)).distinct(), Seq(key), "left_anti"))
   }
+
+  /** SCD type-2 apply: `history` is the versioned dimension
+    * (key, attrs…, fromCol, endCol with NULL = current row); `changes` is
+    * one new version per key (key, attrs…, changeTsCol). Each changed
+    * key's current row closes at the change timestamp and the new version
+    * appends as current. One pass over history (left-outer to the narrow
+    * (key, ts) change set — broadcastable), plus the appended batch;
+    * closed history rows pass through untouched. Keys with multiple rows
+    * in `changes` are the caller's contract (collapse to latest first).
+    */
+  def scd2Apply(
+      history: DataFrame, changes: DataFrame, key: String,
+      fromCol: String = "effective_from", endCol: String = "effective_to",
+      changeTsCol: String = "change_ts"): DataFrame = {
+    val endType = history.schema(endCol).dataType
+    val changeKeys = changes.select(col(key), col(changeTsCol).as("_change_ts"))
+    val closed = history
+      .join(changeKeys, Seq(key), "left_outer")
+      .withColumn(endCol,
+        when(col(endCol).isNull && col("_change_ts").isNotNull,
+          col("_change_ts").cast(endType)).otherwise(col(endCol)))
+      .drop("_change_ts")
+    val inserts = changes
+      .withColumnRenamed(changeTsCol, fromCol)
+      .withColumn(endCol, lit(null).cast(endType))
+    closed.unionByName(inserts)
+  }
 }

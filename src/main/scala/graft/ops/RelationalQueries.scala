@@ -1025,6 +1025,26 @@ object RelationalQueries {
       MergeOps.upsert(o, updated.unionByName(inserts), "o_orderkey")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+    }),
+
+    // SCD type-2 dimension maintenance: a deterministic change batch
+    // (every 7th customer re-rated +1000) closes the current version at
+    // the change date and appends the new one — the full versioned
+    // dimension comes back (one history pass + the appended batch).
+    // Timestamps (not DATE) for the validity columns: every oracled
+    // temporal column in the catalog is TimestampType — parquet date32
+    // round-trips as python objects on the compare side and hash-breaks.
+    "q_scd2_apply" -> ((s, d) => {
+      val hist = customer(s, d).select(
+        col("c_custkey"), col("c_acctbal"),
+        to_timestamp(lit("2020-01-01 00:00:00")).as("effective_from"),
+        lit(null).cast("timestamp").as("effective_to"))
+      val changes = customer(s, d)
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          (col("c_acctbal") + lit(1000.0)).as("c_acctbal"),
+          to_timestamp(lit("2023-06-01 00:00:00")).as("change_ts"))
+      MergeOps.scd2Apply(hist, changes, "c_custkey")
     })
   )
 
@@ -1707,6 +1727,28 @@ object RelationalQueries {
          )
          SELECT o_orderstatus, COUNT(*) AS n,
                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-         FROM merged GROUP BY 1"""
+         FROM merged GROUP BY 1""",
+
+    "q_scd2_apply" ->
+      """WITH hist AS (
+           SELECT c_custkey, c_acctbal,
+                  TIMESTAMP '2020-01-01 00:00:00' AS effective_from,
+                  CAST(NULL AS TIMESTAMP) AS effective_to
+           FROM customer
+         ), changes AS (
+           SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal,
+                  TIMESTAMP '2023-06-01 00:00:00' AS change_ts
+           FROM customer WHERE c_custkey % 7 = 0
+         ), closed AS (
+           SELECT h.c_custkey, h.c_acctbal, h.effective_from,
+                  CASE WHEN h.effective_to IS NULL AND c.c_custkey IS NOT NULL
+                       THEN c.change_ts ELSE h.effective_to END AS effective_to
+           FROM hist h LEFT JOIN changes c ON h.c_custkey = c.c_custkey
+         )
+         SELECT * FROM closed
+         UNION ALL
+         SELECT c_custkey, c_acctbal, change_ts AS effective_from,
+                CAST(NULL AS TIMESTAMP) AS effective_to
+         FROM changes"""
   )
 }

@@ -90,6 +90,28 @@ object DataQuality {
         round(col("_suml") / col("_nn"), 6).as("avg_len"))
   }
 
+  /** Equi-width histogram of a numeric column: bucket id in [0, buckets),
+    * row count, and the bucket's [lo_edge, hi_edge) — explicit bounds so
+    * the whole histogram is ONE aggregate pass (deriving bounds in-query
+    * would need a second pass; feed them from [[profileNumeric]] when
+    * unknown). Values outside [lo, hi] clamp into the edge buckets, nulls
+    * are dropped, empty buckets don't emit.
+    */
+  def histogram(df: DataFrame, c: String, buckets: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(buckets > 0 && hi > lo, s"bad histogram config: $buckets, [$lo, $hi]")
+    val w = (hi - lo) / buckets
+    val bucket = least(greatest(
+      floor((col(c) - lit(lo)) / lit(w)), lit(0.0)), lit((buckets - 1).toDouble))
+      .cast("long")
+    df.filter(col(c).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"), col("n"),
+        round(lit(lo) + col("bucket") * lit(w), 6).as("lo_edge"),
+        round(lit(lo) + (col("bucket") + lit(1L)) * lit(w), 6).as("hi_edge"))
+  }
+
   /** A finished check row: (check_name, n_checked, violations).
     * ("check_name", not "check" — CHECK is a reserved word downstream.) */
   private def asCheck(name: String, df: DataFrame): DataFrame =

@@ -21,6 +21,12 @@ object QualityQueries {
       DataQuality.profileStrings(Tables.documents(s, d),
         Seq("text", "lang", "source"))),
 
+    // Equi-width histogram of the price distribution — one aggregate
+    // pass with explicit bounds (out-of-range clamps to edge buckets).
+    "q_profile_histogram" -> ((s, d) =>
+      DataQuality.histogram(Tables.lineitem(s, d), "l_extendedprice",
+        buckets = 10, lo = 900.0, hi = 105000.0)),
+
     // The admission-gate report over the star schema: key uniqueness,
     // referential integrity, null/range/accepted-set constraints. The
     // accepted-lang check deliberately FAILS on the fixture (es/zh rows
@@ -67,6 +73,18 @@ object QualityQueries {
     "q_profile_strings" ->
       Seq("text", "lang", "source")
         .map(strProfileSql).mkString("\nUNION ALL\n"),
+
+    // Same double arithmetic as the Spark side: w = (105000-900)/10 =
+    // 10410.0 exactly; floor/clamp/round over doubles is IEEE-identical.
+    "q_profile_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 900.0) / 10410.0), 0.0), 9.0) AS BIGINT) AS bucket
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |)
+        |SELECT bucket, COUNT(*) AS n,
+        |       ROUND(900.0 + bucket * 10410.0, 6) AS lo_edge,
+        |       ROUND(900.0 + (bucket + 1) * 10410.0, 6) AS hi_edge
+        |FROM b GROUP BY bucket""".stripMargin,
 
     "q_dq_report" ->
       """WITH checks AS (

@@ -44,6 +44,31 @@ class MergeOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out === Map(1L -> ("A", 11), 2L -> ("b", 20), 5L -> ("e", 50)))
   }
 
+  test("scd2Apply closes the current version and appends the new one") {
+    import spark.implicits._
+    val hist = Seq(
+      (1L, 10.0, "2020-01-01", Option.empty[String]),
+      (1L, 5.0, "2019-01-01", Some("2020-01-01")), // already-closed version
+      (2L, 20.0, "2020-01-01", Option.empty[String]))
+      .toDF("k", "v", "effective_from", "effective_to")
+      .select(col("k"), col("v"),
+        to_date(col("effective_from")).as("effective_from"),
+        to_date(col("effective_to")).as("effective_to"))
+    val changes = Seq((1L, 11.0, "2023-06-01"))
+      .toDF("k", "v", "change_ts")
+      .select(col("k"), col("v"), to_date(col("change_ts")).as("change_ts"))
+    val out = MergeOps.scd2Apply(hist, changes, "k").collect()
+    assert(out.length === 4)
+    val k1Current = out.filter(r => r.getLong(0) == 1L && r.isNullAt(3))
+    assert(k1Current.length === 1 && k1Current.head.getDouble(1) === 11.0)
+    val k1Closed = out.filter(r => r.getLong(0) == 1L && !r.isNullAt(3))
+    assert(k1Closed.map(_.getDate(3).toString).sorted.toSeq
+      === Seq("2020-01-01", "2023-06-01"))
+    // untouched key stays current
+    val k2 = out.filter(_.getLong(0) == 2L)
+    assert(k2.length === 1 && k2.head.isNullAt(3))
+  }
+
   test("upsert of a small delta never shuffles the base side") {
     import spark.implicits._
     val updates = Seq((2L, "B", 99)).toDF("k", "name", "v")

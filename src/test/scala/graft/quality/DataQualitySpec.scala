@@ -94,6 +94,17 @@ class DataQualitySpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getAs[Double]("avg_len") - 8.0 / 3) < 1e-6)
   }
 
+  test("histogram: clamping, null drop, edge values land in edge buckets") {
+    import spark.implicits._
+    val df = Seq(Some(-5.0), Some(0.0), Some(4.9), Some(5.0), Some(9.9),
+      Some(10.0), Some(25.0), None).toDF("v")
+    val h = DataQuality.histogram(df, "v", buckets = 2, lo = 0.0, hi = 10.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bucket 0 = [0,5): -5(clamp), 0, 4.9 → 3; bucket 1 = [5,10]: 5, 9.9,
+    // 10(edge), 25(clamp) → 4; null dropped
+    assert(h === Map(0L -> 3L, 1L -> 4L))
+  }
+
   test("profilers are one aggregate pass (no per-column scan fan-out)") {
     val plan = DataQuality.profileNumeric(
       graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001"),
