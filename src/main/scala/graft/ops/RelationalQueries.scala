@@ -299,6 +299,19 @@ object RelationalQueries {
           .cast("double").as("revenue"))
     }),
 
+    // Full-outer join (completes the join-type matrix): customer balances
+    // reconciled against per-customer order counts — unmatched sides
+    // surface with coalesced keys and zero counts.
+    "q_join_full_outer" -> ((s, d) =>
+      customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+        .join(orders(s, d).groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("n_orders")),
+          col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          col("c_acctbal").isNotNull.as("known_customer"))),
+
     // Set operators (free Spark operators; SURVEY §2.11 negatives made
     // positive): union / intersect / except with dedup semantics
     "q_set_union" -> ((s, d) =>
@@ -1274,6 +1287,15 @@ object RelationalQueries {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY 1""",
+
+    "q_join_full_outer" ->
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+                COALESCE(o.n_orders, 0) AS n_orders,
+                c.c_acctbal IS NOT NULL AS known_customer
+         FROM customer c
+         FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                          FROM orders GROUP BY 1) o
+           ON c.c_custkey = o.o_custkey""",
 
     "q_set_union" ->
       """WITH u AS (
