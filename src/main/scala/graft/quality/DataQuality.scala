@@ -167,6 +167,33 @@ object DataQuality {
       count(lit(1)).as("n_checked"),
       (count(lit(1)) - count(col(c))).as("violations")))
 
+  /** Z-score outliers: non-null values with |v − mean| > k·σ. Mean and
+    * sample variance derive from ORDER-INDEPENDENT decimal sums (sum,
+    * sum-of-squares), so both engines compute bit-identical doubles and
+    * the violation count is exact — a float `stddev` aggregate would be
+    * partition-order dependent and hash-break. Two passes by necessity
+    * (stats, then compare); the 1-row stats frame broadcasts onto the
+    * second scan.
+    */
+  def checkOutliers(name: String, df: DataFrame, c: String,
+      k: Double = 3.0): DataFrame = {
+    val decSq = DecimalType(38, 12)
+    val stats = df.agg(
+      count(col(c)).as("n_checked"),
+      sum(col(c).cast(decSq)).cast("double").as("_s"),
+      sum((col(c) * col(c)).cast(decSq)).cast("double").as("_sq"))
+      .withColumn("_mean", col("_s") / col("n_checked"))
+      .withColumn("_sigma", sqrt(greatest(
+        (col("_sq") - col("_s") * col("_s") / col("n_checked")) /
+          (col("n_checked") - lit(1L)), lit(0.0))))
+    asCheck(name, df
+      .crossJoin(broadcast(stats.select("n_checked", "_mean", "_sigma")))
+      .agg(
+        first(col("n_checked")).as("n_checked"),
+        count(when(abs(col(c) - col("_mean")) > lit(k) * col("_sigma"), 1))
+          .as("violations")))
+  }
+
   /** Values outside the accepted set (nulls excluded, as with ranges). */
   def checkAccepted(name: String, df: DataFrame, c: String,
       values: Seq[String]): DataFrame =

@@ -1,6 +1,7 @@
 package graft.quality
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.ops.Tables
 
@@ -26,6 +27,13 @@ object QualityQueries {
     "q_profile_histogram" -> ((s, d) =>
       DataQuality.histogram(Tables.lineitem(s, d), "l_extendedprice",
         buckets = 10, lo = 900.0, hi = 105000.0)),
+
+    // Z-score outlier gate on the price column (3σ rule) — exact
+    // decimal-sum stats make the count deterministic cross-engine.
+    "q_dq_outliers" -> ((s, d) =>
+      DataQuality.checkOutliers("outliers_l_extendedprice",
+        Tables.lineitem(s, d), "l_extendedprice")
+        .withColumn("pass", col("violations") === lit(0L))),
 
     // The admission-gate report over the star schema: key uniqueness,
     // referential integrity, null/range/accepted-set constraints. The
@@ -73,6 +81,29 @@ object QualityQueries {
     "q_profile_strings" ->
       Seq("text", "lang", "source")
         .map(strProfileSql).mkString("\nUNION ALL\n"),
+
+    // Same double arithmetic as the Spark side, stats from exact decimal
+    // sums (see DataQuality.checkOutliers — expression order mirrored).
+    "q_dq_outliers" ->
+      """WITH st AS (
+        |  SELECT COUNT(l_extendedprice) AS n_checked,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS s,
+        |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sq
+        |  FROM lineitem
+        |), p AS (
+        |  SELECT n_checked, s / n_checked AS mean,
+        |         SQRT(GREATEST((sq - s * s / n_checked) / (n_checked - 1), 0.0)) AS sigma
+        |  FROM st
+        |), agg AS (
+        |  SELECT 'outliers_l_extendedprice' AS check_name,
+        |         p.n_checked AS n_checked,
+        |         COUNT(CASE WHEN ABS(l_extendedprice - p.mean) > 3.0 * p.sigma
+        |                    THEN 1 END) AS violations
+        |  FROM lineitem CROSS JOIN p
+        |  GROUP BY p.n_checked
+        |)
+        |SELECT check_name, n_checked, violations, violations = 0 AS pass
+        |FROM agg""".stripMargin,
 
     // Same double arithmetic as the Spark side: w = (105000-900)/10 =
     // 10410.0 exactly; floor/clamp/round over doubles is IEEE-identical.

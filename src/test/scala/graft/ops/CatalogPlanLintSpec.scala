@@ -55,7 +55,8 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_knn_pq" -> "recall invariant joins PQ+refine vs brute twin; ADC pass and brute side both bounded to 10 query vectors; refine join is equi on neighbor_id",
     "q_knn_wide" -> "recall invariant joins wide-dim IVF+SQ8 vs brute twin; query side bounded to 10 vectors; stats cross join is a broadcast 1-row aggregate",
     "q_dedup_semantic" -> "centroid-assignment cross join against the frozen 32-row trained-centroid local relation",
-    "q_dedup_cosine_recall" -> "recall query joins the LSH path against the documented exact twin")
+    "q_dedup_cosine_recall" -> "recall query joins the LSH path against the documented exact twin",
+    "q_dq_outliers" -> "cross join against the broadcast 1-row mean/sigma stats aggregate")
 
   test("lint variants cover a live query and never go stale") {
     val gone = lintVariants.keySet.diff(graft.SparkEntry.queries.keySet)

@@ -94,6 +94,17 @@ class DataQualitySpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getAs[Double]("avg_len") - 8.0 / 3) < 1e-6)
   }
 
+  test("checkOutliers counts exactly the planted 3-sigma spikes") {
+    import spark.implicits._
+    // 100 values at 0 with one extreme spike: sigma ≈ spike/10, so only
+    // the spike itself exceeds 3σ
+    val df = (Seq.fill(100)(0.0) ++ Seq(1000.0) ++ Seq.fill(2)(Double.NaN).map(_ => 0.0))
+      .toDF("v")
+    val r = DataQuality.checkOutliers("o", df, "v").head
+    assert(r.getAs[Long]("n_checked") === 103L)
+    assert(r.getAs[Long]("violations") === 1L)
+  }
+
   test("histogram: clamping, null drop, edge values land in edge buckets") {
     import spark.implicits._
     val df = Seq(Some(-5.0), Some(0.0), Some(4.9), Some(5.0), Some(9.9),
