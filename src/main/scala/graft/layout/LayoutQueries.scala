@@ -31,6 +31,15 @@ object LayoutQueries {
         col("l_linenumber").cast("long").as("line_no"),
         zkey31(col("l_partkey"), col("l_suppkey")).as("zkey"))),
 
+    // 3-D Morton key over (part, supp, order-year-day) — the 3-column
+    // clustering key a (part, supp, date)-filtered scan would use.
+    "q_zorder_key3" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("line_no"),
+        ZOrder.zkey3(col("l_partkey"), col("l_suppkey"),
+          dayofyear(col("l_shipdate")).cast("long")).as("zkey3"))),
+
     // Layout quality, measured: bucket the table into 16 equal runs under
     // (a) Morton-key order and (b) linear primary-key order, and emit each
     // bucket's (partkey, suppkey) bounding box — the per-file min/max a
@@ -110,6 +119,38 @@ object LayoutQueries {
   val oracles: Map[String, String] = Map(
     "q_zorder_key" ->
       (zkeyCtes + "\nSELECT l_orderkey, line_no, zkey FROM zk"),
+
+    // The 3-D spread chain (see ZOrder.spreadBits3Long masks in hex).
+    "q_zorder_key3" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        |         l_partkey & 2097151 AS x, l_suppkey & 2097151 AS y,
+        |         dayofyear(l_shipdate) & 2097151 AS z
+        |  FROM lineitem
+        |), s1 AS (
+        |  SELECT *, (x | (x << 32)) & 8725724278095871 AS xv,
+        |            (y | (y << 32)) & 8725724278095871 AS yv,
+        |            (z | (z << 32)) & 8725724278095871 AS zv FROM b
+        |), s2 AS (
+        |  SELECT * REPLACE ((xv | (xv << 16)) & 8725728556220671 AS xv,
+        |                    (yv | (yv << 16)) & 8725728556220671 AS yv,
+        |                    (zv | (zv << 16)) & 8725728556220671 AS zv) FROM s1
+        |), s3 AS (
+        |  SELECT * REPLACE ((xv | (xv << 8)) & 1157144660301377551 AS xv,
+        |                    (yv | (yv << 8)) & 1157144660301377551 AS yv,
+        |                    (zv | (zv << 8)) & 1157144660301377551 AS zv) FROM s2
+        |), s4 AS (
+        |  SELECT * REPLACE ((xv | (xv << 4)) & 1207822528635744451 AS xv,
+        |                    (yv | (yv << 4)) & 1207822528635744451 AS yv,
+        |                    (zv | (zv << 4)) & 1207822528635744451 AS zv) FROM s3
+        |), s5 AS (
+        |  SELECT * REPLACE ((xv | (xv << 2)) & 1317624576693539401 AS xv,
+        |                    (yv | (yv << 2)) & 1317624576693539401 AS yv,
+        |                    (zv | (zv << 2)) & 1317624576693539401 AS zv) FROM s4
+        |)
+        |SELECT l_orderkey, line_no,
+        |       (xv | (yv << 1) | (zv << 2)) AS zkey3
+        |FROM s5""".stripMargin,
 
     "q_zorder_layout" ->
       (zkeyCtes + """
