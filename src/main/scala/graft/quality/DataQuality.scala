@@ -189,7 +189,8 @@ object DataQuality {
     asCheck(name, df
       .crossJoin(broadcast(stats.select("n_checked", "_mean", "_sigma")))
       .agg(
-        first(col("n_checked")).as("n_checked"),
+        // empty input → empty cross join → first() is null; surface 0
+        coalesce(first(col("n_checked")), lit(0L)).as("n_checked"),
         count(when(abs(col(c) - col("_mean")) > lit(k) * col("_sigma"), 1))
           .as("violations")))
   }

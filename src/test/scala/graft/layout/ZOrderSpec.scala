@@ -59,6 +59,22 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("Morton key is monotone in the coordinate partial order") {
+    // if x1 <= x2 AND y1 <= y2 then zkey(x1,y1) <= zkey(x2,y2): dominated
+    // points never sort later — the property that makes min/max bounding
+    // boxes of curve segments valid skip filters for box predicates.
+    val rnd = new scala.util.Random(29)
+    (1 to 5000).foreach { _ =>
+      val x1 = rnd.nextInt(1 << 20).toLong; val y1 = rnd.nextInt(1 << 20).toLong
+      val x2 = x1 + rnd.nextInt(1 << 10); val y2 = y1 + rnd.nextInt(1 << 10)
+      assert(ZOrder.interleaveLong(x1, y1) <= ZOrder.interleaveLong(x2, y2),
+        s"($x1,$y1) vs ($x2,$y2)")
+      assert(ZOrder.interleave3Long(x1, y1, x1) <=
+        ZOrder.interleave3Long(x2, y2, x1 + rnd.nextInt(1 << 10)),
+        "3-D monotonicity")
+    }
+  }
+
   test("zorder buckets' bounding boxes are far tighter than linear-order buckets") {
     val li = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .withColumn("_zk", ZOrder.zkey(col("l_partkey"), col("l_suppkey")))

@@ -116,6 +116,30 @@ class DataQualitySpec extends AnyFunSuite with SparkSpec {
     assert(h === Map(0L -> 3L, 1L -> 4L))
   }
 
+  test("numeric profile degrades on an all-null column: ndv 0, null stats, no throw") {
+    import spark.implicits._
+    val df = Seq.fill(3)(Option.empty[Double]).toDF("a")
+    val r = DataQuality.profileNumeric(df, Seq("a")).head
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Long]("n_null") === 3L)
+    assert(r.getAs[Double]("null_frac") === 1.0)
+    assert(r.getAs[Long]("ndv") === 0L)
+    assert(r.isNullAt(r.fieldIndex("min_num")))
+    assert(r.isNullAt(r.fieldIndex("max_num")))
+    assert(r.isNullAt(r.fieldIndex("avg_num"))) // 0-count division → null, not NaN
+  }
+
+  test("checkOutliers degrades on constant and empty columns") {
+    import spark.implicits._
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    val rc = DataQuality.checkOutliers("c", const, "v").head
+    assert(rc.getAs[Long]("violations") === 0L) // sigma 0: |v-mean|=0 > 0 false
+    val empty = Seq.empty[Double].toDF("v")
+    val re = DataQuality.checkOutliers("e", empty, "v").head
+    assert(re.getAs[Long]("n_checked") === 0L)
+    assert(re.getAs[Long]("violations") === 0L)
+  }
+
   test("profilers are one aggregate pass (no per-column scan fan-out)") {
     val plan = DataQuality.profileNumeric(
       graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001"),
