@@ -195,6 +195,23 @@ object DataQuality {
           .as("violations")))
   }
 
+  /** Functional-dependency violations: determinant tuples that map to
+    * more than one distinct dependent value (the "one order ⇒ one
+    * status"-style invariant). n_checked = distinct determinant tuples,
+    * violations = determinants with ≥2 distinct dependents. Two chained
+    * aggregates on the determinant key — one shuffle.
+    */
+  def checkFunctionalDependency(name: String, df: DataFrame,
+      determinant: Seq[String], dependent: String): DataFrame = {
+    require(determinant.nonEmpty, "need at least one determinant column")
+    asCheck(name, df
+      .groupBy(determinant.map(col): _*)
+      .agg(countDistinct(col(dependent)).as("_ndv"))
+      .agg(
+        count(lit(1)).as("n_checked"),
+        count(when(col("_ndv") > 1, 1)).as("violations")))
+  }
+
   /** Values outside the accepted set (nulls excluded, as with ranges). */
   def checkAccepted(name: String, df: DataFrame, c: String,
       values: Seq[String]): DataFrame =

@@ -28,6 +28,14 @@ object QualityQueries {
       DataQuality.histogram(Tables.lineitem(s, d), "l_extendedprice",
         buckets = 10, lo = 900.0, hi = 105000.0)),
 
+    // Functional-dependency gate: does l_orderkey determine
+    // l_returnflag? (It doesn't on the fixture — multi-line orders carry
+    // mixed flags — so violations provably surface here too.)
+    "q_dq_fd" -> ((s, d) =>
+      DataQuality.checkFunctionalDependency("fd_orderkey_returnflag",
+        Tables.lineitem(s, d), Seq("l_orderkey"), "l_returnflag")
+        .withColumn("pass", col("violations") === lit(0L))),
+
     // Z-score outlier gate on the price column (3σ rule) — exact
     // decimal-sum stats make the count deterministic cross-engine.
     "q_dq_outliers" -> ((s, d) =>
@@ -81,6 +89,19 @@ object QualityQueries {
     "q_profile_strings" ->
       Seq("text", "lang", "source")
         .map(strProfileSql).mkString("\nUNION ALL\n"),
+
+    "q_dq_fd" ->
+      """WITH g AS (
+        |  SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS ndv
+        |  FROM lineitem GROUP BY 1
+        |), agg AS (
+        |  SELECT 'fd_orderkey_returnflag' AS check_name,
+        |         COUNT(*) AS n_checked,
+        |         COUNT(CASE WHEN ndv > 1 THEN 1 END) AS violations
+        |  FROM g
+        |)
+        |SELECT check_name, n_checked, violations, violations = 0 AS pass
+        |FROM agg""".stripMargin,
 
     // Same double arithmetic as the Spark side, stats from exact decimal
     // sums (see DataQuality.checkOutliers — expression order mirrored).

@@ -94,6 +94,15 @@ class DataQualitySpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getAs[Double]("avg_len") - 8.0 / 3) < 1e-6)
   }
 
+  test("checkFunctionalDependency counts determinants with mixed dependents") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("det", "dep")
+    val r = DataQuality.checkFunctionalDependency("fd", df, Seq("det"), "dep").head
+    assert(r.getAs[Long]("n_checked") === 3L) // distinct determinants
+    assert(r.getAs[Long]("violations") === 1L) // only det=2 is mixed
+  }
+
   test("checkOutliers counts exactly the planted 3-sigma spikes") {
     import spark.implicits._
     // 100 values at 0 with one extreme spike: sigma ≈ spike/10, so only
