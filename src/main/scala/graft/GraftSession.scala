@@ -36,6 +36,9 @@ object GraftSession {
     localConf(cores).foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // process-wide media-IO config (in-memory ImageIO streams) lives with
+    // session startup, not codec class-loading — see MediaIo's scaladoc
+    graft.multimodal.MediaIo.init()
     s
   }
 

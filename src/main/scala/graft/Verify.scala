@@ -15,6 +15,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    graft.multimodal.MediaIo.init()
     new java.io.File(outDir).mkdirs()
     // An erroring query must be VISIBLE, not silently absent from the
     // output set (the round-11 fixture refresh dropped 9 queries and the

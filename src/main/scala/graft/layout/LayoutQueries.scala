@@ -18,7 +18,7 @@ object LayoutQueries {
     * positive in BOTH engines (bit 30 spreads to bit 61, shifts to 62 —
     * never touches the sign bit), so the SQL twin needs no unsigned tricks.
     */
-  private val Mask31 = 0x7fffffffL
+  private val Mask31 = ZOrder.Mask31
 
   private def zkey31(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
     ZOrder.zkey(x.bitwiseAND(lit(Mask31)), y.bitwiseAND(lit(Mask31)))
@@ -67,20 +67,28 @@ object LayoutQueries {
     // Key-skew profile: top-20 heaviest l_suppkey values with share of all
     // rows, cumulative share, and ratio to the mean key load — the report
     // that decides broadcast vs AQE-skew vs salted join. Deterministic
-    // (rank ties broken by key), all ratios from exact counts.
+    // (ties broken by key), all ratios from exact counts.
+    //
+    // Scale shape (round-12 verdict): (cnt DESC, key) is a TOTAL order —
+    // key is unique after the groupBy — so rank == row_number and
+    // "rank <= 20" == "limit 20". The top-20 therefore comes from a
+    // parallel TakeOrdered, the totals from ONE scalar aggregate broadcast
+    // onto it, and the rank/cum-sum windows evaluate over the 20-ROW
+    // result — never an unpartitioned window over the full distinct-key
+    // frame, which at 100 TB can be billions of rows through one task.
+    // (The two consumers of `counts` share one shuffle via ReuseExchange.)
     "q_skew_profile" -> ((s, d) => {
       val counts = Tables.lineitem(s, d)
         .groupBy(col("l_suppkey").as("key"))
         .agg(count(lit(1)).as("cnt"))
-      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val totals = counts.agg(
+        sum(col("cnt")).as("_total"), count(lit(1)).as("_nkeys"))
+      val top = counts.orderBy(col("cnt").desc, col("key")).limit(20)
       val wOrd = Window.orderBy(col("cnt").desc, col("key"))
       val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      counts
-        .withColumn("_total", sum(col("cnt")).over(wAll))
-        .withColumn("_nkeys", count(lit(1)).over(wAll))
+      top.crossJoin(broadcast(totals))
         .withColumn("rnk", rank().over(wOrd).cast("long"))
         .withColumn("cum_cnt", sum(col("cnt")).over(wCum))
-        .filter(col("rnk") <= 20)
         .select(col("rnk"), col("key"), col("cnt"),
           round(col("cnt") / col("_total"), 6).as("share"),
           round(col("cum_cnt") / col("_total"), 6).as("cum_share"),

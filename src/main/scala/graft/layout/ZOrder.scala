@@ -51,11 +51,21 @@ object ZOrder {
     v
   }
 
-  /** Morton key of two non-negative 32-bit coordinates: x on even bits,
-    * y on odd bits. JVM twin of [[zkey]].
+  /** 31-bit coordinate mask. Keys interleave at most 31 bits per 2-D
+    * coordinate: bit 31 of y would spread to bit 62 and shift onto the long
+    * SIGN bit, making the key negative and breaking unsigned Z-curve order
+    * under `repartitionByRange` (negative keys would sort before all
+    * positive ones). Masking here — not at call sites — makes [[zkey]] and
+    * [[clusterByZ]] sign-safe by construction.
+    */
+  val Mask31 = 0x7fffffffL
+
+  /** Morton key of two non-negative coordinates (masked to their low
+    * 31 bits — see [[Mask31]]): x on even bits, y on odd bits. JVM twin of
+    * [[zkey]].
     */
   def interleaveLong(x: Long, y: Long): Long =
-    spreadBitsLong(x) | (spreadBitsLong(y) << 1)
+    spreadBitsLong(x & Mask31) | (spreadBitsLong(y & Mask31) << 1)
 
   /** 3-D spread: the low 21 bits of `x` land at bit positions 3i (the
     * standard 3-D Morton magic masks). 21 bits × 3 dims = 63 key bits,
@@ -117,10 +127,12 @@ object ZOrder {
   }
 
   /** Morton key column over two non-negative integral columns (values are
-    * masked to their low 32 bits; cast/scale upstream if wider).
+    * masked to their low 31 bits so the key can never reach the sign bit —
+    * see [[Mask31]]; cast/scale upstream if wider).
     */
   def zkey(x: Column, y: Column): Column =
-    spreadBits(x.cast("long")).bitwiseOR(shiftleft(spreadBits(y.cast("long")), 1))
+    spreadBits(x.cast("long").bitwiseAND(lit(Mask31)))
+      .bitwiseOR(shiftleft(spreadBits(y.cast("long").bitwiseAND(lit(Mask31))), 1))
 
   /** Write-side layout: range-repartition on the Morton key (each output
     * partition = one contiguous Z-curve segment, the unit that becomes one

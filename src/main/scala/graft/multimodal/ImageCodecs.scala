@@ -17,17 +17,10 @@ import javax.imageio.ImageIO
   */
 object ImageCodecs {
 
-  /** ImageIO's default stream cache is DISK-backed: `createImageInputStream`
-    * / `ImageIO.write` on non-File sources spill through a temp file in
-    * java.io.tmpdir per call, even though every payload here is already an
-    * in-memory byte array. Under 32 executor threads that temp-file churn
-    * is the decode bottleneck (observed 3-4x wall on the oracled decode
-    * queries, varying with /tmp contention). Memory caching is strictly
-    * better for byte-array sources; the flag is process-wide and set here
-    * and in [[VideoCodecs]] so whichever codec object initializes first
-    * covers both.
-    */
-  ImageIO.setUseCache(false)
+  // In-memory stream caching for byte-array sources — owned and documented
+  // by MediaIo (entry points call it explicitly; this covers direct
+  // library use of the codecs without an entry point).
+  MediaIo.init()
 
   /** Decode allocation bound: a hostile/corrupt header can claim any WxH
     * and `ImageIO.read` would allocate width*height pixel buffers BEFORE

@@ -13,10 +13,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object VideoCodecs {
 
-  // In-memory stream caching for byte-array sources; see the rationale on
-  // the identical line in [[ImageCodecs]] (whichever initializes first
-  // sets the process-wide flag).
-  javax.imageio.ImageIO.setUseCache(false)
+  // In-memory stream caching for byte-array sources; rationale and
+  // ownership in [[MediaIo]].
+  MediaIo.init()
 
   private val Magic = Array[Byte]('M', 'P', 'N', 'G')
 

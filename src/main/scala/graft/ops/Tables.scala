@@ -23,12 +23,26 @@ object Tables {
     * the NTZ→LTZ cast is value-preserving.
     */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Set once: mutating the shared session's conf on every load would
+    // surprise any co-resident reader mid-query; the flag only matters the
+    // first time a nanos-typed footer is planned, so an already-true value
+    // is left untouched.
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, sfDir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // nanos-as-long generation: truncate to micros
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        // A LongType ts is either the nanos-as-long generation (epoch
+        // NANOS, ~1.7e18 for this fixture's 2020s dates) or a hypothetical
+        // plain-int64-micros writer (~1.7e15). Dividing micros by 1000
+        // would silently shift every event to 1970+misc, so sanity-check
+        // the magnitude on ONE row first (limit(1) reads a single file
+        // split even at 100 TB). 1e17 cleanly separates the two regimes:
+        // micros stay below it until year ~5138, nanos exceed it from 1973.
+        val sample = df.select(col("ts")).filter(col("ts").isNotNull).limit(1).collect()
+        val looksLikeNanos = sample.headOption.forall(r => math.abs(r.getLong(0)) >= 100000000000000000L)
+        if (looksLikeNanos) df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        else df.withColumn("ts", timestamp_micros(col("ts")))
       case org.apache.spark.sql.types.TimestampType => df
       case _ =>
         // TimestampNTZType (or any other timestamp flavor): normalize

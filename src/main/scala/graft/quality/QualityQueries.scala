@@ -142,8 +142,11 @@ object QualityQueries {
       """WITH checks AS (
         |  SELECT 'unique_lineitem_pk' AS check_name,
         |         (SELECT COUNT(*) FROM lineitem) AS n_checked,
+        |         -- countDistinct semantics: tuples containing a null are
+        |         -- dropped from the distinct count (mirrors checkUnique)
         |         (SELECT COUNT(*) FROM lineitem) -
-        |         (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS violations
+        |         (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+        |                                WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)) AS violations
         |  UNION ALL
         |  SELECT 'fk_lineitem_orders',
         |         (SELECT COUNT(*) FROM lineitem),

@@ -20,6 +20,13 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     // known value: x=0b101 (bits 0,2), y=0b11 (bits 0,1)
     // → even bits 0,4 from x, odd bits 1,3 from y = 0b11011 = 27
     assert(ZOrder.interleaveLong(5L, 3L) === 27L)
+    // inputs with bit 31 set are masked to 31 bits, so the key can never
+    // land on the long sign bit (clusterByZ's range-partition contract:
+    // a negative key would sort before every positive one)
+    val big = 0xffffffffL
+    assert(ZOrder.interleaveLong(big, big) >= 0L)
+    assert(ZOrder.interleaveLong(big, big) ===
+      ZOrder.interleaveLong(big & ZOrder.Mask31, big & ZOrder.Mask31))
   }
 
   test("3-D spread/unspread round-trips; zkey3 column matches the kernel") {
@@ -50,7 +57,10 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
     val pairs = Seq.fill(500)((rnd.nextInt(Int.MaxValue).toLong,
-      rnd.nextInt(Int.MaxValue).toLong))
+      rnd.nextInt(Int.MaxValue).toLong)) ++
+      // sign-bit stress: values with bit 31 (and above) set must mask
+      // identically in the column form and the JVM kernel
+      Seq((0xffffffffL, 0xffffffffL), (0x80000000L, 1L), (1L, 0x80000001L))
     val df = pairs.toDF("x", "y")
       .withColumn("zk", ZOrder.zkey(col("x"), col("y")))
     val got = df.select("x", "y", "zk").collect()

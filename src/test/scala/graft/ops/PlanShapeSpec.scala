@@ -156,6 +156,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       plan.linesIterator.filter(_.contains("Window")).mkString("\n"))
   }
 
+  test("q_skew_profile: parallel TakeOrdered top-k; windows only over the 20-row result") {
+    val df = graft.SparkEntry.queries("q_skew_profile")(spark, d)
+    val plan = df.queryExecution.sparkPlan
+    // the top-20 must come from TakeOrderedAndProject (each partition keeps
+    // 20, merged on the driver) — not a global sort
+    assert(plan.toString.contains("TakeOrderedAndProject"), plan.toString)
+    // every Window must sit ABOVE the limit (its subtree contains the
+    // TakeOrdered), i.e. it evaluates over <= 20 rows — an unpartitioned
+    // window directly over the distinct-key frame is the 100 TB hazard
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, plan.toString)
+    windows.foreach { w =>
+      assert(w.collectFirst {
+        case t if t.nodeName.contains("TakeOrderedAndProject") => t
+      }.isDefined, s"Window over an unlimited frame:\n$w")
+    }
+  }
+
   test("q_seq_pack_greedy shuffles once, on the shard key") {
     val df = graft.SparkEntry.queries("q_seq_pack_greedy")(spark, d)
     val exchanges = df.queryExecution.executedPlan.toString
