@@ -93,17 +93,59 @@ object LayoutQueries {
           round(col("cnt") / col("_total"), 6).as("share"),
           round(col("cum_cnt") / col("_total"), 6).as("cum_share"),
           round(col("cnt") * col("_nkeys") / col("_total"), 6).as("mean_ratio"))
-    }))
+    }),
+
+    // Compaction plan over a simulated ingest-file report: each "file" is
+    // 128 consecutive orders' lineitem rows (the arrival-ordered small
+    // files incremental MERGE leaves behind) with a deterministic per-row
+    // byte proxy. The planner orders files along the Z-curve (footer zmin)
+    // and cuts a bin at every 256 KiB of cumulative size — so merged files
+    // stay contiguous curve segments and the clustering survives the
+    // rewrite. Per-file bin assignment; `q_compaction_bins` is the rollup.
+    "q_compaction_plan" -> ((s, d) =>
+      Compaction.planSequential(
+        compactionFileReport(s, d), "size_bytes",
+        Seq(col("zmin"), col("file_id")), 262144L)
+        .select(col("file_id"), col("n_rows"), col("size_bytes"),
+          col("zmin"), col("bin"))),
+
+    // Per-bin rollup of the same plan: the numbers the maintenance job
+    // reports (files merged, bytes and rows per output file, the bin's
+    // Z-range). total_bytes landing near the 256 KiB target IS the
+    // packing working.
+    "q_compaction_bins" -> ((s, d) =>
+      Compaction.planSequential(
+        compactionFileReport(s, d), "size_bytes",
+        Seq(col("zmin"), col("file_id")), 262144L)
+        .groupBy(col("bin"))
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum(col("n_rows")).as("total_rows"),
+          sum(col("size_bytes")).as("total_bytes"),
+          min(col("zmin")).as("zmin"))))
+
+  /** The simulated ingest-file report feeding the compaction queries:
+    * (file_id, n_rows, size_bytes, zmin) — exactly the shape
+    * [[Compaction.parquetFileBoxes]] reads from real footers (zmin there =
+    * zkey of the footer min coordinates; CompactionSpec covers that path).
+    */
+  private def compactionFileReport(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("_zk", zkey31(col("l_partkey"), col("l_suppkey")))
+      .groupBy(expr("l_orderkey DIV 128").as("file_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(lit(48L) + col("l_partkey") % lit(97L)).as("size_bytes"),
+        min(col("_zk")).as("zmin"))
 
   /** The identical mask-shift spread chain as SQL CTE stages (see
-    * [[ZOrder.spreadBitsLong]] for the masks in hex).
+    * [[ZOrder.spreadBitsLong]] for the masks in hex), parameterized on the
+    * base projection (must surface 31-bit-masked `x` and `y`) and the
+    * columns to keep beside `zkey` in the final `zk` stage.
     */
-  private val zkeyCtes =
-    """WITH b AS (
-      |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
-      |         l_partkey & 2147483647 AS x, l_suppkey & 2147483647 AS y,
-      |         l_linenumber
-      |  FROM lineitem
+  private def zChainSql(baseSelect: String, keep: String): String =
+    s"""WITH b AS (
+      |  $baseSelect
       |), s1 AS (
       |  SELECT *, (x | (x << 16)) & 281470681808895 AS xv,
       |            (y | (y << 16)) & 281470681808895 AS yv FROM b
@@ -120,9 +162,36 @@ object LayoutQueries {
       |  SELECT * REPLACE ((xv | (xv << 1)) & 6148914691236517205 AS xv,
       |                    (yv | (yv << 1)) & 6148914691236517205 AS yv) FROM s4
       |), zk AS (
-      |  SELECT l_orderkey, line_no, l_linenumber, x, y,
-      |         (xv | (yv << 1)) AS zkey FROM s5
+      |  SELECT $keep, (xv | (yv << 1)) AS zkey FROM s5
       |)""".stripMargin
+
+  private val zkeyCtes = zChainSql(
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+      |         l_partkey & 2147483647 AS x, l_suppkey & 2147483647 AS y,
+      |         l_linenumber
+      |  FROM lineitem""".stripMargin,
+    "l_orderkey, line_no, l_linenumber, x, y")
+
+  /** z-chain → simulated file report → cumulative-bytes-before, shared by
+    * both compaction oracles (mirrors [[compactionFileReport]] +
+    * [[Compaction.planSequential]] stage for stage).
+    */
+  private val compactionPlanCtes = zChainSql(
+    """SELECT l_orderkey, l_partkey,
+      |         l_partkey & 2147483647 AS x, l_suppkey & 2147483647 AS y
+      |  FROM lineitem""".stripMargin,
+    "l_orderkey, l_partkey") + """
+    |, f AS (
+    |  SELECT l_orderkey // 128 AS file_id, COUNT(*) AS n_rows,
+    |         CAST(SUM(48 + l_partkey % 97) AS BIGINT) AS size_bytes,
+    |         MIN(zkey) AS zmin
+    |  FROM zk GROUP BY 1
+    |), p AS (
+    |  SELECT *, CAST(COALESCE(SUM(size_bytes) OVER (
+    |           ORDER BY zmin, file_id
+    |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+    |  FROM f
+    |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_zorder_key" ->
@@ -184,6 +253,27 @@ object LayoutQueries {
         |SELECT layout, bucket, n_rows, x_min, x_max, y_min, y_max,
         |       (x_max - x_min + 1) * (y_max - y_min + 1) AS box_area
         |FROM u""".stripMargin),
+
+    // Same z-chain, then the file report and the sequential-packing rule
+    // (bin = cumulative-bytes-before DIV target) as plain window SQL.
+    "q_compaction_plan" ->
+      (compactionPlanCtes + """
+        |SELECT file_id, n_rows, size_bytes, zmin,
+        |       cum_before // 262144 AS bin
+        |FROM p""".stripMargin),
+
+    "q_compaction_bins" ->
+      (compactionPlanCtes + """
+        |, plan AS (
+        |  SELECT file_id, n_rows, size_bytes, zmin,
+        |         cum_before // 262144 AS bin
+        |  FROM p
+        |)
+        |SELECT bin, COUNT(*) AS n_files,
+        |       CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+        |       CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+        |       MIN(zmin) AS zmin
+        |FROM plan GROUP BY bin""".stripMargin),
 
     "q_skew_profile" ->
       """WITH counts AS (
