@@ -26,6 +26,7 @@ object SparkEntry {
       dedup.DedupQueries.queries ++
       ops.TscQueries.queries ++
       layout.LayoutQueries.queries ++
+      layout.Partitioning.queries ++
       quality.QualityQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +38,6 @@ object SparkEntry {
       dedup.DedupQueries.oracles ++
       ops.TscQueries.oracles ++
       layout.LayoutQueries.oracles ++
+      layout.Partitioning.oracles ++
       quality.QualityQueries.oracles
 }

@@ -156,6 +156,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       plan.linesIterator.filter(_.contains("Window")).mkString("\n"))
   }
 
+  test("q_dpp: fact scan carries a dynamicpruning partition filter") {
+    val df = graft.SparkEntry.queries("q_dpp")(spark, d)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the month set comes from the dim side at RUNTIME: the partitioned
+    // orders scan must prune directories via a dynamicpruning expression —
+    // a plan without it reads all ~80 month partitions at any scale
+    assert(plan.contains("dynamicpruning"), plan)
+    // and the dim's selective predicates reach the lineitem scan
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    Seq("l_returnflag", "l_quantity", "l_discount")
+      .foreach(c => assert(pushed.contains(c), s"$c not pushed: $pushed"))
+  }
+
   test("q_skew_profile: parallel TakeOrdered top-k; windows only over the 20-row result") {
     val df = graft.SparkEntry.queries("q_skew_profile")(spark, d)
     val plan = df.queryExecution.sparkPlan
