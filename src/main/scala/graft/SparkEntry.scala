@@ -23,6 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.RelationalQueries.queries ++
       text.TextQueries.queries ++
+      text.UrlQueries.queries ++
       dedup.DedupQueries.queries ++
       ops.TscQueries.queries ++
       layout.LayoutQueries.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.RelationalQueries.oracles ++
       text.TextQueries.oracles ++
+      text.UrlQueries.oracles ++
       dedup.DedupQueries.oracles ++
       ops.TscQueries.oracles ++
       layout.LayoutQueries.oracles ++
