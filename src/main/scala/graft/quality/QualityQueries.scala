@@ -17,6 +17,24 @@ object QualityQueries {
       DataQuality.profileNumeric(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // The 100 TB profile variant: HLL++ NDV instead of exact-distinct
+    // Expand (the scale knob on DataQuality.profileNumeric). Exact stats
+    // stay value-oracled; the sketch column is an invariant row — per
+    // column, is approx NDV within 5% of the exact count (rsd 0.02 keeps
+    // it inside at any SF; HLL++ is exact in sparse mode so small SFs
+    // pass trivially). Mirrors the q_approx_distinct oracle pattern.
+    "q_profile_numeric_approx" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val exact = DataQuality.profileNumeric(Tables.lineitem(s, d), cols)
+      val approx = DataQuality.profileNumericApprox(Tables.lineitem(s, d), cols)
+        .select(col("col_name"), col("ndv").as("_ndv_approx"))
+      exact.join(approx, Seq("col_name"))
+        .select(col("col_name"), col("n"), col("n_null"), col("null_frac"),
+          col("min_num"), col("max_num"), col("avg_num"),
+          (abs(col("_ndv_approx") - col("ndv")).cast("double") <=
+            lit(0.05) * col("ndv")).cast("long").as("ndv_within_5pct"))
+    }),
+
     // One-pass string column profile over the documents table.
     "q_profile_strings" -> ((s, d) =>
       DataQuality.profileStrings(Tables.documents(s, d),
@@ -85,6 +103,21 @@ object QualityQueries {
     "q_profile_numeric" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(numProfileSql).mkString("\nUNION ALL\n"),
+
+    // Exact stats value-checked; the sketch column is the literal-1
+    // invariant (same pattern as q_approx_distinct).
+    "q_profile_numeric_approx" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(c =>
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+             |       COUNT(*) - COUNT($c) AS n_null,
+             |       ROUND((COUNT(*) - COUNT($c)) / COUNT(*), 6) AS null_frac,
+             |       CAST(MIN($c) AS DOUBLE) AS min_num,
+             |       CAST(MAX($c) AS DOUBLE) AS max_num,
+             |       ROUND(CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) / COUNT($c), 6) AS avg_num,
+             |       CAST(1 AS BIGINT) AS ndv_within_5pct
+             |FROM lineitem""".stripMargin)
+        .mkString("\nUNION ALL\n"),
 
     "q_profile_strings" ->
       Seq("text", "lang", "source")
