@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.Row
+
+/** Streaming MERGE into the lake: a CDC stream (`op` = 'd' deletes its
+  * key, anything else upserts) maintains a queryable parquet snapshot via
+  * `foreachBatch` → [[graft.ops.MergeOps.applyChanges]] — tying the batch
+  * CDC primitive to the ingest path, so the snapshot is always one merged
+  * table, not an ever-growing change log the reader must replay.
+  *
+  * Snapshot layout: `tableDir/v=<n>/` per committed batch plus a `_latest`
+  * pointer file written AFTER the version commits — readers resolve the
+  * pointer and never observe a half-written version (the local-parquet
+  * stand-in for a table format's transactional commit; swap the pointer
+  * write for a Delta/Iceberg commit on a real lake). Only the previous
+  * version is read while the new one writes, so no read-overwrite cycle.
+  *
+  * Scale shape: each trigger does ONE pass over the current base with the
+  * batch's distinct key set anti-joined (broadcast for delta-sized
+  * batches — see MergeOps' scaladoc). The per-batch collapse-to-latest
+  * window partitions BY KEY over the micro-batch only. At 100 TB the full
+  * base rewrite per trigger is the part a table format replaces with
+  * file-level copy-on-write; the MERGE plan itself is already the right
+  * one, and [[graft.layout.Compaction]] handles the files it would leave.
+  */
+object StreamingMerge {
+
+  /** Resolve the committed snapshot, if any. */
+  def currentSnapshot(spark: SparkSession, tableDir: String): Option[DataFrame] = {
+    val ptr = new java.io.File(tableDir, "_latest")
+    if (!ptr.exists()) None
+    else {
+      val v = new String(java.nio.file.Files.readAllBytes(ptr.toPath)).trim
+      Some(spark.read.parquet(s"$tableDir/$v"))
+    }
+  }
+
+  /** Collapse a micro-batch to its LATEST change per key ((seqCol desc,
+    * op desc) — delete beats upsert on a true tie), satisfying MergeOps'
+    * one-change-per-key caller contract even when a trigger catches
+    * several changes to one row. Window partitions by key WITHIN the
+    * batch — delta-sized, never the base.
+    */
+  def collapseBatch(batch: DataFrame, key: String, seqCol: String,
+      opCol: String = "op"): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    batch.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", seqCol)
+  }
+
+  /** Apply one CDC batch to the snapshot: collapse → merge → commit next
+    * version → move the `_latest` pointer. Exposed for batch-mode use and
+    * for the stream/batch agreement spec.
+    */
+  def applyBatch(spark: SparkSession, batch: DataFrame, key: String,
+      seqCol: String, tableDir: String, batchId: Long,
+      opCol: String = "op"): Unit = {
+    if (!batch.isEmpty) {
+      val collapsed = collapseBatch(batch, key, seqCol, opCol)
+      val merged = currentSnapshot(spark, tableDir) match {
+        case Some(base) => graft.ops.MergeOps.applyChanges(base, collapsed, key, opCol)
+        case None => collapsed.filter(col(opCol) =!= "d").drop(opCol)
+      }
+      val version = s"v=$batchId"
+      merged.write.mode("overwrite").parquet(s"$tableDir/$version")
+      val tmp = new java.io.File(tableDir, s"_latest.tmp$batchId").toPath
+      java.nio.file.Files.write(tmp,
+        version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, new java.io.File(tableDir, "_latest").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** The stream writer: wire a CDC-shaped stream into the maintained
+    * snapshot. `changes` must carry `key`, `seqCol`, `opCol`, and the base
+    * payload columns; start + awaitTermination are the caller's.
+    */
+  def mergeStream(changes: DataFrame, key: String, seqCol: String,
+      tableDir: String, checkpointDir: String,
+      opCol: String = "op"): DataStreamWriter[Row] =
+    changes.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch.sparkSession, batch, key, seqCol, tableDir, batchId, opCol)
+      }
+}
