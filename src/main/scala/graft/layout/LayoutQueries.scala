@@ -122,7 +122,30 @@ object LayoutQueries {
           count(lit(1)).as("n_files"),
           sum(col("n_rows")).as("total_rows"),
           sum(col("size_bytes")).as("total_bytes"),
-          min(col("zmin")).as("zmin"))))
+          min(col("zmin")).as("zmin"))),
+
+    // Snapshot-retention plan over a simulated version report (one row
+    // per committed version: rows, byte proxy, last commit ts — the shape
+    // StreamingMerge.listVersions + footer stats provide; versions here =
+    // order quarters, so commit timestamps genuinely advance). Keep rule:
+    // newest 4 versions OR inside the 1997+ time-travel window — the
+    // plan/execute split again: this DataFrame is what an operator
+    // approves before StreamingMerge.vacuum reclaims the bytes
+    // (StreamingMergeSpec covers the execute half incl. the
+    // _latest-pointer pin).
+    "q_retention_plan" -> ((s, d) => {
+      val report = Tables.orders(s, d)
+        .groupBy(((year(col("o_orderdate")) - 1992) * 4 +
+          quarter(col("o_orderdate")) - 1).cast("long").as("version"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) * lit(180L)).as("approx_bytes"),
+          max(col("o_orderdate")).cast("timestamp").as("last_ts"))
+      graft.streaming.StreamingMerge.retentionPlan(
+        report, "version", "last_ts", keepLast = 4,
+        minTs = java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+        .select(col("version"), col("n_rows"), col("approx_bytes"),
+          col("last_ts"), col("action"))
+    }))
 
   /** The simulated ingest-file report feeding the compaction queries:
     * (file_id, n_rows, size_bytes, zmin) — exactly the shape
@@ -291,5 +314,20 @@ object LayoutQueries {
         |       ROUND(cnt / _total, 6) AS share,
         |       ROUND(cum_cnt / _total, 6) AS cum_share,
         |       ROUND(cnt * _nkeys / _total, 6) AS mean_ratio
-        |FROM ranked WHERE rnk <= 20""".stripMargin)
+        |FROM ranked WHERE rnk <= 20""".stripMargin,
+
+    "q_retention_plan" ->
+      """WITH report AS (
+        |  SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 4
+        |              + EXTRACT(quarter FROM o_orderdate) - 1 AS BIGINT) AS version,
+        |         COUNT(*) AS n_rows,
+        |         COUNT(*) * 180 AS approx_bytes,
+        |         CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_ts
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT version, n_rows, approx_bytes, last_ts,
+        |       CASE WHEN version > (SELECT MAX(version) FROM report) - 4
+        |              OR last_ts >= TIMESTAMP '1997-01-01 00:00:00'
+        |            THEN 'keep' ELSE 'delete' END AS action
+        |FROM report""".stripMargin)
 }

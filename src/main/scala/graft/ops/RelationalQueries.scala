@@ -1058,6 +1058,36 @@ object RelationalQueries {
           (col("c_acctbal") + lit(1000.0)).as("c_acctbal"),
           to_timestamp(lit("2023-06-01 00:00:00")).as("change_ts"))
       MergeOps.scd2Apply(hist, changes, "c_custkey")
+    }),
+
+    // Incremental materialized-aggregate maintenance: the per-(flag,
+    // status) count/sum rollup updates from a CDC batch (every 13th
+    // order's lines deleted with their old images, a +5-quantity copy of
+    // every 17th order's lines inserted) WITHOUT rescanning the fact —
+    // delete images subtract, insert images add, only touched groups
+    // re-combine. The oracle recomputes the whole aggregate on the edited
+    // fact: incremental == full recompute, decimal-exact.
+    "q_incr_agg" -> ((s, d) => {
+      val li = lineitem(s, d).select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast(dec).as("qty"),
+        col("l_extendedprice").cast(dec).as("price"),
+        col("l_orderkey"))
+      val baseAgg = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("qty")).as("sum_qty"),
+          sum(col("price")).as("sum_price"))
+      val deletes = li.filter(col("l_orderkey") % 13 === 0).withColumn("op", lit("d"))
+      val inserts = li.filter(col("l_orderkey") % 17 === 0)
+        .withColumn("qty", col("qty") + lit(5).cast(dec))
+        .withColumn("op", lit("i"))
+      IncrementalAgg.applyDelta(
+        baseAgg, deletes.unionByName(inserts).drop("l_orderkey"),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("qty" -> "sum_qty", "price" -> "sum_price"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+          col("sum_qty").cast("double").as("sum_qty"),
+          col("sum_price").cast("double").as("sum_price"))
     })
   )
 
@@ -1750,6 +1780,23 @@ object RelationalQueries {
          SELECT o_orderstatus, COUNT(*) AS n,
                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
          FROM merged GROUP BY 1""",
+
+    "q_incr_agg" ->
+      """WITH edited AS (
+           SELECT l_returnflag, l_linestatus,
+                  CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+           FROM lineitem WHERE l_orderkey % 13 <> 0
+           UNION ALL
+           SELECT l_returnflag, l_linestatus,
+                  CAST(l_quantity AS DECIMAL(18,2)) + 5 AS qty,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+           FROM lineitem WHERE l_orderkey % 17 = 0
+         )
+         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+                CAST(SUM(price) AS DOUBLE) AS sum_price
+         FROM edited GROUP BY 1, 2""",
 
     "q_scd2_apply" ->
       """WITH hist AS (

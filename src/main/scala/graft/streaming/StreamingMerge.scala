@@ -39,6 +39,79 @@ object StreamingMerge {
     }
   }
 
+  /** All committed versions present on disk, ascending. A `v=<n>` dir
+    * without a `_SUCCESS` marker is an in-flight or failed write — not a
+    * committed version, never listed.
+    */
+  def listVersions(tableDir: String): Seq[Long] = {
+    val dirs = Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
+    dirs.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("v=").toLong)
+      .sorted
+  }
+
+  /** Time travel: read the snapshot AS OF a committed version — the
+    * reproducibility primitive (re-run yesterday's training mix against
+    * yesterday's corpus). Versions are immutable once committed, so this
+    * is a plain parquet scan of one version dir; only [[vacuum]] removes
+    * them.
+    */
+  def snapshotAt(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
+    require(listVersions(tableDir).contains(version),
+      s"version $version not committed in $tableDir (have ${listVersions(tableDir).mkString(",")})")
+    spark.read.parquet(s"$tableDir/v=$version")
+  }
+
+  /** Retention: delete all but the newest `keepLast` committed versions —
+    * the storage-reclaim half of the maintenance loop (MERGE accumulates
+    * a full snapshot per trigger; without vacuum the table's footprint is
+    * versions × size). The version `_latest` resolves to is always kept
+    * regardless of `keepLast`, so a reader holding the pointer can never
+    * lose its data out from under it. Returns the versions deleted.
+    */
+  def vacuum(tableDir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val versions = listVersions(tableDir)
+    val pinned = {
+      val ptr = new java.io.File(tableDir, "_latest")
+      if (!ptr.exists()) None
+      else Some(new String(java.nio.file.Files.readAllBytes(ptr.toPath))
+        .trim.stripPrefix("v=").toLong)
+    }
+    val doomed = versions.dropRight(keepLast).filterNot(pinned.contains)
+    doomed.foreach { v =>
+      val dir = new java.io.File(tableDir, s"v=$v")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+    doomed
+  }
+
+  /** The PLAN half of retention, as a DataFrame over a version report
+    * (one row per committed version — the shape [[listVersions]] +
+    * footer stats provide), mirroring [[graft.layout.Compaction]]'s
+    * plan/execute split: a version is kept if it is among the newest
+    * `keepLast` OR its commit timestamp is within the time-travel window
+    * (`>= minTs`); everything else is marked delete, with its bytes as
+    * the reclaim estimate. Metadata scale (one row per VERSION), so the
+    * unpartitioned max-version window is a few-hundred-row frame at
+    * worst; [[vacuum]] additionally pins the `_latest` target at execute
+    * time.
+    */
+  def retentionPlan(report: DataFrame, versionCol: String, tsCol: String,
+      keepLast: Int, minTs: java.sql.Timestamp): DataFrame = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val maxV = max(col(versionCol)).over(Window.partitionBy())
+    report.withColumn("action",
+      when(col(versionCol) > maxV - keepLast || col(tsCol) >= lit(minTs),
+        lit("keep")).otherwise(lit("delete")))
+  }
+
   /** Collapse a micro-batch to its LATEST change per key ((seqCol desc,
     * op desc) — delete beats upsert on a true tie), satisfying MergeOps'
     * one-change-per-key caller contract even when a trigger catches

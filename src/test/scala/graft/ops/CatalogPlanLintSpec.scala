@@ -56,7 +56,9 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_knn_wide" -> "recall invariant joins wide-dim IVF+SQ8 vs brute twin; query side bounded to 10 vectors; stats cross join is a broadcast 1-row aggregate",
     "q_dedup_semantic" -> "centroid-assignment cross join against the frozen 32-row trained-centroid local relation",
     "q_dedup_cosine_recall" -> "recall query joins the LSH path against the documented exact twin",
-    "q_dq_outliers" -> "cross join against the broadcast 1-row mean/sigma stats aggregate")
+    "q_dq_outliers" -> "cross join against the broadcast 1-row mean/sigma stats aggregate",
+    "q_skew_profile" -> "cross join of the broadcast 1-row total/nkeys aggregate onto the 20-row TakeOrdered result",
+    "q_domain_stats" -> "cross join against the broadcast 1-row corpus-total aggregate for per-domain share")
 
   test("lint variants cover a live query and never go stale") {
     val gone = lintVariants.keySet.diff(graft.SparkEntry.queries.keySet)
@@ -107,7 +109,10 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_knn_ivf_quantized" -> "broadcast sides are the 10-vector query set, k centroids, and the 1-row stats aggregate",
     "q_knn_pq" -> "broadcast side is the query set, bounded to 10 vectors by the pushed filter (codebooks ride the closure, not a join)",
     "q_knn_wide" -> "broadcast sides are the 10-vector query set, k centroids, and the 1-row stats aggregate (q_knn_ivf_quantized at dim 1536)",
-    "q_text_bm25_rel" -> "broadcast side is the per-term df aggregate — rows bounded by the query term count")
+    "q_text_bm25_rel" -> "broadcast side is the per-term df aggregate — rows bounded by the query term count",
+    "q_dpp" -> ("broadcast side is DISTINCT order-months after a triple selective filter — " +
+      "bounded by the calendar (~84 values over the 7-year range), not by data size; " +
+      "the broadcast-hash join is what carries the dynamicpruning subquery into the fact scan"))
 
   test("no catalog query force-broadcasts a scale-proportional table off-allowlist") {
     // BroadcastGatingSpec doctrine, catalog-wide: constant dims (nation,

@@ -95,4 +95,51 @@ class StreamingMergeSpec extends AnyFunSuite with SparkSpec {
     assert(snapshotRows(tableDir) === expectedState(b1 ++ b2))
     v1.count() // the superseded version is still readable (reader safety)
   }
+
+  test("time travel: snapshotAt reads each committed version; vacuum keeps the pointer's version") {
+    val base = java.nio.file.Files.createTempDirectory("graft-smerge-tt").toFile.getAbsolutePath
+    val tableDir = s"$base/table"
+    val b0 = Seq(Change("u", 1, "a", 1.0, 1), Change("u", 2, "b", 2.0, 2))
+    val b1 = Seq(Change("u", 1, "a2", 1.5, 3))
+    val b2 = Seq(Change("d", 2, "", 0.0, 4), Change("u", 3, "c", 3.0, 5))
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      StreamingMerge.applyBatch(spark, b.toDF(), "id", "seq", tableDir, batchId = i)
+    }
+    assert(StreamingMerge.listVersions(tableDir) === Seq(0L, 1L, 2L))
+
+    def rowsAt(v: Long): Set[(Long, String, Double)] =
+      StreamingMerge.snapshotAt(spark, tableDir, v)
+        .select("id", "name", "amount").as[(Long, String, Double)].collect().toSet
+    assert(rowsAt(0) === expectedState(b0))
+    assert(rowsAt(1) === expectedState(b0 ++ b1))
+    assert(rowsAt(2) === expectedState(b0 ++ b1 ++ b2))
+    assert(rowsAt(2) === snapshotRows(tableDir), "latest == highest version")
+
+    // vacuum to the newest version only: v0/v1 go, the pointer target stays
+    assert(StreamingMerge.vacuum(tableDir, keepLast = 1) === Seq(0L, 1L))
+    assert(StreamingMerge.listVersions(tableDir) === Seq(2L))
+    assert(snapshotRows(tableDir) === expectedState(b0 ++ b1 ++ b2))
+    intercept[IllegalArgumentException] { StreamingMerge.snapshotAt(spark, tableDir, 0L) }
+    // idempotent: nothing left to reclaim
+    assert(StreamingMerge.vacuum(tableDir, keepLast = 1).isEmpty)
+  }
+
+  test("vacuum never deletes the version _latest points at, even if newer dirs exist") {
+    val base = java.nio.file.Files.createTempDirectory("graft-smerge-vp").toFile.getAbsolutePath
+    val tableDir = s"$base/table"
+    val b0 = Seq(Change("u", 1, "a", 1.0, 1))
+    StreamingMerge.applyBatch(spark, b0.toDF(), "id", "seq", tableDir, batchId = 0)
+    // simulate a committed-but-unpointed newer version (crash between
+    // parquet commit and pointer move): dir + _SUCCESS exist, pointer at v=0
+    val stray = new java.io.File(tableDir, "v=5"); stray.mkdirs()
+    b0.toDF().write.mode("overwrite").parquet(stray.getAbsolutePath)
+    val ptr = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(tableDir, "_latest").toPath)).trim
+    assert(ptr === "v=0")
+    // keepLast=1 would keep only v=5 (newest) — but v=0 is pinned by the pointer
+    val deleted = StreamingMerge.vacuum(tableDir, keepLast = 1)
+    assert(!deleted.contains(0L))
+    assert(StreamingMerge.listVersions(tableDir).contains(0L))
+    assert(snapshotRows(tableDir) === expectedState(b0), "reader state intact")
+  }
 }
