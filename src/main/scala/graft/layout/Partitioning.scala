@@ -6,13 +6,16 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.ops.Tables
 
-/** Partitioned-table layout + the dynamic-partition-pruning proof — the
-  * other half of the file-skipping story next to [[ZOrder]]: Z-order cuts
-  * files WITHIN a partition via footer min/max boxes; date partitioning
-  * cuts whole directories before any footer is opened, and DPP extends
-  * that to runtime — a join against a filtered dimension prunes fact
-  * partitions using the dim's VALUES, discovered during execution, not
-  * just static predicates.
+/** Partitioned-table layout + the two RUNTIME pruning proofs — the rest
+  * of the file-skipping story next to [[ZOrder]]: Z-order cuts files
+  * WITHIN a partition via footer min/max boxes; date partitioning cuts
+  * whole directories before any footer is opened; DPP extends that to
+  * runtime (a join against a filtered dimension prunes fact PARTITIONS
+  * using the dim's values, discovered during execution); and the runtime
+  * bloom filter ([[graft.ops.RuntimeFilters]]) is the row-level
+  * counterpart for joins whose key carries no partition structure — fact
+  * ROWS that cannot match die at the scan instead of crossing the
+  * shuffle.
   */
 object Partitioning {
 
@@ -69,7 +72,32 @@ object Partitioning {
           count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(DecimalType(28, 6)))
             .cast("double").as("total_price"))
-    }))
+    }),
+
+    // Row-level runtime pruning, the twin proof to q_dpp: a selectively
+    // filtered orders dim joins the lineitem fact on the shuffle key, and
+    // InjectRuntimeFilter stamps might_contain(<dim-key bloom>) onto the
+    // fact SCAN (PlanShapeSpec pins it) — fact rows that cannot match die
+    // before the exchange instead of after it. Thresholds are pinned only
+    // while this plan optimizes (see RuntimeFilters.withBloomFilter);
+    // values are filter-independent, so the oracle is the plain join.
+    "q_bloom_join" -> ((s, d) =>
+      graft.ops.RuntimeFilters.withBloomFilter(s, {
+        val dim = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice") > 150000.0)
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val fact = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(18, 2)) -
+                col("l_discount").cast(DecimalType(18, 2))))
+              .cast("double").as("revenue"))
+      })))
 
   val oracles: Map[String, String] = Map(
     // Values are layout-independent: the same join/agg over the original
@@ -85,5 +113,18 @@ object Partitioning {
         |       COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
         |FROM orders o JOIN dim ON strftime(o.o_orderdate, '%Y-%m') = dim.o_month
+        |GROUP BY 1""".stripMargin,
+
+    // The bloom filter is value-transparent (false positives only ever
+    // ADMIT rows the join then rejects) — the oracle is the plain join.
+    "q_bloom_join" ->
+      """SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+        |       COUNT(*) AS n_lines,
+        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+        |            AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000.0
         |GROUP BY 1""".stripMargin)
 }

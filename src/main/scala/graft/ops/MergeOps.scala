@@ -45,6 +45,44 @@ object MergeOps {
       base.join(changes.select(col(key)).distinct(), Seq(key), "left_anti"))
   }
 
+  /** Change-feed generation — the INVERSE of [[applyChanges]]: diff two
+    * keyed snapshots into the minimal CDC batch that transforms `old`
+    * into `neu` (keys only in `neu` → 'i', only in `old` → 'd' carrying
+    * the departing row, payload-changed keys → 'u' carrying the new row;
+    * identical rows are absent). Round-trip law (spec-pinned):
+    * `applyChanges(old, changeFeed(old, neu), key) ≡ neu` — so a rebuilt
+    * snapshot can feed every incremental consumer ([[IncrementalAgg]],
+    * downstream MERGEs) without shipping the full table.
+    *
+    * Scale shape: the one operator here where a full-outer join IS the
+    * right plan — a diff must co-locate both sides by key, so both
+    * shuffle once (bucket both snapshots on the key to make it
+    * exchange-free). Payload equality is one null-safe struct compare,
+    * not per-column OR chains. Caller contract: key non-null and unique
+    * per side.
+    */
+  def changeFeed(old: DataFrame, neu: DataFrame, key: String,
+      opCol: String = "op"): DataFrame = {
+    require(old.columns.sorted.sameElements(neu.columns.sorted),
+      s"schema mismatch: ${old.columns.mkString(",")} vs ${neu.columns.mkString(",")}")
+    val payload = old.columns.filterNot(_ == key).toSeq
+    val l = old.select(col(key).as("_ko"),
+      struct(payload.map(col): _*).as("_po"))
+    val r = neu.select(col(key).as("_kn"),
+      struct(payload.map(col): _*).as("_pn"))
+    l.join(r, col("_ko") === col("_kn"), "full_outer")
+      .filter(col("_ko").isNull || col("_kn").isNull ||
+        !(col("_po") <=> col("_pn")))
+      .select(
+        coalesce(col("_kn"), col("_ko")).as(key) +:
+          payload.map(c =>
+            when(col("_kn").isNull, col(s"_po.$c"))
+              .otherwise(col(s"_pn.$c")).as(c)) :+
+          when(col("_kn").isNull, lit("d"))
+            .when(col("_ko").isNull, lit("i"))
+            .otherwise(lit("u")).as(opCol): _*)
+  }
+
   /** SCD type-2 apply: `history` is the versioned dimension
     * (key, attrs…, fromCol, endCol with NULL = current row); `changes` is
     * one new version per key (key, attrs…, changeTsCol). Each changed

@@ -1088,6 +1088,25 @@ object RelationalQueries {
         .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
           col("sum_qty").cast("double").as("sum_qty"),
           col("sum_price").cast("double").as("sum_price"))
+    }),
+
+    // Change-feed generation: diff the orders snapshot against a
+    // deterministically edited twin (every 23rd key deleted, every 10th
+    // surviving key's status flipped, every 97th key re-inserted under a
+    // new key) into the minimal i/u/d batch — 'd' rows carry the
+    // departing payload, 'u'/'i' rows the new one, untouched rows stay
+    // out of the feed. MergeOpsSpec pins the round-trip law
+    // applyChanges(old, feed) == new.
+    "q_change_feed" -> ((s, d) => {
+      val o = orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val edited = o.filter(col("o_orderkey") % 23 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 10 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(o.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      MergeOps.changeFeed(o, edited, "o_orderkey")
     })
   )
 
@@ -1797,6 +1816,28 @@ object RelationalQueries {
                 CAST(SUM(qty) AS DOUBLE) AS sum_qty,
                 CAST(SUM(price) AS DOUBLE) AS sum_price
          FROM edited GROUP BY 1, 2""",
+
+    "q_change_feed" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         ), neu AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+                  o_totalprice
+           FROM o WHERE o_orderkey % 23 <> 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+           FROM o WHERE o_orderkey % 97 = 0
+         )
+         SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+                CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus ELSE n.o_orderstatus END AS o_orderstatus,
+                CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice ELSE n.o_totalprice END AS o_totalprice,
+                CASE WHEN n.o_orderkey IS NULL THEN 'd'
+                     WHEN o.o_orderkey IS NULL THEN 'i' ELSE 'u' END AS op
+         FROM o FULL JOIN neu n ON o.o_orderkey = n.o_orderkey
+         WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+            OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+            OR o.o_totalprice IS DISTINCT FROM n.o_totalprice""",
 
     "q_scd2_apply" ->
       """WITH hist AS (

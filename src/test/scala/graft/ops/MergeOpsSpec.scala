@@ -69,6 +69,33 @@ class MergeOpsSpec extends AnyFunSuite with SparkSpec {
     assert(k2.length === 1 && k2.head.isNullAt(3))
   }
 
+  test("changeFeed emits the minimal i/u/d batch with the right payload sides") {
+    import spark.implicits._
+    val neu = Seq((1L, "a", 10),          // unchanged -> absent from feed
+      (2L, "B", 99),                       // payload changed -> 'u', new payload
+      (4L, "d", 40))                       // new key -> 'i'
+      .toDF("k", "name", "v")              // key 3 absent -> 'd', old payload
+    val feed = MergeOps.changeFeed(base, neu, "k").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getString(3)))).toMap
+    assert(feed === Map(
+      2L -> (("B", 99, "u")), 3L -> (("c", 30, "d")), 4L -> (("d", 40, "i"))))
+  }
+
+  test("round-trip law: applyChanges(old, changeFeed(old, new)) == new") {
+    import spark.implicits._
+    val neu = Seq((2L, "B", 99), (3L, Option.empty[String].orNull, 30), (5L, "e", 50))
+      .toDF("k", "name", "v")
+    val rebuilt = MergeOps.applyChanges(
+      base, MergeOps.changeFeed(base, neu, "k"), "k")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2))).toSet
+    assert(rows(rebuilt) === rows(neu))
+    // null payload difference detected null-safely: (3, "c") -> (3, null) is a 'u'
+    val ops = MergeOps.changeFeed(base, neu, "k").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(ops === Map(1L -> "d", 2L -> "u", 3L -> "u", 5L -> "i"))
+  }
+
   test("upsert of a small delta never shuffles the base side") {
     import spark.implicits._
     val updates = Seq((2L, "B", 99)).toDF("k", "name", "v")

@@ -170,6 +170,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       .foreach(c => assert(pushed.contains(c), s"$c not pushed: $pushed"))
   }
 
+  test("q_bloom_join: fact side carries a runtime bloom filter ahead of the join") {
+    val df = graft.SparkEntry.queries("q_bloom_join")(spark, d)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // InjectRuntimeFilter must have stamped might_contain(<bloom over the
+    // filtered dim's keys>) onto the lineitem side — the row-level twin of
+    // q_dpp's dynamicpruning: non-matching fact rows die at the scan, not
+    // after the shuffle. Without it a 100 TB fact shuffles in full to
+    // discard 97% at the join.
+    assert(optimized.contains("might_contain"), optimized)
+    // the bloom build happens on the CREATION side: a bloom_filter_agg
+    // over the filtered orders keys, not over the fact
+    assert(optimized.contains("bloom_filter_agg"), optimized)
+    // and the helper restored the session confs after optimizing
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+      "withBloomFilter leaked autoBroadcastJoinThreshold=-1")
+  }
+
   test("q_skew_profile: parallel TakeOrdered top-k; windows only over the 20-row result") {
     val df = graft.SparkEntry.queries("q_skew_profile")(spark, d)
     val plan = df.queryExecution.sparkPlan
