@@ -1107,6 +1107,27 @@ object RelationalQueries {
         .unionByName(o.filter(col("o_orderkey") % 97 === 0)
           .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
       MergeOps.changeFeed(o, edited, "o_orderkey")
+    }),
+
+    // Schema evolution across file generations: an "old generation" of
+    // orders (INT custkey, FLOAT price, no rank column — even keys)
+    // unions with the "new generation" (BIGINT/DOUBLE, added
+    // priority_rank — odd keys) under the widened schema; old rows carry
+    // typed NULL for the added column. Name-matched with an explicit
+    // widening lattice — positional union after a column add is the
+    // silent-corruption bug this operator exists to prevent.
+    "q_schema_evolve" -> ((s, d) => {
+      val o = orders(s, d)
+      val gen1 = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          col("o_custkey").cast("int").as("o_custkey"),
+          col("o_totalprice").cast("float").as("o_totalprice"))
+      val gen2 = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"),
+          substring(col("o_orderpriority"), 1, 1).cast("int")
+            .as("priority_rank"))
+      graft.io.SchemaEvolution.unionEvolve(Seq(gen1, gen2))
     })
   )
 
@@ -1838,6 +1859,17 @@ object RelationalQueries {
          WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
             OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
             OR o.o_totalprice IS DISTINCT FROM n.o_totalprice""",
+
+    "q_schema_evolve" ->
+      """SELECT o_orderkey,
+                CAST(CAST(o_custkey AS INT) AS BIGINT) AS o_custkey,
+                CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS o_totalprice,
+                CAST(NULL AS INT) AS priority_rank
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS priority_rank
+         FROM orders WHERE o_orderkey % 2 = 1""",
 
     "q_scd2_apply" ->
       """WITH hist AS (
