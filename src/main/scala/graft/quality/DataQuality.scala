@@ -75,6 +75,53 @@ object DataQuality {
         round(col("_sum") / col("_nn"), 6).as("avg_num"))
   }
 
+  /** One-pass exact Pearson correlation for the given column pairs: one
+    * row per pair with (x_col, y_col, n, corr). The moment sums (Σx, Σy,
+    * Σx², Σy², Σxy) accumulate in DECIMAL — order-independent and exact,
+    * so "one pass" and "recomputed" can never drift — and only the final
+    * closed-form combination runs in double (identical IEEE expression
+    * tree in the SQL twin). A float `corr` aggregate would be
+    * partition-order dependent and hash-break the oracle; Spark's builtin
+    * `corr` is exactly that. Pairwise-complete null handling: a row
+    * contributes to a pair only when BOTH sides are non-null. Scale note:
+    * products sum in DECIMAL(38,4); for values far above the fixture's
+    * price magnitudes pre-scale the inputs (the same knob as the NDV one
+    * above).
+    */
+  def profileCorrelation(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "profileCorrelation needs at least one pair")
+    val d = DecimalType(18, 2)
+    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+      val both = col(x).isNotNull && col(y).isNotNull
+      val xd = when(both, col(x).cast(d))
+      val yd = when(both, col(y).cast(d))
+      Seq(
+        count(when(both, lit(1))).as(s"p${i}__n"),
+        sum(xd).as(s"p${i}__sx"),
+        sum(yd).as(s"p${i}__sy"),
+        sum(xd * xd).as(s"p${i}__sxx"),
+        sum(yd * yd).as(s"p${i}__syy"),
+        sum(xd * yd).as(s"p${i}__sxy"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.zipWithIndex.map { case ((x, y), i) =>
+      s"'$x', '$y', `p${i}__n`, " +
+        s"CAST(`p${i}__sx` AS DOUBLE), CAST(`p${i}__sy` AS DOUBLE), " +
+        s"CAST(`p${i}__sxx` AS DOUBLE), CAST(`p${i}__syy` AS DOUBLE), " +
+        s"CAST(`p${i}__sxy` AS DOUBLE)"
+    }.mkString(", ")
+    wide
+      .select(expr(s"stack(${pairs.size}, $stackArgs) " +
+        "AS (x_col, y_col, n, _sx, _sy, _sxx, _syy, _sxy)"))
+      .select(col("x_col"), col("y_col"), col("n"),
+        round(
+          (col("n") * col("_sxy") - col("_sx") * col("_sy")) /
+            (sqrt(col("n") * col("_sxx") - col("_sx") * col("_sx")) *
+              sqrt(col("n") * col("_syy") - col("_sy") * col("_sy"))),
+          6).as("corr"))
+  }
+
   /** Long-format string profile: one row per column with
     * (col_name, n, n_null, null_frac, ndv, min_len, max_len, avg_len).
     * Lengths are exact character counts (both engines count codepoints the

@@ -35,6 +35,17 @@ object QualityQueries {
             lit(0.05) * col("ndv")).cast("long").as("ndv_within_5pct"))
     }),
 
+    // One-pass exact Pearson correlation across the fact's numeric pairs
+    // — decimal moment sums, closed-form double combination, identical
+    // expression tree in the SQL twin (a float corr aggregate would be
+    // partition-order dependent).
+    "q_profile_corr" -> ((s, d) =>
+      DataQuality.profileCorrelation(Tables.lineitem(s, d), Seq(
+        "l_quantity" -> "l_extendedprice",
+        "l_extendedprice" -> "l_discount",
+        "l_quantity" -> "l_tax",
+        "l_discount" -> "l_tax"))),
+
     // One-pass string column profile over the documents table.
     "q_profile_strings" -> ((s, d) =>
       DataQuality.profileStrings(Tables.documents(s, d),
@@ -89,6 +100,16 @@ object QualityQueries {
        |       ROUND(CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) / COUNT($c), 6) AS avg_num
        |FROM lineitem""".stripMargin
 
+  private def corrPairSql(x: String, y: String): String =
+    s"""SELECT '$x' AS x_col, '$y' AS y_col,
+       |  COUNT(CASE WHEN $x IS NOT NULL AND $y IS NOT NULL THEN 1 END) AS n,
+       |  CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE) AS _sx,
+       |  CAST(SUM(CAST($y AS DECIMAL(18,2))) AS DOUBLE) AS _sy,
+       |  CAST(SUM(CAST($x AS DECIMAL(18,2)) * CAST($x AS DECIMAL(18,2))) AS DOUBLE) AS _sxx,
+       |  CAST(SUM(CAST($y AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2))) AS DOUBLE) AS _syy,
+       |  CAST(SUM(CAST($x AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2))) AS DOUBLE) AS _sxy
+       |FROM lineitem""".stripMargin
+
   private def strProfileSql(c: String): String =
     s"""SELECT '$c' AS col_name, COUNT(*) AS n,
        |       COUNT(*) - COUNT($c) AS n_null,
@@ -122,6 +143,22 @@ object QualityQueries {
     "q_profile_strings" ->
       Seq("text", "lang", "source")
         .map(strProfileSql).mkString("\nUNION ALL\n"),
+
+    "q_profile_corr" ->
+      ("WITH sums AS (\n" +
+        Seq("l_quantity" -> "l_extendedprice",
+          "l_extendedprice" -> "l_discount",
+          "l_quantity" -> "l_tax",
+          "l_discount" -> "l_tax")
+          .map { case (x, y) => corrPairSql(x, y) }
+          .mkString("\nUNION ALL\n") +
+        """
+          |)
+          |SELECT x_col, y_col, n,
+          |       ROUND((n * _sxy - _sx * _sy) /
+          |             (SQRT(n * _sxx - _sx * _sx) * SQRT(n * _syy - _sy * _sy)),
+          |             6) AS corr
+          |FROM sums""".stripMargin),
 
     "q_dq_fd" ->
       """WITH g AS (
