@@ -51,4 +51,33 @@ object PartitionedMerge {
     }
     touched
   }
+
+  /** TTL expiry at partition granularity: drop every `partCol=<v>`
+    * directory whose value is lexicographically below `cutoff` (ISO
+    * dates/months sort correctly as strings — the reason time-partitioned
+    * layouts use them). A metadata-only delete: no scan, no rewrite, no
+    * shuffle — versus a row-level `DELETE WHERE ts < cutoff` that reads
+    * and rewrites the whole table to remove its oldest slice. This is the
+    * retention twin of [[graft.streaming.StreamingMerge.vacuum]]: vacuum
+    * reclaims superseded VERSIONS, this expires aged-out DATA. Returns
+    * the partition values dropped, sorted.
+    */
+  def expirePartitions(tableDir: String, partCol: String,
+      cutoff: String): Seq[String] = {
+    val dirs = Option(new java.io.File(tableDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
+    val doomed = dirs
+      .map(f => f -> f.getName.stripPrefix(s"$partCol="))
+      .filter(_._2 < cutoff)
+      .sortBy(_._2)
+    doomed.foreach { case (dir, _) =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+    doomed.map(_._2).toSeq
+  }
 }

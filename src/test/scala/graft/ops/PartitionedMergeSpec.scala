@@ -52,6 +52,28 @@ class PartitionedMergeSpec extends AnyFunSuite with SparkSpec {
     assert(fileSet(s"$dir/part=m2") === untouchedFiles)
   }
 
+  test("expirePartitions drops only aged-out directories, no data pass") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pexp")
+      .toFile.getAbsolutePath + "/t"
+    val rows = Seq((1L, "2024-01", "a"), (2L, "2024-02", "b"),
+      (3L, "2024-03", "c"), (4L, "2024-03", "d"))
+    rows.toDF("k", "month", "payload")
+      .repartition(col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(dir)
+    val survivorFiles = fileSet(s"$dir/month=2024-03")
+
+    val dropped = PartitionedMerge.expirePartitions(dir, "month", "2024-03")
+    assert(dropped === Seq("2024-01", "2024-02"))
+    assert(!new java.io.File(s"$dir/month=2024-01").exists())
+    // survivors byte-identical — expiry never touches live partitions
+    assert(fileSet(s"$dir/month=2024-03") === survivorFiles)
+    val left = spark.read.parquet(dir).select("k").as[Long].collect().toSet
+    assert(left === Set(3L, 4L))
+    // idempotent
+    assert(PartitionedMerge.expirePartitions(dir, "month", "2024-03").isEmpty)
+  }
+
   test("base scan prunes to the touched partitions (pushed partition filter)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-pmerge2")

@@ -187,6 +187,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       "withBloomFilter leaked autoBroadcastJoinThreshold=-1")
   }
 
+  test("q_incr_agg: unchanged groups bypass via anti join; only touched groups re-combine") {
+    val df = graft.SparkEntry.queries("q_incr_agg")(spark, d)
+    val plan = df.queryExecution.sparkPlan.toString
+    // the maintenance shape: base-agg rows split by the delta's group
+    // keys — LeftAnti passes untouched groups through untouched,
+    // LeftSemi routes only touched ones into the re-combine. A plan
+    // without the split re-aggregates the whole aggregate table per delta.
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("q_schema_evolve: both generation scans prune to referenced columns only") {
+    val df = graft.SparkEntry.queries("q_schema_evolve")(spark, d)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val readSchemas = plan.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    // evolution casts must not widen the SCAN: neither generation
+    // references o_orderstatus/o_orderdate, so no scan may read them
+    assert(!readSchemas.contains("o_orderstatus"), readSchemas)
+    assert(!readSchemas.contains("o_orderdate"), readSchemas)
+  }
+
   test("q_skew_profile: parallel TakeOrdered top-k; windows only over the 20-row result") {
     val df = graft.SparkEntry.queries("q_skew_profile")(spark, d)
     val plan = df.queryExecution.sparkPlan
