@@ -75,6 +75,46 @@ object DataQuality {
         round(col("_sum") / col("_nn"), 6).as("avg_num"))
   }
 
+  /** Numeric profile from a DETERMINISTIC row sample — how a 100 TB
+    * table actually gets profiled daily: an md5-keyed Bernoulli sample
+    * ([[graft.prep.DeterministicSampling]] — replayable across engines,
+    * reruns, and repartitions, unlike `TABLESAMPLE`/`rand()`) feeds the
+    * same one-pass aggregate, and counts scale back up by 1/rate. Sample
+    * stats are labeled for what they are: `n_est` extrapolates (exact in
+    * expectation), `min_num`/`max_num` are sample extremes (bounds-only),
+    * `avg_num` is the unbiased sample mean, and NDV is deliberately NOT
+    * reported — distinct counts don't scale linearly from a row sample;
+    * use [[profileNumericApprox]]'s HLL on the full data for that.
+    */
+  def profileNumericSampled(df: DataFrame, idCol: Column,
+      cols: Seq[String], rate: Double): DataFrame = {
+    require(cols.nonEmpty, "profileNumericSampled needs at least one column")
+    require(rate > 0 && rate <= 1, s"rate must be in (0,1]: $rate")
+    val sampled = df.filter(
+      graft.prep.DeterministicSampling.uniformDraw(idCol) < rate)
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        sum(col(c).cast(dec)).cast("double").as(s"${c}__sum"))
+    }
+    val wide = sampled.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `${c}__nn`, `${c}__min`, `${c}__max`, `${c}__sum`"
+    }.mkString(", ")
+    wide
+      .select(col("__n"), expr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, _nn, min_num, max_num, _sum)"))
+      .select(
+        col("col_name"),
+        col("__n").as("n_sampled"),
+        (col("__n") / rate).as("n_est"),
+        round((col("__n") - col("_nn")) / col("__n"), 6).as("null_frac"),
+        col("min_num"), col("max_num"),
+        round(col("_sum") / col("_nn"), 6).as("avg_num"))
+  }
+
   /** One-pass exact Pearson correlation for the given column pairs: one
     * row per pair with (x_col, y_col, n, corr). The moment sums (Σx, Σy,
     * Σx², Σy², Σxy) accumulate in DECIMAL — order-independent and exact,

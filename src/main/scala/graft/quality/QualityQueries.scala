@@ -35,6 +35,16 @@ object QualityQueries {
             lit(0.05) * col("ndv")).cast("long").as("ndv_within_5pct"))
     }),
 
+    // The sampled profile a 100 TB table runs daily: md5-keyed
+    // deterministic 10% sample (replayable cross-engine — the oracle
+    // replays the SAME sample), counts scaled back by 1/rate, NDV
+    // deliberately absent (doesn't scale linearly from a row sample).
+    "q_profile_sampled" -> ((s, d) =>
+      DataQuality.profileNumericSampled(Tables.lineitem(s, d),
+        col("l_orderkey") * 8 + col("l_linenumber"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        rate = 0.1)),
+
     // One-pass exact Pearson correlation across the fact's numeric pairs
     // — decimal moment sums, closed-form double combination, identical
     // expression tree in the SQL twin (a float corr aggregate would be
@@ -100,6 +110,15 @@ object QualityQueries {
        |       ROUND(CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) / COUNT($c), 6) AS avg_num
        |FROM lineitem""".stripMargin
 
+  private def sampledProfileSql(c: String): String =
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n_sampled,
+       |       CAST(COUNT(*) AS DOUBLE) / 0.1 AS n_est,
+       |       ROUND((COUNT(*) - COUNT($c)) / COUNT(*), 6) AS null_frac,
+       |       CAST(MIN($c) AS DOUBLE) AS min_num,
+       |       CAST(MAX($c) AS DOUBLE) AS max_num,
+       |       ROUND(CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) / COUNT($c), 6) AS avg_num
+       |FROM s""".stripMargin
+
   private def corrPairSql(x: String, y: String): String =
     s"""SELECT '$x' AS x_col, '$y' AS y_col,
        |  COUNT(CASE WHEN $x IS NOT NULL AND $y IS NOT NULL THEN 1 END) AS n,
@@ -143,6 +162,16 @@ object QualityQueries {
     "q_profile_strings" ->
       Seq("text", "lang", "source")
         .map(strProfileSql).mkString("\nUNION ALL\n"),
+
+    "q_profile_sampled" ->
+      ("""WITH s AS (
+         |  SELECT * FROM lineitem
+         |  WHERE CAST(CAST('0x' || substr(md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+         |        / 4294967296.0 < 0.1
+         |)
+         |""".stripMargin +
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(sampledProfileSql).mkString("\nUNION ALL\n")),
 
     "q_profile_corr" ->
       ("WITH sums AS (\n" +
