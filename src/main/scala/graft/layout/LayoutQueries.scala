@@ -145,6 +145,38 @@ object LayoutQueries {
         minTs = java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
         .select(col("version"), col("n_rows"), col("approx_bytes"),
           col("last_ts"), col("action"))
+    }),
+
+    // The scan-planner's accounting: for a 2-D (partkey, suppkey) box
+    // predicate, how many simulated data files does footer min/max
+    // pruning admit under the arrival-ordered layout vs the Z-ordered
+    // one (value-blocked on the Morton key — contiguous curve segments,
+    // the shape clusterByZ writes)? Same rows, same predicate — only the
+    // LAYOUT differs, and skip_ratio is the measured win, value-oracled.
+    // (ZOrderFileSkipSpec proves the same effect against REAL parquet
+    // footers; this query oracles the pruning arithmetic itself.)
+    "q_file_skip_stats" -> ((s, d) => {
+      val (plo, phi, slo, shi) = (1000L, 1999L, 100L, 199L)
+      def rollup(fileId: org.apache.spark.sql.Column, layout: String) =
+        Tables.lineitem(s, d)
+          .groupBy(fileId.as("file_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+            min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+          .withColumn("_scan",
+            col("pk_max") >= plo && col("pk_min") <= phi &&
+              col("sk_max") >= slo && col("sk_min") <= shi)
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(when(col("_scan"), 1L).otherwise(0L)).as("n_scanned"),
+            sum(col("n_rows")).as("rows_total"),
+            sum(when(col("_scan"), col("n_rows")).otherwise(0L)).as("rows_scanned"))
+          .withColumn("layout", lit(layout))
+      rollup(expr("l_orderkey DIV 128"), "arrival")
+        .unionByName(rollup(
+          shiftright(zkey31(col("l_partkey"), col("l_suppkey")), 20), "zorder"))
+        .withColumn("skip_ratio",
+          round(lit(1.0) - col("rows_scanned") / col("rows_total"), 6))
     }))
 
   /** The simulated ingest-file report feeding the compaction queries:
@@ -315,6 +347,37 @@ object LayoutQueries {
         |       ROUND(cum_cnt / _total, 6) AS cum_share,
         |       ROUND(cnt * _nkeys / _total, 6) AS mean_ratio
         |FROM ranked WHERE rnk <= 20""".stripMargin,
+
+    "q_file_skip_stats" ->
+      (zChainSql(
+        """SELECT l_orderkey, l_partkey, l_suppkey,
+          |         l_partkey & 2147483647 AS x, l_suppkey & 2147483647 AS y
+          |  FROM lineitem""".stripMargin,
+        "l_orderkey, l_partkey, l_suppkey") + """
+        |, files AS (
+        |  SELECT 'arrival' AS layout, l_orderkey // 128 AS file_id,
+        |         l_partkey, l_suppkey
+        |  FROM zk
+        |  UNION ALL
+        |  SELECT 'zorder' AS layout, zkey >> 20 AS file_id,
+        |         l_partkey, l_suppkey
+        |  FROM zk
+        |), boxes AS (
+        |  SELECT layout, file_id, COUNT(*) AS n_rows,
+        |         MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+        |         MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+        |  FROM files GROUP BY 1, 2
+        |), flagged AS (
+        |  SELECT *, (pk_max >= 1000 AND pk_min <= 1999 AND
+        |             sk_max >= 100 AND sk_min <= 199) AS scan
+        |  FROM boxes
+        |)
+        |SELECT layout, COUNT(*) AS n_files,
+        |       CAST(SUM(CASE WHEN scan THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+        |       CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+        |       CAST(SUM(CASE WHEN scan THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |       ROUND(1.0 - SUM(CASE WHEN scan THEN n_rows ELSE 0 END) / SUM(n_rows), 6) AS skip_ratio
+        |FROM flagged GROUP BY 1""".stripMargin),
 
     "q_retention_plan" ->
       """WITH report AS (
