@@ -48,6 +48,39 @@ object SchemaEvolution {
     }
   }
 
+  /** Schema-drift report — the DETECTION half next to [[unionEvolve]]'s
+    * reconciliation: compare a table's loaded schema against the
+    * contracted one and emit one row per difference class. `status`:
+    * `ok` (name+type match), `type_widened` (actual widens losslessly
+    * from expected — tolerable, the evolve path absorbs it),
+    * `type_changed` (no lossless widening — a rewrite happened; page
+    * someone), `missing` (contracted column absent), `added` (new column
+    * not yet under contract). Pure metadata — the report materializes
+    * from the parquet FOOTER schema, zero data rows read, so it can gate
+    * every ingest batch for free.
+    */
+  def driftReport(spark: org.apache.spark.sql.SparkSession,
+      expected: Seq[(String, DataType)], actual: StructType): DataFrame = {
+    val actualMap = actual.fields.map(f => f.name -> f.dataType).toMap
+    val expNames = expected.map(_._1).toSet
+    val rows =
+      expected.map { case (name, expT) =>
+        actualMap.get(name) match {
+          case None => (name, "missing", expT.simpleString, null: String)
+          case Some(actT) if actT == expT =>
+            (name, "ok", expT.simpleString, actT.simpleString)
+          case Some(actT) if widen(expT, actT).contains(actT) =>
+            (name, "type_widened", expT.simpleString, actT.simpleString)
+          case Some(actT) =>
+            (name, "type_changed", expT.simpleString, actT.simpleString)
+        }
+      } ++
+        actual.fields.filterNot(f => expNames.contains(f.name))
+          .map(f => (f.name, "added", null: String, f.dataType.simpleString))
+    import spark.implicits._
+    rows.toDF("col_name", "status", "expected_type", "actual_type")
+  }
+
   /** Union any number of generations under the evolved schema: columns
     * matched by name (first-seen order), each column's type the
     * [[widen]]-fold of every generation that carries it, generations

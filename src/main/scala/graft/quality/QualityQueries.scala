@@ -56,6 +56,29 @@ object QualityQueries {
         "l_quantity" -> "l_tax",
         "l_discount" -> "l_tax"))),
 
+    // Schema-drift gate: the lineitem footer schema checked against a
+    // contract that deliberately exercises every status class — widened
+    // (int→double is absorbable), changed (string where int was
+    // promised: rewrite, page someone), missing, added. Pure metadata:
+    // zero data rows read.
+    "q_schema_drift" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      graft.io.SchemaEvolution.driftReport(s, Seq(
+        "l_orderkey" -> LongType,
+        "l_linenumber" -> IntegerType,
+        "l_quantity" -> IntegerType,          // fixture: double  -> widened
+        "l_returnflag" -> IntegerType,        // fixture: string  -> changed
+        "l_extendedprice" -> DoubleType,
+        "l_shipinstruct" -> StringType),      // absent            -> missing
+        Tables.lineitem(s, d).schema)
+        // l_shipdate's PHYSICAL ts type has drifted across fixture
+        // generations (micros-NTZ today, micros-UTC/nanos before — the
+        // events-ts doctrine in ops/Tables); an oracle literal pinning it
+        // would break on regeneration, so its 'added' row stays out of
+        // the oracled surface. EventsTsSpec owns ts-type coverage.
+        .filter(col("col_name") =!= "l_shipdate")
+    }),
+
     // One-pass string column profile over the documents table.
     "q_profile_strings" -> ((s, d) =>
       DataQuality.profileStrings(Tables.documents(s, d),
@@ -162,6 +185,23 @@ object QualityQueries {
     "q_profile_strings" ->
       Seq("text", "lang", "source")
         .map(strProfileSql).mkString("\nUNION ALL\n"),
+
+    // The drift report is driver-side metadata (footer schema vs the
+    // contract literal) — the oracle is the expected report itself.
+    "q_schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('l_orderkey',     'ok',           'bigint', 'bigint'),
+        |  ('l_linenumber',   'ok',           'int',    'int'),
+        |  ('l_quantity',     'type_widened', 'int',    'double'),
+        |  ('l_returnflag',   'type_changed', 'int',    'string'),
+        |  ('l_extendedprice','ok',           'double', 'double'),
+        |  ('l_shipinstruct', 'missing',      'string', CAST(NULL AS VARCHAR)),
+        |  ('l_partkey',      'added', CAST(NULL AS VARCHAR), 'bigint'),
+        |  ('l_suppkey',      'added', CAST(NULL AS VARCHAR), 'bigint'),
+        |  ('l_discount',     'added', CAST(NULL AS VARCHAR), 'double'),
+        |  ('l_tax',          'added', CAST(NULL AS VARCHAR), 'double'),
+        |  ('l_linestatus',   'added', CAST(NULL AS VARCHAR), 'string')
+        |) AS t(col_name, status, expected_type, actual_type)""".stripMargin,
 
     "q_profile_sampled" ->
       ("""WITH s AS (

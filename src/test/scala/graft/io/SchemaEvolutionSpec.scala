@@ -54,6 +54,20 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("do not widen"))
   }
 
+  test("driftReport classifies ok/widened/changed/missing/added") {
+    import spark.implicits._
+    val actual = Seq((1L, 1.5d, "x", true)).toDF("id", "v", "s", "flag").schema
+    val out = SchemaEvolution.driftReport(spark, Seq(
+      "id" -> LongType,        // ok
+      "v" -> IntegerType,      // actual double -> widened
+      "s" -> IntegerType,      // actual string -> changed
+      "gone" -> StringType),   // missing
+      actual).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("id" -> "ok", "v" -> "type_widened",
+      "s" -> "type_changed", "gone" -> "missing", "flag" -> "added"))
+  }
+
   test("unionEvolve stays shuffle-free (projections + union only)") {
     import spark.implicits._
     val gen1 = Seq((1, 1.5f)).toDF("id", "score")
