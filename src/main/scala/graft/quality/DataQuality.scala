@@ -162,6 +162,35 @@ object DataQuality {
           6).as("corr"))
   }
 
+  /** Cross-replica reconciliation — the check every migration, backfill,
+    * and layout rewrite runs before cutover: both sides collapse to
+    * (keys, cnt, decimal sum) — each side ONE aggregate over its own
+    * copy, shuffling only group-level rows — then a full-outer compare
+    * emits a per-group verdict: `ok`, `missing_left`/`missing_right`
+    * (a group exists on one side only), `count_mismatch`, or
+    * `value_mismatch` (same rows, different content — decimal sums make
+    * this exact, not float-noise). At 100 TB the compare frame is
+    * #groups-sized; neither table crosses the network.
+    */
+  def reconcile(left: DataFrame, right: DataFrame, keys: Seq[String],
+      valCol: String): DataFrame = {
+    require(keys.nonEmpty, "reconcile needs at least one key column")
+    def sideAgg(df: DataFrame, tag: String) =
+      df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(s"cnt_$tag"),
+          sum(col(valCol).cast(dec)).as(s"_sum_$tag"))
+    sideAgg(left, "a").join(sideAgg(right, "b"), keys, "full_outer")
+      .withColumn("status",
+        when(col("cnt_a").isNull, lit("missing_left"))
+          .when(col("cnt_b").isNull, lit("missing_right"))
+          .when(col("cnt_a") =!= col("cnt_b"), lit("count_mismatch"))
+          .when(!(col("_sum_a") <=> col("_sum_b")), lit("value_mismatch"))
+          .otherwise(lit("ok")))
+      .select(keys.map(col) ++ Seq(col("cnt_a"), col("cnt_b"),
+        col("_sum_a").cast("double").as("sum_a"),
+        col("_sum_b").cast("double").as("sum_b"), col("status")): _*)
+  }
+
   /** Long-format string profile: one row per column with
     * (col_name, n, n_null, null_frac, ndv, min_len, max_len, avg_len).
     * Lengths are exact character counts (both engines count codepoints the

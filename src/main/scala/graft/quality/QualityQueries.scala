@@ -35,6 +35,21 @@ object QualityQueries {
             lit(0.05) * col("ndv")).cast("long").as("ndv_within_5pct"))
     }),
 
+    // Migration reconciliation: orders vs a deterministically corrupted
+    // replica (every 23rd key dropped, every 10th surviving key's price
+    // +10) compared by order month — the drop months report
+    // count_mismatch, the +10 months value_mismatch, untouched months ok.
+    // Each side is ONE aggregate; only month-level rows cross the network.
+    "q_dq_reconcile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      val replica = o.filter(col("o_orderkey") % 23 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+      DataQuality.reconcile(o, replica, Seq("o_month"), "o_totalprice")
+    }),
+
     // The sampled profile a 100 TB table runs daily: md5-keyed
     // deterministic 10% sample (replayable cross-engine — the oracle
     // replays the SAME sample), counts scaled back by 1/rate, NDV
@@ -185,6 +200,32 @@ object QualityQueries {
     "q_profile_strings" ->
       Seq("text", "lang", "source")
         .map(strProfileSql).mkString("\nUNION ALL\n"),
+
+    "q_dq_reconcile" ->
+      """WITH o AS (
+        |  SELECT *, strftime(o_orderdate, '%Y-%m') AS o_month FROM orders
+        |), r AS (
+        |  SELECT o_month,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 10.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 23 <> 0
+        |), a AS (
+        |  SELECT o_month, COUNT(*) AS cnt_a,
+        |         SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS sa
+        |  FROM o GROUP BY 1
+        |), b AS (
+        |  SELECT o_month, COUNT(*) AS cnt_b,
+        |         SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS sb
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT COALESCE(a.o_month, b.o_month) AS o_month, cnt_a, cnt_b,
+        |       CAST(sa AS DOUBLE) AS sum_a, CAST(sb AS DOUBLE) AS sum_b,
+        |       CASE WHEN cnt_a IS NULL THEN 'missing_left'
+        |            WHEN cnt_b IS NULL THEN 'missing_right'
+        |            WHEN cnt_a <> cnt_b THEN 'count_mismatch'
+        |            WHEN sa IS DISTINCT FROM sb THEN 'value_mismatch'
+        |            ELSE 'ok' END AS status
+        |FROM a FULL JOIN b ON a.o_month = b.o_month""".stripMargin,
 
     // The drift report is driver-side metadata (footer schema vs the
     // contract literal) — the oracle is the expected report itself.

@@ -149,6 +149,21 @@ class DataQualitySpec extends AnyFunSuite with SparkSpec {
     assert(re.getAs[Long]("violations") === 0L)
   }
 
+  test("reconcile classifies every status, exact on sums") {
+    import spark.implicits._
+    val a = Seq(("g1", 1.0), ("g1", 2.0), ("g2", 5.0), ("g3", 7.0),
+      ("g4", 9.0)).toDF("k", "v")
+    val b = Seq(("g1", 1.0), ("g1", 2.0),              // ok
+      ("g2", 5.0), ("g2", 0.0),                        // count_mismatch
+      ("g3", 7.5),                                     // value_mismatch
+      ("g5", 4.0)                                      // missing_left; g4 missing_right
+    ).toDF("k", "v")
+    val out = DataQuality.reconcile(a, b, Seq("k"), "v").collect()
+      .map(r => r.getString(0) -> r.getString(5)).toMap
+    assert(out === Map("g1" -> "ok", "g2" -> "count_mismatch",
+      "g3" -> "value_mismatch", "g4" -> "missing_right", "g5" -> "missing_left"))
+  }
+
   test("profilers are one aggregate pass (no per-column scan fan-out)") {
     val plan = DataQuality.profileNumeric(
       graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001"),
