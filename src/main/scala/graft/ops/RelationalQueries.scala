@@ -1060,6 +1060,34 @@ object RelationalQueries {
       MergeOps.scd2Apply(hist, changes, "c_custkey")
     }),
 
+    // SCD2 point-in-time lookup — the reason the versioned dimension
+    // exists: each order joins the customer-balance VERSION effective at
+    // its order date (equi join on the key carries the plan; the
+    // validity window is a residual filter, so at 100 TB this is one
+    // keyed shuffle, not a range join). History: every 7th customer
+    // re-rated +1000 at 1996-07-01, so orders BEFORE see the old
+    // balance, AFTER the new — both paths provably exercised.
+    "q_scd2_lookup" -> ((s, d) => {
+      val hist = MergeOps.scd2Apply(
+        customer(s, d).select(
+          col("c_custkey"), col("c_acctbal"),
+          to_timestamp(lit("1990-01-01 00:00:00")).as("effective_from"),
+          lit(null).cast("timestamp").as("effective_to")),
+        customer(s, d).filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"),
+            (col("c_acctbal") + lit(1000.0)).as("c_acctbal"),
+            to_timestamp(lit("1996-07-01 00:00:00")).as("change_ts")),
+        "c_custkey")
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("o_ts"))
+        .join(hist, col("o_custkey") === col("c_custkey") &&
+          col("o_ts") >= col("effective_from") &&
+          (col("effective_to").isNull || col("o_ts") < col("effective_to")))
+        .select(col("o_orderkey"), col("c_custkey"),
+          col("c_acctbal"), col("effective_from"))
+    }),
+
     // Incremental materialized-aggregate maintenance: the per-(flag,
     // status) count/sum rollup updates from a CDC batch (every 13th
     // order's lines deleted with their old images, a +5-quantity copy of
@@ -1820,6 +1848,25 @@ object RelationalQueries {
          SELECT o_orderstatus, COUNT(*) AS n,
                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
          FROM merged GROUP BY 1""",
+
+    "q_scd2_lookup" ->
+      """WITH hist AS (
+           SELECT c_custkey, c_acctbal,
+                  CAST('1990-01-01 00:00:00' AS TIMESTAMP) AS effective_from,
+                  CASE WHEN c_custkey % 7 = 0
+                       THEN CAST('1996-07-01 00:00:00' AS TIMESTAMP) END AS effective_to
+           FROM customer
+           UNION ALL
+           SELECT c_custkey, c_acctbal + 1000.0,
+                  CAST('1996-07-01 00:00:00' AS TIMESTAMP),
+                  CAST(NULL AS TIMESTAMP)
+           FROM customer WHERE c_custkey % 7 = 0
+         )
+         SELECT o.o_orderkey, h.c_custkey, h.c_acctbal, h.effective_from
+         FROM orders o
+         JOIN hist h ON o.o_custkey = h.c_custkey
+           AND CAST(o.o_orderdate AS TIMESTAMP) >= h.effective_from
+           AND (h.effective_to IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < h.effective_to)""",
 
     "q_incr_agg" ->
       """WITH edited AS (
