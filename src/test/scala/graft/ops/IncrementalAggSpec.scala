@@ -65,6 +65,28 @@ class IncrementalAggSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("seeded fuzz: incremental == full recompute over random CDC batches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 5) {
+      val facts = Seq.fill(40)((s"g${rnd.nextInt(6)}",
+        rnd.nextInt(100).toLong, rnd.nextInt(1000).toLong))
+      // deletes sample EXISTING rows (valid old images); inserts are new
+      val deletes = rnd.shuffle(facts).take(rnd.nextInt(15))
+        .map { case (g, a, b) => (g, a, b, "d") }
+      val inserts = Seq.fill(rnd.nextInt(15))((s"g${rnd.nextInt(8)}",
+        rnd.nextInt(100).toLong, rnd.nextInt(1000).toLong, "i"))
+      val factDf = facts.toDF("g", "v1", "v2")
+      val changes = rnd.shuffle(deletes ++ inserts).toDF("g", "v1", "v2", "op")
+      val incr = asMap(IncrementalAgg.applyDelta(
+        aggregate(factDf), changes, Seq("g"), Seq("v1" -> "s1", "v2" -> "s2")))
+      val edited = facts.diff(deletes.map(t => (t._1, t._2, t._3))) ++
+        inserts.map(t => (t._1, t._2, t._3))
+      val full = asMap(aggregate(edited.toDF("g", "v1", "v2")))
+      assert(incr === full, s"round $round diverged")
+    }
+  }
+
   test("net-zero batch for an unseen group leaves the aggregate unchanged") {
     import spark.implicits._
     val changes = Seq(("z", 1L, 10L, "i"), ("z", 1L, 10L, "d"))

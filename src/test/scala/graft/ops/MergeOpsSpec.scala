@@ -96,6 +96,29 @@ class MergeOpsSpec extends AnyFunSuite with SparkSpec {
     assert(ops === Map(1L -> "d", 2L -> "u", 3L -> "u", 5L -> "i"))
   }
 
+  test("seeded fuzz: changeFeed round-trips random snapshot pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 5) {
+      def snap() = rnd.shuffle((1L to 30L).toList).take(12 + rnd.nextInt(10))
+        .map(k => (k, if (rnd.nextBoolean()) s"n$k-${rnd.nextInt(3)}" else null,
+          rnd.nextInt(100)))
+      val (a, b) = (snap(), snap())
+      val (dfA, dfB) = (a.toDF("k", "name", "v"), b.toDF("k", "name", "v"))
+      val rebuilt = MergeOps.applyChanges(
+        dfA, MergeOps.changeFeed(dfA, dfB, "k"), "k")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2))).toSet
+      assert(rows(rebuilt) === b.map(t => (t._1, Option(t._2), t._3)).toSet,
+        s"round $round diverged")
+      // and the feed is MINIMAL: identical keys never appear
+      val identical = a.toSet.intersect(b.toSet).map(_._1)
+      val feedKeys = MergeOps.changeFeed(dfA, dfB, "k")
+        .select("k").as[Long].collect().toSet
+      assert(feedKeys.intersect(identical).isEmpty, s"round $round not minimal")
+    }
+  }
+
   test("upsert of a small delta never shuffles the base side") {
     import spark.implicits._
     val updates = Seq((2L, "B", 99)).toDF("k", "name", "v")
