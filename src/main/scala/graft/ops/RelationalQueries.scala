@@ -541,6 +541,39 @@ object RelationalQueries {
         .pivot("l_returnflag", Seq("A", "N", "R"))
         .agg(sum(col("l_quantity").cast(dec)).cast("double"))),
 
+    // pivot's inverse — wide metrics melt to (id, metric, value) long
+    // form via the native unpivot operator (an Expand, not a 3x
+    // self-union: ONE scan at any scale).
+    "q_unpivot" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("line_no")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")),
+
+    // Sparse → dense time series: hourly event counts per type with the
+    // calendar gaps zero-filled (each type's own [min,max] hour span via
+    // sequence + explode — spans are bounded by the calendar, so the
+    // dense frame is types x hours metadata scale, never fact scale).
+    "q_events_gap_fill" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val dense = hourly.groupBy(col("event_type"))
+        .agg(min(col("hour")).as("_lo"), max(col("hour")).as("_hi"))
+        .select(col("event_type"),
+          explode(sequence(col("_lo"), col("_hi"), expr("interval 1 hour")))
+            .as("hour"))
+      dense.join(hourly, Seq("event_type", "hour"), "left_outer")
+        .select(col("event_type"),
+          // epoch-micros output: the catalog-wide event-time idiom
+          // (q_events_window) — sidesteps ts-physical-type drift entirely
+          unix_micros(col("hour")).as("hour_us"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
     // Rolling window frame (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW):
     // per-user trailing average. Deterministic frame order via
     // (ts, event_id); round(6) absorbs engine-side summation-order ulps
@@ -1456,6 +1489,33 @@ object RelationalQueries {
          count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+                'l_quantity' AS metric, l_quantity AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+                'l_discount', l_discount FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+                'l_tax', l_tax FROM lineitem""",
+
+    "q_events_gap_fill" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+           FROM events GROUP BY 1, 2
+         ), spans AS (
+           SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi
+           FROM hourly GROUP BY 1
+         ), dense AS (
+           SELECT event_type,
+                  unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+           FROM spans
+         )
+         SELECT d.event_type, epoch_us(d.hour) AS hour_us,
+                COALESCE(h.n, 0) AS n
+         FROM dense d
+         LEFT JOIN hourly h ON d.event_type = h.event_type AND d.hour = h.hour""",
 
     "q_events_enrich" ->
       """SELECT COALESCE(c_mktsegment, 'none') AS segment, event_type,
