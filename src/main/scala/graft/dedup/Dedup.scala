@@ -732,6 +732,37 @@ object Dedup {
         coalesce(col("__clean"), lit("")).as("clean_text"))
   }
 
+  /** Edit-distance-verified near-dup pairs — the "verify candidates with
+    * an exact string metric" stage real curation pipelines bolt onto any
+    * blocking scheme: docs block on an exact normalized PREFIX (equi
+    * join, never all-pairs — a pair of OCR/crawl variants of one page
+    * almost always agrees on its opening characters), then each
+    * candidate pair verifies with Levenshtein over a bounded prefix
+    * (`comparePrefix` caps the O(len²) DP per pair; full-text edit
+    * distance at document length is neither needed nor affordable).
+    * Normalization strips to printable ASCII so the metric counts the
+    * same units in any engine (codepoint-vs-byte ambiguity dies at the
+    * door). Output (id_a < id_b, dist) — dedup policy is the caller's.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      blockPrefix: Int = 16, comparePrefix: Int = 64,
+      maxDist: Int = 8): DataFrame = {
+    require(blockPrefix > 0 && comparePrefix >= blockPrefix,
+      s"need 0 < blockPrefix <= comparePrefix: $blockPrefix/$comparePrefix")
+    val norm = regexp_replace(lower(col(textCol)), "[^\\x20-\\x7e]", "")
+    val t = docs.select(col(idCol).as("id"), norm.as("_t"))
+      .select(col("id"),
+        substring(col("_t"), 1, blockPrefix).as("blk"),
+        substring(col("_t"), 1, comparePrefix).as("cmp"))
+    val a = t.select(col("blk"), col("id").as("id_a"), col("cmp").as("cmp_a"))
+    val b = t.select(col("blk"), col("id").as("id_b"), col("cmp").as("cmp_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("cmp_a"), col("cmp_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   /** Drop the cached blocks behind a `localCheckpoint(true)`d frame — e.g.
     * a consumed [[connectedComponents]] result — without waiting for the
     * GC-driven ContextCleaner.

@@ -82,6 +82,13 @@ object DedupQueries {
       Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 3,
         tokenHasher = "md5")),
 
+    // Exact edit-distance verification over prefix blocks — the
+    // verify-the-candidates stage after any blocking scheme: equal
+    // 16-char normalized prefix blocks (equi join, never all-pairs),
+    // Levenshtein over the 64-char prefix, keep dist <= 8.
+    "q_dedup_edit" -> ((s, d) =>
+      Dedup.editDistancePairs(documents(s, d), "doc_id", "text")),
+
     // embedding-cosine near-dup pairs through the SRP-LSH blocked path —
     // the plan that survives 100×: bucket equi-joins over L independent
     // hash tables (OR-construction, ~0.87 pair recall at cos 0.4), never
@@ -881,6 +888,18 @@ object DedupQueries {
     // Full 64-bit SimHash rebuilt from scratch: md5 token hash -> per-bit
     // +/-1 vote -> sign bit -> all-pairs Hamming. Verifies the Spark
     // pipeline end to end (hash, votes, blocking recall).
+    "q_dedup_edit" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |         substr(regexp_replace(lower(text), '[^\x20-\x7e]', '', 'g'), 1, 16) AS blk,
+        |         substr(regexp_replace(lower(text), '[^\x20-\x7e]', '', 'g'), 1, 64) AS cmp
+        |  FROM documents
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(levenshtein(a.cmp, b.cmp) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.cmp, b.cmp) <= 8""".stripMargin,
+
     "q_dedup_simhash" ->
       s"""WITH toks AS (
             SELECT doc_id, unnest($toksSql) AS t FROM documents),
