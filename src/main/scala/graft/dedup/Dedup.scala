@@ -758,8 +758,11 @@ object Dedup {
     val b = t.select(col("blk"), col("id").as("id_b"), col("cmp").as("cmp_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("cmp_a"), col("cmp_b")))
-      .filter(col("dist") <= maxDist)
+      // banded DP: O(maxDist * len) per pair instead of O(len^2), with
+      // early exit — returns -1 past the threshold, which the filter
+      // drops; the kept distances are identical to the unbanded metric
+      .withColumn("dist", levenshtein(col("cmp_a"), col("cmp_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
