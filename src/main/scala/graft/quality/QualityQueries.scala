@@ -35,6 +35,35 @@ object QualityQueries {
             lit(0.05) * col("ndv")).cast("long").as("ndv_within_5pct"))
     }),
 
+    // Incremental NDV via mergeable HLL sketches — the distinct-count
+    // complement to ops/IncrementalAgg (count/sum update arithmetically;
+    // NDV cannot, but a per-batch Datasketches HLL unions in O(registers)
+    // with no rescan). Four "ingest days" each sketch their partkeys;
+    // BOTH the union-of-days estimate and the direct whole-table sketch
+    // must land within 5% of exact. (They are NOT asserted equal to each
+    // other: Datasketches HLL promotes sparse coupon lists to dense
+    // registers at different points on the direct vs union path, so the
+    // two estimates can differ by a hair while both stay in tolerance.)
+    // At 100 TB: store the per-day sketch column, union at query time,
+    // never rescan.
+    "q_ndv_incremental" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), (col("l_orderkey") % 4).as("day"))
+      val daily = li.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      val merged = daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("_ndv_merged"))
+      val direct = li.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("_ndv_direct"),
+        countDistinct(col("l_partkey")).as("ndv_exact"))
+      merged.crossJoin(broadcast(direct))
+        .select(col("ndv_exact"),
+          (abs(col("_ndv_merged") - col("ndv_exact")) <=
+            lit(0.05) * col("ndv_exact")).cast("long").as("merged_within_5pct"),
+          (abs(col("_ndv_direct") - col("ndv_exact")) <=
+            lit(0.05) * col("ndv_exact")).cast("long").as("direct_within_5pct"))
+    }),
+
     // Migration reconciliation: orders vs a deterministically corrupted
     // replica (every 23rd key dropped, every 10th surviving key's price
     // +10) compared by order month — the drop months report
@@ -200,6 +229,15 @@ object QualityQueries {
     "q_profile_strings" ->
       Seq("text", "lang", "source")
         .map(strProfileSql).mkString("\nUNION ALL\n"),
+
+    // Sketch estimates have no DuckDB twin; exact NDV is value-checked
+    // and the two sketch columns are invariant rows (the established
+    // q_approx_distinct pattern).
+    "q_ndv_incremental" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS ndv_exact,
+        |       CAST(1 AS BIGINT) AS merged_within_5pct,
+        |       CAST(1 AS BIGINT) AS direct_within_5pct
+        |FROM lineitem""".stripMargin,
 
     "q_dq_reconcile" ->
       """WITH o AS (

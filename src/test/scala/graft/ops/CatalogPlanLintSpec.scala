@@ -58,7 +58,8 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_dedup_cosine_recall" -> "recall query joins the LSH path against the documented exact twin",
     "q_dq_outliers" -> "cross join against the broadcast 1-row mean/sigma stats aggregate",
     "q_skew_profile" -> "cross join of the broadcast 1-row total/nkeys aggregate onto the 20-row TakeOrdered result",
-    "q_domain_stats" -> "cross join against the broadcast 1-row corpus-total aggregate for per-domain share")
+    "q_domain_stats" -> "cross join against the broadcast 1-row corpus-total aggregate for per-domain share",
+    "q_ndv_incremental" -> "cross join of two broadcast 1-row sketch/exact aggregates for the invariant row")
 
   test("lint variants cover a live query and never go stale") {
     val gone = lintVariants.keySet.diff(graft.SparkEntry.queries.keySet)
