@@ -435,6 +435,42 @@ object DedupQueries {
           round(col("temp_share") / col("share"), 6).as("upsample"))
     }),
 
+    // Distribution drift between two corpus versions — the mixture
+    // monitor a recurring corpus build runs before retraining: per-domain
+    // KL(P||Q), KL(Q||P), and Jensen-Shannon contribution terms over the
+    // token-mass shares of v1 (the shipped corpus) vs v2 (the candidate,
+    // derived in-plan: every 13th doc dropped, every 5th doubled — both
+    // engines see identical inputs). Shape: ONE aggregate per side over
+    // the corpus, then all arithmetic on the handful of domain rows
+    // (inner join keeps the terms finite; a domain present on one side
+    // only is exactly what q_corpus_diff already surfaces). Token sums
+    // are exact BIGINTs, shares are single double divisions, so both
+    // engines feed identical doubles into log().
+    "q_mix_divergence" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        graft.text.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val v2 = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+      def shares(df: DataFrame, tot: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy()
+        df.groupBy(col("lang"))
+          .agg(sum(col("n_tokens")).cast("long").as(tot))
+          .withColumn(tot + "_share",
+            col(tot).cast("double") / sum(col(tot)).over(w))
+      }
+      val p = shares(docs, "t1")
+      val q = shares(v2, "t2")
+      val ps = col("t1_share"); val qs = col("t2_share")
+      val m = (ps + qs) / 2.0
+      p.join(q, Seq("lang"))
+        .select(col("lang"), col("t1"), col("t2"),
+          round(ps, 6).as("p_share"), round(qs, 6).as("q_share"),
+          round(ps * log(ps / qs), 6).as("kl_pq_term"),
+          round(qs * log(qs / ps), 6).as("kl_qp_term"),
+          round(ps / 2.0 * log(ps / m) + qs / 2.0 * log(qs / m), 6)
+            .as("js_term"))
+    }),
+
     // Graded decontamination: instead of the binary flag, the FRACTION of
     // each train doc's distinct 5-grams that appear in the benchmark set —
     // the threshold knob real pipelines tune (drop at >x% overlap, keep
@@ -1034,6 +1070,32 @@ object DedupQueries {
            round(pow(share, 0.3) / sum(pow(share, 0.3)) OVER (), 6) AS temp_share,
            round((pow(share, 0.3) / sum(pow(share, 0.3)) OVER ()) / share, 6) AS upsample
          FROM sh""",
+
+    "q_mix_divergence" ->
+      """WITH base AS (
+           SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+           FROM documents),
+         v2 AS (
+           SELECT * FROM base WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT * FROM base WHERE doc_id % 5 = 0),
+         p AS (
+           SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t1,
+             CAST(sum(n_tokens) AS DOUBLE) / sum(sum(n_tokens)) OVER () AS p_share
+           FROM base GROUP BY lang),
+         q AS (
+           SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t2,
+             CAST(sum(n_tokens) AS DOUBLE) / sum(sum(n_tokens)) OVER () AS q_share
+           FROM v2 GROUP BY lang)
+         SELECT p.lang, t1, t2,
+           round(p_share, 6) AS p_share,
+           round(q_share, 6) AS q_share,
+           round(p_share * ln(p_share / q_share), 6) AS kl_pq_term,
+           round(q_share * ln(q_share / p_share), 6) AS kl_qp_term,
+           round(p_share / 2 * ln(p_share / ((p_share + q_share) / 2))
+             + q_share / 2 * ln(q_share / ((p_share + q_share) / 2)), 6) AS js_term
+         FROM p JOIN q ON p.lang = q.lang""",
 
     "q_contamination_overlap" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -90,6 +90,29 @@ object UrlQueries {
       .agg(min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_docs"))),
 
+    // Per-domain cap sampling — the "don't let one domain dominate the
+    // corpus" curation step (crawl sets are power-law by domain; a cap
+    // bounds any single host's share of the training mix). The keep
+    // decision is an md5-keyed deterministic rank within the domain
+    // ([[graft.prep.DeterministicSampling]] doctrine: a pure function of
+    // doc_id, so reruns/engine swaps/audits replay the same keep set —
+    // rand() can't). Window partitions by domain, so domains fill
+    // executors in parallel; for a single mega-domain beyond one
+    // partition, the two-phase variant (count per domain → broadcast
+    // keep-rate → threshold the same md5 draw) trades exactness of the
+    // cap for no per-domain sort — same draw column, same replay story.
+    "q_domain_cap" -> ((s, d) => {
+      val cap = 40
+      val urls = withUrls(s, d).withColumn("domain", urlHost(col("raw_url")))
+        .withColumn("draw", graft.prep.DeterministicSampling.uniformDraw(col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain")).orderBy(col("draw"), col("doc_id"))
+      urls.withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("domain"),
+          col("rk").cast("long").as("rk"),
+          (col("rk") <= cap).as("kept"))
+    }),
+
     // Per-domain curation stats: docs, distinct canonical resources,
     // dup ratio, corpus share — the decide-before-fetch report (which
     // domains to crawl deeper, which to cap). Total via a broadcast
@@ -157,6 +180,16 @@ object UrlQueries {
       (urlCtes + """
         |SELECT canon_url, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
         |FROM canon GROUP BY canon_url""".stripMargin),
+
+    "q_domain_cap" ->
+      (urlCtes + """
+        |SELECT doc_id, domain, rk, rk <= 40 AS kept FROM (
+        |  SELECT doc_id, domain,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY domain
+        |           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+        |                    doc_id) AS BIGINT) AS rk
+        |  FROM canon)""".stripMargin),
 
     "q_domain_stats" ->
       (urlCtes + """
