@@ -1189,10 +1189,50 @@ object RelationalQueries {
           substring(col("o_orderpriority"), 1, 1).cast("int")
             .as("priority_rank"))
       graft.io.SchemaEvolution.unionEvolve(Seq(gen1, gen2))
+    }),
+
+    // Cross-source record linkage (Linkage.fuzzyJoin): customers vs an
+    // in-plan perturbed twin of themselves (both engines see identical
+    // inputs — the q_pii_scrub planting technique). The twin mutates the
+    // name TAIL only (append / replace-last / unchanged / +3 chars as a
+    // negative control), so blocking on the name's MIDDLE digits —
+    // chars 14-16 of `Customer#ddddddddd`, i.e. the 10^4..10^2 digits,
+    // which bounds every block at ~100 records at ANY scale factor —
+    // still pairs true matches while candidate generation stays an equi
+    // join; exact levenshtein <= 2 then separates real links (dist 0-1)
+    // from the planted non-links (dist 3). Blocked-then-verified —
+    // never all-pairs.
+    "q_record_linkage" -> ((s, d) => {
+      val cust = customer(s, d).select(col("c_custkey"), col("c_name"))
+      val twin = cust.select(
+        (col("c_custkey") + 1000000L).as("t_id"),
+        when(pmod(col("c_custkey"), lit(2)) === 0,
+          concat(col("c_name"), lit("X")))
+          .when(pmod(col("c_custkey"), lit(3)) === 0,
+            concat(col("c_name").substr(lit(1), length(col("c_name")) - 1),
+              lit("~")))
+          .when(pmod(col("c_custkey"), lit(5)) === 0, col("c_name"))
+          .otherwise(concat(col("c_name"), lit("ZZZ"))).as("t_name"))
+      Linkage.fuzzyJoin(cust, twin, "c_custkey", "t_id",
+        "c_name", "t_name", blockKey = substring(_, 14, 3), maxDist = 2)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q_record_linkage" ->
+      """WITH twin AS (
+        |  SELECT c_custkey + 1000000 AS t_id,
+        |    CASE WHEN c_custkey % 2 = 0 THEN c_name || 'X'
+        |         WHEN c_custkey % 3 = 0
+        |           THEN substr(c_name, 1, length(c_name) - 1) || '~'
+        |         WHEN c_custkey % 5 = 0 THEN c_name
+        |         ELSE c_name || 'ZZZ' END AS t_name
+        |  FROM customer)
+        |SELECT c.c_custkey AS a_id, t.t_id AS b_id,
+        |  CAST(levenshtein(c.c_name, t.t_name) AS BIGINT) AS dist
+        |FROM customer c JOIN twin t
+        |  ON substr(c.c_name, 14, 3) = substr(t.t_name, 14, 3)
+        |WHERE levenshtein(c.c_name, t.t_name) <= 2""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
          CAST(l_quantity AS INT) AS qty_int, l_returnflag AS flag FROM lineitem""",
