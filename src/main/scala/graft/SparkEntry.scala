@@ -28,7 +28,8 @@ object SparkEntry {
       ops.TscQueries.queries ++
       layout.LayoutQueries.queries ++
       layout.Partitioning.queries ++
-      quality.QualityQueries.queries
+      quality.QualityQueries.queries ++
+      graph.GraphQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the driver's rows-only check.
@@ -41,5 +42,6 @@ object SparkEntry {
       ops.TscQueries.oracles ++
       layout.LayoutQueries.oracles ++
       layout.Partitioning.oracles ++
-      quality.QualityQueries.oracles
+      quality.QualityQueries.oracles ++
+      graph.GraphQueries.oracles
 }

@@ -1,0 +1,116 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables
+
+/** Distributed PageRank over an edge list — the link-authority signal a
+  * crawl-curation pipeline ranks domains/pages by before deciding what to
+  * fetch deeper (the original Brin–Page formulation, power iteration with
+  * damping and dangling-mass redistribution).
+  *
+  * Execution shape per iteration (the standard cluster decomposition):
+  * one equi join of the rank vector to the edge list on `src` (both sides
+  * hash-partitioned on the join key — on a real cluster the edge list's
+  * partitioning is REUSED across iterations while only the small rank
+  * vector moves), one aggregate of contributions by `dst`, and two 1-row
+  * broadcast scalars (node count, dangling mass). K iterations unroll
+  * into ONE declarative plan — no driver-side collect, no RDD loop; for
+  * large K a localCheckpoint every few rounds bounds plan depth (same
+  * discipline as [[graft.dedup.Dedup]]'s label propagation).
+  *
+  * Arithmetic is FIXED-POINT (rank × 10^12 as BIGINT, `div` for every
+  * division): integer sums are associative/commutative, so the result is
+  * partition-order independent and replays bit-for-bit on any engine —
+  * float ranks would drift with shuffle order and hash-break the oracle
+  * (the [[graft.quality.DataQuality]] decimal-sum doctrine). The floor
+  * in `div` leaks ≤1 unit (10^-12) of mass per term per iteration —
+  * immaterial at rank scale and identically reproduced everywhere.
+  */
+object PageRank {
+
+  private val Scale = 1000000000000L // 10^12: fixed-point 1.0
+  private val BaseNum = 150000000000L // Scale * (1 - 0.85)
+
+  /** PageRank after `iterations` power steps, damping 0.85.
+    * Returns (node, r) with r = rank × 10^12 as BIGINT.
+    */
+  def pageRankFp(edges0: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    val edges = edges0
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val deg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("outdeg"))
+    val nTotal = nodes.agg(count(lit(1)).cast("long").as("__n"))
+
+    var ranks = nodes.crossJoin(broadcast(nTotal))
+      .select(col("node"), expr(s"${Scale}L div __n").as("r"))
+    for (_ <- 1 to iterations) {
+      val withDeg = ranks.join(deg, col("node") === col("src"), "left_outer")
+      val dangling = withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("__dang"))
+      val perSrc = withDeg.filter(col("outdeg").isNotNull)
+        .select(col("node").as("__src"), expr("r div outdeg").as("__c"))
+      val contrib = edges.join(perSrc, col("src") === col("__src"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__csum"))
+      ranks = nodes.join(contrib, col("node") === col("dst"), "left_outer")
+        .crossJoin(broadcast(dangling)).crossJoin(broadcast(nTotal))
+        .select(col("node"),
+          expr(s"(${BaseNum}L div __n) + " +
+            "(85 * (coalesce(__csum, 0L) + (__dang div __n))) div 100").as("r"))
+    }
+    ranks
+  }
+}
+
+/** Catalog queries for the graph operators. */
+object GraphQueries {
+
+  /** Deterministic in-plan link graph over document-id residue classes:
+    * src space 0..96, dst space 0..100 — nodes 97..100 appear only as
+    * destinations, so the graph HAS dangling nodes and the
+    * dangling-mass path is exercised, not just compiled.
+    */
+  private def docEdges(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      pmod(col("doc_id"), lit(97L)).as("src"),
+      pmod(col("doc_id") * 31L + 7L, lit(101L)).as("dst"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> ((s, d) => PageRank.pageRankFp(docEdges(s, d), "src", "dst")))
+
+  /** The same fixed-point power iteration unrolled as CTEs; `//` is
+    * DuckDB's integer `div`, every sum cast back from HUGEINT.
+    */
+  val oracles: Map[String, String] = {
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+        |  SELECT nd.node,
+        |    CAST((150000000000 // (SELECT n FROM nn))
+        |      + (85 * (CAST(coalesce(c.csum, 0) AS BIGINT)
+        |               + ((SELECT CAST(coalesce(sum(r), 0) AS BIGINT) FROM $prev
+        |                   WHERE node NOT IN (SELECT src FROM deg))
+        |                  // (SELECT n FROM nn)))) // 100 AS BIGINT) AS r
+        |  FROM n nd LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.r // deg.outdeg) AS BIGINT) AS csum
+        |    FROM e JOIN deg USING (src) JOIN $prev p ON p.node = e.src
+        |    GROUP BY e.dst) c USING (node))""".stripMargin
+    Map(
+      "q_pagerank" ->
+        s"""WITH e AS (
+          |  SELECT DISTINCT doc_id % 97 AS src, (doc_id * 31 + 7) % 101 AS dst
+          |  FROM documents),
+          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM n),
+          |r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS r FROM n),
+          |${step("r0", "r1")},
+          |${step("r1", "r2")},
+          |${step("r2", "r3")}
+          |SELECT node, r FROM r3""".stripMargin)
+  }
+}

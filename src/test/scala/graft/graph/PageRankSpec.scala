@@ -1,0 +1,70 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** PageRank invariants the oracle can't see from one fixture run: mass
+  * conservation under floor leakage, uniformity on symmetric graphs,
+  * dangling-mass redistribution, and sink accumulation on a directed
+  * chain.
+  */
+class PageRankSpec extends AnyFunSuite with SparkSpec {
+
+  private val Scale = 1000000000000L
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  private def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("uniform cycle stays uniform at every iteration count") {
+    val cycle = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    for (k <- 1 to 4) {
+      val r = ranks(PageRank.pageRankFp(cycle, "src", "dst", iterations = k))
+      assert(r.size === 3)
+      // exact uniform fixed point: every node keeps 10^12 div 3
+      assert(r.values.toSet.size === 1, s"cycle ranks diverged at k=$k: $r")
+    }
+  }
+
+  test("mass is conserved up to deterministic floor leakage") {
+    val g = edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 1L, 4L -> 1L)
+    val r = ranks(PageRank.pageRankFp(g, "src", "dst", iterations = 3))
+    val mass = r.values.sum
+    // each div floors at most 1 unit per term; 3 iterations x ~10 terms
+    assert(mass <= Scale && mass > Scale - 1000L, s"mass drifted: $mass")
+  }
+
+  test("dangling node's mass is redistributed, not lost") {
+    // 1 -> 2, 2 has no out-edges (dangling): without redistribution the
+    // graph bleeds rank; with it, node 1 still receives the dangling share
+    val g = edges(1L -> 2L)
+    val r = ranks(PageRank.pageRankFp(g, "src", "dst", iterations = 3))
+    assert(r.keySet === Set(1L, 2L))
+    assert(r.values.sum > Scale - 100L, s"dangling mass lost: $r")
+    // the sink end of the edge outranks the source
+    assert(r(2L) > r(1L))
+  }
+
+  test("chain orders ranks by depth and matches closed-form hand iteration") {
+    // 1 -> 2 -> 3 (3 a dangling sink): deeper nodes accumulate more rank
+    val g = edges(1L -> 2L, 2L -> 3L)
+    val r = ranks(PageRank.pageRankFp(g, "src", "dst", iterations = 2))
+    assert(r(3L) > r(2L) && r(2L) >= r(1L), s"chain order violated: $r")
+    // hand-rolled fixed-point iteration (same div floors)
+    def step(prev: Map[Long, Long]): Map[Long, Long] = {
+      val n = 3L
+      val dang = prev(3L)
+      val base = 150000000000L / n
+      def nr(contrib: Long) = base + 85L * (contrib + dang / n) / 100L
+      Map(1L -> nr(0L), 2L -> nr(prev(1L) / 1L), 3L -> nr(prev(2L) / 1L))
+    }
+    val r0 = Map(1L -> Scale / 3, 2L -> Scale / 3, 3L -> Scale / 3)
+    assert(r === step(step(r0)))
+  }
+}
