@@ -141,6 +141,53 @@ object ImageCodecs {
     encodePng(img)
   }
 
+  /** 64-bit average-hash — the classic perceptual fingerprint for
+    * image-level near-dup detection (aHash: downscale to an 8×8 luma
+    * grid, one bit per cell = cell above the 64-cell mean, row-major
+    * MSB-first). Resize/re-encode/minor-edit survivors collide or land
+    * within small Hamming distance, so exact-groupBy on the hash (or
+    * SimHash-style blocked Hamming search — [[graft.dedup.Dedup]]) turns
+    * image dedup into the SAME narrow-row shuffle as text dedup: 8 bytes
+    * per image move, never pixels. Undecodable payload → all-zero cells →
+    * hash 0, the poison-row contract.
+    */
+  def aHash64(payload: Array[Byte]): Long = {
+    val cells = imageFeatures(payload, 64)
+    var sum = 0.0
+    var i = 0
+    while (i < 64) { sum += cells(i); i += 1 }
+    val mean = sum / 64.0
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i) > mean) h |= 1L << (63 - i)
+      i += 1
+    }
+    h
+  }
+
+  /** Vertical-stripe PNG: equal-width stripes left→right — the fixture
+    * whose 8×8 pooled grid has a closed-form per-stripe luma, so aHash
+    * bits (stripe above/below the stripe-mean) are integer-decidable by
+    * any SQL engine.
+    */
+  def stripePng(w: Int, h: Int, colors: Seq[(Int, Int, Int)]): Array[Byte] = {
+    require(colors.nonEmpty && w % colors.size == 0,
+      s"width $w must divide into ${colors.size} stripes")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val packed = colors.map { c =>
+      ((c._1 & 0xff) << 16) | ((c._2 & 0xff) << 8) | (c._3 & 0xff)
+    }.toArray
+    val stripeW = w / colors.size
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, packed(x / stripeW)); x += 1 }
+      y += 1
+    }
+    encodePng(img)
+  }
+
   /** Two-band PNG: top half (r1,g1,b1), bottom half (r2,g2,b2) — gives grid
     * cells DIFFERENT expected lumas, so pooling geometry (not just decode)
     * is oracle-checked.

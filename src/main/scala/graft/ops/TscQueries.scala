@@ -185,6 +185,15 @@ object TscQueries {
       (r % 256).toInt, (r * 7 % 256).toInt, (r * 13 % 256).toInt)
   }
 
+  private val stripeMemo = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Byte]]()
+  private def fixtureStripePng(id: Long): Array[Byte] = memo256(stripeMemo, id) { r =>
+    graft.multimodal.ImageCodecs.stripePng(16, 16,
+      Seq(1L, 3L, 9L, 27L).map { cj =>
+        val m = r * cj
+        ((m % 256).toInt, (m * 7 % 256).toInt, (m * 13 % 256).toInt)
+      })
+  }
+
   private val mpngMemo = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Byte]]()
   private def fixtureMpng(id: Long): Array[Byte] = memo256(mpngMemo, id) { r =>
     graft.multimodal.VideoCodecs.mpngOf(
@@ -236,6 +245,40 @@ object TscQueries {
           round(element_at(col("features"), 2).cast("double"), 4).as("f1"),
           round(element_at(col("features"), 3).cast("double"), 4).as("f2"),
           round(element_at(col("features"), 4).cast("double"), 4).as("f3"))
+    }),
+
+    // Perceptual image hashing through the REAL decode path: every row
+    // carries a 4-stripe 16x16 PNG (stripe colors derived from media_id),
+    // executors decode it and compute the 64-bit aHash (8x8 pooled luma
+    // grid, bit = cell above mean). For a 4-stripe image the hash has a
+    // closed integer form — bit_j = (4*L_j > sum L) over the Rec.601
+    // integer lumas L = 299r+587g+114b — so decode, pooling geometry,
+    // thresholding, and the MSB-first bit packing are ALL value-checked
+    // by DuckDB from media_id alone (no residue hits the 4L=sumL tie, so
+    // the float pooling path and the integer oracle agree exactly).
+    "q_media_phash" -> ((s, d) => {
+      val pngUdf = udf((id: Long) => fixtureStripePng(id))
+      val hashUdf = udf((p: Array[Byte]) =>
+        graft.multimodal.ImageCodecs.aHash64(p))
+      Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        hashUdf(pngUdf(col("doc_id"))).as("ahash"))
+    }),
+
+    // Image dedup BY perceptual hash — the multimodal twin of
+    // q_dedup_exact: group on the 8-byte fingerprint (narrow-row
+    // shuffle; pixels never move), min-id keeper per visual equivalence
+    // class. The aHash collapses re-encodes and solid-region edits that
+    // byte-level hashing can't.
+    "q_media_phash_dedup" -> ((s, d) => {
+      val pngUdf = udf((id: Long) => fixtureStripePng(id))
+      val hashUdf = udf((p: Array[Byte]) =>
+        graft.multimodal.ImageCodecs.aHash64(p))
+      Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          hashUdf(pngUdf(col("doc_id"))).as("ahash"))
+        .groupBy(col("ahash"))
+        .agg(count(lit(1)).as("n_imgs"), min(col("media_id")).as("keep_id"))
     }),
 
     // REAL bilinear resize, oracled end to end: a solid 16x16 PNG (color
@@ -430,6 +473,56 @@ object TscQueries {
            round(CAST(CAST((0.299*((doc_id*3) % 256) + 0.587*((doc_id*5) % 256)
              + 0.114*((doc_id*11) % 256)) / 255.0 AS FLOAT) AS DOUBLE), 4) AS f3
          FROM documents""",
+
+    // integer closed form of the 4-stripe aHash: per-stripe Rec.601 lumas
+    // scaled x1000 (L = 299r+587g+114b, exact integers), bit_j = strict
+    // 4*L_j > sum(L), row byte = bits at 0xC0/0x30/0x0C/0x03, repeated
+    // down all 8 grid rows = byte * 0x0101010101010101, wrapped to the
+    // signed 64-bit value the JVM packs
+    "q_media_phash" ->
+      (s"""WITH lum AS (
+         |  SELECT doc_id,
+         |    299*((doc_id) % 256) + 587*((doc_id*7) % 256) + 114*((doc_id*13) % 256) AS l0,
+         |    299*((doc_id*3) % 256) + 587*((doc_id*21) % 256) + 114*((doc_id*39) % 256) AS l1,
+         |    299*((doc_id*9) % 256) + 587*((doc_id*63) % 256) + 114*((doc_id*117) % 256) AS l2,
+         |    299*((doc_id*27) % 256) + 587*((doc_id*189) % 256) + 114*((doc_id*351) % 256) AS l3
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN 4*l0 > l0+l1+l2+l3 THEN 192 ELSE 0 END
+         |      + CASE WHEN 4*l1 > l0+l1+l2+l3 THEN 48 ELSE 0 END
+         |      + CASE WHEN 4*l2 > l0+l1+l2+l3 THEN 12 ELSE 0 END
+         |      + CASE WHEN 4*l3 > l0+l1+l2+l3 THEN 3 ELSE 0 END AS HUGEINT)
+         |      * 72340172838076673 AS hu
+         |  FROM lum)
+         |SELECT doc_id AS media_id,
+         |  CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
+         |            ELSE hu END AS BIGINT) AS ahash
+         |FROM b""").stripMargin,
+
+    "q_media_phash_dedup" ->
+      (s"""WITH lum AS (
+         |  SELECT doc_id,
+         |    299*((doc_id) % 256) + 587*((doc_id*7) % 256) + 114*((doc_id*13) % 256) AS l0,
+         |    299*((doc_id*3) % 256) + 587*((doc_id*21) % 256) + 114*((doc_id*39) % 256) AS l1,
+         |    299*((doc_id*9) % 256) + 587*((doc_id*63) % 256) + 114*((doc_id*117) % 256) AS l2,
+         |    299*((doc_id*27) % 256) + 587*((doc_id*189) % 256) + 114*((doc_id*351) % 256) AS l3
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN 4*l0 > l0+l1+l2+l3 THEN 192 ELSE 0 END
+         |      + CASE WHEN 4*l1 > l0+l1+l2+l3 THEN 48 ELSE 0 END
+         |      + CASE WHEN 4*l2 > l0+l1+l2+l3 THEN 12 ELSE 0 END
+         |      + CASE WHEN 4*l3 > l0+l1+l2+l3 THEN 3 ELSE 0 END AS HUGEINT)
+         |      * 72340172838076673 AS hu
+         |  FROM lum),
+         |h AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
+         |              ELSE hu END AS BIGINT) AS ahash
+         |  FROM b)
+         |SELECT ahash, count(*) AS n_imgs, min(media_id) AS keep_id
+         |FROM h GROUP BY ahash""").stripMargin,
 
     // closed-form luma of the solid source color: bilinear resampling of a
     // constant image is the constant, so the 8x8 re-decode sees the same
