@@ -141,7 +141,11 @@ object GraftFunctions {
       (es: Seq[Expression]) => EuclideanDistance(es(0), es(1))),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    (FunctionIdentifier("jaro_winkler_similarity"),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName,
+        "jaro_winkler_similarity"),
+      (es: Seq[Expression]) => JaroWinklerSimilarity(es(0), es(1))))
 
   /** Imperative registration for an existing session (tests, REPLs). */
   def register(spark: SparkSession): Unit =
@@ -159,4 +163,5 @@ object GraftFunctions {
   def dtwDistance(a: Column, b: Column): Column = col2(DtwDistance.apply)(a, b)
   def euclideanDistance(a: Column, b: Column): Column = col2(EuclideanDistance.apply)(a, b)
   def dotProduct(a: Column, b: Column): Column = col2(DotProduct.apply)(a, b)
+  def jaroWinkler(a: Column, b: Column): Column = col2(JaroWinklerSimilarity.apply)(a, b)
 }

@@ -1215,6 +1215,36 @@ object RelationalQueries {
           .otherwise(concat(col("c_name"), lit("ZZZ"))).as("t_name"))
       Linkage.fuzzyJoin(cust, twin, "c_custkey", "t_id",
         "c_name", "t_name", blockKey = substring(_, 14, 3), maxDist = 2)
+    }),
+
+    // Linkage SCORING via the native codegen'd Jaro–Winkler expression
+    // (functions/JaroWinklerExpression.scala — whole-stage codegen, no
+    // UDF boundary): same blocked candidates and exact-Levenshtein keep
+    // decision as q_record_linkage (integer-exact, so the kept SET can't
+    // drift on float ulps), with each kept pair scored for ranking. The
+    // two-stage generate-then-score shape is the standard Fellegi–Sunter
+    // linkage pipeline.
+    "q_linkage_jw" -> ((s, d) => {
+      val cust = customer(s, d).select(col("c_custkey"), col("c_name"))
+      val twin = cust.select(
+        (col("c_custkey") + 1000000L).as("t_id"),
+        when(pmod(col("c_custkey"), lit(2)) === 0,
+          concat(col("c_name"), lit("X")))
+          .when(pmod(col("c_custkey"), lit(3)) === 0,
+            concat(col("c_name").substr(lit(1), length(col("c_name")) - 1),
+              lit("~")))
+          .when(pmod(col("c_custkey"), lit(5)) === 0, col("c_name"))
+          .otherwise(concat(col("c_name"), lit("ZZZ"))).as("t_name"))
+      val an = cust.select(col("c_custkey").as("a_id"), col("c_name").as("a_nm"),
+        substring(col("c_name"), 14, 3).as("__blk"))
+      val bn = twin.select(col("t_id").as("b_id"), col("t_name").as("b_nm"),
+        substring(col("t_name"), 14, 3).as("__blk"))
+      an.join(bn, "__blk")
+        .withColumn("dist", levenshtein(col("a_nm"), col("b_nm")))
+        .filter(col("dist") <= 1)
+        .select(col("a_id"), col("b_id"),
+          round(graft.functions.GraftFunctions.jaroWinkler(
+            col("a_nm"), col("b_nm")), 6).as("jw"))
     })
   )
 
@@ -1233,6 +1263,21 @@ object RelationalQueries {
         |FROM customer c JOIN twin t
         |  ON substr(c.c_name, 14, 3) = substr(t.t_name, 14, 3)
         |WHERE levenshtein(c.c_name, t.t_name) <= 2""".stripMargin,
+
+    "q_linkage_jw" ->
+      """WITH twin AS (
+        |  SELECT c_custkey + 1000000 AS t_id,
+        |    CASE WHEN c_custkey % 2 = 0 THEN c_name || 'X'
+        |         WHEN c_custkey % 3 = 0
+        |           THEN substr(c_name, 1, length(c_name) - 1) || '~'
+        |         WHEN c_custkey % 5 = 0 THEN c_name
+        |         ELSE c_name || 'ZZZ' END AS t_name
+        |  FROM customer)
+        |SELECT c.c_custkey AS a_id, t.t_id AS b_id,
+        |  round(jaro_winkler_similarity(c.c_name, t.t_name), 6) AS jw
+        |FROM customer c JOIN twin t
+        |  ON substr(c.c_name, 14, 3) = substr(t.t_name, 14, 3)
+        |WHERE levenshtein(c.c_name, t.t_name) <= 1""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
          CAST(l_quantity AS INT) AS qty_int, l_returnflag AS flag FROM lineitem""",
