@@ -81,7 +81,34 @@ object GraphQueries {
       pmod(col("doc_id") * 31L + 7L, lit(101L)).as("dst"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> ((s, d) => PageRank.pageRankFp(docEdges(s, d), "src", "dst")))
+    "q_pagerank" -> ((s, d) => PageRank.pageRankFp(docEdges(s, d), "src", "dst")),
+
+    // Triangle count — the clustering-coefficient / community-structure
+    // primitive. Undirected simple graph (least/greatest canonical
+    // orientation, self-loops dropped), triangles enumerated a<b<c by
+    // two equi self-joins: e(a,b) ⋈ e(b,c) ⋈ e(a,c) — each triangle
+    // counted exactly once. At 100 TB edge scale the same plan applies
+    // after degree-orientation (point edges low→high DEGREE instead of
+    // low→high id) so join fan-out is bounded by sqrt(m) per node —
+    // the id orientation here keeps the oracle exact; the shape is
+    // identical. One summary row: nodes, unique undirected edges,
+    // triangles.
+    "q_triangles" -> ((s, d) => {
+      val raw = docEdges(s, d).filter(col("src") =!= col("dst"))
+      val e = raw.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      val e1 = e.select(col("u").as("a"), col("v").as("b"))
+      val e2 = e.select(col("u").as("b2"), col("v").as("c"))
+      val e3 = e.select(col("u").as("a3"), col("v").as("c3"))
+      val tri = e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val nodes = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node"))).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      nodes.crossJoin(edges).crossJoin(tri)
+    }))
 
   /** The same fixed-point power iteration unrolled as CTEs; `//` is
     * DuckDB's integer `div`, every sum cast back from HUGEINT.
@@ -111,6 +138,21 @@ object GraphQueries {
           |${step("r0", "r1")},
           |${step("r1", "r2")},
           |${step("r2", "r3")}
-          |SELECT node, r FROM r3""".stripMargin)
+          |SELECT node, r FROM r3""".stripMargin,
+
+      "q_triangles" ->
+        """WITH raw AS (
+          |  SELECT DISTINCT doc_id % 97 AS src, (doc_id * 31 + 7) % 101 AS dst
+          |  FROM documents),
+          |e AS (
+          |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          |  FROM raw WHERE src <> dst)
+          |SELECT
+          |  (SELECT count(*) FROM
+          |    (SELECT u AS node FROM e UNION SELECT v FROM e)) AS n_nodes,
+          |  (SELECT count(*) FROM e) AS n_edges,
+          |  (SELECT count(*) FROM e e1
+          |     JOIN e e2 ON e2.u = e1.v
+          |     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin)
   }
 }

@@ -586,6 +586,37 @@ object RelationalQueries {
         count(lit(1)).over(w).cast("long").as("n_window"))
     }),
 
+    // Time-series anomaly detection — the ops-monitoring staple: hourly
+    // event volumes per type scored against their own trailing 6-hour
+    // baseline (frame EXCLUDES the current row, so a spike can't dilute
+    // the baseline it's judged against). All window sums are INTEGER
+    // (counts and squared counts over a ROWS frame — exact,
+    // order-independent); mean/variance/z emerge in one closed-form
+    // double expression mirrored verbatim in the oracle, with +1.0
+    // variance smoothing so a flat baseline yields z = delta instead of
+    // a division by zero. Fact-scale work is the one hourly aggregate;
+    // the window runs over types x hours metadata rows.
+    "q_events_anomaly" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(-6, -1)
+      val k = count(col("n")).over(w)
+      val s1 = sum(col("n")).over(w)
+      val sq = sum(col("n") * col("n")).over(w)
+      val rolled = hourly.select(col("event_type"),
+        unix_micros(col("hour")).as("hour_us"), col("n"),
+        k.cast("long").as("k"), s1.cast("long").as("s"), sq.cast("long").as("sq"))
+        .filter(col("k") === 6)
+      val mean = col("s").cast("double") / col("k")
+      val variance = (col("k") * col("sq") - col("s") * col("s")).cast("double") /
+        (col("k") * (col("k") - 1))
+      val z = (col("n") - mean) / sqrt(variance + 1.0)
+      rolled.select(col("event_type"), col("hour_us"), col("n"),
+        round(z, 6).as("z"), (abs(z) > 3.0).as("is_anomaly"))
+    }),
+
     // HLL sketch cardinality — the unbounded-cardinality distinct-count
     // scale path (mergeable across partitions, O(1) memory per group).
     // No DuckDB twin for the sketch, so invariant rows: within 5% of the
@@ -1708,6 +1739,26 @@ object RelationalQueries {
            CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_window
          FROM events""",
+
+    "q_events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |roll AS (
+        |  SELECT event_type, epoch_us(hour) AS hour_us, n,
+        |    CAST(count(n) OVER w AS BIGINT) AS k,
+        |    CAST(sum(n) OVER w AS BIGINT) AS s,
+        |    CAST(sum(n*n) OVER w AS BIGINT) AS sq
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour_us, n,
+        |  round((n - CAST(s AS DOUBLE)/k)
+        |    / sqrt(CAST(k*sq - s*s AS DOUBLE)/(k*(k-1)) + 1.0), 6) AS z,
+        |  abs((n - CAST(s AS DOUBLE)/k)
+        |    / sqrt(CAST(k*sq - s*s AS DOUBLE)/(k*(k-1)) + 1.0)) > 3.0 AS is_anomaly
+        |FROM roll WHERE k = 6""".stripMargin,
 
     "q_approx_distinct" ->
       """SELECT l_returnflag AS flag, CAST(1 AS BIGINT) AS within_5pct
