@@ -75,6 +75,62 @@ object DataQuality {
         round(col("_sum") / col("_nn"), 6).as("avg_num"))
   }
 
+  /** Robust (quantile-based) numeric profile: exact p25/p50/p75, IQR,
+    * and Tukey-fence outlier counts (x outside [p25 − 1.5·IQR,
+    * p75 + 1.5·IQR]) — the skew/heavy-tail complement to
+    * [[checkOutliers]]'s mean/stddev z-score, which a single extreme
+    * value can drag. Two passes by necessity (fences depend on the full
+    * distribution): ONE percentile aggregate (broadcast 1-row result),
+    * then ONE counting scan against the broadcast fences — the same
+    * adjudicated two-pass shape as checkOutliers. Fences are snapped to
+    * 6 dp before comparison so a data value landing exactly on a fence
+    * decides identically on every engine (exact percentile can land ON
+    * data values; an unrounded fence would sit one ulp away from them).
+    * Exact percentile materializes per-column value counts —
+    * bounded-cardinality columns; at unbounded 100 TB scale swap
+    * `approx_percentile` exactly as [[profileNumericApprox]] swaps NDV.
+    */
+  def profileRobust(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileRobust needs at least one column")
+    val qAggs = cols.flatMap { c =>
+      // explicit double input: DuckDB's quantile_cont interpolates in the
+      // input type (DECIMAL stays DECIMAL); pinning both engines to
+      // double interpolation keeps the quantiles bit-comparable
+      Seq(
+        expr(s"percentile(CAST($c AS DOUBLE), 0.25)").as(s"${c}__p25"),
+        expr(s"percentile(CAST($c AS DOUBLE), 0.5)").as(s"${c}__p50"),
+        expr(s"percentile(CAST($c AS DOUBLE), 0.75)").as(s"${c}__p75"))
+    }
+    val q = df.agg(qAggs.head, qAggs.tail: _*)
+    def iqr(c: String) = col(s"${c}__p75") - col(s"${c}__p25")
+    val outAggs = cols.flatMap { c =>
+      val lo = round(col(s"${c}__p25") - iqr(c) * 1.5, 6)
+      val hi = round(col(s"${c}__p75") + iqr(c) * 1.5, 6)
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L))
+          .as(s"${c}__out"),
+        first(col(s"${c}__p25")).as(s"${c}__q25"),
+        first(col(s"${c}__p50")).as(s"${c}__q50"),
+        first(col(s"${c}__p75")).as(s"${c}__q75"))
+    }
+    val wide = df.crossJoin(broadcast(q)).agg(outAggs.head, outAggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `${c}__nn`, `${c}__out`, `${c}__q25`, `${c}__q50`, `${c}__q75`"
+    }.mkString(", ")
+    wide
+      .select(expr(s"stack(${cols.size}, $stackArgs) " +
+        "AS (col_name, _nn, _out, _q25, _q50, _q75)"))
+      .select(
+        col("col_name"),
+        round(col("_q25"), 6).as("p25"),
+        round(col("_q50"), 6).as("p50"),
+        round(col("_q75"), 6).as("p75"),
+        round(col("_q75") - col("_q25"), 6).as("iqr"),
+        col("_out").as("n_outliers"),
+        round(col("_out").cast("double") / col("_nn"), 6).as("outlier_frac"))
+  }
+
   /** Numeric profile from a DETERMINISTIC row sample — how a 100 TB
     * table actually gets profiled daily: an md5-keyed Bernoulli sample
     * ([[graft.prep.DeterministicSampling]] — replayable across engines,

@@ -17,6 +17,14 @@ object QualityQueries {
       DataQuality.profileNumeric(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // Robust profile: exact quartiles + IQR + Tukey-fence outlier counts
+    // — the heavy-tail-safe twin of q_profile_numeric/q_dq_outliers
+    // (see DataQuality.profileRobust for the two-pass shape and the
+    // 6-dp fence snap that keeps on-the-fence values engine-agnostic).
+    "q_profile_robust" -> ((s, d) =>
+      DataQuality.profileRobust(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
     // The 100 TB profile variant: HLL++ NDV instead of exact-distinct
     // Expand (the scale knob on DataQuality.profileNumeric). Exact stats
     // stay value-oracled; the sketch column is an invariant row — per
@@ -177,6 +185,23 @@ object QualityQueries {
        |       ROUND(CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) / COUNT($c), 6) AS avg_num
        |FROM lineitem""".stripMargin
 
+  private def robustProfileSql(c: String): String =
+    s"""SELECT '$c' AS col_name,
+       |  ROUND(q25, 6) AS p25, ROUND(q50, 6) AS p50, ROUND(q75, 6) AS p75,
+       |  ROUND(q75 - q25, 6) AS iqr,
+       |  CAST(SUM(CASE WHEN CAST($c AS DOUBLE) < ROUND(q25 - (q75 - q25) * 1.5, 6)
+       |             OR CAST($c AS DOUBLE) > ROUND(q75 + (q75 - q25) * 1.5, 6)
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  ROUND(CAST(SUM(CASE WHEN CAST($c AS DOUBLE) < ROUND(q25 - (q75 - q25) * 1.5, 6)
+       |             OR CAST($c AS DOUBLE) > ROUND(q75 + (q75 - q25) * 1.5, 6)
+       |           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT($c), 6) AS outlier_frac
+       |FROM lineitem, (
+       |  SELECT quantile_cont(CAST($c AS DOUBLE), 0.25) AS q25,
+       |         quantile_cont(CAST($c AS DOUBLE), 0.5) AS q50,
+       |         quantile_cont(CAST($c AS DOUBLE), 0.75) AS q75
+       |  FROM lineitem) q
+       |GROUP BY q25, q50, q75""".stripMargin
+
   private def sampledProfileSql(c: String): String =
     s"""SELECT '$c' AS col_name, COUNT(*) AS n_sampled,
        |       CAST(COUNT(*) AS DOUBLE) / 0.1 AS n_est,
@@ -210,6 +235,10 @@ object QualityQueries {
     "q_profile_numeric" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(numProfileSql).mkString("\nUNION ALL\n"),
+
+    "q_profile_robust" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(robustProfileSql).mkString("\nUNION ALL\n"),
 
     // Exact stats value-checked; the sketch column is the literal-1
     // invariant (same pattern as q_approx_distinct).
