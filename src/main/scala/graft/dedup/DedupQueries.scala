@@ -435,6 +435,26 @@ object DedupQueries {
           round(col("temp_share") / col("share"), 6).as("upsample"))
     }),
 
+    // Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    // (2006): per row a key ln(u)/w from the md5-uniform draw u and the
+    // weight w (token count here: longer docs proportionally likelier),
+    // global top-k by key = an exact weighted sample. The draw is a
+    // pure function of doc_id (DeterministicSampling doctrine — the
+    // sample replays across engines/reruns), and top-k is TakeOrdered:
+    // per-partition heaps + one k-row driver merge, no global sort, the
+    // distributed-sampling shape that holds at 100 TB.
+    "q_weighted_sample" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        graft.text.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .filter(col("n_tokens") >= 1)
+      val u = graft.prep.DeterministicSampling.uniformDraw(col("doc_id"))
+      docs.withColumn("key", log(u) / col("n_tokens"))
+        .orderBy(col("key").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          round(col("key"), 6).as("es_key"))
+    }),
+
     // Distribution drift between two corpus versions — the mixture
     // monitor a recurring corpus build runs before retraining: per-domain
     // KL(P||Q), KL(Q||P), and Jensen-Shannon contribution terms over the
@@ -1070,6 +1090,20 @@ object DedupQueries {
            round(pow(share, 0.3) / sum(pow(share, 0.3)) OVER (), 6) AS temp_share,
            round((pow(share, 0.3) / sum(pow(share, 0.3)) OVER ()) / share, 6) AS upsample
          FROM sh""",
+
+    "q_weighted_sample" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+        |  FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 1),
+        |keyed AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    ln(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+        |       / 4294967296.0) / n_tokens AS key
+        |  FROM docs)
+        |SELECT doc_id, lang, n_tokens, ROUND(key, 6) AS es_key
+        |FROM keyed ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_mix_divergence" ->
       """WITH base AS (

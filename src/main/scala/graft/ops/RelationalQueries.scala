@@ -68,6 +68,52 @@ object RelationalQueries {
           round(col("l_discount"), 6).as("disc_norm"))
     }),
 
+    // Winsorization — clip the heavy tails at exact p01/p99 before
+    // feeding averages/regressions (the robust-transform sibling of
+    // q_profile_robust's detection): ONE percentile aggregate broadcasts
+    // two scalars, then a pure clipping projection at scan speed. Fences
+    // snap to 6 dp so a value exactly on one clips identically on every
+    // engine.
+    "q_winsorize" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val q = li.agg(
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.01)").as("__p01"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.99)").as("__p99"))
+      val lo = round(col("__p01"), 6)
+      val hi = round(col("__p99"), 6)
+      val x = col("l_extendedprice").cast("double")
+      li.crossJoin(broadcast(q))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+          round(x, 6).as("price"),
+          round(least(greatest(x, lo), hi), 6).as("price_w"),
+          (x < lo || x > hi).as("clipped"))
+    }),
+
+    // Per-group standardization (z-score within group) — the
+    // feature-engineering staple where global min-max (q_normalize)
+    // misleads across differently-scaled groups. Group moments are
+    // EXACT integer/decimal sums (count, sum, sum-of-squares over
+    // decimal quantities — order-independent, the profileCorrelation
+    // doctrine), broadcast back to the fact rows, z in one closed-form
+    // double expression both engines evaluate identically.
+    "q_group_standardize" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("line_no"),
+        col("l_returnflag").as("flag"), col("l_quantity"))
+      val q100 = (col("l_quantity") * 100).cast("long") // 2-dp decimal, exact
+      val stats = li.groupBy(col("flag"))
+        .agg(count(lit(1)).as("k"),
+          sum(q100).as("s"), sum(q100 * q100).as("sq"))
+      val mean = col("s").cast("double") / col("k") / 100.0
+      val variance = (col("k") * col("sq") - col("s") * col("s")).cast("double") /
+        (col("k") * (col("k") - 1)) / 10000.0
+      li.join(broadcast(stats), Seq("flag"))
+        .select(col("l_orderkey"), col("line_no"), col("flag"),
+          round(col("l_quantity").cast("double"), 6).as("qty"),
+          round((col("l_quantity").cast("double") - mean) /
+            sqrt(variance), 6).as("qty_z"))
+    }),
+
     // A2 — group-count
     "q_group_count" -> ((s, d) =>
       lineitem(s, d).groupBy(col("l_returnflag").as("flag"),
@@ -1294,6 +1340,36 @@ object RelationalQueries {
         |FROM customer c JOIN twin t
         |  ON substr(c.c_name, 14, 3) = substr(t.t_name, 14, 3)
         |WHERE levenshtein(c.c_name, t.t_name) <= 2""".stripMargin,
+
+    "q_winsorize" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        |  ROUND(CAST(l_extendedprice AS DOUBLE), 6) AS price,
+        |  ROUND(least(greatest(CAST(l_extendedprice AS DOUBLE), ROUND(p01, 6)),
+        |    ROUND(p99, 6)), 6) AS price_w,
+        |  (CAST(l_extendedprice AS DOUBLE) < ROUND(p01, 6)
+        |   OR CAST(l_extendedprice AS DOUBLE) > ROUND(p99, 6)) AS clipped
+        |FROM lineitem, (
+        |  SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01) AS p01,
+        |         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS p99
+        |  FROM lineitem) q""".stripMargin,
+
+    "q_group_standardize" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        |         l_returnflag AS flag, l_quantity,
+        |         CAST(l_quantity * 100 AS BIGINT) AS q100
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT flag, CAST(count(*) AS BIGINT) AS k,
+        |         CAST(sum(q100) AS BIGINT) AS s,
+        |         CAST(sum(q100 * q100) AS BIGINT) AS sq
+        |  FROM li GROUP BY flag)
+        |SELECT l_orderkey, line_no, flag,
+        |  ROUND(CAST(l_quantity AS DOUBLE), 6) AS qty,
+        |  ROUND((CAST(l_quantity AS DOUBLE) - CAST(s AS DOUBLE) / k / 100.0)
+        |    / sqrt(CAST(k * sq - s * s AS DOUBLE) / (k * (k - 1)) / 10000.0), 6)
+        |    AS qty_z
+        |FROM li JOIN st USING (flag)""".stripMargin,
 
     "q_linkage_jw" ->
       """WITH twin AS (

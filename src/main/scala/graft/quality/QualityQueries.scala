@@ -17,6 +17,53 @@ object QualityQueries {
       DataQuality.profileNumeric(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // Chi-square independence cells between two categorical columns —
+    // the "are these fields related" screen of exploratory profiling.
+    // One fact-scale aggregate (the contingency counts); expected
+    // frequencies and contributions from window sums over the CELLS
+    // frame (|flag| x |status| ≈ 6 rows — metadata scale, documented).
+    // Per-cell output keeps every term float-order independent: obs and
+    // margins are exact integers, each contribution is one closed-form
+    // double expression.
+    "q_chi_square" -> ((s, d) => {
+      val cells = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+        .agg(count(lit(1)).as("obs"))
+      val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("flag"))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("status"))
+      val wt = org.apache.spark.sql.expressions.Window.partitionBy()
+      // margins cast to double BEFORE multiplying: a long x long margin
+      // product overflows at real fact scale (ANSI throws, silently on
+      // pre-ANSI engines); the double product is the scale-safe form
+      val expected = sum(col("obs")).over(wr).cast("double") *
+        sum(col("obs")).over(wc).cast("double") / sum(col("obs")).over(wt)
+      cells.select(col("flag"), col("status"), col("obs"),
+        round(expected, 6).as("expected"),
+        round(pow(col("obs") - expected, 2.0) / expected, 6).as("contrib"))
+    }),
+
+    // Shannon entropy per categorical column — the "how informative is
+    // this field" profile stat (0 = constant column, ln(ndv) = uniform).
+    // One aggregate per column over the fact, entropy from the handful
+    // of value rows; round(6) absorbs the ln-sum association order
+    // (the q_text_lm_score doctrine).
+    "q_col_entropy" -> ((s, d) => {
+      def one(c: String): DataFrame = {
+        val counts = Tables.lineitem(s, d)
+          .groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        val wt = org.apache.spark.sql.expressions.Window.partitionBy()
+        val p = col("cnt").cast("double") / sum(col("cnt")).over(wt)
+        counts.select(lit(c).as("col_name"), col("v"), col("cnt"), p.as("p"))
+          .groupBy(col("col_name"))
+          .agg(count(lit(1)).as("ndv"),
+            round(-sum(col("p") * log(col("p"))), 6).as("entropy"))
+          .select(col("col_name"), col("ndv"), col("entropy"),
+            round(col("entropy") / log(col("ndv").cast("double")), 6)
+              .as("norm_entropy"))
+      }
+      one("l_returnflag").unionByName(one("l_linestatus"))
+    }),
+
     // Robust profile: exact quartiles + IQR + Tukey-fence outlier counts
     // — the heavy-tail-safe twin of q_profile_numeric/q_dq_outliers
     // (see DataQuality.profileRobust for the two-pass shape and the
@@ -239,6 +286,37 @@ object QualityQueries {
     "q_profile_robust" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(robustProfileSql).mkString("\nUNION ALL\n"),
+
+    "q_chi_square" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS flag, l_linestatus AS status,
+        |         CAST(count(*) AS BIGINT) AS obs
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT flag, status, obs,
+        |  ROUND(CAST(sum(obs) OVER (PARTITION BY flag) AS DOUBLE)
+        |    * CAST(sum(obs) OVER (PARTITION BY status) AS DOUBLE)
+        |    / sum(obs) OVER (), 6) AS expected,
+        |  ROUND(pow(obs - CAST(sum(obs) OVER (PARTITION BY flag) AS DOUBLE)
+        |      * CAST(sum(obs) OVER (PARTITION BY status) AS DOUBLE)
+        |      / sum(obs) OVER (), 2)
+        |    / (CAST(sum(obs) OVER (PARTITION BY flag) AS DOUBLE)
+        |      * CAST(sum(obs) OVER (PARTITION BY status) AS DOUBLE)
+        |      / sum(obs) OVER ()), 6) AS contrib
+        |FROM cells""".stripMargin,
+
+    "q_col_entropy" -> {
+      def one(c: String): String =
+        s"""SELECT col_name, ndv, entropy,
+           |  ROUND(entropy / ln(CAST(ndv AS DOUBLE)), 6) AS norm_entropy
+           |FROM (
+           |  SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS ndv,
+           |    ROUND(-sum(p * ln(p)), 6) AS entropy
+           |  FROM (
+           |    SELECT CAST(cnt AS DOUBLE) / sum(cnt) OVER () AS p
+           |    FROM (SELECT $c, CAST(count(*) AS BIGINT) AS cnt
+           |          FROM lineitem GROUP BY $c)))""".stripMargin
+      one("l_returnflag") + "\nUNION ALL\n" + one("l_linestatus")
+    },
 
     // Exact stats value-checked; the sketch column is the literal-1
     // invariant (same pattern as q_approx_distinct).
