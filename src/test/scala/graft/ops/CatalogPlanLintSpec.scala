@@ -59,7 +59,11 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_dq_outliers" -> "cross join against the broadcast 1-row mean/sigma stats aggregate",
     "q_skew_profile" -> "cross join of the broadcast 1-row total/nkeys aggregate onto the 20-row TakeOrdered result",
     "q_domain_stats" -> "cross join against the broadcast 1-row corpus-total aggregate for per-domain share",
-    "q_ndv_incremental" -> "cross join of two broadcast 1-row sketch/exact aggregates for the invariant row")
+    "q_ndv_incremental" -> "cross join of two broadcast 1-row sketch/exact aggregates for the invariant row",
+    "q_pagerank" -> "per-iteration cross joins against TWO broadcast 1-row scalars (node count, dangling mass) — the standard distributed PageRank decomposition; edge/rank joins are equi",
+    "q_triangles" -> "summary row crosses three broadcast 1-row aggregates (nodes, edges, triangles); triangle enumeration itself is two equi self-joins",
+    "q_profile_robust" -> "cross join against the broadcast 1-row percentile aggregate (the adjudicated q_dq_outliers two-pass shape)",
+    "q_winsorize" -> "cross join against the broadcast 1-row p01/p99 aggregate feeding the clipping projection")
 
   test("lint variants cover a live query and never go stale") {
     val gone = lintVariants.keySet.diff(graft.SparkEntry.queries.keySet)
@@ -113,7 +117,9 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_text_bm25_rel" -> "broadcast side is the per-term df aggregate — rows bounded by the query term count",
     "q_dpp" -> ("broadcast side is DISTINCT order-months after a triple selective filter — " +
       "bounded by the calendar (~84 values over the 7-year range), not by data size; " +
-      "the broadcast-hash join is what carries the dynamicpruning subquery into the fact scan"))
+      "the broadcast-hash join is what carries the dynamicpruning subquery into the fact scan"),
+    "q_group_standardize" -> ("broadcast side is the per-flag moments aggregate — " +
+      "rows bounded by return-flag cardinality (3), not by data size"))
 
   test("no catalog query force-broadcasts a scale-proportional table off-allowlist") {
     // BroadcastGatingSpec doctrine, catalog-wide: constant dims (nation,
