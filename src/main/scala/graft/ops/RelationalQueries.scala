@@ -89,6 +89,28 @@ object RelationalQueries {
           (x < lo || x > hi).as("clipped"))
     }),
 
+    // Group-median imputation — the robust missing-value fill (mean
+    // imputation drags toward outliers; the median doesn't). Nulls are
+    // PLANTED in-plan (every 7th line — both engines see identical
+    // inputs, the q_pii_scrub technique), per-group exact medians come
+    // from one aggregate (percentile skips nulls on both engines), and
+    // the fill is an equi join back on the group key — the 3-row stats
+    // side auto-broadcasts, no forced hint needed.
+    "q_impute_median" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("line_no"),
+        col("l_returnflag").as("flag"),
+        when(pmod(col("l_orderkey") + col("l_linenumber"), lit(7)) === 0,
+          lit(null).cast("double"))
+          .otherwise(col("l_quantity").cast("double")).as("qty_n"))
+      val med = li.groupBy(col("flag"))
+        .agg(expr("percentile(qty_n, 0.5)").as("__med"))
+      li.join(med, Seq("flag"))
+        .select(col("l_orderkey"), col("line_no"), col("flag"),
+          round(coalesce(col("qty_n"), col("__med")), 6).as("qty_filled"),
+          col("qty_n").isNull.as("was_imputed"))
+    }),
+
     // Per-group standardization (z-score within group) — the
     // feature-engineering staple where global min-max (q_normalize)
     // misleads across differently-scaled groups. Group moments are
@@ -1352,6 +1374,21 @@ object RelationalQueries {
         |  SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01) AS p01,
         |         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS p99
         |  FROM lineitem) q""".stripMargin,
+
+    "q_impute_median" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        |         l_returnflag AS flag,
+        |         CASE WHEN (l_orderkey + l_linenumber) % 7 = 0 THEN NULL
+        |              ELSE CAST(l_quantity AS DOUBLE) END AS qty_n
+        |  FROM lineitem),
+        |med AS (
+        |  SELECT flag, quantile_cont(qty_n, 0.5) AS med
+        |  FROM li GROUP BY flag)
+        |SELECT l_orderkey, line_no, flag,
+        |  ROUND(coalesce(qty_n, med), 6) AS qty_filled,
+        |  qty_n IS NULL AS was_imputed
+        |FROM li JOIN med USING (flag)""".stripMargin,
 
     "q_group_standardize" ->
       """WITH li AS (

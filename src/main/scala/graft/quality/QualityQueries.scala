@@ -17,6 +17,30 @@ object QualityQueries {
       DataQuality.profileNumeric(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // Equi-DEPTH histogram (quartile bins) — the complement of
+    // q_profile_histogram's equi-width bins: fences at exact p25/p50/p75
+    // (one broadcast 1-row aggregate, 6-dp-snapped so boundary values
+    // bin identically everywhere), then one grouped count with observed
+    // per-bin bounds. Equal-population bins are what query optimizers
+    // and drift monitors actually want on skewed columns.
+    "q_histogram_eqdepth" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val q = li.agg(
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.25)").as("__f1"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").as("__f2"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.75)").as("__f3"))
+      val x = col("l_extendedprice").cast("double")
+      def above(f: String) =
+        when(x > round(col(f), 6), 1L).otherwise(0L)
+      li.crossJoin(broadcast(q))
+        .select(x.as("x"),
+          (lit(1L) + above("__f1") + above("__f2") + above("__f3")).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(min(col("x")), 6).as("b_min"),
+          round(max(col("x")), 6).as("b_max"))
+    }),
+
     // Chi-square independence cells between two categorical columns —
     // the "are these fields related" screen of exploratory profiling.
     // One fact-scale aggregate (the contingency counts); expected
@@ -286,6 +310,24 @@ object QualityQueries {
     "q_profile_robust" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(robustProfileSql).mkString("\nUNION ALL\n"),
+
+    "q_histogram_eqdepth" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS f1,
+        |         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS f2,
+        |         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS f3
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+        |    1 + CASE WHEN CAST(l_extendedprice AS DOUBLE) > ROUND(f1, 6) THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(l_extendedprice AS DOUBLE) > ROUND(f2, 6) THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(l_extendedprice AS DOUBLE) > ROUND(f3, 6) THEN 1 ELSE 0 END
+        |      AS bucket
+        |  FROM lineitem, q)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       ROUND(min(x), 6) AS b_min, ROUND(max(x), 6) AS b_max
+        |FROM b GROUP BY bucket""".stripMargin,
 
     "q_chi_square" ->
       """WITH cells AS (

@@ -178,6 +178,35 @@ object TextQueries {
         .limit(50)
     }),
 
+    // TF-IDF keyword extraction — each doc's top-3 terms by smoothed
+    // tf·idf (idf = ln((N+1)/(df+1)) + 1, the sklearn smoothing that
+    // keeps corpus-universal terms finite). Postings aggregate once for
+    // tf, once (distinct) for df; N rides a broadcast 1-row aggregate;
+    // top-3 is a per-doc window (partitioned by doc — parallel). The
+    // deterministic (score DESC, term ASC) order makes the kept rows
+    // engine-exact: equal scores only arise from equal (tf, df) pairs,
+    // which both engines score identically.
+    "q_text_tfidf" -> ((s, d) => {
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(safeLowerTokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.distinct().groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val score = col("tf") *
+        (log((col("__n").cast("double") + 1) / (col("df") + 1)) + 1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+      tf.join(df, Seq("tok")).crossJoin(broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // Self-validating count-min heavy hitters: the sketch answers token
     // frequencies in O(eps^-1) space at ANY corpus size (the 100 TB vocab
     // path — exact groupBy needs vocab-proportional state); the invariant
@@ -492,6 +521,21 @@ object TextQueries {
             FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1)
           SELECT df.tok, df.df, tf.tf FROM df JOIN tf USING (tok)
           ORDER BY df.df DESC, tf.tf DESC, df.tok ASC LIMIT 50""",
+
+    "q_text_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM t GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |       FROM t GROUP BY tok),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         |         tf.tf * (ln((CAST(n.n AS DOUBLE) + 1) / (df.df + 1)) + 1) AS score
+         |       FROM tf JOIN df USING (tok), n)
+         |SELECT doc_id, tok, tf, df, ROUND(score, 6) AS score FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rk FROM sc)
+         |WHERE rk <= 3""".stripMargin,
 
     // exact totals + the count-min contract as pinned booleans: DuckDB
     // cannot rebuild the sketch (implementation-defined hashing) but CAN

@@ -63,7 +63,9 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_pagerank" -> "per-iteration cross joins against TWO broadcast 1-row scalars (node count, dangling mass) — the standard distributed PageRank decomposition; edge/rank joins are equi",
     "q_triangles" -> "summary row crosses three broadcast 1-row aggregates (nodes, edges, triangles); triangle enumeration itself is two equi self-joins",
     "q_profile_robust" -> "cross join against the broadcast 1-row percentile aggregate (the adjudicated q_dq_outliers two-pass shape)",
-    "q_winsorize" -> "cross join against the broadcast 1-row p01/p99 aggregate feeding the clipping projection")
+    "q_winsorize" -> "cross join against the broadcast 1-row p01/p99 aggregate feeding the clipping projection",
+    "q_text_tfidf" -> "cross join against the broadcast 1-row corpus-count aggregate (the q_text_bm25 shape)",
+    "q_histogram_eqdepth" -> "cross join against the broadcast 1-row quartile-fence aggregate")
 
   test("lint variants cover a live query and never go stale") {
     val gone = lintVariants.keySet.diff(graft.SparkEntry.queries.keySet)
