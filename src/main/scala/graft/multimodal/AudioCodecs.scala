@@ -91,6 +91,27 @@ object AudioCodecs {
     * division, exact in IEEE doubles), so expected band features have a
     * closed form any engine reproduces bit-for-bit.
     */
+  /** Audio fingerprint — the clip-level near-dup key ([[ImageCodecs
+    * .aHash64]]'s audio sibling): per-band mean |amplitude| quantized to
+    * `levels` buckets, packed base-`levels` into one long. Re-encodes and
+    * level-preserving edits collide, so exact-groupBy on the fingerprint
+    * dedups clips with an 8-byte shuffle row — PCM never moves.
+    * Undecodable payload → all-zero energies → fingerprint 0 (poison-row
+    * contract).
+    */
+  def audioFingerprint(payload: Array[Byte], bands: Int = 4,
+      levels: Int = 256): Long = {
+    val e = audioFeatures(payload, bands)
+    var fp = 0L
+    var b = 0
+    while (b < bands) {
+      val q = math.min(levels - 1, math.floor(e(b).toDouble * levels).toInt)
+      fp = fp * levels + math.max(0, q)
+      b += 1
+    }
+    fp
+  }
+
   def twoBandSquareWav(n: Int, amp1: Int, amp2: Int, sampleRate: Int = 8000): Array[Byte] = {
     val s = new Array[Short](n)
     var i = 0

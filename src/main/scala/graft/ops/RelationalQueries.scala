@@ -654,6 +654,26 @@ object RelationalQueries {
         count(lit(1)).over(w).cast("long").as("n_window"))
     }),
 
+    // Behavioral Markov chain — per-user consecutive event-type pairs
+    // (lead over the deterministic (ts, event_id) order within user —
+    // the q_events_sessions partitioning, parallel across users) rolled
+    // up into the transition matrix with row-normalized probabilities.
+    // Fact-scale work is the one window + one aggregate; the probability
+    // window runs over the types x types matrix (metadata scale).
+    "q_events_transitions" -> ((s, d) => {
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, d)
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(wu).as("next_type"))
+        .filter(col("next_type").isNotNull)
+      val wt = Window.partitionBy(col("event_type"))
+      pairs.groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / sum(col("n")).over(wt), 6).as("p"))
+    }),
+
     // Time-series anomaly detection — the ops-monitoring staple: hourly
     // event volumes per type scored against their own trailing 6-hour
     // baseline (frame EXCLUDES the current row, so a spike can't dilute
@@ -1852,6 +1872,21 @@ object RelationalQueries {
            CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_window
          FROM events""",
+
+    "q_events_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  ROUND(CAST(n AS DOUBLE)
+        |    / sum(n) OVER (PARTITION BY event_type), 6) AS p
+        |FROM m""".stripMargin,
 
     "q_events_anomaly" ->
       """WITH hourly AS (

@@ -364,6 +364,26 @@ object TscQueries {
           round(element_at(col("features"), 4).cast("double"), 6).as("b3"))
     }),
 
+    // Audio fingerprint dedup through the REAL decode path (the aHash
+    // sibling for clips): per row the two-band square WAV decodes, band
+    // energies quantize to 256 levels, and the packed fingerprint groups
+    // visually — audibly — identical clips. The fixture's |sample| is
+    // amp/32768 (a power-of-two division, exact in float), so the
+    // quantized bucket has the closed integer form amp // 128 and DuckDB
+    // verifies decode, quantization, AND the base-256 packing exactly,
+    // plus the min-id-keeper dedup on top.
+    "q_audio_fp_dedup" -> ((s, d) => {
+      val wavUdf = udf((id: Long) => graft.multimodal.AudioCodecs.twoBandSquareWav(
+        4096, (id * 37 % 16384).toInt, (id * 53 % 16384).toInt))
+      val fpUdf = udf((p: Array[Byte]) =>
+        graft.multimodal.AudioCodecs.audioFingerprint(p))
+      Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          fpUdf(wavUdf(col("doc_id"))).as("afp"))
+        .groupBy(col("afp"))
+        .agg(count(lit(1)).as("n_clips"), min(col("media_id")).as("keep_id"))
+    }),
+
     // REAL video demux + frame decode, oracled end to end: an executor UDF
     // assembles a 6-frame motion-PNG container per row (solid frame colors
     // derived from media_id × frame index), VideoCodecs walks the frame
@@ -540,6 +560,18 @@ object TscQueries {
       """SELECT doc_id AS media_id,
            TRUE AS f0_ok, TRUE AS f1_ok, TRUE AS f2_ok, TRUE AS f3_ok
          FROM documents""",
+
+    // closed-form fingerprint: bands 0-1 quantize to (doc_id*37%16384)//128,
+    // bands 2-3 to (doc_id*53%16384)//128, packed base 256
+    "q_audio_fp_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    ((((doc_id*37 % 16384) // 128) * 256 + ((doc_id*37 % 16384) // 128)) * 256
+        |      + ((doc_id*53 % 16384) // 128)) * 256
+        |      + ((doc_id*53 % 16384) // 128) AS afp
+        |  FROM documents)
+        |SELECT afp, count(*) AS n_clips, min(media_id) AS keep_id
+        |FROM f GROUP BY afp""".stripMargin,
 
     // closed-form band energies of the two-band square WAV: bands 0-1 see
     // |amp1|/32768, bands 2-3 |amp2|/32768 (4096 samples, band = 1024,
