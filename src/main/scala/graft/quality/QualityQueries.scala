@@ -41,6 +41,46 @@ object QualityQueries {
           round(max(col("x")), 6).as("b_max"))
     }),
 
+    // Population Stability Index — the ML-monitoring drift metric
+    // (PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) over reference-defined
+    // bins; < 0.1 stable, > 0.25 retrain). Reference = full lineitem,
+    // current = an in-plan shifted version (every 3rd price × 1.10 —
+    // both engines see identical inputs); bins are the REFERENCE's
+    // quartile fences (the standard protocol: score the new data
+    // against the old binning). Per-bin contribution rows keep every
+    // term a closed-form double from exact integer counts.
+    "q_psi_drift" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ref = li.select(col("l_extendedprice").cast("double").as("x"))
+      val cur = li.select(
+        when(pmod(col("l_orderkey"), lit(3)) === 0,
+          col("l_extendedprice").cast("double") * 1.10)
+          .otherwise(col("l_extendedprice").cast("double")).as("x"))
+      val q = ref.agg(
+        expr("percentile(x, 0.25)").as("__f1"),
+        expr("percentile(x, 0.5)").as("__f2"),
+        expr("percentile(x, 0.75)").as("__f3"))
+      def bucketed(df: DataFrame, tag: String): DataFrame = {
+        def above(f: String) =
+          when(col("x") > round(col(f), 6), 1L).otherwise(0L)
+        df.crossJoin(broadcast(q))
+          .select((lit(1L) + above("__f1") + above("__f2") + above("__f3"))
+            .as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as(tag))
+      }
+      val wt = org.apache.spark.sql.expressions.Window.partitionBy()
+      val r = bucketed(ref, "n_ref")
+        .withColumn("p_ref", col("n_ref").cast("double") / sum(col("n_ref")).over(wt))
+      val c = bucketed(cur, "n_cur")
+        .withColumn("p_cur", col("n_cur").cast("double") / sum(col("n_cur")).over(wt))
+      r.join(c, Seq("bucket"))
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          round(col("p_ref"), 6).as("p_ref"),
+          round(col("p_cur"), 6).as("p_cur"),
+          round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 6)
+            .as("psi_term"))
+    }),
+
     // Chi-square independence cells between two categorical columns —
     // the "are these fields related" screen of exploratory profiling.
     // One fact-scale aggregate (the contingency counts); expected
@@ -310,6 +350,44 @@ object QualityQueries {
     "q_profile_robust" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(robustProfileSql).mkString("\nUNION ALL\n"),
+
+    "q_psi_drift" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS f1,
+        |         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS f2,
+        |         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS f3
+        |  FROM lineitem),
+        |ref AS (
+        |  SELECT 1 + CASE WHEN CAST(l_extendedprice AS DOUBLE) > ROUND(f1, 6) THEN 1 ELSE 0 END
+        |           + CASE WHEN CAST(l_extendedprice AS DOUBLE) > ROUND(f2, 6) THEN 1 ELSE 0 END
+        |           + CASE WHEN CAST(l_extendedprice AS DOUBLE) > ROUND(f3, 6) THEN 1 ELSE 0 END
+        |           AS bucket
+        |  FROM lineitem, q),
+        |cur0 AS (
+        |  SELECT CASE WHEN l_orderkey % 3 = 0
+        |              THEN CAST(l_extendedprice AS DOUBLE) * 1.10
+        |              ELSE CAST(l_extendedprice AS DOUBLE) END AS x
+        |  FROM lineitem),
+        |cur AS (
+        |  SELECT 1 + CASE WHEN x > ROUND(f1, 6) THEN 1 ELSE 0 END
+        |           + CASE WHEN x > ROUND(f2, 6) THEN 1 ELSE 0 END
+        |           + CASE WHEN x > ROUND(f3, 6) THEN 1 ELSE 0 END
+        |           AS bucket
+        |  FROM cur0, q),
+        |r AS (
+        |  SELECT CAST(bucket AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_ref,
+        |         CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS p_ref
+        |  FROM ref GROUP BY bucket),
+        |c AS (
+        |  SELECT CAST(bucket AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_cur,
+        |         CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS p_cur
+        |  FROM cur GROUP BY bucket)
+        |SELECT r.bucket, n_ref, n_cur,
+        |  ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+        |  ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+        |FROM r JOIN c ON r.bucket = c.bucket""".stripMargin,
 
     "q_histogram_eqdepth" ->
       """WITH q AS (
