@@ -1,0 +1,119 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Vectors.{cosineFromNorms, norm, toDoubleArray}
+
+/** Persistent IVF index — the build-once / query-many serving shape
+  * ([[Knn.ivfTopK]] trains and assigns inline, the right thing for a
+  * one-shot batch; an index that serves many query batches amortizes
+  * both). On disk the index is:
+  *
+  *   dir/centroids/   one row per cell: (cell, centroid array<double>)
+  *   dir/vectors/     the corpus, nearest-cell assigned, written
+  *                    `partitionBy("cell")` — hive layout
+  *
+  * The cell partitioning is the point: a probe reads `nprobe` cell
+  * DIRECTORIES and Spark's partition pruning skips every other file, so
+  * search I/O is nprobe/nlist of the corpus — on 100 TB of vectors the
+  * difference between a scan and a lookup. Same trained-centroid search
+  * geometry as ivfTopK (spherical k-means, unit-sphere L2 = cosine
+  * order), so results are identical for the same (nlist, sampleSize,
+  * seed).
+  */
+object IvfIndex {
+
+  /** Train centroids, assign, write. Returns the trained centroids. */
+  def build(candidates: DataFrame, idCol: String, vecCol: String,
+      dir: String, nlist: Int = 16, sampleSize: Int = 2000,
+      seed: Long = 42L): Seq[Array[Double]] = {
+    val spark = candidates.sparkSession
+    val centroids =
+      Knn.trainSphericalKmeans(candidates, vecCol, nlist, sampleSize,
+        iters = 10, seed = seed)
+    require(centroids.nonEmpty,
+      "IvfIndex.build: no finite-norm vectors to train on")
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val bc = spark.sparkContext.broadcast(centroids.map(_.clone()))
+    val cellOf = udf((v: Seq[Double]) => nearestCell(bc.value, v))
+    candidates
+      .select(col(idCol).as("vec_id"), toDoubleArray(col(vecCol)).as("vec"))
+      .withColumn("vn", norm(col("vec")))
+      .filter(Vectors.finiteNorm(col("vn")))
+      .withColumn("cell", cellOf(col("vec")))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    centroids
+  }
+
+  def loadCentroids(spark: SparkSession, dir: String): Seq[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray).toSeq
+
+  /** Top-k cosine search against the stored index. The `cell isin probed`
+    * filter is a PARTITION filter on the hive layout — unprobed cell
+    * directories are never opened.
+    */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val centroids = loadCentroids(spark, dir)
+    val bc = spark.sparkContext.broadcast(centroids.map(_.clone()))
+    val probeCells = udf((v: Seq[Double]) => nearestCells(bc.value, v, nprobe))
+    val q = queries
+      .select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .filter(Vectors.finiteNorm(col("qn")))
+      .withColumn("cell", explode(probeCells(col("qv"))))
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(s"$dir/vectors")
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("cv"),
+        col("vn").as("cn"), col("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("cosine_sim"))
+  }
+
+  private def nearestCell(cs: Seq[Array[Double]], v: Seq[Double]): Int = {
+    val ds = cellDistances(cs, v)
+    var best = 0; var c = 1
+    while (c < ds.length) { if (ds(c) < ds(best)) best = c; c += 1 }
+    best
+  }
+
+  private def nearestCells(cs: Seq[Array[Double]], v: Seq[Double],
+      nprobe: Int): Seq[Int] = {
+    val ds = cellDistances(cs, v)
+    ds.zipWithIndex.sortBy(_._1).take(nprobe).map(_._2).toSeq
+  }
+
+  /** L2 distances from the UNIT-normalized vector to each centroid —
+    * the [[Knn.ivfTopK]] assignment geometry, verbatim.
+    */
+  private def cellDistances(cs: Seq[Array[Double]], v: Seq[Double]): Array[Double] = {
+    val u = Knn.unit(v.toArray)
+    val out = new Array[Double](cs.length)
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      while (i < cs(c).length && i < u.length) {
+        val x = u(i) - cs(c)(i); d += x * x; i += 1
+      }
+      out(c) = d
+      c += 1
+    }
+    out
+  }
+}
