@@ -77,10 +77,10 @@ object RelationalQueries {
     "q_winsorize" -> ((s, d) => {
       val li = lineitem(s, d)
       val q = li.agg(
-        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.01)").as("__p01"),
-        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.99)").as("__p99"))
-      val lo = round(col("__p01"), 6)
-      val hi = round(col("__p99"), 6)
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.01D, 0.99D))")
+          .as("__p"))
+      val lo = round(element_at(col("__p"), 1), 6)
+      val hi = round(element_at(col("__p"), 2), 6)
       val x = col("l_extendedprice").cast("double")
       li.crossJoin(broadcast(q))
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
@@ -1315,8 +1315,8 @@ object RelationalQueries {
     // inputs — the q_pii_scrub planting technique). The twin mutates the
     // name TAIL only (append / replace-last / unchanged / +3 chars as a
     // negative control), so blocking on the name's MIDDLE digits —
-    // chars 14-16 of `Customer#ddddddddd`, i.e. the 10^4..10^2 digits,
-    // which bounds every block at ~100 records at ANY scale factor —
+    // chars 14-17 of `Customer#ddddddddd`, i.e. the 10^4..10^1 digits,
+    // which bounds every block at ~10 records at ANY scale factor —
     // still pairs true matches while candidate generation stays an equi
     // join; exact levenshtein <= 2 then separates real links (dist 0-1)
     // from the planted non-links (dist 3). Blocked-then-verified —
@@ -1333,7 +1333,7 @@ object RelationalQueries {
           .when(pmod(col("c_custkey"), lit(5)) === 0, col("c_name"))
           .otherwise(concat(col("c_name"), lit("ZZZ"))).as("t_name"))
       Linkage.fuzzyJoin(cust, twin, "c_custkey", "t_id",
-        "c_name", "t_name", blockKey = substring(_, 14, 3), maxDist = 2)
+        "c_name", "t_name", blockKey = substring(_, 14, 4), maxDist = 2)
     }),
 
     // Linkage SCORING via the native codegen'd Jaro–Winkler expression
@@ -1355,9 +1355,9 @@ object RelationalQueries {
           .when(pmod(col("c_custkey"), lit(5)) === 0, col("c_name"))
           .otherwise(concat(col("c_name"), lit("ZZZ"))).as("t_name"))
       val an = cust.select(col("c_custkey").as("a_id"), col("c_name").as("a_nm"),
-        substring(col("c_name"), 14, 3).as("__blk"))
+        substring(col("c_name"), 14, 4).as("__blk"))
       val bn = twin.select(col("t_id").as("b_id"), col("t_name").as("b_nm"),
-        substring(col("t_name"), 14, 3).as("__blk"))
+        substring(col("t_name"), 14, 4).as("__blk"))
       an.join(bn, "__blk")
         .withColumn("dist", levenshtein(col("a_nm"), col("b_nm")))
         .filter(col("dist") <= 1)
@@ -1380,7 +1380,7 @@ object RelationalQueries {
         |SELECT c.c_custkey AS a_id, t.t_id AS b_id,
         |  CAST(levenshtein(c.c_name, t.t_name) AS BIGINT) AS dist
         |FROM customer c JOIN twin t
-        |  ON substr(c.c_name, 14, 3) = substr(t.t_name, 14, 3)
+        |  ON substr(c.c_name, 14, 4) = substr(t.t_name, 14, 4)
         |WHERE levenshtein(c.c_name, t.t_name) <= 2""".stripMargin,
 
     "q_winsorize" ->
@@ -1440,7 +1440,7 @@ object RelationalQueries {
         |SELECT c.c_custkey AS a_id, t.t_id AS b_id,
         |  round(jaro_winkler_similarity(c.c_name, t.t_name), 6) AS jw
         |FROM customer c JOIN twin t
-        |  ON substr(c.c_name, 14, 3) = substr(t.t_name, 14, 3)
+        |  ON substr(c.c_name, 14, 4) = substr(t.t_name, 14, 4)
         |WHERE levenshtein(c.c_name, t.t_name) <= 1""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,

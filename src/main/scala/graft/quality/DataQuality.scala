@@ -95,24 +95,26 @@ object DataQuality {
     val qAggs = cols.flatMap { c =>
       // explicit double input: DuckDB's quantile_cont interpolates in the
       // input type (DECIMAL stays DECIMAL); pinning both engines to
-      // double interpolation keeps the quantiles bit-comparable
-      Seq(
-        expr(s"percentile(CAST($c AS DOUBLE), 0.25)").as(s"${c}__p25"),
-        expr(s"percentile(CAST($c AS DOUBLE), 0.5)").as(s"${c}__p50"),
-        expr(s"percentile(CAST($c AS DOUBLE), 0.75)").as(s"${c}__p75"))
+      // double interpolation keeps the quantiles bit-comparable. ONE
+      // array-percentile per column: the three quantiles share a single
+      // value-count buffer instead of building it three times
+      Seq(expr(
+        s"percentile(CAST($c AS DOUBLE), array(0.25D, 0.5D, 0.75D))")
+        .as(s"${c}__q"))
     }
     val q = df.agg(qAggs.head, qAggs.tail: _*)
-    def iqr(c: String) = col(s"${c}__p75") - col(s"${c}__p25")
+    def pq(c: String, i: Int) = element_at(col(s"${c}__q"), i)
+    def iqr(c: String) = pq(c, 3) - pq(c, 1)
     val outAggs = cols.flatMap { c =>
-      val lo = round(col(s"${c}__p25") - iqr(c) * 1.5, 6)
-      val hi = round(col(s"${c}__p75") + iqr(c) * 1.5, 6)
+      val lo = round(pq(c, 1) - iqr(c) * 1.5, 6)
+      val hi = round(pq(c, 3) + iqr(c) * 1.5, 6)
       Seq(
         count(col(c)).as(s"${c}__nn"),
         sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L))
           .as(s"${c}__out"),
-        first(col(s"${c}__p25")).as(s"${c}__q25"),
-        first(col(s"${c}__p50")).as(s"${c}__q50"),
-        first(col(s"${c}__p75")).as(s"${c}__q75"))
+        first(pq(c, 1)).as(s"${c}__q25"),
+        first(pq(c, 2)).as(s"${c}__q50"),
+        first(pq(c, 3)).as(s"${c}__q75"))
     }
     val wide = df.crossJoin(broadcast(q)).agg(outAggs.head, outAggs.tail: _*)
     val stackArgs = cols.map { c =>

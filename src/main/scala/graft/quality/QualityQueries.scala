@@ -26,15 +26,14 @@ object QualityQueries {
     "q_histogram_eqdepth" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val q = li.agg(
-        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.25)").as("__f1"),
-        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").as("__f2"),
-        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.75)").as("__f3"))
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.25D, 0.5D, 0.75D))")
+          .as("__f"))
       val x = col("l_extendedprice").cast("double")
-      def above(f: String) =
-        when(x > round(col(f), 6), 1L).otherwise(0L)
+      def above(i: Int) =
+        when(x > round(element_at(col("__f"), i), 6), 1L).otherwise(0L)
       li.crossJoin(broadcast(q))
         .select(x.as("x"),
-          (lit(1L) + above("__f1") + above("__f2") + above("__f3")).as("bucket"))
+          (lit(1L) + above(1) + above(2) + above(3)).as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_rows"),
           round(min(col("x")), 6).as("b_min"),
@@ -57,14 +56,12 @@ object QualityQueries {
           col("l_extendedprice").cast("double") * 1.10)
           .otherwise(col("l_extendedprice").cast("double")).as("x"))
       val q = ref.agg(
-        expr("percentile(x, 0.25)").as("__f1"),
-        expr("percentile(x, 0.5)").as("__f2"),
-        expr("percentile(x, 0.75)").as("__f3"))
+        expr("percentile(x, array(0.25D, 0.5D, 0.75D))").as("__f"))
       def bucketed(df: DataFrame, tag: String): DataFrame = {
-        def above(f: String) =
-          when(col("x") > round(col(f), 6), 1L).otherwise(0L)
+        def above(i: Int) =
+          when(col("x") > round(element_at(col("__f"), i), 6), 1L).otherwise(0L)
         df.crossJoin(broadcast(q))
-          .select((lit(1L) + above("__f1") + above("__f2") + above("__f3"))
+          .select((lit(1L) + above(1) + above(2) + above(3))
             .as("bucket"))
           .groupBy(col("bucket")).agg(count(lit(1)).as(tag))
       }
