@@ -89,6 +89,28 @@ object RelationalQueries {
           (x < lo || x > hi).as("clipped"))
     }),
 
+    // Leave-one-out target encoding — the supervised categorical
+    // encoding that avoids self-leakage (a row's own target is excluded
+    // from its category mean, so the encoded feature can't memorize the
+    // label). Category sums are EXACT decimal aggregates (3-row side,
+    // auto-broadcast equi join back); each row's encoding is
+    // (sum − own)/(n − 1) in one closed-form expression, null for
+    // singleton categories (the correct "no signal" answer, not a NaN).
+    "q_target_encode" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("line_no"),
+        col("l_linestatus").as("cat"),
+        col("l_quantity").cast("decimal(18,2)").as("y"))
+      val stats = li.groupBy(col("cat"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      li.join(stats, Seq("cat"))
+        .select(col("l_orderkey"), col("line_no"), col("cat"),
+          round(col("y").cast("double"), 6).as("y"),
+          when(col("n") > 1,
+            round((col("s") - col("y")).cast("double") / (col("n") - 1), 6))
+            .otherwise(lit(null).cast("double")).as("y_loo"))
+    }),
+
     // Group-median imputation — the robust missing-value fill (mean
     // imputation drags toward outliers; the median doesn't). Nulls are
     // PLANTED in-plan (every 7th line — both engines see identical
@@ -1394,6 +1416,23 @@ object RelationalQueries {
         |  SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01) AS p01,
         |         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS p99
         |  FROM lineitem) q""".stripMargin,
+
+    "q_target_encode" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        |         l_linestatus AS cat,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS y
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT cat, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y) AS DECIMAL(18,2)) AS s
+        |  FROM li GROUP BY cat)
+        |SELECT l_orderkey, line_no, cat,
+        |  ROUND(CAST(y AS DOUBLE), 6) AS y,
+        |  CASE WHEN n > 1
+        |       THEN ROUND(CAST(s - y AS DOUBLE) / (n - 1), 6)
+        |       ELSE NULL END AS y_loo
+        |FROM li JOIN st USING (cat)""".stripMargin,
 
     "q_impute_median" ->
       """WITH li AS (

@@ -364,6 +364,39 @@ object TscQueries {
           round(element_at(col("features"), 4).cast("double"), 6).as("b3"))
     }),
 
+    // Image NEAR-dup across perceptual-hash classes — the SimHash banding
+    // trick on aHashes: the 64-bit hash splits into four 16-bit bands,
+    // hash CLASSES (already grouped — ≤ hash-space rows, never images)
+    // that agree on ≥1 band become candidates via an equi band join, and
+    // exact Hamming ≤ 16 (one stripe's worth of bits) keeps real
+    // neighbors. The shift-then-mask band extraction is sign-agnostic,
+    // so DuckDB replays it on the signed hash values exactly.
+    "q_media_phash_near" -> ((s, d) => {
+      val pngUdf = udf((id: Long) => fixtureStripePng(id))
+      val hashUdf = udf((p: Array[Byte]) =>
+        graft.multimodal.ImageCodecs.aHash64(p))
+      val classes = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          hashUdf(pngUdf(col("doc_id"))).as("ahash"))
+        .groupBy(col("ahash"))
+        .agg(count(lit(1)).as("n_imgs"), min(col("media_id")).as("keep_id"))
+      def banded(tag: String) = classes.select(
+        col("ahash").as(s"${tag}_hash"), col("keep_id").as(s"${tag}_keep"),
+        explode(array((0 to 3).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("ahash"), b * 16).bitwiseAND(lit(65535L))
+              .as("bval"))): _*)).as("bb"))
+        .select(col(s"${tag}_hash"), col(s"${tag}_keep"),
+          col("bb.band").as("band"), col("bb.bval").as("bval"))
+      banded("a").join(banded("b"), Seq("band", "bval"))
+        .filter(col("a_hash") < col("b_hash"))
+        .select(col("a_hash"), col("b_hash"), col("a_keep"), col("b_keep"))
+        .distinct()
+        .withColumn("hamming",
+          bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).cast("long"))
+        .filter(col("hamming") <= 16)
+    }),
+
     // Audio fingerprint dedup through the REAL decode path (the aHash
     // sibling for clips): per row the two-band square WAV decodes, band
     // energies quantize to 256 levels, and the packed fingerprint groups
@@ -560,6 +593,46 @@ object TscQueries {
       """SELECT doc_id AS media_id,
            TRUE AS f0_ok, TRUE AS f1_ok, TRUE AS f2_ok, TRUE AS f3_ok
          FROM documents""",
+
+    // the same closed-form hashes as q_media_phash, banded 16-bit-wise;
+    // shift-then-mask band values are sign-agnostic (fill bits land
+    // outside the mask for shifts of 0/16/32/48)
+    "q_media_phash_near" ->
+      """WITH lum AS (
+        |  SELECT doc_id,
+        |    299*((doc_id) % 256) + 587*((doc_id*7) % 256) + 114*((doc_id*13) % 256) AS l0,
+        |    299*((doc_id*3) % 256) + 587*((doc_id*21) % 256) + 114*((doc_id*39) % 256) AS l1,
+        |    299*((doc_id*9) % 256) + 587*((doc_id*63) % 256) + 114*((doc_id*117) % 256) AS l2,
+        |    299*((doc_id*27) % 256) + 587*((doc_id*189) % 256) + 114*((doc_id*351) % 256) AS l3
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN 4*l0 > l0+l1+l2+l3 THEN 192 ELSE 0 END
+        |      + CASE WHEN 4*l1 > l0+l1+l2+l3 THEN 48 ELSE 0 END
+        |      + CASE WHEN 4*l2 > l0+l1+l2+l3 THEN 12 ELSE 0 END
+        |      + CASE WHEN 4*l3 > l0+l1+l2+l3 THEN 3 ELSE 0 END AS HUGEINT)
+        |      * 72340172838076673 AS hu
+        |  FROM lum),
+        |h AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
+        |              ELSE hu END AS BIGINT) AS ahash
+        |  FROM b),
+        |cls AS (
+        |  SELECT ahash, min(media_id) AS keep_id FROM h GROUP BY ahash),
+        |bands AS (
+        |  SELECT ahash, keep_id, band,
+        |    ((ahash >> (band * 16)) & 65535) AS bval
+        |  FROM cls, (SELECT unnest([0, 1, 2, 3]) AS band) bs),
+        |cand AS (
+        |  SELECT DISTINCT a.ahash AS a_hash, b.ahash AS b_hash,
+        |    a.keep_id AS a_keep, b.keep_id AS b_keep
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bval = b.bval AND a.ahash < b.ahash)
+        |SELECT a_hash, b_hash, a_keep, b_keep,
+        |  CAST(bit_count(xor(a_hash, b_hash)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(a_hash, b_hash)) <= 16""".stripMargin,
 
     // closed-form fingerprint: bands 0-1 quantize to (doc_id*37%16384)//128,
     // bands 2-3 to (doc_id*53%16384)//128, packed base 256
