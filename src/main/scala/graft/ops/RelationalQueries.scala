@@ -144,7 +144,7 @@ object RelationalQueries {
       val li = lineitem(s, d).select(col("l_orderkey"),
         col("l_linenumber").cast("long").as("line_no"),
         col("l_returnflag").as("flag"), col("l_quantity"))
-      val q100 = (col("l_quantity") * 100).cast("long") // 2-dp decimal, exact
+      val q100 = round(col("l_quantity") * 100).cast("long") // 2-dp, exact
       val stats = li.groupBy(col("flag"))
         .agg(count(lit(1)).as("k"),
           sum(q100).as("s"), sum(q100 * q100).as("sq"))
@@ -674,6 +674,78 @@ object RelationalQueries {
       events(s, d).select(col("event_id"), col("user_id"),
         round(avg(col("value")).over(w), 6).as("rolling_avg"),
         count(lit(1)).over(w).cast("long").as("n_window"))
+    }),
+
+    // Rolling DISTINCT users (7-day active users per day) — the windowed
+    // distinct that window frames can't express (COUNT(DISTINCT) OVER is
+    // illegal): each (day, user) pair CONTRIBUTES itself to the 7 target
+    // days it's visible from (explode of 7 offsets — linear ×7, not
+    // quadratic), then one distinct + one count per target day. Contract
+    // work scales with distinct (day, user) pairs — the already-deduped
+    // frame — never raw events; target days join back to OBSERVED days
+    // so the report has no phantom trailing dates.
+    "q_rolling_distinct" -> ((s, d) => {
+      val daily = events(s, d)
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val days = daily.select(col("day")).distinct()
+      val contrib = daily.select(col("user_id"),
+        explode(array((0 to 6).map(o =>
+          col("day") + expr(s"INTERVAL $o DAY")): _*)).as("day"))
+        .distinct()
+      val weekly = contrib.join(days, Seq("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_users_7d"))
+      val dailyN = daily.groupBy(col("day")).agg(count(lit(1)).as("n_users_1d"))
+      dailyN.join(weekly, Seq("day"))
+        .select(unix_micros(col("day")).as("day_us"),
+          col("n_users_1d"), col("n_users_7d"))
+    }),
+
+    // Order-insensitive table checksum — the O(1)-output replica
+    // comparison (q_dq_reconcile localizes WHICH groups differ; this
+    // answers "differ at all?" from one aggregate per side): per-row
+    // md5-prefix hash summed as exact integers, so the checksum is
+    // partition- and order-independent and any engine reproduces it.
+    "q_table_checksum" -> ((s, d) => {
+      val rowh = conv(substring(md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))), 1, 8),
+        16, 10).cast("long")
+      lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(rowh).cast("decimal(38,0)").cast("double").as("checksum"))
+    }),
+
+    // Closed-form simple linear regression per group (price ~ quantity
+    // within each return flag): slope/intercept/R² from the five moment
+    // sums, each an EXACT integer/decimal aggregate over cent-scaled
+    // values (order-independent — float `regr_slope` would drift with
+    // partitioning), combined in one deterministic double expression.
+    // ONE pass over the fact; decimal sums so nothing overflows at real
+    // scale (Σy² in cents exceeds int64 beyond ~SF1).
+    "q_linreg" -> ((s, d) => {
+      // round() BEFORE the integer cast: the fixture stores 2-dp values
+      // as doubles, so x*100 sits an ulp off its integer and Spark's
+      // truncating cast vs DuckDB's rounding cast would disagree
+      val x = round(col("l_quantity") * 100).cast("long")
+      val y = round(col("l_extendedprice") * 100).cast("long")
+      val dec = "decimal(38,0)"
+      val st = lineitem(s, d).groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x.cast(dec)).as("sx"), sum(y.cast(dec)).as("sy"),
+          sum((x * y).cast(dec)).as("sxy"),
+          sum((x * x).cast(dec)).as("sxx"),
+          sum((y * y).cast(dec)).as("syy"))
+      val nD = col("n").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      val cov = nD * dbl("sxy") - dbl("sx") * dbl("sy")
+      val varX = nD * dbl("sxx") - dbl("sx") * dbl("sx")
+      val varY = nD * dbl("syy") - dbl("sy") * dbl("sy")
+      val slope = cov / varX
+      st.select(col("flag"), col("n"),
+        round(slope, 6).as("slope"),
+        round((dbl("sy") / nD - slope * (dbl("sx") / nD)) / 100.0, 6)
+          .as("intercept"),
+        round(cov * cov / (varX * varY), 6).as("r2"))
     }),
 
     // Behavioral Markov chain — per-user consecutive event-type pairs
@@ -1453,7 +1525,7 @@ object RelationalQueries {
       """WITH li AS (
         |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
         |         l_returnflag AS flag, l_quantity,
-        |         CAST(l_quantity * 100 AS BIGINT) AS q100
+        |         CAST(round(l_quantity * 100) AS BIGINT) AS q100
         |  FROM lineitem),
         |st AS (
         |  SELECT flag, CAST(count(*) AS BIGINT) AS k,
@@ -1911,6 +1983,45 @@ object RelationalQueries {
            CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_window
          FROM events""",
+
+    "q_rolling_distinct" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, day + o * INTERVAL 1 DAY AS day
+        |  FROM daily, (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS o) os),
+        |weekly AS (
+        |  SELECT c.day, CAST(count(*) AS BIGINT) AS n_users_7d
+        |  FROM contrib c JOIN days USING (day) GROUP BY c.day),
+        |d1 AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_users_1d
+        |  FROM daily GROUP BY day)
+        |SELECT epoch_us(d1.day) AS day_us, n_users_1d, n_users_7d
+        |FROM d1 JOIN weekly ON d1.day = weekly.day""".stripMargin,
+
+    "q_table_checksum" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(sum(CAST('0x' || substr(md5(
+        |    l_orderkey || '|' || l_linenumber || '|' || l_returnflag), 1, 8)
+        |    AS BIGINT)) AS DECIMAL(38,0)) AS DOUBLE) AS checksum
+        |FROM lineitem""".stripMargin,
+
+    "q_linreg" ->
+      """WITH st AS (
+        |  SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT flag, n,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  ROUND((sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n)) / 100.0, 6) AS intercept,
+        |  ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM st""".stripMargin,
 
     "q_events_transitions" ->
       """WITH pairs AS (
