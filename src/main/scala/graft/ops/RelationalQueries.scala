@@ -676,6 +676,61 @@ object RelationalQueries {
         count(lit(1)).over(w).cast("long").as("n_window"))
     }),
 
+    // Join-size estimation — the planner diagnostic next to
+    // q_skew_profile: |A ⋈ B| on a key is EXACTLY Σ_k cA(k)·cB(k), so
+    // two per-key count aggregates (each a fraction of its input's
+    // size) and a join of the count frames predict the fact-join's
+    // output rows without running it — the decide-before-joining
+    // report for "will this join explode". Top-10 contributing keys
+    // by product, plus each key's share of the predicted total.
+    "q_join_size_est" -> ((s, d) => {
+      val ca = lineitem(s, d).groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("ca"))
+      val cb = orders(s, d).groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("cb"))
+      val prod = ca.join(cb, Seq("k"))
+        .select(col("k"), (col("ca") * col("cb")).as("rows_out"))
+      val total = prod.agg(sum(col("rows_out")).as("__t"))
+      prod.crossJoin(broadcast(total))
+        .orderBy(col("rows_out").desc, col("k"))
+        .limit(10)
+        .select(col("k"), col("rows_out"),
+          round(col("rows_out").cast("double") / col("__t"), 6).as("share"))
+    }),
+
+    // Deterministic bootstrap — uncertainty quantification that
+    // REPLAYS: replicate b draws row multiplicity from the md5 of
+    // (row id, b) through the Poisson(1) inverse CDF (the standard
+    // Poisson bootstrap for distributed data — no global resample
+    // index needed, each row decides its own multiplicity locally).
+    // Replicate means come from exact cent-integer sums, so every
+    // engine reproduces all 32 replicate means bit-for-bit; the
+    // spread of these means IS the standard error of the mean.
+    "q_bootstrap_mean" -> ((s, d) => {
+      val reps = 32
+      val li = lineitem(s, d).select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        round(col("l_extendedprice") * 100).cast("long").as("p100"))
+      val b = li.select(col("rid"), col("p100"),
+        explode(array((0 until reps).map(lit(_)): _*)).as("rep"))
+      // Poisson(1) inverse CDF on the md5 draw: P(0)=.3679, P(<=1)=.7358,
+      // P(<=2)=.9197, P(<=3)=.9810, else 4 (tail truncated — identical
+      // truncation on both engines, bias < 0.004 and irrelevant to SE)
+      val u = graft.prep.DeterministicSampling.uniformDraw(
+        concat(col("rid").cast("string"), lit("_"), col("rep").cast("string")))
+      val mult = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238462, 3L).otherwise(4L)
+      b.withColumn("m", mult)
+        .groupBy(col("rep").cast("long").as("rep"))
+        .agg(sum((col("p100") * col("m")).cast("decimal(38,0)")).as("s"),
+          sum(col("m")).as("n"))
+        .select(col("rep"),
+          col("n"),
+          round(col("s").cast("double") / col("n") / 100.0, 6).as("mean"))
+    }),
+
     // Rolling DISTINCT users (7-day active users per day) — the windowed
     // distinct that window frames can't express (COUNT(DISTINCT) OVER is
     // illegal): each (day, user) pair CONTRIBUTES itself to the 7 target
@@ -1983,6 +2038,44 @@ object RelationalQueries {
            CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_window
          FROM events""",
+
+    "q_join_size_est" ->
+      """WITH ca AS (
+        |  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+        |  FROM lineitem GROUP BY 1),
+        |cb AS (
+        |  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+        |  FROM orders GROUP BY 1),
+        |prod AS (
+        |  SELECT ca.k, ca * cb AS rows_out FROM ca JOIN cb USING (k))
+        |SELECT k, rows_out,
+        |  ROUND(CAST(rows_out AS DOUBLE)
+        |    / (SELECT CAST(sum(rows_out) AS BIGINT) FROM prod), 6) AS share
+        |FROM prod ORDER BY rows_out DESC, k LIMIT 10""".stripMargin,
+
+    "q_bootstrap_mean" ->
+      """WITH li AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS rid,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS p100
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT rid, p100, rep,
+        |    CAST(CAST('0x' || substr(md5(CAST(rid AS VARCHAR) || '_' || CAST(rep AS VARCHAR)), 1, 8)
+        |      AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM li, (SELECT unnest(range(0, 32)) AS rep) reps),
+        |m AS (
+        |  SELECT rep, p100,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         ELSE 4 END AS mlt
+        |  FROM b)
+        |SELECT CAST(rep AS BIGINT) AS rep,
+        |  CAST(sum(mlt) AS BIGINT) AS n,
+        |  ROUND(CAST(CAST(sum(p100 * mlt) AS DECIMAL(38,0)) AS DOUBLE)
+        |    / CAST(sum(mlt) AS BIGINT) / 100.0, 6) AS mean
+        |FROM m GROUP BY rep""".stripMargin,
 
     "q_rolling_distinct" ->
       """WITH daily AS (
