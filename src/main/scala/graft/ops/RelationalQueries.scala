@@ -676,6 +676,56 @@ object RelationalQueries {
         count(lit(1)).over(w).cast("long").as("n_window"))
     }),
 
+    // A/B experiment readout — the two-sample Welch z-test computed the
+    // way an experimentation platform at scale must: treatment
+    // assignment is an md5-parity pure function of the unit id
+    // (replayable, audit-stable — the DeterministicSampling doctrine),
+    // per-arm moments are exact cent-integer sums, and the z-statistic
+    // is one closed-form double expression. One pass over the fact,
+    // arithmetic on the 2 arm rows.
+    "q_ab_test" -> ((s, d) => {
+      val li = lineitem(s, d).select(
+        round(col("l_extendedprice") * 100).cast("long").as("p100"),
+        (conv(substring(md5(col("l_orderkey").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2).as("arm"))
+      val st = li.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p100").cast("decimal(38,0)")).as("s"),
+          sum((col("p100") * col("p100")).cast("decimal(38,0)")).as("sq"))
+      val a = st.filter(col("arm") === 0)
+        .select(col("n").as("n0"), col("s").as("s0"), col("sq").as("sq0"))
+      val b = st.filter(col("arm") === 1)
+        .select(col("n").as("n1"), col("s").as("s1"), col("sq").as("sq1"))
+      def mean(s: String, n: String) = col(s).cast("double") / col(n)
+      def variance(sq: String, s: String, n: String) =
+        (col(n).cast("double") * col(sq).cast("double")
+          - col(s).cast("double") * col(s).cast("double")) /
+          (col(n).cast("double") * (col(n) - 1).cast("double"))
+      val z = (mean("s1", "n1") - mean("s0", "n0")) /
+        sqrt(variance("sq1", "s1", "n1") / col("n1")
+          + variance("sq0", "s0", "n0") / col("n0"))
+      a.crossJoin(b).select(
+        col("n0"), col("n1"),
+        round(mean("s0", "n0") / 100.0, 6).as("mean_control"),
+        round(mean("s1", "n1") / 100.0, 6).as("mean_treat"),
+        round(z, 6).as("z_stat"),
+        (abs(z) > 1.96).as("significant_95"))
+    }),
+
+    // k-anonymity audit — the privacy gate before a dataset release:
+    // every quasi-identifier combination carried by fewer than k
+    // individuals re-identifies them. One groupBy over the
+    // quasi-identifier tuple; the report lists violating combos and
+    // their sizes (the rows a release must generalize or suppress).
+    "q_k_anonymity" -> ((s, d) => {
+      val k = 5
+      customer(s, d)
+        .groupBy(col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_individuals"))
+        .filter(col("n_individuals") < k)
+    }),
+
     // Join-size estimation — the planner diagnostic next to
     // q_skew_profile: |A ⋈ B| on a key is EXACTLY Σ_k cA(k)·cB(k), so
     // two per-key count aggregates (each a fraction of its input's
@@ -2038,6 +2088,44 @@ object RelationalQueries {
            CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_window
          FROM events""",
+
+    "q_ab_test" ->
+      """WITH li AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS p100,
+        |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS arm
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p100) AS DECIMAL(38,0)) AS s,
+        |    CAST(sum(p100 * p100) AS DECIMAL(38,0)) AS sq
+        |  FROM li GROUP BY arm),
+        |a AS (SELECT n AS n0, s AS s0, sq AS sq0 FROM st WHERE arm = 0),
+        |b AS (SELECT n AS n1, s AS s1, sq AS sq1 FROM st WHERE arm = 1)
+        |SELECT n0, n1,
+        |  ROUND(CAST(s0 AS DOUBLE) / n0 / 100.0, 6) AS mean_control,
+        |  ROUND(CAST(s1 AS DOUBLE) / n1 / 100.0, 6) AS mean_treat,
+        |  ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+        |    / sqrt((CAST(n1 AS DOUBLE) * CAST(sq1 AS DOUBLE)
+        |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |           / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) / n1
+        |         + (CAST(n0 AS DOUBLE) * CAST(sq0 AS DOUBLE)
+        |            - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+        |           / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE)) / n0), 6) AS z_stat,
+        |  abs((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+        |    / sqrt((CAST(n1 AS DOUBLE) * CAST(sq1 AS DOUBLE)
+        |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |           / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) / n1
+        |         + (CAST(n0 AS DOUBLE) * CAST(sq0 AS DOUBLE)
+        |            - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+        |           / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE)) / n0)) > 1.96
+        |    AS significant_95
+        |FROM a, b""".stripMargin,
+
+    "q_k_anonymity" ->
+      """SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_individuals
+        |FROM customer GROUP BY 1, 2
+        |HAVING count(*) < 5""".stripMargin,
 
     "q_join_size_est" ->
       """WITH ca AS (
