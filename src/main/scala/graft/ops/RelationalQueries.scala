@@ -676,6 +676,42 @@ object RelationalQueries {
         count(lit(1)).over(w).cast("long").as("n_window"))
     }),
 
+    // Schema sniffing — type inference over string-typed staging
+    // columns, the first step of every CSV/JSON ingestion: classify
+    // each value by grammar (int / float / date / bool / string),
+    // report the distribution and the inferred majority type per
+    // column. Values are planted in-plan (deterministic mixes per
+    // doc_id — both engines see identical inputs); classification is a
+    // pure regexp projection at scan speed, the rollup is columns x
+    // types metadata scale.
+    "q_type_infer" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val colA = when(pmod(col("doc_id"), lit(4)) === 0,
+        col("doc_id").cast("string"))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(col("doc_id").cast("string"), lit(".5")))
+        .when(pmod(col("doc_id"), lit(4)) === 2, lit("2024-01-15"))
+        .otherwise(lit("true"))
+      val colB = when(pmod(col("doc_id"), lit(3)) === 0,
+        col("doc_id").cast("string"))
+        .otherwise(substring(col("text"), 1, 12))
+      val vals = docs.select(colA.as("a"), colB.as("b"))
+        .select(expr("stack(2, 'col_a', a, 'col_b', b) AS (col_name, v)"))
+      val dtype = when(col("v").rlike("^-?[0-9]+$"), "int")
+        .when(col("v").rlike("^-?[0-9]*\\.[0-9]+$"), "float")
+        .when(col("v").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), "date")
+        .when(col("v").rlike("^(true|false)$"), "bool")
+        .otherwise("string")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("col_name"))
+      vals.withColumn("dtype", dtype)
+        .groupBy(col("col_name"), col("dtype"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("col_name"), col("dtype"), col("n"),
+          round(col("n").cast("double") / sum(col("n")).over(w), 6).as("share"),
+          (col("n") === max(col("n")).over(w)).as("is_majority"))
+    }),
+
     // A/B experiment readout — the two-sample Welch z-test computed the
     // way an experimentation platform at scale must: treatment
     // assignment is an md5-parity pure function of the unit id
@@ -2088,6 +2124,37 @@ object RelationalQueries {
            CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_window
          FROM events""",
+
+    "q_type_infer" ->
+      """WITH src AS (
+        |  SELECT
+        |    CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 4 = 1 THEN CAST(doc_id AS VARCHAR) || '.5'
+        |         WHEN doc_id % 4 = 2 THEN '2024-01-15'
+        |         ELSE 'true' END AS a,
+        |    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+        |         ELSE substr(text, 1, 12) END AS b
+        |  FROM documents),
+        |vals AS (
+        |  SELECT 'col_a' AS col_name, a AS v FROM src
+        |  UNION ALL
+        |  SELECT 'col_b', b FROM src),
+        |typed AS (
+        |  SELECT col_name,
+        |    CASE WHEN regexp_full_match(v, '-?[0-9]+') THEN 'int'
+        |         WHEN regexp_full_match(v, '-?[0-9]*\.[0-9]+') THEN 'float'
+        |         WHEN regexp_full_match(v, '[0-9]{4}-[0-9]{2}-[0-9]{2}') THEN 'date'
+        |         WHEN regexp_full_match(v, '(true|false)') THEN 'bool'
+        |         ELSE 'string' END AS dtype
+        |  FROM vals),
+        |g AS (
+        |  SELECT col_name, dtype, CAST(count(*) AS BIGINT) AS n
+        |  FROM typed GROUP BY 1, 2)
+        |SELECT col_name, dtype, n,
+        |  ROUND(CAST(n AS DOUBLE)
+        |    / sum(n) OVER (PARTITION BY col_name), 6) AS share,
+        |  n = max(n) OVER (PARTITION BY col_name) AS is_majority
+        |FROM g""".stripMargin,
 
     "q_ab_test" ->
       """WITH li AS (
