@@ -676,6 +676,45 @@ object RelationalQueries {
         count(lit(1)).over(w).cast("long").as("n_window"))
     }),
 
+    // Backfill planner — the lake-ops complement of q_events_gap_fill at
+    // PARTITION granularity: the expected monthly calendar spine (from
+    // the observed min/max — pure metadata after one aggregate) anti-
+    // joined against the partitions that actually hold data. Holes are
+    // planted in-plan (three months' orders dropped) so both engines
+    // audit identical lakes; the report is exactly the list a backfill
+    // scheduler would enqueue.
+    "q_backfill_plan" -> ((s, d) => {
+      val o = orders(s, d)
+        .select(date_trunc("month", col("o_orderdate")).as("month"))
+      // drop months ≡ 0 mod 7 (by month index) to plant the holes
+      val present = o.groupBy(col("month")).agg(count(lit(1)).as("n_rows"))
+        .filter(pmod(month(col("month")) + year(col("month")) * 12, lit(7)) =!= 0)
+      val span = present.agg(min(col("month")).as("_lo"), max(col("month")).as("_hi"))
+      val spine = span.select(explode(sequence(col("_lo"), col("_hi"),
+        expr("interval 1 month"))).as("month"))
+      spine.join(present, Seq("month"), "left_anti")
+        .select(unix_micros(col("month")).as("month_us"))
+    }),
+
+    // Weight-of-evidence encoding — the credit-scoring sibling of
+    // q_target_encode for BINARY targets: per category
+    // ln(share-of-events / share-of-non-events), the encoding whose sum
+    // against bin counts is Information Value. Exact integer counts,
+    // one closed-form double per category row.
+    "q_woe_encode" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_linestatus").as("cat"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+      val st = li.groupBy(col("cat"))
+        .agg(sum(col("y")).as("events"),
+          (count(lit(1)) - sum(col("y"))).as("nonevents"))
+      val wt = org.apache.spark.sql.expressions.Window.partitionBy()
+      val pe = col("events").cast("double") / sum(col("events")).over(wt)
+      val pn = col("nonevents").cast("double") / sum(col("nonevents")).over(wt)
+      st.select(col("cat"), col("events"), col("nonevents"),
+        round(log(pe / pn), 6).as("woe"),
+        round((pe - pn) * log(pe / pn), 6).as("iv_term"))
+    }),
+
     // Schema sniffing — type inference over string-typed staging
     // columns, the first step of every CSV/JSON ingestion: classify
     // each value by grammar (int / float / date / bool / string),
@@ -2124,6 +2163,37 @@ object RelationalQueries {
            CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_window
          FROM events""",
+
+    "q_backfill_plan" ->
+      """WITH present AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |kept AS (
+        |  SELECT month FROM present
+        |  WHERE (month(month) + year(month) * 12) % 7 <> 0),
+        |span AS (SELECT min(month) AS lo, max(month) AS hi FROM kept),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+        |  FROM span)
+        |SELECT epoch_us(s.month) AS month_us
+        |FROM spine s LEFT JOIN kept p ON s.month = p.month
+        |WHERE p.month IS NULL""".stripMargin,
+
+    "q_woe_encode" ->
+      """WITH st AS (
+        |  SELECT l_linestatus AS cat,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS events,
+        |    CAST(count(*) - sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nonevents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT cat, events, nonevents,
+        |  ROUND(ln((CAST(events AS DOUBLE) / sum(events) OVER ())
+        |         / (CAST(nonevents AS DOUBLE) / sum(nonevents) OVER ())), 6) AS woe,
+        |  ROUND(((CAST(events AS DOUBLE) / sum(events) OVER ())
+        |       - (CAST(nonevents AS DOUBLE) / sum(nonevents) OVER ()))
+        |    * ln((CAST(events AS DOUBLE) / sum(events) OVER ())
+        |       / (CAST(nonevents AS DOUBLE) / sum(nonevents) OVER ())), 6) AS iv_term
+        |FROM st""".stripMargin,
 
     "q_type_infer" ->
       """WITH src AS (

@@ -67,7 +67,8 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_text_tfidf" -> "cross join against the broadcast 1-row corpus-count aggregate (the q_text_bm25 shape)",
     "q_histogram_eqdepth" -> "cross join against the broadcast 1-row quartile-fence aggregate",
     "q_psi_drift" -> "both sides cross-join the broadcast 1-row reference-fence aggregate (binning protocol)",
-    "q_join_size_est" -> "cross join against the broadcast 1-row predicted-total aggregate for per-key share")
+    "q_join_size_est" -> "cross join against the broadcast 1-row predicted-total aggregate for per-key share",
+    "q_ab_test" -> "cross of the two 1-row arm-moment frames (control x treatment readout)")
 
   test("lint variants cover a live query and never go stale") {
     val gone = lintVariants.keySet.diff(graft.SparkEntry.queries.keySet)
