@@ -928,6 +928,27 @@ object RelationalQueries {
         round(cov * cov / (varX * varY), 6).as("r2"))
     }),
 
+    // OHLC downsampling — the time-series resample every metrics store
+    // runs (open/high/low/close per bucket): ONE aggregate with
+    // min_by/max_by over a deterministic zero-padded (ts, event_id)
+    // string key (unique, so open/close never depend on engine
+    // tie-breaking), grouped by (type, hour). No window, no sort — the
+    // order-statistic rides the hash aggregate.
+    "q_events_ohlc" -> ((s, d) => {
+      val key = concat(
+        lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 12, "0"))
+      events(s, d)
+        .groupBy(col("event_type"),
+          unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+        .agg(
+          round(min_by(col("value"), key), 6).as("open"),
+          round(max(col("value")), 6).as("high"),
+          round(min(col("value")), 6).as("low"),
+          round(max_by(col("value"), key), 6).as("close"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // Behavioral Markov chain — per-user consecutive event-type pairs
     // (lead over the deterministic (ts, event_id) order within user —
     // the q_events_sessions partitioning, parallel across users) rolled
@@ -2340,6 +2361,18 @@ object RelationalQueries {
         |  ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM st""".stripMargin,
+
+    "q_events_ohlc" ->
+      """SELECT event_type,
+        |  epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |  ROUND(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |    || lpad(CAST(event_id AS VARCHAR), 12, '0')), 6) AS open,
+        |  ROUND(max(value), 6) AS high,
+        |  ROUND(min(value), 6) AS low,
+        |  ROUND(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |    || lpad(CAST(event_id AS VARCHAR), 12, '0')), 6) AS close,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_events_transitions" ->
       """WITH pairs AS (
