@@ -237,4 +237,45 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // runs inside each group with no further data movement
     assert(exchanges == 1, df.queryExecution.executedPlan.toString)
   }
+
+  test("q_events_ohlc: order statistics ride the grouped aggregate, no window") {
+    val df = graft.SparkEntry.queries("q_events_ohlc")(spark, d)
+    val plan = df.queryExecution.sparkPlan.toString
+    // min_by/max_by are typed-imperative → partial+final SortAggregate
+    // (per-partition sort by group key — the scale-safe map-side-combine
+    // shape); the hazard pin is a WindowExec, which would sort per
+    // (type, hour) FRAME instead of aggregating
+    assert(!plan.contains("WindowExec"), s"OHLC planned a window:\n$plan")
+    val aggs = plan.linesIterator.count(l =>
+      l.contains("HashAggregate") || l.contains("SortAggregate"))
+    assert(aggs >= 2, s"unexpected aggregate shape:\n$plan")
+  }
+
+  test("q_rolling_distinct: windows absent; distinct contribution via aggregates only") {
+    val df = graft.SparkEntry.queries("q_rolling_distinct")(spark, d)
+    val plan = df.queryExecution.sparkPlan.toString
+    // COUNT(DISTINCT) OVER is illegal; the offset-explode formulation must
+    // not smuggle in an unpartitioned window instead
+    assert(!plan.contains("WindowExec"), s"rolling distinct planned a window:\n$plan")
+  }
+
+  test("q_linkage_jw: the JW scorer is codegen'd, not a UDF boundary") {
+    val df = graft.SparkEntry.queries("q_linkage_jw")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("jaro_winkler_similarity"), plan)
+    // the scoring projection lives inside a WholeStageCodegen span
+    assert(!plan.contains("BatchEvalPython") &&
+      !plan.linesIterator.exists(l =>
+        l.contains("ScalaUDF") && l.contains("jaro")),
+      s"JW fell out of codegen:\n$plan")
+  }
+
+  test("q_pagerank: rank/edge joins are equi (hash) joins; only scalars cross") {
+    val df = graft.SparkEntry.queries("q_pagerank")(spark, d)
+    val plan = df.queryExecution.sparkPlan.toString
+    // the per-iteration contrib join must be an equi join on src/node —
+    // BNLJ is reserved for the broadcast 1-row scalars (allowlisted)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi join strategy in PageRank plan:\n$plan")
+  }
 }
