@@ -801,6 +801,38 @@ object RelationalQueries {
         .filter(col("n_individuals") < k)
     }),
 
+    // The 100 TB twin of q_rolling_distinct: 7-day NDV from MERGED DAILY
+    // HLL SKETCHES. The exact version explodes (day, user) pairs ×7;
+    // this one sketches each day ONCE (fact-scale work ends there) and
+    // explodes only the days×7 SKETCH rows — calendar-sized, whatever
+    // the data volume. Union-merge per target day, estimate, and pin
+    // within 5% of the exact count recomputed in-plan (the
+    // q_ndv_incremental invariant pattern; sketches have no DuckDB
+    // twin, the exact column is value-checked).
+    "q_rolling_distinct_sketch" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      val dailySk = ev.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val days = dailySk.select(col("day"))
+      val skContrib = dailySk.select(col("sk"),
+        explode(array((0 to 6).map(o =>
+          col("day") + expr(s"INTERVAL $o DAY")): _*)).as("day"))
+      val est = skContrib.join(days, Seq("day"))
+        .groupBy(col("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("_est"))
+      val exact = ev.distinct()
+        .select(col("user_id"), explode(array((0 to 6).map(o =>
+          col("day") + expr(s"INTERVAL $o DAY")): _*)).as("day"))
+        .distinct()
+        .join(days, Seq("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("day"))
+        .select(unix_micros(col("day")).as("day_us"), col("n_exact"),
+          (abs(col("_est") - col("n_exact")) <=
+            lit(0.05) * col("n_exact")).cast("long").as("within_5pct"))
+    }),
+
     // Join-size estimation — the planner diagnostic next to
     // q_skew_profile: |A ⋈ B| on a key is EXACTLY Σ_k cA(k)·cB(k), so
     // two per-key count aggregates (each a fraction of its input's
@@ -2284,6 +2316,20 @@ object RelationalQueries {
         |  CAST(count(*) AS BIGINT) AS n_individuals
         |FROM customer GROUP BY 1, 2
         |HAVING count(*) < 5""".stripMargin,
+
+    "q_rolling_distinct_sketch" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, day + o * INTERVAL 1 DAY AS day
+        |  FROM daily, (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS o) os),
+        |weekly AS (
+        |  SELECT c.day, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM contrib c JOIN days USING (day) GROUP BY c.day)
+        |SELECT epoch_us(day) AS day_us, n_exact,
+        |  CAST(1 AS BIGINT) AS within_5pct
+        |FROM weekly""".stripMargin,
 
     "q_join_size_est" ->
       """WITH ca AS (
