@@ -270,6 +270,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"JW fell out of codegen:\n$plan")
   }
 
+  test("q_window_topk: partial WindowGroupLimit below the shuffle (map-side top-k)") {
+    val df = graft.SparkEntry.queries("q_window_topk")(spark, d)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // Spark 4 rewrites rank <= k into partial+final WindowGroupLimit:
+    // each map task forwards at most k rows per group, so the shuffle
+    // carries k·groups·partitions rows instead of the whole fact — the
+    // reason a custom top-k-per-group operator is NOT needed here. This
+    // pin fails if a refactor (e.g. filtering on a derived column)
+    // breaks the rewrite and silently reverts to full-sort windows.
+    val limits = plan.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(limits >= 2, s"partial top-k rewrite lost:\n$plan")
+  }
+
   test("q_pagerank: rank/edge joins are equi (hash) joins; only scalars cross") {
     val df = graft.SparkEntry.queries("q_pagerank")(spark, d)
     val plan = df.queryExecution.sparkPlan.toString
