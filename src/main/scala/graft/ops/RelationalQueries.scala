@@ -26,6 +26,29 @@ object RelationalQueries {
 
   private val dec = DecimalType(18, 2)
 
+  /** Rolling z-score stage of q_events_anomaly, reusable over ANY hourly
+    * count frame — the batch aggregate of the fact, or a streaming-
+    * maintained snapshot ([[graft.streaming.StreamingAgg]]): the scorer
+    * never needs the fact, only (event_type, hour_us, n). Baseline
+    * frame excludes the current row; all window sums are exact integers;
+    * +1.0 variance smoothing keeps a flat baseline finite.
+    */
+  def anomalyFromHourly(hourly: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+      .rowsBetween(-6, -1)
+    val rolled = hourly.select(col("event_type"), col("hour_us"), col("n"),
+      count(col("n")).over(w).cast("long").as("k"),
+      sum(col("n")).over(w).cast("long").as("s"),
+      sum(col("n") * col("n")).over(w).cast("long").as("sq"))
+      .filter(col("k") === 6)
+    val mean = col("s").cast("double") / col("k")
+    val variance = (col("k") * col("sq") - col("s") * col("s")).cast("double") /
+      (col("k") * (col("k") - 1))
+    val z = (col("n") - mean) / sqrt(variance + 1.0)
+    rolled.select(col("event_type"), col("hour_us"), col("n"),
+      round(z, 6).as("z"), (abs(z) > 3.0).as("is_anomaly"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1 + P7 — scan, projection, rename, cast
     "q_scan_project" -> ((s, d) =>
@@ -1011,26 +1034,11 @@ object RelationalQueries {
     // variance smoothing so a flat baseline yields z = delta instead of
     // a division by zero. Fact-scale work is the one hourly aggregate;
     // the window runs over types x hours metadata rows.
-    "q_events_anomaly" -> ((s, d) => {
-      val hourly = events(s, d)
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-        .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
-        .rowsBetween(-6, -1)
-      val k = count(col("n")).over(w)
-      val s1 = sum(col("n")).over(w)
-      val sq = sum(col("n") * col("n")).over(w)
-      val rolled = hourly.select(col("event_type"),
-        unix_micros(col("hour")).as("hour_us"), col("n"),
-        k.cast("long").as("k"), s1.cast("long").as("s"), sq.cast("long").as("sq"))
-        .filter(col("k") === 6)
-      val mean = col("s").cast("double") / col("k")
-      val variance = (col("k") * col("sq") - col("s") * col("s")).cast("double") /
-        (col("k") * (col("k") - 1))
-      val z = (col("n") - mean) / sqrt(variance + 1.0)
-      rolled.select(col("event_type"), col("hour_us"), col("n"),
-        round(z, 6).as("z"), (abs(z) > 3.0).as("is_anomaly"))
-    }),
+    "q_events_anomaly" -> ((s, d) =>
+      anomalyFromHourly(events(s, d)
+        .groupBy(col("event_type"),
+          unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+        .agg(count(lit(1)).as("n")))),
 
     // HLL sketch cardinality — the unbounded-cardinality distinct-count
     // scale path (mergeable across partitions, O(1) memory per group).
