@@ -856,6 +856,20 @@ object RelationalQueries {
             lit(0.05) * col("n_exact")).cast("long").as("within_5pct"))
     }),
 
+    // l-diversity audit — k-anonymity's necessary complement: a QI group
+    // can be large yet reveal everyone's sensitive attribute if the
+    // group is homogeneous. Report groups whose sensitive-value
+    // diversity falls below l (here: nation as quasi-identifier,
+    // market segment standing in for the sensitive column).
+    "q_l_diversity" -> ((s, d) => {
+      val l = 4
+      customer(s, d)
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_individuals"),
+          countDistinct(col("c_mktsegment")).as("n_distinct_sensitive"))
+        .filter(col("n_distinct_sensitive") < l)
+    }),
+
     // Join-size estimation — the planner diagnostic next to
     // q_skew_profile: |A ⋈ B| on a key is EXACTLY Σ_k cA(k)·cB(k), so
     // two per-key count aggregates (each a fraction of its input's
@@ -2318,6 +2332,13 @@ object RelationalQueries {
         |           / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE)) / n0)) > 1.96
         |    AS significant_95
         |FROM a, b""".stripMargin,
+
+    "q_l_diversity" ->
+      """SELECT c_nationkey AS nation,
+        |  CAST(count(*) AS BIGINT) AS n_individuals,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_distinct_sensitive
+        |FROM customer GROUP BY 1
+        |HAVING count(DISTINCT c_mktsegment) < 4""".stripMargin,
 
     "q_k_anonymity" ->
       """SELECT c_nationkey AS nation, c_mktsegment AS segment,

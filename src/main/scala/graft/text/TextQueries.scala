@@ -178,6 +178,37 @@ object TextQueries {
         .limit(50)
     }),
 
+    // Zipf fit — the corpus-statistics sanity gauge (natural language's
+    // token frequencies follow freq ∝ rank^s with s ≈ -1; a corpus that
+    // DOESN'T is boilerplate, spam, or synthetic). Top-100 tokens by
+    // frequency via TakeOrdered, deterministic (freq DESC, token ASC)
+    // rank, then the closed-form log-log regression slope over the
+    // 100-row frame — fact-scale work is the ONE token count aggregate.
+    "q_text_zipf" -> ((s, d) => {
+      val freq = documents(s, d)
+        .select(explode(safeLowerTokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        .orderBy(desc("f"), asc("tok")).limit(100)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("f"), asc("tok"))
+      val pts = freq.withColumn("rk", row_number().over(w))
+        .select(log(col("rk").cast("double")).as("x"),
+          log(col("f").cast("double")).as("y"))
+      val st = pts.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val varX = col("n") * col("sxx") - col("sx") * col("sx")
+      val varY = col("n") * col("syy") - col("sy") * col("sy")
+      st.select(col("n").cast("long").as("n_tokens"),
+        round(cov / varX, 6).as("zipf_slope"),
+        round((col("sy") - (cov / varX) * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        round(cov * cov / (varX * varY), 6).as("r2"))
+    }),
+
     // TF-IDF keyword extraction — each doc's top-3 terms by smoothed
     // tf·idf (idf = ln((N+1)/(df+1)) + 1, the sklearn smoothing that
     // keeps corpus-universal terms finite). Postings aggregate once for
@@ -521,6 +552,27 @@ object TextQueries {
             FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1)
           SELECT df.tok, df.df, tf.tf FROM df JOIN tf USING (tok)
           ORDER BY df.df DESC, tf.tf DESC, df.tok ASC LIMIT 50""",
+
+    "q_text_zipf" ->
+      s"""WITH freq AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest($toksSql) AS tok FROM documents) t
+         |  GROUP BY tok ORDER BY f DESC, tok LIMIT 100),
+         |pts AS (
+         |  SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, tok) AS DOUBLE)) AS x,
+         |         ln(CAST(f AS DOUBLE)) AS y
+         |  FROM freq),
+         |st AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+         |    sum(x*x) AS sxx, sum(y*y) AS syy
+         |  FROM pts)
+         |SELECT CAST(n AS BIGINT) AS n_tokens,
+         |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+         |  ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept,
+         |  ROUND((n*sxy - sx*sy) * (n*sxy - sx*sy)
+         |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+         |FROM st""".stripMargin,
 
     "q_text_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
