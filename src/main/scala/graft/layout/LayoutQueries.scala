@@ -31,6 +31,17 @@ object LayoutQueries {
         col("l_linenumber").cast("long").as("line_no"),
         zkey31(col("l_partkey"), col("l_suppkey")).as("zkey"))),
 
+    // Hilbert key through the native codegen'd expression
+    // (layout/Hilbert.scala) — the oracle replays the per-level
+    // rotate-and-accumulate loop as a 16-step recursive CTE, so the
+    // whole bit-level algorithm is value-checked cross-engine, not just
+    // spot values.
+    "q_hilbert_key" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("line_no"),
+        Hilbert.hkey(col("l_partkey"), col("l_suppkey")).as("hkey"))),
+
     // 3-D Morton key over (part, supp, order-year-day) — the 3-column
     // clustering key a (part, supp, date)-filtered scan would use.
     "q_zorder_key3" -> ((s, d) =>
@@ -249,6 +260,33 @@ object LayoutQueries {
     |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the xy2d loop unrolled as a recursive CTE: per level s (32768→1),
+    // quadrant digit (3*rx)^ry accumulates s²-weighted, then the
+    // flip-and-swap rotation; terminal rows carry s = 0
+    "q_hilbert_key" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        |         l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+        |  FROM lineitem),
+        |it AS (
+        |  SELECT l_orderkey, line_no, x, y,
+        |         CAST(0 AS BIGINT) AS d, CAST(32768 AS BIGINT) AS s
+        |  FROM pts
+        |  UNION ALL
+        |  SELECT l_orderkey, line_no,
+        |    CASE WHEN (y // s) % 2 = 0 THEN
+        |      CASE WHEN (x // s) % 2 = 1 THEN 65535 - y ELSE y END
+        |    ELSE x END AS x,
+        |    CASE WHEN (y // s) % 2 = 0 THEN
+        |      CASE WHEN (x // s) % 2 = 1 THEN 65535 - x ELSE x END
+        |    ELSE y END AS y,
+        |    d + s * s * (CASE WHEN (x // s) % 2 = 0 AND (y // s) % 2 = 0 THEN 0
+        |                      WHEN (x // s) % 2 = 0 THEN 1
+        |                      WHEN (y // s) % 2 = 0 THEN 3
+        |                      ELSE 2 END) AS d,
+        |    s // 2 AS s
+        |  FROM it WHERE s >= 1)
+        |SELECT l_orderkey, line_no, d AS hkey FROM it WHERE s = 0""".stripMargin,
     "q_zorder_key" ->
       (zkeyCtes + "\nSELECT l_orderkey, line_no, zkey FROM zk"),
 
