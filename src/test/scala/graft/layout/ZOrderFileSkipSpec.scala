@@ -65,4 +65,24 @@ class ZOrderFileSkipSpec extends AnyFunSuite with SparkSpec {
     // and the data itself round-trips
     assert(spark.read.parquet(zDir).count() === li.count())
   }
+
+  test("Hilbert clustering boxes at least as tight as Z on real footers") {
+    val li = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val base = java.nio.file.Files.createTempDirectory("graft-hskip").toFile.getAbsolutePath
+    val hDir = s"$base/h"
+    val zDir = s"$base/z"
+    Hilbert.clusterByH(li, "l_partkey", "l_suppkey", numPartitions = 8)
+      .write.mode("overwrite").parquet(hDir)
+    ZOrder.clusterByZ(li, "l_partkey", "l_suppkey", numPartitions = 8)
+      .write.mode("overwrite").parquet(zDir)
+    val hArea = footerBoxArea(hDir)
+    val zArea = footerBoxArea(zDir)
+    // unit-step continuity bounds Hilbert segment boxes; allow a 20%
+    // band (8 files of real data, box shapes are key-distribution
+    // dependent) but Hilbert must never be materially worse
+    assert(hArea <= zArea * 12 / 10, s"hilbert=$hArea zorder=$zArea")
+    info(s"footer box area: hilbert=$hArea zorder=$zArea")
+    assert(spark.read.parquet(hDir).count() === li.count())
+  }
 }
