@@ -133,6 +133,44 @@ object QualityQueries {
       DataQuality.profileRobust(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // The 100 TB robust-profile variant: approx_percentile (KLL-style
+    // mergeable sketch, rank error n/accuracy) in place of exact
+    // percentile's value-count materialization — the documented scale
+    // knob on profileRobust, EXERCISED: exact quartiles stay
+    // value-oracled, the sketch lands within 1% relative per quantile
+    // (rank error 60/600k at accuracy 10k — far inside the band).
+    "q_profile_robust_approx" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = Tables.lineitem(s, d)
+      val aggs = cols.flatMap { c =>
+        Seq(
+          expr(s"percentile(CAST($c AS DOUBLE), array(0.25D, 0.5D, 0.75D))")
+            .as(s"${c}__e"),
+          expr(s"approx_percentile(CAST($c AS DOUBLE), array(0.25D, 0.5D, 0.75D), 10000)")
+            .as(s"${c}__a"))
+      }
+      val wide = li.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c => s"'$c', `${c}__e`, `${c}__a`").mkString(", ")
+      // tolerance: 1% of the value + 5% of IQR. The sketch promises a
+      // RANK within n/accuracy of the target; converting rank error to
+      // value error needs local density, and IQR is that scale — it
+      // also covers discrete columns (integer quantities), where the
+      // nearest DATA value sits a full step from the interpolated exact
+      val iqr = abs(element_at(col("_e"), 3) - element_at(col("_e"), 1))
+      val outCols = Seq(col("col_name"),
+        round(element_at(col("_e"), 1), 6).as("p25"),
+        round(element_at(col("_e"), 2), 6).as("p50"),
+        round(element_at(col("_e"), 3), 6).as("p75")) ++
+        (0 to 2).map(i =>
+          (abs(element_at(col("_a"), i + 1) - element_at(col("_e"), i + 1)) <=
+            lit(0.01) * abs(element_at(col("_e"), i + 1)) +
+              lit(0.05) * iqr + lit(1e-9))
+            .cast("long").as(s"approx_ok_q${i + 1}"))
+      wide.select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, _e, _a)"))
+        .select(outCols: _*)
+    }),
+
     // The 100 TB profile variant: HLL++ NDV instead of exact-distinct
     // Expand (the scale knob on DataQuality.profileNumeric). Exact stats
     // stay value-oracled; the sketch column is an invariant row — per
@@ -347,6 +385,20 @@ object QualityQueries {
     "q_profile_robust" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(robustProfileSql).mkString("\nUNION ALL\n"),
+
+    // Exact quartiles value-checked; the sketch columns are literal-1
+    // invariants (the q_profile_numeric_approx pattern).
+    "q_profile_robust_approx" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  ROUND(quantile_cont(CAST($c AS DOUBLE), 0.25), 6) AS p25,
+           |  ROUND(quantile_cont(CAST($c AS DOUBLE), 0.5), 6) AS p50,
+           |  ROUND(quantile_cont(CAST($c AS DOUBLE), 0.75), 6) AS p75,
+           |  CAST(1 AS BIGINT) AS approx_ok_q1,
+           |  CAST(1 AS BIGINT) AS approx_ok_q2,
+           |  CAST(1 AS BIGINT) AS approx_ok_q3
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n"),
 
     "q_psi_drift" ->
       """WITH q AS (
