@@ -997,6 +997,33 @@ object RelationalQueries {
         round(cov * cov / (varX * varY), 6).as("r2"))
     }),
 
+    // Cohort LTV curves — the product-analytics staple next to
+    // q_events_retention: users cohorted by first-seen week, each
+    // cohort's cumulative value tracked by week offset. One aggregate
+    // finds first-seen (shuffle on user), the fact joins back on user
+    // (same key — no extra shuffle stage at scale with co-partitioned
+    // layouts), value accumulates in EXACT cents, and the running sum
+    // windows over the cohorts x offsets metadata frame.
+    "q_events_ltv" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        date_trunc("week", col("ts")).as("week"),
+        round(col("value") * 100).cast("long").as("v100"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      val offset = datediff(col("week"), col("cohort_week")) / 7
+      val perCell = ev.join(first, Seq("user_id"))
+        .groupBy(col("cohort_week"), offset.cast("long").as("week_offset"))
+        .agg(sum(col("v100")).as("v"), countDistinct(col("user_id")).as("u"))
+      val w = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perCell.select(
+        unix_micros(col("cohort_week")).as("cohort_us"),
+        col("week_offset"), col("u").as("active_users"),
+        round(col("v").cast("double") / 100.0, 6).as("week_value"),
+        round(sum(col("v")).over(w).cast("double") / 100.0, 6)
+          .as("cum_value"))
+    }),
+
     // OHLC downsampling — the time-series resample every metrics store
     // runs (open/high/low/close per bucket): ONE aggregate with
     // min_by/max_by over a deterministic zero-padded (ts, event_id)
@@ -2436,6 +2463,27 @@ object RelationalQueries {
         |  ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM st""".stripMargin,
+
+    "q_events_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+        |         CAST(round(value * 100) AS BIGINT) AS v100
+        |  FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+        |cell AS (
+        |  SELECT cohort_week,
+        |    CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+        |    CAST(sum(v100) AS BIGINT) AS v,
+        |    CAST(count(DISTINCT ev.user_id) AS BIGINT) AS u
+        |  FROM ev JOIN f ON ev.user_id = f.user_id
+        |  GROUP BY 1, 2)
+        |SELECT epoch_us(cohort_week) AS cohort_us, week_offset,
+        |  u AS active_users,
+        |  ROUND(CAST(v AS DOUBLE) / 100.0, 6) AS week_value,
+        |  ROUND(CAST(sum(v) OVER (PARTITION BY cohort_week ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 100.0, 6) AS cum_value
+        |FROM cell""".stripMargin,
 
     "q_events_ohlc" ->
       """SELECT event_type,
