@@ -447,7 +447,14 @@ object DedupQueries {
       val docs = documents(s, d).select(col("doc_id"), col("lang"),
         graft.text.TextFunctions.tokenCount(col("text")).as("n_tokens"))
         .filter(col("n_tokens") >= 1)
-      val u = graft.prep.DeterministicSampling.uniformDraw(col("doc_id"))
+      // clamp the draw away from 0 (md5 32-bit prefix can legitimately be
+      // 0x00000000 — p=2^-32 per row, a certainty at 100 TB): ln(0) is
+      // -inf here but an Out of Range ERROR in the DuckDB oracle, and a
+      // NULL key would sort differently across engines. The clamp floor
+      // is one draw-quantum, so no other draw value is disturbed.
+      val u = greatest(
+        graft.prep.DeterministicSampling.uniformDraw(col("doc_id")),
+        lit(1.0 / 4294967296.0))
       docs.withColumn("key", log(u) / col("n_tokens"))
         .orderBy(col("key").desc, col("doc_id"))
         .limit(100)
@@ -1099,8 +1106,10 @@ object DedupQueries {
         |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 1),
         |keyed AS (
         |  SELECT doc_id, lang, n_tokens,
-        |    ln(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
-        |       / 4294967296.0) / n_tokens AS key
+        |    ln(greatest(
+        |      CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+        |        / 4294967296.0,
+        |      1.0 / 4294967296.0)) / n_tokens AS key
         |  FROM docs)
         |SELECT doc_id, lang, n_tokens, ROUND(key, 6) AS es_key
         |FROM keyed ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,

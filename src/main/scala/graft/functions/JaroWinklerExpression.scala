@@ -10,32 +10,36 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[DtwKernels]]): textbook Jaro similarity (Winkler 1990 — match window
   * floor(max len / 2) - 1, half-transposition count) with the Winkler
   * common-prefix bonus (scale 0.1, prefix capped at 4) applied above the
-  * classic 0.7 boost threshold. Either side empty → 0.0. These are
-  * exactly the conventions DuckDB's `jaro_winkler_similarity` implements,
-  * pinned empirically case by case, so results are value-comparable
-  * cross-engine.
+  * classic 0.7 boost threshold. Either side empty → 0.0. Lengths,
+  * windows, matches and the prefix bonus are all counted in UTF-8 BYTES —
+  * the unit DuckDB's rapidfuzz-derived `jaro_winkler_similarity` kernel
+  * actually operates on (pinned empirically on non-BMP probes: e.g.
+  * jaro('😀ab','ab😀') = 0.7778 and jaro('😀😁','😁😀') = 0.8333
+  * reproduce ONLY under byte-level matching — a codepoint walk gives 0.0
+  * and 0.5 there; ASCII is identical either way). Working on the
+  * UTF8String's bytes directly also skips the String materialization a
+  * char/codepoint walk would force per comparison — this runs per
+  * candidate pair, the hottest loop of a linkage job.
   */
 object StringKernels {
 
   def jaro(u: UTF8String, v: UTF8String): Double = {
-    val s1 = u.toString
-    val s2 = v.toString
-    val l1 = s1.length
-    val l2 = s2.length
+    val l1 = u.numBytes()
+    val l2 = v.numBytes()
     if (l1 == 0 || l2 == 0) return 0.0
-    if (s1 == s2) return 1.0
+    if (u.equals(v)) return 1.0
     val window = math.max(0, math.max(l1, l2) / 2 - 1)
     val m1 = new Array[Boolean](l1)
     val m2 = new Array[Boolean](l2)
     var matches = 0
     var i = 0
     while (i < l1) {
-      val c = s1.charAt(i)
+      val c = u.getByte(i)
       var j = math.max(0, i - window)
       val hi = math.min(l2, i + window + 1)
       var found = false
       while (!found && j < hi) {
-        if (!m2(j) && s2.charAt(j) == c) {
+        if (!m2(j) && v.getByte(j) == c) {
           m1(i) = true; m2(j) = true; matches += 1; found = true
         }
         j += 1
@@ -49,7 +53,7 @@ object StringKernels {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) halfTrans += 1
+        if (u.getByte(i) != v.getByte(k)) halfTrans += 1
         k += 1
       }
       i += 1
@@ -62,11 +66,9 @@ object StringKernels {
   def jaroWinkler(u: UTF8String, v: UTF8String): Double = {
     val j = jaro(u, v)
     if (j <= 0.7) return j
-    val s1 = u.toString
-    val s2 = v.toString
-    val max = math.min(4, math.min(s1.length, s2.length))
+    val max = math.min(4, math.min(u.numBytes(), v.numBytes()))
     var p = 0
-    while (p < max && s1.charAt(p) == s2.charAt(p)) p += 1
+    while (p < max && u.getByte(p) == v.getByte(p)) p += 1
     j + 0.1 * p * (1.0 - j)
   }
 }

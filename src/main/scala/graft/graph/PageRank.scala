@@ -15,10 +15,14 @@ import graft.ops.Tables
   * hash-partitioned on the join key — on a real cluster the edge list's
   * partitioning is REUSED across iterations while only the small rank
   * vector moves), one aggregate of contributions by `dst`, and two 1-row
-  * broadcast scalars (node count, dangling mass). K iterations unroll
-  * into ONE declarative plan — no driver-side collect, no RDD loop; for
-  * large K a localCheckpoint every few rounds bounds plan depth (same
-  * discipline as [[graft.dedup.Dedup]]'s label propagation).
+  * broadcast scalars (node count, dangling mass). Each iteration's rank
+  * vector is eagerly `localCheckpoint`ed and its predecessor's blocks
+  * freed immediately (same discipline as [[graft.dedup.Dedup]]'s label
+  * propagation) — bounding both plan depth and cached-block residency at
+  * one node-scale frame regardless of K; the support frames
+  * (edges/nodes/deg) are unpersisted before return, so repeated catalog
+  * or bench invocations leave nothing behind but the returned
+  * lineage-free result.
   *
   * Arithmetic is FIXED-POINT (rank × 10^12 as BIGINT, `div` for every
   * division): integer sums are associative/commutative, so the result is
@@ -55,6 +59,7 @@ object PageRank {
 
     var ranks = nodes.crossJoin(broadcast(nTotal))
       .select(col("node"), expr(s"${Scale}L div __n").as("r"))
+    var prevCp: DataFrame = null
     for (_ <- 1 to iterations) {
       val withDeg = ranks.join(deg, col("node") === col("src"), "left_outer")
       val dangling = withDeg.filter(col("outdeg").isNull)
@@ -63,15 +68,37 @@ object PageRank {
         .select(col("node").as("__src"), expr("r div outdeg").as("__c"))
       val contrib = edges.join(perSrc, col("src") === col("__src"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__csum"))
+      // eager checkpoint: materializes this iteration's node-scale rank
+      // vector NOW, so the predecessor's blocks can be dropped at once —
+      // cached-block residency stays at one rank frame however many
+      // iterations run (integer fixed-point, so the early materialization
+      // cannot perturb values)
       ranks = nodes.join(contrib, col("node") === col("dst"), "left_outer")
         .crossJoin(broadcast(dangling)).crossJoin(broadcast(nTotal))
         .select(col("node"),
           expr(s"(${BaseNum}L div __n) + " +
             "(85 * (coalesce(__csum, 0L) + (__dang div __n))) div 100").as("r"))
-        .persist()
+        .localCheckpoint(true)
+      if (prevCp != null) freeCheckpoint(prevCp)
+      prevCp = ranks
     }
+    // the result is lineage-free (checkpointed), so the support caches are
+    // dead weight from here — free them rather than waiting on LRU
+    // eviction across repeated invocations
+    edges.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     ranks
   }
+
+  /** Drop the cached blocks behind a superseded `localCheckpoint(true)`d
+    * rank frame (the ContextCleaner only frees them on GC — too late for
+    * an iterative loop; same helper shape as [[graft.dedup.Dedup]]).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
 }
 
 /** Catalog queries for the graph operators. */

@@ -193,17 +193,45 @@ object ImageCodecs {
     * is oracle-checked.
     */
   def twoBandPng(w: Int, h: Int, rgb1: (Int, Int, Int), rgb2: (Int, Int, Int)): Array[Byte] = {
+    stackedStripePng(w, h, Seq(rgb1), Seq(rgb2))
+  }
+
+  /** Stacked-stripe PNG: the top half draws `topColors` as equal-width
+    * vertical stripes, the bottom half `bottomColors` — the near-dup
+    * fixture shape. A single-stripe-set image pools to ONE byte repeated
+    * in all 8 rows of the aHash, so its four 16-bit bands are always
+    * identical and two DISTINCT hashes can never share a band — banded
+    * near-dup candidate generation is structurally unexercisable on it.
+    * Two independently-varying halves give hashes whose top and bottom
+    * band pairs vary separately, so images sharing a half (with the same
+    * overall mean) genuinely collide on those bands while differing in
+    * the other half's bits.
+    */
+  def stackedStripePng(w: Int, h: Int,
+      topColors: Seq[(Int, Int, Int)],
+      bottomColors: Seq[(Int, Int, Int)]): Array[Byte] = {
+    require(topColors.nonEmpty && w % topColors.size == 0,
+      s"width $w must divide into ${topColors.size} top stripes")
+    require(bottomColors.nonEmpty && w % bottomColors.size == 0,
+      s"width $w must divide into ${bottomColors.size} bottom stripes")
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     def pack(c: (Int, Int, Int)) =
       ((c._1 & 0xff) << 16) | ((c._2 & 0xff) << 8) | (c._3 & 0xff)
-    val top = pack(rgb1); val bot = pack(rgb2)
+    val top = topColors.map(pack).toArray
+    val bot = bottomColors.map(pack).toArray
+    val topW = w / topColors.size
+    val botW = w / bottomColors.size
     var y = 0
     while (y < h) {
-      val v = if (y < h / 2) top else bot
       var x = 0
-      while (x < w) { img.setRGB(x, y, v); x += 1 }
+      while (x < w) {
+        img.setRGB(x, y,
+          if (y < h / 2) top(x / topW) else bot(x / botW))
+        x += 1
+      }
       y += 1
     }
     encodePng(img)
   }
+
 }

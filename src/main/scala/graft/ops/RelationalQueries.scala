@@ -727,9 +727,16 @@ object RelationalQueries {
     "q_woe_encode" -> ((s, d) => {
       val li = lineitem(s, d).select(col("l_linestatus").as("cat"),
         (col("l_returnflag") === "R").cast("long").as("y"))
+      // WoE is undefined for a category with zero events or zero
+      // non-events (ln(0) / ln(inf)); standard scorecard practice drops
+      // (or smooths) such bins. Filtering BEFORE the share windows keeps
+      // both engines on the same finite arithmetic — DuckDB's ln(0) is a
+      // hard Out of Range error, not a NULL, so an unguarded oracle
+      // would crash on a legal data distribution.
       val st = li.groupBy(col("cat"))
         .agg(sum(col("y")).as("events"),
           (count(lit(1)) - sum(col("y"))).as("nonevents"))
+        .filter(col("events") > 0 && col("nonevents") > 0)
       val wt = org.apache.spark.sql.expressions.Window.partitionBy()
       val pe = col("events").cast("double") / sum(col("events")).over(wt)
       val pn = col("nonevents").cast("double") / sum(col("nonevents")).over(wt)
@@ -959,9 +966,16 @@ object RelationalQueries {
       val rowh = conv(substring(md5(concat_ws("|",
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))), 1, 8),
         16, 10).cast("long")
+      // the CAST to decimal(38,0) goes INSIDE the sum: summing 32-bit
+      // hashes as LongType would wrap silently past ~2^32 rows in
+      // non-ANSI mode (exactly the 100 TB regime this checksum exists
+      // for) while the DuckDB oracle sums in HUGEINT — the decimal
+      // accumulator makes the aggregate itself overflow-proof (the
+      // q_ab_test / q_bootstrap_mean pattern)
       lineitem(s, d).agg(
         count(lit(1)).as("n_rows"),
-        sum(rowh).cast("decimal(38,0)").cast("double").as("checksum"))
+        sum(rowh.cast("decimal(38,0)")).cast("decimal(38,0)").cast("double")
+          .as("checksum"))
     }),
 
     // Closed-form simple linear regression per group (price ~ quantity
@@ -2287,7 +2301,8 @@ object RelationalQueries {
         |  SELECT l_linestatus AS cat,
         |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS events,
         |    CAST(count(*) - sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nonevents
-        |  FROM lineitem GROUP BY 1)
+        |  FROM lineitem GROUP BY 1),
+        |kept AS (SELECT * FROM st WHERE events > 0 AND nonevents > 0)
         |SELECT cat, events, nonevents,
         |  ROUND(ln((CAST(events AS DOUBLE) / sum(events) OVER ())
         |         / (CAST(nonevents AS DOUBLE) / sum(nonevents) OVER ())), 6) AS woe,
@@ -2295,7 +2310,7 @@ object RelationalQueries {
         |       - (CAST(nonevents AS DOUBLE) / sum(nonevents) OVER ()))
         |    * ln((CAST(events AS DOUBLE) / sum(events) OVER ())
         |       / (CAST(nonevents AS DOUBLE) / sum(nonevents) OVER ())), 6) AS iv_term
-        |FROM st""".stripMargin,
+        |FROM kept""".stripMargin,
 
     "q_type_infer" ->
       """WITH src AS (

@@ -194,6 +194,30 @@ object TscQueries {
       })
   }
 
+  // Near-dup fixture: top half varies with (id/4)%64 (data-dependent
+  // stripes, the q_media_phash color scheme), bottom half is a fixed
+  // bright/bright/dark/dark palette ROTATED by id%4. Rotation preserves
+  // the bottom luma sum, so images sharing a top residue share the exact
+  // pooled mean and hence identical top-band hash bytes — they collide on
+  // the top bands while adjacent rotations differ in exactly two bottom
+  // stripes (Hamming 16, the keep threshold) and opposite rotations in
+  // four (Hamming 32, filtered). A plain stripe image can NEVER produce
+  // a banded candidate (its hash is one byte repeated — all four bands
+  // equal ⇒ distinct hashes never share a band), which is why the
+  // near-dup query uses this stacked fixture.
+  private val stackedMemo = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Byte]]()
+  private def fixtureStackedPng(id: Long): Array[Byte] = memo256(stackedMemo, id) { k =>
+    val r = (k / 4) % 64
+    val rot = (k % 4).toInt
+    val pal = Seq((200, 200, 200), (200, 200, 200), (10, 10, 10), (10, 10, 10))
+    graft.multimodal.ImageCodecs.stackedStripePng(16, 16,
+      Seq(1L, 3L, 9L, 27L).map { cj =>
+        val m = r * cj
+        ((m % 256).toInt, (m * 7 % 256).toInt, (m * 13 % 256).toInt)
+      },
+      (0 until 4).map(j => pal((j + rot) % 4)))
+  }
+
   private val mpngMemo = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Byte]]()
   private def fixtureMpng(id: Long): Array[Byte] = memo256(mpngMemo, id) { r =>
     graft.multimodal.VideoCodecs.mpngOf(
@@ -370,9 +394,14 @@ object TscQueries {
     // that agree on ≥1 band become candidates via an equi band join, and
     // exact Hamming ≤ 16 (one stripe's worth of bits) keeps real
     // neighbors. The shift-then-mask band extraction is sign-agnostic,
-    // so DuckDB replays it on the signed hash values exactly.
+    // so DuckDB replays it on the signed hash values exactly. The
+    // stacked fixture plants REAL survivors (adjacent palette rotations
+    // sharing a top half: band collision + Hamming exactly 16) and real
+    // rejects (opposite rotations: Hamming 32) — the band join, shift
+    // extraction, and keep filter are all value-exercised, not
+    // vacuously green on an empty candidate set.
     "q_media_phash_near" -> ((s, d) => {
-      val pngUdf = udf((id: Long) => fixtureStripePng(id))
+      val pngUdf = udf((id: Long) => fixtureStackedPng(id))
       val hashUdf = udf((p: Array[Byte]) =>
         graft.multimodal.ImageCodecs.aHash64(p))
       val classes = Tables.documents(s, d)
@@ -594,24 +623,36 @@ object TscQueries {
            TRUE AS f0_ok, TRUE AS f1_ok, TRUE AS f2_ok, TRUE AS f3_ok
          FROM documents""",
 
-    // the same closed-form hashes as q_media_phash, banded 16-bit-wise;
+    // closed-form hashes of the STACKED fixture (top byte from the
+    // (doc_id//4)%64 stripe lumas, bottom byte from the doc_id%4 palette
+    // rotation — both decided against the combined 8-stripe mean, exactly
+    // the comparisons the pooled aHash makes), banded 16-bit-wise;
     // shift-then-mask band values are sign-agnostic (fill bits land
     // outside the mask for shifts of 0/16/32/48)
     "q_media_phash_near" ->
       """WITH lum AS (
         |  SELECT doc_id,
-        |    299*((doc_id) % 256) + 587*((doc_id*7) % 256) + 114*((doc_id*13) % 256) AS l0,
-        |    299*((doc_id*3) % 256) + 587*((doc_id*21) % 256) + 114*((doc_id*39) % 256) AS l1,
-        |    299*((doc_id*9) % 256) + 587*((doc_id*63) % 256) + 114*((doc_id*117) % 256) AS l2,
-        |    299*((doc_id*27) % 256) + 587*((doc_id*189) % 256) + 114*((doc_id*351) % 256) AS l3
+        |    299*((((doc_id//4)%64)) % 256) + 587*((((doc_id//4)%64)*7) % 256) + 114*((((doc_id//4)%64)*13) % 256) AS l0,
+        |    299*((((doc_id//4)%64)*3) % 256) + 587*((((doc_id//4)%64)*21) % 256) + 114*((((doc_id//4)%64)*39) % 256) AS l1,
+        |    299*((((doc_id//4)%64)*9) % 256) + 587*((((doc_id//4)%64)*63) % 256) + 114*((((doc_id//4)%64)*117) % 256) AS l2,
+        |    299*((((doc_id//4)%64)*27) % 256) + 587*((((doc_id//4)%64)*189) % 256) + 114*((((doc_id//4)%64)*351) % 256) AS l3,
+        |    CASE WHEN (0 + doc_id % 4) % 4 IN (0, 1) THEN 200000 ELSE 10000 END AS m0,
+        |    CASE WHEN (1 + doc_id % 4) % 4 IN (0, 1) THEN 200000 ELSE 10000 END AS m1,
+        |    CASE WHEN (2 + doc_id % 4) % 4 IN (0, 1) THEN 200000 ELSE 10000 END AS m2,
+        |    CASE WHEN (3 + doc_id % 4) % 4 IN (0, 1) THEN 200000 ELSE 10000 END AS m3
         |  FROM documents),
         |b AS (
         |  SELECT doc_id,
-        |    CAST(CASE WHEN 4*l0 > l0+l1+l2+l3 THEN 192 ELSE 0 END
-        |      + CASE WHEN 4*l1 > l0+l1+l2+l3 THEN 48 ELSE 0 END
-        |      + CASE WHEN 4*l2 > l0+l1+l2+l3 THEN 12 ELSE 0 END
-        |      + CASE WHEN 4*l3 > l0+l1+l2+l3 THEN 3 ELSE 0 END AS HUGEINT)
-        |      * 72340172838076673 AS hu
+        |    CAST(CASE WHEN 8*l0 > l0+l1+l2+l3+m0+m1+m2+m3 THEN 192 ELSE 0 END
+        |      + CASE WHEN 8*l1 > l0+l1+l2+l3+m0+m1+m2+m3 THEN 48 ELSE 0 END
+        |      + CASE WHEN 8*l2 > l0+l1+l2+l3+m0+m1+m2+m3 THEN 12 ELSE 0 END
+        |      + CASE WHEN 8*l3 > l0+l1+l2+l3+m0+m1+m2+m3 THEN 3 ELSE 0 END AS HUGEINT)
+        |      * 72340172821233664
+        |    + CAST(CASE WHEN 8*m0 > l0+l1+l2+l3+m0+m1+m2+m3 THEN 192 ELSE 0 END
+        |      + CASE WHEN 8*m1 > l0+l1+l2+l3+m0+m1+m2+m3 THEN 48 ELSE 0 END
+        |      + CASE WHEN 8*m2 > l0+l1+l2+l3+m0+m1+m2+m3 THEN 12 ELSE 0 END
+        |      + CASE WHEN 8*m3 > l0+l1+l2+l3+m0+m1+m2+m3 THEN 3 ELSE 0 END AS HUGEINT)
+        |      * 16843009 AS hu
         |  FROM lum),
         |h AS (
         |  SELECT doc_id AS media_id,

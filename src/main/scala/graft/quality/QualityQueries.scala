@@ -70,6 +70,12 @@ object QualityQueries {
         .withColumn("p_ref", col("n_ref").cast("double") / sum(col("n_ref")).over(wt))
       val c = bucketed(cur, "n_cur")
         .withColumn("p_cur", col("n_cur").cast("double") / sum(col("n_cur")).over(wt))
+      // ln-safety precondition, guaranteed by construction: groupBy only
+      // emits buckets with count >= 1 (so p_ref, p_cur > 0 on every row
+      // that exists) and the INNER join drops a bucket populated on one
+      // side only — the oracle's ln(p_cur/p_ref) therefore never sees 0
+      // or NULL on any data distribution (DuckDB ln(0) is a hard error,
+      // not a NULL, so this must hold structurally, not by fixture luck).
       r.join(c, Seq("bucket"))
         .select(col("bucket"), col("n_ref"), col("n_cur"),
           round(col("p_ref"), 6).as("p_ref"),

@@ -28,6 +28,17 @@ class JaroWinklerSpec extends AnyFunSuite with SparkSpec {
     assert(jw("a", "b") === 0.0)
   }
 
+  test("non-BMP inputs match DuckDB's byte-level convention") {
+    // DuckDB's rapidfuzz-derived kernel matches over UTF-8 BYTES — these
+    // values were probed from duckdb jaro_winkler_similarity directly; a
+    // UTF-16 or codepoint walk produces 0.0 / 0.5 / 0.867 on the first
+    // three and would silently diverge cross-engine on any emoji/CJK data
+    assert(math.abs(jw("😀ab", "ab😀") - 0.7777777777777777) < 1e-12)
+    assert(math.abs(jw("😀😁", "😁😀") - 0.8833333333333334) < 1e-12)
+    assert(math.abs(jw("ab😀cd", "abxcd") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("a😀", "😀a") - 0.8666666666666667) < 1e-12)
+  }
+
   test("bounds, symmetry, and no-bonus below the 0.7 threshold") {
     val samples = Seq("abcde", "aedcb", "xyz", "abab", "ba", "a", "abcdefgh")
     for (a <- samples; b <- samples) {
