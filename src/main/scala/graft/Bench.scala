@@ -100,34 +100,67 @@ object Bench {
     // set. cal_q_spread = max/min over all queries — flat (≈1.0) certifies
     // no load spike landed on ANY query's window, so the headline needs no
     // per-query adjudication at all.
-    // Per query: (name, median, min, calQ, firstError). A query with ANY
-    // failed rep is recorded as an error: excluded from the per-query maps
-    // and both totals, listed in the "errors" object (cal_per_query still
-    // carries its calibration sample).
-    val resultsFull = ordered.zipWithIndex.map { case ((name, fn), idx) =>
+    // Per query, first pass: (name, fn, timed reps, calQ).
+    def repSet(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) =
+      if (reps >= 3) (1 to reps).map(_ => timeOnce(fn))
+      else { timeOnce(fn); (1 to reps).map(_ => timeOnce(fn)) }
+    val firstPass = ordered.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx == ordered.size / 2) { calMid = calibrate(); calMidPar = calibratePar(nThreads) }
       val calQ = calibrateN(10000000)
-      val timed =
-        if (reps >= 3) (1 to reps).map(_ => timeOnce(fn))
-        else { timeOnce(fn); (1 to reps).map(_ => timeOnce(fn)) }
-      val firstErr = timed.collectFirst { case Left(e) => e }
-      val ok = timed.collect { case Right(s) => s }
-      if (firstErr.isDefined || ok.isEmpty)
-        (name, -1.0, -1.0, calQ, firstErr.orElse(Some("no successful rep")))
-      else (name, median(ok), ok.min, calQ, None)
+      (name, fn, repSet(fn), calQ)
     }
     if (calMid < 0) { calMid = calibrate(); calMidPar = calibratePar(nThreads) }
+    // SELF-HEALING pass (round-13 verdict): the per-query calibration
+    // already detects exactly WHICH rep windows a load spike landed on —
+    // act on it instead of publishing a poisoned min and leaving the
+    // adjudication to a human re-run. Baseline = the run's calibration
+    // floor (load only ever inflates the mini-sentinel); any query whose
+    // window ran > 1.5x that floor gets ONE fresh rep set. The published
+    // stats then come from the union of reps (min — already
+    // contamination-immune — can only improve) with the median drawn from
+    // whichever window's calibration was cleaner; per-query calibration
+    // reports the best window, and the healed queries are listed under
+    // "requeried" with the raw pre-heal spread kept alongside so a
+    // contaminated-then-healed run is still self-evident from the JSON.
+    val calBase = {
+      val pos = firstPass.map(_._4).filter(_ > 0)
+      if (pos.isEmpty) -1.0 else pos.min
+    }
+    val healThreshold = 1.5
+    // Per query: (name, median, min, calQ, firstError, requeried). A query
+    // with ANY failed first-pass rep is recorded as an error: excluded
+    // from the per-query maps and both totals, listed in the "errors"
+    // object (cal_per_query still carries its calibration sample).
+    val resultsFull = firstPass.map { case (name, fn, timed1, calQ1) =>
+      val firstErr = timed1.collectFirst { case Left(e) => e }
+      val ok1 = timed1.collect { case Right(s) => s }
+      if (firstErr.isDefined || ok1.isEmpty)
+        (name, -1.0, -1.0, calQ1, firstErr.orElse(Some("no successful rep")), false)
+      else if (!(calBase > 0 && calQ1 > healThreshold * calBase))
+        (name, median(ok1), ok1.min, calQ1, None, false)
+      else {
+        val calQ2 = calibrateN(10000000)
+        val ok2 = repSet(fn).collect { case Right(s) => s }
+        if (ok2.isEmpty) (name, median(ok1), ok1.min, calQ1, None, true)
+        else {
+          // min over BOTH windows, median from the cleaner one
+          val cleanOk = if (calQ2 <= calQ1) ok2 else ok1
+          (name, median(cleanOk), (ok1 ++ ok2).min, math.min(calQ1, calQ2),
+            None, true)
+        }
+      }
+    }
     val calPost = calibrate()
     val calPostPar = calibratePar(nThreads)
     // Failed queries live ONLY in the `errors` object: a -1 sentinel in the
     // per-query maps would make naive per-query sums disagree with the
     // reported totals (round-12 ADVICE).
     val okForMaps = resultsFull.filter(_._5.isEmpty)
-    val qsMedian = okForMaps.map { case (k, med, _, _, _) => s"\"" + k + "\":" + med }
+    val qsMedian = okForMaps.map { case (k, med, _, _, _, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val qsMin = okForMaps.map { case (k, _, mn, _, _) => s"\"" + k + "\":" + mn }
+    val qsMin = okForMaps.map { case (k, _, mn, _, _, _) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val qsCal = resultsFull.map { case (k, _, _, c, _) => s"\"" + k + "\":" + cal3(c) }
+    val qsCal = resultsFull.map { case (k, _, _, c, _, _) => s"\"" + k + "\":" + cal3(c) }
       .mkString("{", ",", "}")
     def jesc(s: String): String = s.flatMap {
       case '"'  => "\\\""
@@ -135,17 +168,27 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val errEntries = resultsFull.collect { case (k, _, _, _, Some(e)) =>
+    val errEntries = resultsFull.collect { case (k, _, _, _, Some(e), _) =>
       "\"" + k + "\":\"" + jesc(e) + "\"" }
     val errJson = errEntries.mkString("{", ",", "}")
     val okResults = resultsFull.filter(_._5.isEmpty)
     val totalMedian = if (okResults.nonEmpty) okResults.map(_._2).sum else 0.0
     val totalMin = if (okResults.nonEmpty) okResults.map(_._3).sum else 0.0
-    val calQs = resultsFull.map(_._4)
-    val calSpread =
-      if (calQs.isEmpty || calQs.min <= 0) -1.0 else calQs.max / calQs.min
+    def spreadOf(xs: Seq[Double]): Double =
+      if (xs.isEmpty || xs.min <= 0) -1.0 else xs.max / xs.min
+    // post-heal spread (the published calibration state) plus the raw
+    // first-pass spread and the healed-query list: a contaminated-then-
+    // healed run stays self-evident from the JSON alone
+    val calSpread = spreadOf(resultsFull.map(_._4))
+    val calSpreadRaw = spreadOf(firstPass.map(_._4))
+    val requeried = resultsFull.collect { case (k, _, _, _, _, true) => k }
+    // inline list capped (requeried_n always has the true count): a badly
+    // contaminated run could otherwise spend the compact line's whole
+    // char budget naming healed queries instead of reporting timings
+    val requeriedJson =
+      requeried.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
     val calJson =
-      s""""calibration_sec":{"pre":${cal3(calPre)},"mid":${cal3(calMid)},"post":${cal3(calPost)}},"calibration_par_sec":{"threads":$nThreads,"pre":${cal3(calPrePar)},"mid":${cal3(calMidPar)},"post":${cal3(calPostPar)}},"cal_q_spread":${cal3(calSpread)}"""
+      s""""calibration_sec":{"pre":${cal3(calPre)},"mid":${cal3(calMid)},"post":${cal3(calPost)}},"calibration_par_sec":{"threads":$nThreads,"pre":${cal3(calPrePar)},"mid":${cal3(calMidPar)},"post":${cal3(calPostPar)}},"cal_q_spread":${cal3(calSpread)},"cal_q_spread_raw":${cal3(calSpreadRaw)},"requeried_n":${requeried.size},"requeried":$requeriedJson"""
     val fullJson =
       s"""{"metric":"total","value":$totalMin,"unit":"sec","reps":$reps,"stat":"min_of_reps",$calJson,"total_median":$totalMedian,"nq_failed":${errEntries.size},"errors":$errJson,"queries":$qsMin,"queries_median":$qsMedian,"cal_per_query":$qsCal,"sf":"$sfDir"}"""
     // Persist the full per-query set (the durable machine-readable
@@ -171,7 +214,7 @@ object Bench {
     // Failed queries are excluded (they're in `errors`); a -1 here would
     // rank a failed query as if it took 1s, displacing genuinely slow
     // queries under the char budget.
-    val byTime = okForMaps.map { case (k, _, mn, _, _) => (k, mn) }.sortBy(-_._2)
+    val byTime = okForMaps.map { case (k, _, mn, _, _, _) => (k, mn) }.sortBy(-_._2)
     val budget = 1800
     val head = s"""{"metric":"total","value":$totalMin,"unit":"sec","reps":$reps,"stat":"min_of_reps",$calJson,"total_median":$totalMedian,"nq":${resultsFull.size},"nq_failed":${errEntries.size},"detail":"BENCH_LOCAL.json","sf":"$sfDir","omitted":NNN,"queries":{"""
     val tail0 = "}}"
