@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read via deletion-vector sidecars — the delete-heavy
+  * complement of the copy-on-write family ([[MergeOps]],
+  * [[PartitionedMerge]]). COW rewrites every touched file per batch; when
+  * batches are frequent and deletes are scattered (GDPR erasure, crawl
+  * retractions, label fixes), that rewrites the same 100 TB of survivors
+  * nightly to remove kilobytes. Merge-on-read instead APPENDS: a delete
+  * batch writes only a key sidecar, an upsert batch writes only its new
+  * rows plus the sidecar entries masking the superseded versions, and the
+  * read path subtracts the mask with one broadcast join. The deferred
+  * rewrite happens once, at fold/compaction time, amortized over many
+  * batches.
+  *
+  * The design is the public equality-delete protocol (Apache Iceberg's
+  * "equality deletes" with sequence numbers; Delta's deletion vectors are
+  * the position-scoped cousin): every data file belongs to a sequence
+  * number — `seq=<n>` partition directories here, so the scope of a
+  * delete is a PARTITION-PRUNABLE set of files — and a sidecar entry
+  * `(key, below_seq)` deletes every row of that key written at
+  * `seq < below_seq`. An upsert batch at seq n masks with `below_seq = n`
+  * (older versions die, its own rows survive); a delete batch masks with
+  * `below_seq = maxSeq + 1` (every current row dies). The sidecar lives
+  * under `_dv/`, a leading-underscore directory Spark's file index hides
+  * from table scans, so base reads need no path gymnastics.
+  *
+  * Scale shape: the read-side mask is one aggregate over the sidecar
+  * (per-key max) broadcast against the data scan — the sidecar is bounded
+  * by deltas-since-last-fold, the side a 1000-executor scan wants
+  * broadcast. Survivor filtering is a single codegen'd null-check-or-
+  * compare per row; no shuffle of the base, ever. Fold is the only
+  * table-scale pass, and it runs at compaction cadence, not batch
+  * cadence.
+  */
+object DeletionVectors {
+
+  val SeqCol = "seq"
+  private val DvDirName = "_dv"
+
+  private def seqDirs(dir: String): Seq[Long] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$SeqCol="))
+      .map(_.getName.stripPrefix(s"$SeqCol=").toLong).toSeq.sorted
+
+  private def maxSeq(dir: String): Long = {
+    val ds = seqDirs(dir)
+    require(ds.nonEmpty, s"not a DV table (no $SeqCol=* dirs): $dir")
+    ds.max
+  }
+
+  /** Create the table: the initial snapshot lands as sequence 0. */
+  def initTable(df: DataFrame, dir: String): Unit =
+    df.write.mode("error").parquet(s"$dir/$SeqCol=0")
+
+  /** Append an upsert batch: its rows land as a NEW sequence directory and
+    * the sidecar masks the batch keys below it — prior versions of those
+    * keys are dead at read time without any data file being opened, let
+    * alone rewritten. Returns the batch's sequence number.
+    */
+  def appendUpserts(spark: SparkSession, dir: String,
+      updates: DataFrame, key: String): Long = {
+    val n = maxSeq(dir) + 1
+    updates.write.mode("error").parquet(s"$dir/$SeqCol=$n")
+    updates.select(col(key), lit(n).as("below_seq"))
+      .distinct()
+      .write.mode("append").parquet(s"$dir/$DvDirName")
+    n
+  }
+
+  /** Append a delete batch: ONLY the sidecar is written — every data file
+    * of the table stays byte-identical (spec-pinned). Masks below
+    * `maxSeq + 1`, i.e. every currently-live version of the keys.
+    * Returns the number of distinct keys deleted.
+    */
+  def deleteKeys(spark: SparkSession, dir: String,
+      keys: DataFrame, key: String): Long = {
+    val below = maxSeq(dir) + 1
+    val batch = keys.select(col(key), lit(below).as("below_seq")).distinct()
+      .localCheckpoint() // count + write from one materialization
+    batch.write.mode("append").parquet(s"$dir/$DvDirName")
+    batch.count()
+  }
+
+  /** The sidecar as a frame (empty, correctly typed, when no deletes have
+    * been written yet).
+    */
+  def readDv(spark: SparkSession, dir: String, key: String): DataFrame = {
+    val p = new java.io.File(s"$dir/$DvDirName")
+    if (p.isDirectory) spark.read.parquet(p.getPath)
+    else {
+      // no sidecar yet (fresh or just-folded table): an empty, correctly
+      // key-typed frame, schema taken from any live sequence directory
+      val kt = spark.read.parquet(s"$dir/$SeqCol=${seqDirs(dir).head}")
+        .schema(key).dataType
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(key, kt),
+          org.apache.spark.sql.types.StructField("below_seq",
+            org.apache.spark.sql.types.LongType))))
+    }
+  }
+
+  /** The read-side combinator, pure DataFrame-in/DataFrame-out (shared by
+    * [[read]] and the oracled catalog query): a row written at sequence s
+    * survives iff no sidecar entry of its key has `below_seq > s`. One
+    * per-key aggregate over the sidecar, broadcast, one left join, one
+    * codegen'd filter — the base never shuffles.
+    */
+  def applyDv(data: DataFrame, dv: DataFrame, key: String): DataFrame = {
+    val mask = dv.groupBy(col(key)).agg(max(col("below_seq")).as("_below"))
+    data.join(broadcast(mask), Seq(key), "left_outer")
+      .filter(col("_below").isNull || col(SeqCol) >= col("_below"))
+      .drop("_below")
+  }
+
+  /** Merge-on-read scan: current table state, deletes and superseded
+    * versions subtracted at read time.
+    */
+  def read(spark: SparkSession, dir: String, key: String): DataFrame =
+    applyDv(spark.read.parquet(dir), readDv(spark, dir, key), key)
+      .drop(SeqCol)
+
+  /** Fold the sidecar into the data — the compaction step that turns the
+    * accumulated merge-on-read state back into a clean COW snapshot: one
+    * table-scale pass materializes the survivors (ordered by `orderBy`
+    * when given, so a Z/Hilbert-clustered table re-compacts onto its
+    * curve — the [[graft.layout.Compaction]] doctrine), rewrites them as
+    * one fresh sequence directory, and drops both the superseded sequence
+    * directories and the sidecar. Returns (surviving rows, sidecar
+    * entries folded).
+    */
+  def fold(spark: SparkSession, dir: String, key: String,
+      orderBy: Seq[Column] = Nil): (Long, Long) = {
+    val dvEntries = readDv(spark, dir, key).count()
+    val survivors0 = read(spark, dir, key)
+    val survivors =
+      (if (orderBy.nonEmpty) survivors0.sortWithinPartitions(orderBy: _*)
+       else survivors0).localCheckpoint() // the sink overwrites dirs the plan reads
+    val n = survivors.count()
+    val oldSeqs = seqDirs(dir)
+    survivors.write.mode("overwrite").parquet(s"$dir/$SeqCol=${oldSeqs.max + 1}")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    oldSeqs.foreach(sq => rm(new java.io.File(s"$dir/$SeqCol=$sq")))
+    rm(new java.io.File(s"$dir/$DvDirName"))
+    (n, dvEntries)
+  }
+}

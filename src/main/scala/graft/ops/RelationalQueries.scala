@@ -1582,6 +1582,53 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
     }),
 
+    // MERGE-ON-READ equivalence: the deletion-vector read path
+    // (DeletionVectors.applyDv — per-key max(below_seq) mask, broadcast
+    // left join, survive iff written at/after the mask) must produce
+    // exactly what copy-on-write applyChanges would have materialized.
+    // Spark computes the MoR side over seq-tagged frames (base rows at
+    // seq 0, an upsert batch at seq 1 masking below 1, a delete batch
+    // masking below 2 — keys on both batches overlap at k%91, exercising
+    // the max-aggregation); the oracle computes the COW side in plain
+    // ANSI SQL. Value equality IS the equivalence proof, cross-engine.
+    "q_merge_on_read" -> ((s, d) => {
+      val base = orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("pay_cents"))
+      val upd = base.filter(pmod(col("k"), lit(7)) === 0)
+        .select(col("k"), lit("U").as("status"),
+          (col("pay_cents") + 999L).as("pay_cents"))
+      val data = base.withColumn(DeletionVectors.SeqCol, lit(0L))
+        .unionByName(upd.withColumn(DeletionVectors.SeqCol, lit(1L)))
+      val dv = upd.select(col("k"), lit(1L).as("below_seq"))
+        .unionByName(base.filter(pmod(col("k"), lit(13)) === 0)
+          .select(col("k"), lit(2L).as("below_seq")))
+      DeletionVectors.applyDv(data, dv, "k").drop(DeletionVectors.SeqCol)
+    }),
+
+    // The DV audit report a lake operator reads before scheduling a fold:
+    // per sequence directory, rows written vs rows still live under the
+    // current sidecar — deferred-delete debt, per file scope. Same masks
+    // as q_merge_on_read; one aggregate over the seq-tagged data.
+    "q_dv_mask_stats" -> ((s, d) => {
+      val base = orders(s, d).select(col("o_orderkey").as("k"))
+      val upd = base.filter(pmod(col("k"), lit(7)) === 0)
+      val data = base.withColumn(DeletionVectors.SeqCol, lit(0L))
+        .unionByName(upd.withColumn(DeletionVectors.SeqCol, lit(1L)))
+      val dv = upd.select(col("k"), lit(1L).as("below_seq"))
+        .unionByName(base.filter(pmod(col("k"), lit(13)) === 0)
+          .select(col("k"), lit(2L).as("below_seq")))
+      val live = DeletionVectors.applyDv(data, dv, "k")
+        .groupBy(col(DeletionVectors.SeqCol).as("seq"))
+        .agg(count(lit(1)).as("n_live"))
+      data.groupBy(col(DeletionVectors.SeqCol).as("seq"))
+        .agg(count(lit(1)).as("n_written"))
+        .join(live, Seq("seq"), "left_outer")
+        .select(col("seq"), col("n_written"),
+          coalesce(col("n_live"), lit(0L)).as("n_live"),
+          (col("n_written") - coalesce(col("n_live"), lit(0L))).as("n_masked"))
+    }),
+
     // SCD type-2 dimension maintenance: a deterministic change batch
     // (every 7th customer re-rated +1000) closes the current version at
     // the change date and appends the new one — the full versioned
@@ -2831,6 +2878,39 @@ object RelationalQueries {
          SELECT o_orderstatus, COUNT(*) AS n,
                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
          FROM merged GROUP BY 1""",
+
+    // COW formulation on purpose: upserts replace, then deletes subtract —
+    // matching this against Spark's deletion-vector read path proves
+    // MoR == COW on real data
+    "q_merge_on_read" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pay_cents
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, 'U' AS status, pay_cents + 999 AS pay_cents
+        |  FROM base WHERE k % 7 = 0),
+        |cow AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT * FROM base WHERE k % 7 <> 0)
+        |SELECT k, status, pay_cents FROM cow WHERE k % 13 <> 0""".stripMargin,
+
+    "q_dv_mask_stats" ->
+      """WITH base AS (SELECT o_orderkey AS k FROM orders),
+        |data AS (
+        |  SELECT k, CAST(0 AS BIGINT) AS seq FROM base
+        |  UNION ALL
+        |  SELECT k, CAST(1 AS BIGINT) AS seq FROM base WHERE k % 7 = 0),
+        |live AS (
+        |  SELECT seq, count(*) AS n_live FROM data
+        |  WHERE k % 13 <> 0 AND (seq >= 1 OR k % 7 <> 0)
+        |  GROUP BY seq)
+        |SELECT d.seq, count(*) AS n_written,
+        |  CAST(coalesce(any_value(n_live), 0) AS BIGINT) AS n_live,
+        |  CAST(count(*) - coalesce(any_value(n_live), 0) AS BIGINT) AS n_masked
+        |FROM data d LEFT JOIN live USING (seq)
+        |GROUP BY d.seq""".stripMargin,
 
     "q_scd2_lookup" ->
       """WITH hist AS (

@@ -127,6 +127,22 @@ object StreamingMerge {
       .drop("_rn", seqCol)
   }
 
+  /** Commit a merged frame as `v=<batchId>` and atomically move the
+    * `_latest` pointer onto it (write-then-rename: readers resolve either
+    * the old committed version or the new one, never a torn pointer).
+    */
+  private def commitVersion(merged: DataFrame, tableDir: String,
+      batchId: Long): Unit = {
+    val version = s"v=$batchId"
+    merged.write.mode("overwrite").parquet(s"$tableDir/$version")
+    val tmp = new java.io.File(tableDir, s"_latest.tmp$batchId").toPath
+    java.nio.file.Files.write(tmp,
+      version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, new java.io.File(tableDir, "_latest").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Apply one CDC batch to the snapshot: collapse → merge → commit next
     * version → move the `_latest` pointer. Exposed for batch-mode use and
     * for the stream/batch agreement spec.
@@ -140,16 +156,127 @@ object StreamingMerge {
         case Some(base) => graft.ops.MergeOps.applyChanges(base, collapsed, key, opCol)
         case None => collapsed.filter(col(opCol) =!= "d").drop(opCol)
       }
-      val version = s"v=$batchId"
-      merged.write.mode("overwrite").parquet(s"$tableDir/$version")
-      val tmp = new java.io.File(tableDir, s"_latest.tmp$batchId").toPath
-      java.nio.file.Files.write(tmp,
-        version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, new java.io.File(tableDir, "_latest").toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      commitVersion(merged, tableDir, batchId)
     }
   }
+
+  // ---------------------------------------------------------------------
+  // Merge-on-read extension: delete-only triggers append a PENDING
+  // deletion-vector sidecar (`_dv/d=<batchId>/`, the streaming face of
+  // [[graft.ops.DeletionVectors]]) instead of rewriting the snapshot —
+  // the dominant trigger shape of retraction/erasure streams costs
+  // sidecar-sized IO, and the table-scale rewrite happens only when an
+  // upsert-bearing trigger (or a scheduled one) folds the pending mask.
+  // Readers stay current by COMPOSING: committed snapshot ⊖ pending DVs,
+  // one broadcast anti-join — never a wait for the next full commit.
+  // ---------------------------------------------------------------------
+
+  /** Pending (not yet folded) delete-batch ids, ascending; `_SUCCESS`
+    * markers gate half-written sidecars exactly as [[listVersions]] gates
+    * versions.
+    */
+  def pendingDeleteBatches(tableDir: String): Seq[Long] = {
+    val dv = new java.io.File(tableDir, "_dv")
+    Option(dv.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("d=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("d=").toLong)
+      .sorted
+  }
+
+  /** Read state AS OF a committed version COMPOSED with the pending
+    * deletes that arrived after it (up to `asOfBatch`, default all):
+    * time travel that also sees the retractions a merge-on-read stream
+    * has accepted but not yet folded. `version ⊖ {d : version < d ≤
+    * asOfBatch}` — the sidecars are delta-sized, so the subtraction is
+    * one broadcast anti-join against the snapshot scan.
+    */
+  def snapshotWithDeletes(spark: SparkSession, tableDir: String,
+      version: Long, key: String,
+      asOfBatch: Long = Long.MaxValue): DataFrame = {
+    val snap = snapshotAt(spark, tableDir, version)
+    val ds = pendingDeleteBatches(tableDir)
+      .filter(d => d > version && d <= asOfBatch)
+    if (ds.isEmpty) snap
+    else {
+      val keys = spark.read
+        .parquet(ds.map(d => s"$tableDir/_dv/d=$d"): _*)
+        .select(col(key)).distinct()
+      snap.join(broadcast(keys), Seq(key), "left_anti")
+    }
+  }
+
+  /** The current LOGICAL state of a merge-on-read table: latest committed
+    * snapshot minus every pending deletion vector.
+    */
+  def currentStateMor(spark: SparkSession, tableDir: String,
+      key: String): Option[DataFrame] = {
+    val ptr = new java.io.File(tableDir, "_latest")
+    if (!ptr.exists()) None
+    else {
+      val v = new String(java.nio.file.Files.readAllBytes(ptr.toPath))
+        .trim.stripPrefix("v=").toLong
+      Some(snapshotWithDeletes(spark, tableDir, v, key))
+    }
+  }
+
+  /** Merge-on-read batch apply: a delete-only trigger writes ONLY its
+    * sidecar (data files byte-identical — spec-pinned); any trigger
+    * carrying upserts folds the pending mask and the batch into the next
+    * full version, then clears the folded sidecars. Ordering is honored
+    * by construction: pending deletes predate the current batch, so they
+    * subtract from the base BEFORE the batch applies — a re-insert of a
+    * pending-deleted key in this batch wins, exactly as it would have in
+    * version-per-trigger COW.
+    */
+  def applyBatchMor(spark: SparkSession, batch: DataFrame, key: String,
+      seqCol: String, tableDir: String, batchId: Long,
+      opCol: String = "op"): Unit = {
+    if (batch.isEmpty) return
+    val collapsed = collapseBatch(batch, key, seqCol, opCol)
+    val base0 = currentSnapshot(spark, tableDir)
+    val deleteOnly = collapsed.filter(col(opCol) =!= "d").isEmpty
+    if (deleteOnly && base0.isDefined) {
+      collapsed.select(col(key)).distinct()
+        .write.mode("overwrite").parquet(s"$tableDir/_dv/d=$batchId")
+    } else {
+      val pend = pendingDeleteBatches(tableDir)
+      val base = (base0, pend) match {
+        case (Some(b), ds) if ds.nonEmpty =>
+          val keys = spark.read
+            .parquet(ds.map(d => s"$tableDir/_dv/d=$d"): _*)
+            .select(col(key)).distinct()
+          Some(b.join(broadcast(keys), Seq(key), "left_anti"))
+        case (b, _) => b
+      }
+      val merged = base match {
+        case Some(b) => graft.ops.MergeOps.applyChanges(b, collapsed, key, opCol)
+        case None => collapsed.filter(col(opCol) =!= "d").drop(opCol)
+      }
+      commitVersion(merged, tableDir, batchId)
+      pend.filter(_ <= batchId).foreach { d =>
+        val dir = new java.io.File(tableDir, s"_dv/d=$d")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir)
+      }
+    }
+  }
+
+  /** The merge-on-read stream writer: [[mergeStream]] with delete-only
+    * triggers landing as pending deletion vectors.
+    */
+  def mergeStreamMor(changes: DataFrame, key: String, seqCol: String,
+      tableDir: String, checkpointDir: String,
+      opCol: String = "op"): DataStreamWriter[Row] =
+    changes.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchMor(batch.sparkSession, batch, key, seqCol, tableDir, batchId, opCol)
+      }
 
   /** The stream writer: wire a CDC-shaped stream into the maintained
     * snapshot. `changes` must carry `key`, `seqCol`, `opCol`, and the base

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Merge-on-read contracts the oracled q_merge_on_read can't see: the
+  * FILESYSTEM behavior (a delete writes only the sidecar, data files stay
+  * byte-identical; an upsert appends, never rewrites) and the fold step
+  * (read-equivalent, sidecar gone, one sequence directory left).
+  */
+class DeletionVectorsSpec extends AnyFunSuite with SparkSpec {
+
+  private def fileSet(dir: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => s"${f.getPath}@${f.lastModified}@${f.length}").toSet
+  }
+
+  private def asMap(df: DataFrame): Map[Long, String] =
+    df.collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+
+  private def mkDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toFile.getAbsolutePath + "/t"
+
+  test("delete batch writes ONLY the sidecar; data files byte-identical; read subtracts") {
+    import spark.implicits._
+    val dir = mkDir("dv-del")
+    DeletionVectors.initTable(
+      (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v"), dir)
+    val dataBefore = fileSet(s"$dir/seq=0")
+
+    val nDel = DeletionVectors.deleteKeys(spark, dir,
+      Seq(3L, 7L, 7L, 40L).toDF("k"), "k")
+    assert(nDel === 3) // batch deduped
+
+    // every data file is byte-for-byte the one written at init — a MoR
+    // delete never opens a data file, let alone rewrites one
+    assert(fileSet(s"$dir/seq=0") === dataBefore)
+    assert(new java.io.File(s"$dir/_dv").isDirectory)
+
+    val after = asMap(DeletionVectors.read(spark, dir, "k"))
+    assert(after === (1L to 50L).filterNot(Set(3L, 7L, 40L))
+      .map(i => i -> s"v$i").toMap)
+  }
+
+  test("upsert batch appends a new sequence + sidecar; older files untouched; MoR == COW") {
+    import spark.implicits._
+    val dir = mkDir("dv-ups")
+    val base = (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v")
+    DeletionVectors.initTable(base, dir)
+    val seq0Before = fileSet(s"$dir/seq=0")
+
+    val batch = Seq((4L, "V4"), (900L, "V900")).toDF("k", "v")
+    val n = DeletionVectors.appendUpserts(spark, dir, batch, "k")
+    assert(n === 1)
+    assert(fileSet(s"$dir/seq=0") === seq0Before)
+    assert(new java.io.File(s"$dir/seq=1").isDirectory)
+
+    val mor = asMap(DeletionVectors.read(spark, dir, "k"))
+    val cow = asMap(MergeOps.upsert(base, batch, "k"))
+    assert(mor === cow)
+
+    // a later delete masks across sequences (max-below aggregation):
+    // deleting k=4 kills the seq-1 version too
+    DeletionVectors.deleteKeys(spark, dir, Seq(4L).toDF("k"), "k")
+    val after = asMap(DeletionVectors.read(spark, dir, "k"))
+    assert(after === cow - 4L)
+  }
+
+  test("fold rewrites survivors once: same read result, sidecar gone, one sequence") {
+    import spark.implicits._
+    val dir = mkDir("dv-fold")
+    DeletionVectors.initTable(
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v"), dir)
+    DeletionVectors.appendUpserts(spark, dir,
+      Seq((5L, "V5"), (31L, "V31")).toDF("k", "v"), "k")
+    DeletionVectors.deleteKeys(spark, dir, Seq(9L, 31L).toDF("k"), "k")
+
+    val beforeFold = asMap(DeletionVectors.read(spark, dir, "k"))
+    val (nRows, nDv) = DeletionVectors.fold(spark, dir, "k",
+      orderBy = Seq(col("k")))
+    assert(nRows === beforeFold.size)
+    assert(nDv === 4) // 2 upsert-mask keys + 2 delete keys
+
+    assert(!new java.io.File(s"$dir/_dv").exists())
+    val seqDirs = Option(new java.io.File(dir).listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("seq=")).map(_.getName)
+    assert(seqDirs.length === 1)
+    assert(asMap(DeletionVectors.read(spark, dir, "k")) === beforeFold)
+    // and the folded table keeps answering under further batches
+    DeletionVectors.deleteKeys(spark, dir, Seq(1L).toDF("k"), "k")
+    assert(asMap(DeletionVectors.read(spark, dir, "k")) === beforeFold - 1L)
+  }
+
+  test("read-side plan: DV mask broadcasts, base never shuffles") {
+    import spark.implicits._
+    val dir = mkDir("dv-plan")
+    DeletionVectors.initTable(
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), dir)
+    DeletionVectors.deleteKeys(spark, dir, Seq(2L, 3L).toDF("k"), "k")
+    val plan = DeletionVectors.read(spark, dir, "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"DV mask should broadcast against the base scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"base must not shuffle for the DV subtraction:\n$plan")
+  }
+}
