@@ -188,6 +188,48 @@ object LayoutQueries {
           shiftright(zkey31(col("l_partkey"), col("l_suppkey")), 20), "zorder"))
         .withColumn("skip_ratio",
           round(lit(1.0) - col("rows_scanned") / col("rows_total"), 6))
+    }),
+
+    // The bloom-vs-minmax accounting for a HASH-DISTRIBUTED point-lookup
+    // key (canonical-URL/fingerprint probes — q_url_dedup's read side):
+    // per simulated file, the md5 key's min/max box vs EXACT membership
+    // for a planted probe set. The values themselves make the case for
+    // parquet column bloom filters: every file's box admits every probe
+    // (n_minmax_admit == n_probes — a hash key defeats the z/minmax
+    // levers by construction) while the true member count is ~1/file —
+    // exactly the gap an O(footer-bytes) bloom check closes, which is
+    // what an ideal (FPP→0) filter returns. ParquetBloomSpec proves the
+    // REAL footer filters deliver it (writer options, BloomFilterReader
+    // verdicts, page-index narrowing); this query value-oracles the
+    // layout-independent statistics that justify the lever. Shape: one
+    // fact aggregate per file, probes via one equi join + one
+    // 1-row-broadcast array scalar (the lint-allowlisted q_minmax
+    // pattern) — no all-pairs anything.
+    "q_parquet_bloom_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        expr("doc_id DIV 128").as("file_id"),
+        md5(col("doc_id").cast("string")).as("key"))
+      val probes = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(md5(col("doc_id").cast("string")).as("probe"))
+      val files = docs.groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("key")).as("ndv_keys"),
+          min(col("key")).as("kmin"), max(col("key")).as("kmax"))
+      val member = docs.join(probes, docs("key") === probes("probe"))
+        .groupBy(col("file_id"))
+        .agg(countDistinct(col("probe")).as("n_member"))
+      val parr = probes.agg(
+        sort_array(collect_set(col("probe"))).as("_probes"))
+      files.crossJoin(broadcast(parr))
+        .join(member, Seq("file_id"), "left_outer")
+        .select(col("file_id"), col("n_rows"), col("ndv_keys"),
+          col("kmin"), col("kmax"),
+          size(col("_probes")).cast("long").as("n_probes"),
+          size(filter(col("_probes"),
+            p => p >= col("kmin") && p <= col("kmax")))
+            .cast("long").as("n_minmax_admit"),
+          coalesce(col("n_member"), lit(0L)).as("n_member"))
     }))
 
   /** The simulated ingest-file report feeding the compaction queries:
@@ -416,6 +458,32 @@ object LayoutQueries {
         |       CAST(SUM(CASE WHEN scan THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
         |       ROUND(1.0 - SUM(CASE WHEN scan THEN n_rows ELSE 0 END) / SUM(n_rows), 6) AS skip_ratio
         |FROM flagged GROUP BY 1""".stripMargin),
+
+    "q_parquet_bloom_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id // 128 AS file_id,
+        |         md5(CAST(doc_id AS VARCHAR)) AS key, doc_id
+        |  FROM documents),
+        |probes AS (
+        |  SELECT DISTINCT md5(CAST(doc_id AS VARCHAR)) AS probe
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |parr AS (SELECT list_sort(list(probe)) AS ps FROM probes),
+        |files AS (
+        |  SELECT file_id, COUNT(*) AS n_rows,
+        |         COUNT(DISTINCT key) AS ndv_keys,
+        |         MIN(key) AS kmin, MAX(key) AS kmax
+        |  FROM d GROUP BY 1),
+        |member AS (
+        |  SELECT file_id, COUNT(DISTINCT probe) AS n_member
+        |  FROM d JOIN probes ON d.key = probes.probe
+        |  GROUP BY 1)
+        |SELECT f.file_id, f.n_rows, f.ndv_keys, f.kmin, f.kmax,
+        |       CAST(len(ps) AS BIGINT) AS n_probes,
+        |       CAST(len(list_filter(ps, p -> p >= kmin AND p <= kmax)) AS BIGINT)
+        |         AS n_minmax_admit,
+        |       CAST(COALESCE(m.n_member, 0) AS BIGINT) AS n_member
+        |FROM files f CROSS JOIN parr
+        |LEFT JOIN member m ON f.file_id = m.file_id""".stripMargin,
 
     "q_retention_plan" ->
       """WITH report AS (
