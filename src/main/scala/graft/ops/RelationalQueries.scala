@@ -1582,6 +1582,26 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
     }),
 
+    // CBO-planned star join: the inputs are CATALOG tables with full
+    // column statistics (CboStats.registerAnalyzed — ANALYZE TABLE runs
+    // on every invocation, the machine-generated-SQL posture where no
+    // hand broadcast() hint exists), and the values are plan-independent
+    // so the oracle pins correctness while CboStatsSpec pins the
+    // decision flip the stats buy (selective-filter side broadcast
+    // instead of shuffled). The filter is deliberately selective (one
+    // priority of five): exactly the estimate a file-size-only planner
+    // cannot see.
+    "q_cbo_join" -> ((s, d) => {
+      CboStats.registerAnalyzed(s, d, "orders", "cbo_orders")
+      CboStats.registerAnalyzed(s, d, "customer", "cbo_customer")
+      s.table("cbo_orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .join(s.table("cbo_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+    }),
+
     // MERGE-ON-READ equivalence: the deletion-vector read path
     // (DeletionVectors.applyDv — per-key max(below_seq) mask, broadcast
     // left join, survive iff written at/after the mask) must produce
@@ -2878,6 +2898,14 @@ object RelationalQueries {
          SELECT o_orderstatus, COUNT(*) AS n,
                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
          FROM merged GROUP BY 1""",
+
+    "q_cbo_join" ->
+      """SELECT c_mktsegment AS mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
 
     // COW formulation on purpose: upserts replace, then deletes subtract —
     // matching this against Spark's deletion-vector read path proves
