@@ -39,22 +39,30 @@ object PageRank {
 
   /** PageRank after `iterations` power steps, damping 0.85.
     * Returns (node, r) with r = rank × 10^12 as BIGINT.
+    *
+    * `eager = false` disables the per-iteration materialization (no
+    * persist / localCheckpoint) and returns the fully-unrolled
+    * DECLARATIVE plan — same values, exponentially re-computed scans —
+    * so plan-shape pins can inspect the per-iteration join strategy
+    * that checkpointing hides behind a LogicalRDD scan. Production and
+    * the catalog run eager.
     */
   def pageRankFp(edges0: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 3): DataFrame = {
+      iterations: Int = 3, eager: Boolean = true): DataFrame = {
     // persist() the frames every iteration re-reads: the unrolled plan
     // references edges/nodes/deg and ranks_k from 3-4 consumers each, so
     // without a cache the base scan recomputes O(consumers^iterations)
     // times (measured 10.8 s → sub-second at sf0.1). persist keeps full
     // lineage (lint- and optimizer-transparent), and these frames are
     // nodes/edges-sized — the small side of the computation by design.
-    val edges = edges0
+    def pin(df: DataFrame): DataFrame = if (eager) df.persist() else df
+    val edges = pin(edges0
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct().persist()
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct().persist()
-    val deg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).cast("long").as("outdeg")).persist()
+      .distinct())
+    val nodes = pin(edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct())
+    val deg = pin(edges.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("outdeg")))
     val nTotal = nodes.agg(count(lit(1)).cast("long").as("__n"))
 
     var ranks = nodes.crossJoin(broadcast(nTotal))
@@ -73,21 +81,23 @@ object PageRank {
       // cached-block residency stays at one rank frame however many
       // iterations run (integer fixed-point, so the early materialization
       // cannot perturb values)
-      ranks = nodes.join(contrib, col("node") === col("dst"), "left_outer")
+      val next = nodes.join(contrib, col("node") === col("dst"), "left_outer")
         .crossJoin(broadcast(dangling)).crossJoin(broadcast(nTotal))
         .select(col("node"),
           expr(s"(${BaseNum}L div __n) + " +
             "(85 * (coalesce(__csum, 0L) + (__dang div __n))) div 100").as("r"))
-        .localCheckpoint(true)
+      ranks = if (eager) next.localCheckpoint(true) else next
       if (prevCp != null) freeCheckpoint(prevCp)
-      prevCp = ranks
+      if (eager) prevCp = ranks
     }
-    // the result is lineage-free (checkpointed), so the support caches are
-    // dead weight from here — free them rather than waiting on LRU
-    // eviction across repeated invocations
-    edges.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
+    if (eager) {
+      // the result is lineage-free (checkpointed), so the support caches
+      // are dead weight from here — free them rather than waiting on LRU
+      // eviction across repeated invocations
+      edges.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+    }
     ranks
   }
 
@@ -113,6 +123,12 @@ object GraphQueries {
     Tables.documents(s, d).select(
       pmod(col("doc_id"), lit(97L)).as("src"),
       pmod(col("doc_id") * 31L + 7L, lit(101L)).as("dst"))
+
+  /** Declarative twin of `q_pagerank` (no mid-plan materialization) for
+    * plan-shape pins / lint — see [[PageRank.pageRankFp]] `eager` doc.
+    */
+  def pagerankPlanOnly(s: SparkSession, d: String): DataFrame =
+    PageRank.pageRankFp(docEdges(s, d), "src", "dst", eager = false)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, d) => PageRank.pageRankFp(docEdges(s, d), "src", "dst")),

@@ -151,23 +151,72 @@ object ZOrder {
   /** Layout quality report: bucket rows into `buckets` equal-size runs of
     * the given ordering and emit each bucket's (x, y) bounding box and
     * box area — exactly the per-file min/max a parquet footer would carry
-    * under that layout. Deterministic (ntile over a total order), so the
+    * under that layout. Deterministic (SQL ntile semantics over a total
+    * order — the oracle replays it with DuckDB `ntile`), so the
     * zorder-vs-linear comparison is value-oracled, not a heuristic:
     * Σ area(zorder buckets) ≪ Σ area(linear buckets) IS the file-skipping
     * win, measured.
+    *
+    * Scale shape: NO unpartitioned window over the data. The global rank
+    * each row needs for its ntile bucket is assembled distributively:
+    * rows are binned by an equal-integer-width cut of the LEADING order
+    * column (`bin = (o0 - min) div width`, width = (max-min) div bins + 1
+    * — a deterministic, monotone function of the row's own values, so
+    * every re-evaluation of the plan agrees; a `spark_partition_id` after
+    * repartitionByRange would NOT, as column pruning can defeat exchange
+    * reuse and range boundaries resample per instantiation). Bins are
+    * ordered, so global order = (bin, orderBy); each row's local rank
+    * comes from a PARTITIONED window over its bin, its bin's starting
+    * offset from a per-bin-count frame of ≤ `bins` rows (metadata scale —
+    * the only unpartitioned window runs over THAT; the [[Compaction]]
+    * per-file-metadata adjudication), broadcast back. Bucket assignment
+    * is then the closed-form SQL ntile rule: with n rows and b buckets,
+    * the first n%b buckets take ⌈n/b⌉ rows, the rest ⌊n/b⌋.
+    *
+    * `bins` shapes parallelism only, never the result. The leading order
+    * column must be integral (every layout key here is a long); a heavily
+    * skewed leading column concentrates bins — size `bins` generously on
+    * a cluster, the per-bin frame stays metadata-scale regardless.
     */
   def layoutBoxes(
       df: DataFrame, xCol: String, yCol: String,
-      orderBy: Seq[Column], buckets: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(orderBy: _*)
-    df.withColumn("_bucket", ntile(buckets).over(w))
+      orderBy: Seq[Column], buckets: Int,
+      bins: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val oCols = orderBy.indices.map(i => col(s"_o$i"))
+    val base = df.select(
+      orderBy.zipWithIndex.map { case (c, i) => c.as(s"_o$i") } ++
+        Seq(col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y")): _*)
+    val span = base.agg(min(col("_o0").cast("long")).as("_lo"),
+      max(col("_o0").cast("long")).as("_hi"))
+    val binned = base.crossJoin(broadcast(span))
+      .withColumn("_bin", expr(
+        s"(cast(_o0 as bigint) - _lo) div (((_hi - _lo) div ${bins}L) + 1L)"))
+      .drop("_lo", "_hi")
+    val local = binned.withColumn("_lrn",
+      row_number().over(Window.partitionBy(col("_bin")).orderBy(oCols: _*)))
+    val wMeta = Window.orderBy(col("_bin"))
+    val offsets = binned.groupBy(col("_bin")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(sum(col("_cnt"))
+        .over(wMeta.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum(col("_cnt")).over(
+        wMeta.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("_bin"), col("_off"), col("_n"))
+    local.join(broadcast(offsets), Seq("_bin"))
+      .withColumn("_rn", col("_off") + col("_lrn"))
+      .withColumn("_q", expr(s"_n div ${buckets}L"))
+      .withColumn("_rem", expr(s"_n % ${buckets}L"))
+      .withColumn("_bucket",
+        when(col("_rn") <= col("_rem") * (col("_q") + lit(1L)),
+          expr("(_rn - 1) div (_q + 1) + 1"))
+          .otherwise(expr("_rem + ((_rn - (_rem * (_q + 1)) - 1) div _q) + 1")))
       .groupBy(col("_bucket").as("bucket"))
       .agg(
         count(lit(1)).as("n_rows"),
-        min(col(xCol)).cast("long").as("x_min"),
-        max(col(xCol)).cast("long").as("x_max"),
-        min(col(yCol)).cast("long").as("y_min"),
-        max(col(yCol)).cast("long").as("y_max"))
+        min(col("_x")).as("x_min"),
+        max(col("_x")).as("x_max"),
+        min(col("_y")).as("y_min"),
+        max(col("_y")).as("y_max"))
       .withColumn("box_area",
         (col("x_max") - col("x_min") + lit(1L)) *
           (col("y_max") - col("y_min") + lit(1L)))

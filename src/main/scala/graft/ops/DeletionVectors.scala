@@ -109,9 +109,17 @@ object DeletionVectors {
     * per-key aggregate over the sidecar, broadcast, one left join, one
     * codegen'd filter — the base never shuffles.
     */
-  def applyDv(data: DataFrame, dv: DataFrame, key: String): DataFrame = {
+  def applyDv(data: DataFrame, dv: DataFrame, key: String,
+      maxBroadcastBytes: Long = 256L * 1024 * 1024): DataFrame = {
     val mask = dv.groupBy(col(key)).agg(max(col("below_seq")).as("_below"))
-    data.join(broadcast(mask), Seq(key), "left_outer")
+    // GATED broadcast (the enrichStream doctrine): the sidecar is
+    // deltas-since-last-fold — normally the side a 1000-executor base
+    // scan wants broadcast — but a fold-starved table can outgrow that;
+    // past the cap this degrades to a keyed shuffle join instead of an
+    // executor OOM. The estimate is the optimizer's own sizeInBytes.
+    val est = mask.queryExecution.optimizedPlan.stats.sizeInBytes
+    val side = if (est <= maxBroadcastBytes) broadcast(mask) else mask
+    data.join(side, Seq(key), "left_outer")
       .filter(col("_below").isNull || col(SeqCol) >= col("_below"))
       .drop("_below")
   }

@@ -100,6 +100,31 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(zArea * 2 < linArea, s"zorder=$zArea linear=$linArea")
   }
 
+  test("layoutBoxes matches the single-window ntile reference exactly") {
+    // the distributed bucketing (range partitions + local row_number +
+    // offset join) must reproduce SQL ntile bit-for-bit — this is the
+    // equivalence that lets the DuckDB oracle keep using plain ntile
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .withColumn("_zk", ZOrder.zkey(col("l_partkey"), col("l_suppkey")))
+    val order = Seq(col("_zk"), col("l_orderkey"), col("l_linenumber"))
+    val ref = li
+      .withColumn("_bucket",
+        ntile(16).over(Window.orderBy(order: _*)).cast("long"))
+      .groupBy(col("_bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).cast("long").as("x_min"),
+        max(col("l_partkey")).cast("long").as("x_max"),
+        min(col("l_suppkey")).cast("long").as("y_min"),
+        max(col("l_suppkey")).cast("long").as("y_max"))
+      .orderBy("bucket").collect().map(_.toSeq)
+    // bin count deliberately ≠ bucket count and non-dividing
+    val got = ZOrder.layoutBoxes(li, "l_partkey", "l_suppkey", order,
+        buckets = 16, bins = 7)
+      .drop("box_area").orderBy("bucket").collect().map(_.toSeq)
+    assert(got.toSeq === ref.toSeq)
+  }
+
   test("clusterByZ yields the requested partition count, sorted within each") {
     val li = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val clustered = ZOrder.clusterByZ(li, "l_partkey", "l_suppkey", numPartitions = 8)

@@ -285,7 +285,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q_pagerank: rank/edge joins are equi (hash) joins; only scalars cross") {
-    val df = graft.SparkEntry.queries("q_pagerank")(spark, d)
+    // the shipped query localCheckpoints each iteration (block discipline),
+    // so its final plan is a LogicalRDD scan — pin the join strategy on
+    // the declarative twin, which unrolls the same iterations lazily
+    val df = graft.graph.GraphQueries.pagerankPlanOnly(spark, d)
     val plan = df.queryExecution.sparkPlan.toString
     // the per-iteration contrib join must be an equi join on src/node —
     // BNLJ is reserved for the broadcast 1-row scalars (allowlisted)
