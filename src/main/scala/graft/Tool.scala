@@ -38,6 +38,11 @@ object Tool {
           println(f"[tool] rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
         }
       case "stages" =>
+        // untimed warm reps first (arg 3, default 0): JIT + codegen off
+        // the profile, so the listener sees the steady-state stage set
+        (1 to args.lift(3).map(_.toInt).getOrElse(0)).foreach { _ =>
+          q(spark, sfDir).count(); ()
+        }
         val listener = new org.apache.spark.scheduler.SparkListener {
           override def onStageCompleted(
               sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {

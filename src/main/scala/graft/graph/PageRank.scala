@@ -15,14 +15,20 @@ import graft.ops.Tables
   * hash-partitioned on the join key — on a real cluster the edge list's
   * partitioning is REUSED across iterations while only the small rank
   * vector moves), one aggregate of contributions by `dst`, and two 1-row
-  * broadcast scalars (node count, dangling mass). Each iteration's rank
-  * vector is eagerly `localCheckpoint`ed and its predecessor's blocks
-  * freed immediately (same discipline as [[graft.dedup.Dedup]]'s label
-  * propagation) — bounding both plan depth and cached-block residency at
-  * one node-scale frame regardless of K; the support frames
-  * (edges/nodes/deg) are unpersisted before return, so repeated catalog
-  * or bench invocations leave nothing behind but the returned
-  * lineage-free result.
+  * broadcast scalars (node count, dangling mass). Iterations inside a
+  * checkpoint span pin their rank vector with a LAZY `persist()` (no
+  * blocking materialization — the cache fills as the next span consumes
+  * it); every `CheckpointEvery`-th iteration AND the final one cut
+  * lineage with a blocking `localCheckpoint(true)`, at which point every
+  * superseded frame in the span (and the previous checkpoint) is freed
+  * at once. That keeps the two 100×-scale bounds — plan depth ≤ span
+  * length, cached-block residency ≤ span+1 node-scale frames transiently
+  * and exactly ONE after return — while paying ceil(K/span) blocking
+  * materializations instead of K (the per-iteration eager variant cost
+  * ~4× latency at shallow K for memory the fixture never needed). The
+  * support frames (edges/nodes/deg) are unpersisted before return, so
+  * repeated catalog or bench invocations leave nothing behind but the
+  * returned lineage-free result.
   *
   * Arithmetic is FIXED-POINT (rank × 10^12 as BIGINT, `div` for every
   * division): integer sums are associative/commutative, so the result is
@@ -37,6 +43,13 @@ object PageRank {
   private val Scale = 1000000000000L // 10^12: fixed-point 1.0
   private val BaseNum = 150000000000L // Scale * (1 - 0.85)
 
+  /** Iterations per checkpoint span: lineage is cut (and superseded
+    * frames freed) every this-many iterations, not every one. 3 keeps
+    * the unrolled plan shallow while shallow runs (K ≤ 3, the catalog
+    * fixture) pay exactly ONE blocking materialization.
+    */
+  private val CheckpointEvery = 3
+
   /** PageRank after `iterations` power steps, damping 0.85.
     * Returns (node, r) with r = rank × 10^12 as BIGINT.
     *
@@ -49,9 +62,33 @@ object PageRank {
     */
   def pageRankFp(edges0: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, eager: Boolean = true): DataFrame = {
+    // Let AQE size the ITERATION frames' partitioning from observed data
+    // instead of inheriting the static shuffle.partitions: cached-plan
+    // compilation pins output partitioning by default
+    // (canChangeCachedPlanOutputPartitioning=false), which froze every
+    // node-scale micro-frame at 32 partitions — ~25 stages x 32 near-empty
+    // tasks of pure scheduling overhead per run at fixture scale. With the
+    // conf scoped on, AQE coalesces those to single-task stages here and
+    // picks real partition counts at cluster scale — the decision belongs
+    // to the runtime, not the static conf. Restored on exit.
+    val spark = edges0.sparkSession
+    val scopedConfs = Seq(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true")
+    val prev = if (eager) scopedConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      else Nil
+    if (eager) scopedConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try pageRankFpInner(edges0, srcCol, dstCol, iterations, eager)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def pageRankFpInner(edges0: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, eager: Boolean): DataFrame = {
     // persist() the frames every iteration re-reads: the unrolled plan
-    // references edges/nodes/deg and ranks_k from 3-4 consumers each, so
-    // without a cache the base scan recomputes O(consumers^iterations)
+    // references edges and nodeDeg and ranks_k from 2-3 consumers each,
+    // so without a cache the base scan recomputes O(consumers^iterations)
     // times (measured 10.8 s → sub-second at sf0.1). persist keeps full
     // lineage (lint- and optimizer-transparent), and these frames are
     // nodes/edges-sized — the small side of the computation by design.
@@ -59,46 +96,91 @@ object PageRank {
     val edges = pin(edges0
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct())
-    val nodes = pin(edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct())
-    val deg = pin(edges.groupBy(col("src"))
-      .agg(count(lit(1)).cast("long").as("outdeg")))
-    val nTotal = nodes.agg(count(lit(1)).cast("long").as("__n"))
+    // loop-invariant (node, outdeg|null) frame in ONE aggregation: each
+    // distinct edge contributes its src endpoint flagged 1 and its dst
+    // endpoint flagged 0; summing flags per node IS the out-degree, and a
+    // node seen only as a destination sums to 0 → NULL outdeg (dangling).
+    // This replaces the former nodes-distinct + deg-groupBy + left-outer
+    // join (three shuffles) with one shuffle. The rank STATE carries
+    // outdeg through every iteration, so the hot loop never re-joins deg
+    // (the former ranks ⋈ deg was evaluated twice per iteration — once
+    // under the dangling aggregate, once under perSrc — pure stage
+    // overhead at fixture scale, a repeated node-scale shuffle at 100 TB)
+    val nodeDeg = pin(edges
+      .select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("__isSrc")),
+        struct(col("dst").as("node"), lit(0L).as("__isSrc")))).as("ep"))
+      .select(col("ep.node").as("node"), col("ep.__isSrc").as("__isSrc"))
+      .groupBy(col("node"))
+      .agg(when(sum(col("__isSrc")) > 0L, sum(col("__isSrc"))).as("outdeg")))
+    val nTotal = nodeDeg.agg(count(lit(1)).cast("long").as("__n"))
 
-    var ranks = nodes.crossJoin(broadcast(nTotal))
-      .select(col("node"), expr(s"${Scale}L div __n").as("r"))
+    var ranks = nodeDeg.crossJoin(broadcast(nTotal))
+      .select(col("node"), expr(s"${Scale}L div __n").as("r"), col("outdeg"))
     var prevCp: DataFrame = null
-    for (_ <- 1 to iterations) {
-      val withDeg = ranks.join(deg, col("node") === col("src"), "left_outer")
-      val dangling = withDeg.filter(col("outdeg").isNull)
-        .agg(coalesce(sum(col("r")), lit(0L)).as("__dang"))
-      val perSrc = withDeg.filter(col("outdeg").isNotNull)
-        .select(col("node").as("__src"), expr("r div outdeg").as("__c"))
-      val contrib = edges.join(perSrc, col("src") === col("__src"))
-        .groupBy(col("dst")).agg(sum(col("__c")).as("__csum"))
-      // eager checkpoint: materializes this iteration's node-scale rank
-      // vector NOW, so the predecessor's blocks can be dropped at once —
-      // cached-block residency stays at one rank frame however many
-      // iterations run (integer fixed-point, so the early materialization
-      // cannot perturb values)
-      val next = nodes.join(contrib, col("node") === col("dst"), "left_outer")
-        .crossJoin(broadcast(dangling)).crossJoin(broadcast(nTotal))
+    var spanPinned: List[DataFrame] = Nil
+    for (i <- 1 to iterations) {
+      // ONE join + ONE aggregate per iteration: the right-outer keeps
+      // dangling nodes (no out-edge) as dst=NULL rows, so the same
+      // groupBy(dst) that sums per-destination contributions also folds
+      // the dangling mass into the NULL group — the former separate
+      // dangling filter+aggregate chain (its own stages + broadcast every
+      // iteration) collapses into a 1-row probe of the cached aggregate.
+      // `r div outdeg` is NULL exactly on the dangling rows, so __csum is
+      // untouched by them; values are bit-identical to the two-chain form.
+      val contrib = edges.join(ranks, col("src") === col("node"), "right_outer")
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div outdeg")).as("__csum"),
+          sum(when(col("outdeg").isNull, col("r"))).as("__dangp"))
+      // contrib has two consumers (the scalar probe and the rank update):
+      // pin it — this replaces the former per-iteration rank pin; freed at
+      // the span boundary below
+      val contribP = if (eager) contrib.persist() else contrib
+      if (eager) spanPinned = contribP :: spanPinned
+      // one combined 1-row scalar broadcast per iteration (dangling mass
+      // x node count); the aggregate guards the no-dangling-row case —
+      // a bare filter(dst IS NULL) would yield an EMPTY frame there and
+      // annihilate the crossJoin
+      val scalars = contribP
+        .agg(coalesce(sum(when(col("dst").isNull, col("__dangp"))), lit(0L))
+          .as("__dang"))
+        .crossJoin(nTotal)
+      val next = nodeDeg
+        .join(contribP.filter(col("dst").isNotNull), col("node") === col("dst"),
+          "left_outer")
+        .crossJoin(broadcast(scalars))
         .select(col("node"),
           expr(s"(${BaseNum}L div __n) + " +
-            "(85 * (coalesce(__csum, 0L) + (__dang div __n))) div 100").as("r"))
-      ranks = if (eager) next.localCheckpoint(true) else next
-      if (prevCp != null) freeCheckpoint(prevCp)
-      if (eager) prevCp = ranks
+            "(85 * (coalesce(__csum, 0L) + (__dang div __n))) div 100").as("r"),
+          col("outdeg"))
+      if (!eager) {
+        ranks = next
+      } else if (i % CheckpointEvery == 0 || i == iterations) {
+        // span boundary: cut lineage with ONE blocking materialization,
+        // then free every frame the new checkpoint supersedes (integer
+        // fixed-point, so the early materialization cannot perturb values)
+        ranks = next.localCheckpoint(true)
+        spanPinned.foreach(_.unpersist(blocking = false))
+        spanPinned = Nil
+        if (prevCp != null) freeCheckpoint(prevCp)
+        prevCp = ranks
+      } else {
+        // inside a span the chain ranks -> contrib -> ranks is linear
+        // (contrib is the only multiply-consumed frame, pinned above), so
+        // the rank frame itself needs no pin
+        ranks = next
+      }
     }
     if (eager) {
       // the result is lineage-free (checkpointed), so the support caches
       // are dead weight from here — free them rather than waiting on LRU
       // eviction across repeated invocations
       edges.unpersist(blocking = false)
-      nodes.unpersist(blocking = false)
-      deg.unpersist(blocking = false)
+      nodeDeg.unpersist(blocking = false)
     }
-    ranks
+    // outdeg was loop state, not output — project it away (narrow op over
+    // the checkpointed frame; lineage stays cut)
+    ranks.select(col("node"), col("r"))
   }
 
   /** Drop the cached blocks behind a superseded `localCheckpoint(true)`d

@@ -51,6 +51,32 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert(r(2L) > r(1L))
   }
 
+  test("residency: at most one node-scale frame stays cached after return") {
+    // the checkpoint-cadence rewrite must keep the 100x-scale bound the
+    // per-iteration eager variant bought: whatever K, once pageRankFp
+    // returns only the FINAL checkpointed rank frame may hold blocks —
+    // span-internal persists and superseded checkpoints are freed.
+    val g = edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 1L, 4L -> 1L)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // K=7 spans three checkpoint boundaries (3, 6, 7) plus span persists
+    val r = PageRank.pageRankFp(g, "src", "dst", iterations = 7)
+    r.collect()
+    // unpersist(blocking=false) is async — give the block manager a beat
+    val deadline = System.nanoTime() + 5000000000L
+    def leftover = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    while (leftover.size > 1 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leftover.size <= 1, s"residency bound broken: ${leftover.size} frames held")
+  }
+
+  test("checkpoint cadence does not perturb values vs the declarative plan") {
+    val g = edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 1L, 4L -> 1L, 4L -> 2L)
+    for (k <- Seq(2, 4, 5, 7)) { // spans boundaries: mid-span and exact-span Ks
+      val eagerR = ranks(PageRank.pageRankFp(g, "src", "dst", iterations = k))
+      val lazyR = ranks(PageRank.pageRankFp(g, "src", "dst", iterations = k, eager = false))
+      assert(eagerR === lazyR, s"eager/declarative diverged at k=$k")
+    }
+  }
+
   test("chain orders ranks by depth and matches closed-form hand iteration") {
     // 1 -> 2 -> 3 (3 a dangling sink): deeper nodes accumulate more rank
     val g = edges(1L -> 2L, 2L -> 3L)
