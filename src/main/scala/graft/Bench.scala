@@ -55,7 +55,29 @@ object Bench {
     calibrate() // untimed: first run pays JIT compilation of the loop
     def cal3(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val calPre = calibrate()
+    // RUN-LEVEL contamination gate (round-14 verdict): the per-query
+    // self-heal fixes spikes but cannot fix a uniformly loaded box — two
+    // consecutive driver runs published inflated totals that a human had
+    // to re-adjudicate. The historical single-thread floor on this box is
+    // committed as a constant (r13 flat sentinels: 0.239 s; r14's judge
+    // re-run confirmed the same floor on a quiet box). If the pre-run
+    // calibration exceeds GateRatio x floor, wait out the load once
+    // (CooldownMs) and re-calibrate; if STILL above, the run proceeds —
+    // a late result beats none — but the JSON envelope is stamped
+    // "contaminated": true so the driver never publishes inflated totals
+    // as clean. The stamp also trips if the mid/post sentinels exceed the
+    // gate (load that arrived after the gate passed).
+    val CalFloorSec = 0.239
+    val GateRatio = 1.2
+    val CooldownMs = 30000L
+    var calPre = calibrate()
+    var cooldownRetries = 0
+    if (calPre > GateRatio * CalFloorSec) {
+      Thread.sleep(CooldownMs)
+      cooldownRetries = 1
+      calPre = calibrate()
+    }
+    val gateFailed = calPre > GateRatio * CalFloorSec
     val calPrePar = calibratePar(nThreads)
     // Untimed warmup at sf0.001: first execution of each plan shape pays
     // JIT + whole-stage-codegen class compilation (measured 8-20x on the
@@ -187,8 +209,10 @@ object Bench {
     // char budget naming healed queries instead of reporting timings
     val requeriedJson =
       requeried.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val contaminated = gateFailed ||
+      calMid > GateRatio * CalFloorSec || calPost > GateRatio * CalFloorSec
     val calJson =
-      s""""calibration_sec":{"pre":${cal3(calPre)},"mid":${cal3(calMid)},"post":${cal3(calPost)}},"calibration_par_sec":{"threads":$nThreads,"pre":${cal3(calPrePar)},"mid":${cal3(calMidPar)},"post":${cal3(calPostPar)}},"cal_q_spread":${cal3(calSpread)},"cal_q_spread_raw":${cal3(calSpreadRaw)},"requeried_n":${requeried.size},"requeried":$requeriedJson"""
+      s""""calibration_sec":{"pre":${cal3(calPre)},"mid":${cal3(calMid)},"post":${cal3(calPost)}},"calibration_par_sec":{"threads":$nThreads,"pre":${cal3(calPrePar)},"mid":${cal3(calMidPar)},"post":${cal3(calPostPar)}},"cal_floor":$CalFloorSec,"cooldown_retries":$cooldownRetries,"contaminated":$contaminated,"cal_q_spread":${cal3(calSpread)},"cal_q_spread_raw":${cal3(calSpreadRaw)},"requeried_n":${requeried.size},"requeried":$requeriedJson"""
     val fullJson =
       s"""{"metric":"total","value":$totalMin,"unit":"sec","reps":$reps,"stat":"min_of_reps",$calJson,"total_median":$totalMedian,"nq_failed":${errEntries.size},"errors":$errJson,"queries":$qsMin,"queries_median":$qsMedian,"cal_per_query":$qsCal,"sf":"$sfDir"}"""
     // Persist the full per-query set (the durable machine-readable
