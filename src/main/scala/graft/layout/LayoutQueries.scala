@@ -56,8 +56,9 @@ object LayoutQueries {
     // bucket's (partkey, suppkey) bounding box — the per-file min/max a
     // parquet footer would carry under that layout. The zorder rows' total
     // box area landing far below linear IS the file-skipping win.
-    // (Global-window ntile = one partition by design: this is a layout
-    // REPORT over per-bucket summaries, not a production scan path.)
+    // (Bucketing runs layoutBoxes' distributed exact-ntile protocol:
+    // equal-width bins on the leading key + a partitioned local rank +
+    // a <=bins-row offset frame — no data-scale unpartitioned window.)
     "q_zorder_layout" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val z = ZOrder.layoutBoxes(

@@ -47,10 +47,18 @@ object ParquetBloom {
     w.parquet(dir)
   }
 
-  private def parquetPaths(dir: String): Seq[String] = {
-    val ps = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
-      .map(_.getAbsolutePath).sorted.toSeq
+  // Listing through the Hadoop FileSystem API (the same layer the footer
+  // readers below already use via HadoopInputFile), NOT java.io.File —
+  // the table dir is an HDFS/S3 URI on the deployment this module's
+  // scaladoc describes.
+  private def parquetPaths(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val ps =
+      (if (fs.exists(p)) fs.listStatus(p).toSeq else Seq.empty)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+          s.getLen > 0)
+        .map(_.getPath.toString).sorted
     require(ps.nonEmpty, s"no parquet files under $dir")
     ps
   }
@@ -67,7 +75,7 @@ object ParquetBloom {
   def bloomProbeReport(spark: SparkSession, dir: String, colName: String,
       probes: Seq[String]): DataFrame = {
     import spark.implicits._
-    val paths = parquetPaths(dir)
+    val paths = parquetPaths(spark, dir)
     spark.createDataset(paths)
       .repartition(math.min(paths.length, 32))
       .flatMap { p =>
@@ -113,7 +121,7 @@ object ParquetBloom {
   def pageIndexReport(spark: SparkSession, dir: String,
       colName: String): DataFrame = {
     import spark.implicits._
-    val paths = parquetPaths(dir)
+    val paths = parquetPaths(spark, dir)
     spark.createDataset(paths)
       .repartition(math.min(paths.length, 32))
       .flatMap { p =>

@@ -174,9 +174,14 @@ object ZOrder {
     * the first n%b buckets take ⌈n/b⌉ rows, the rest ⌊n/b⌋.
     *
     * `bins` shapes parallelism only, never the result. The leading order
-    * column must be integral (every layout key here is a long); a heavily
-    * skewed leading column concentrates bins — size `bins` generously on
-    * a cluster, the per-bin frame stays metadata-scale regardless.
+    * column must be integral (every layout key here is a long); NULL
+    * leading keys are supported — they bin to a -1 sentinel that sorts
+    * first, matching SQL ntile's nulls-first ascending rank (a bare div
+    * would leave the bin NULL and the offset equi-join would silently
+    * drop those rows). A heavily skewed leading column concentrates
+    * bins — size `bins` generously on a cluster, the per-bin frame stays
+    * metadata-scale regardless; the local rank is long-typed, so even a
+    * single bin holding >2^31 rows ranks correctly.
     */
   def layoutBoxes(
       df: DataFrame, xCol: String, yCol: String,
@@ -189,12 +194,23 @@ object ZOrder {
         Seq(col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y")): _*)
     val span = base.agg(min(col("_o0").cast("long")).as("_lo"),
       max(col("_o0").cast("long")).as("_hi"))
+    // NULL leading keys bin to -1: real bins are >= 0 (o0 - min >= 0), so
+    // the sentinel sorts FIRST in the offset frame — exactly where SQL
+    // ntile's default nulls-first ascending order ranks NULL rows. A bare
+    // div would leave _bin NULL and the equi-join below would silently
+    // DROP those rows (NULL never equi-matches).
     val binned = base.crossJoin(broadcast(span))
-      .withColumn("_bin", expr(
-        s"(cast(_o0 as bigint) - _lo) div (((_hi - _lo) div ${bins}L) + 1L)"))
+      .withColumn("_bin", coalesce(expr(
+        s"(cast(_o0 as bigint) - _lo) div (((_hi - _lo) div ${bins}L) + 1L)"),
+        lit(-1L)))
       .drop("_lo", "_hi")
+    // long-typed local rank (running count over the bin partition), NOT
+    // row_number(): that returns IntegerType and a single bin past ~2.1B
+    // rows — the skewed-leading-key concentration the doc warns about —
+    // would overflow _rn into negative buckets at the stated 100 TB scale
     val local = binned.withColumn("_lrn",
-      row_number().over(Window.partitionBy(col("_bin")).orderBy(oCols: _*)))
+      sum(lit(1L)).over(Window.partitionBy(col("_bin")).orderBy(oCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val wMeta = Window.orderBy(col("_bin"))
     val offsets = binned.groupBy(col("_bin")).agg(count(lit(1)).as("_cnt"))
       .withColumn("_off", coalesce(sum(col("_cnt"))

@@ -40,13 +40,27 @@ object DeletionVectors {
   val SeqCol = "seq"
   private val DvDirName = "_dv"
 
-  private def seqDirs(dir: String): Seq[Long] =
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$SeqCol="))
-      .map(_.getName.stripPrefix(s"$SeqCol=").toLong).toSeq.sorted
+  // Directory enumeration through the Hadoop FileSystem API (resolved
+  // from the session's hadoopConf), NOT java.io.File: the table dir is an
+  // HDFS/S3 URI on the deployment this module's scaladoc describes; the
+  // footer readers in [[graft.layout.ParquetBloom]] already go through
+  // the same API.
+  private def hfs(spark: SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
 
-  private def maxSeq(dir: String): Long = {
-    val ds = seqDirs(dir)
+  private def seqDirs(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, p) = hfs(spark, dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$SeqCol="))
+      .map(_.getPath.getName.stripPrefix(s"$SeqCol=").toLong).sorted
+  }
+
+  private def maxSeq(spark: SparkSession, dir: String): Long = {
+    val ds = seqDirs(spark, dir)
     require(ds.nonEmpty, s"not a DV table (no $SeqCol=* dirs): $dir")
     ds.max
   }
@@ -62,7 +76,7 @@ object DeletionVectors {
     */
   def appendUpserts(spark: SparkSession, dir: String,
       updates: DataFrame, key: String): Long = {
-    val n = maxSeq(dir) + 1
+    val n = maxSeq(spark, dir) + 1
     updates.write.mode("error").parquet(s"$dir/$SeqCol=$n")
     updates.select(col(key), lit(n).as("below_seq"))
       .distinct()
@@ -77,7 +91,7 @@ object DeletionVectors {
     */
   def deleteKeys(spark: SparkSession, dir: String,
       keys: DataFrame, key: String): Long = {
-    val below = maxSeq(dir) + 1
+    val below = maxSeq(spark, dir) + 1
     val batch = keys.select(col(key), lit(below).as("below_seq")).distinct()
       .localCheckpoint() // count + write from one materialization
     batch.write.mode("append").parquet(s"$dir/$DvDirName")
@@ -88,12 +102,14 @@ object DeletionVectors {
     * been written yet).
     */
   def readDv(spark: SparkSession, dir: String, key: String): DataFrame = {
-    val p = new java.io.File(s"$dir/$DvDirName")
-    if (p.isDirectory) spark.read.parquet(p.getPath)
+    val (fs, _) = hfs(spark, dir)
+    val dvPath = new org.apache.hadoop.fs.Path(s"$dir/$DvDirName")
+    if (fs.exists(dvPath) && fs.getFileStatus(dvPath).isDirectory)
+      spark.read.parquet(dvPath.toString)
     else {
       // no sidecar yet (fresh or just-folded table): an empty, correctly
       // key-typed frame, schema taken from any live sequence directory
-      val kt = spark.read.parquet(s"$dir/$SeqCol=${seqDirs(dir).head}")
+      val kt = spark.read.parquet(s"$dir/$SeqCol=${seqDirs(spark, dir).head}")
         .schema(key).dataType
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -111,12 +127,24 @@ object DeletionVectors {
     */
   def applyDv(data: DataFrame, dv: DataFrame, key: String,
       maxBroadcastBytes: Long = 256L * 1024 * 1024): DataFrame = {
+    // streaming frames can't be size-estimated here (forcing optimizedPlan
+    // below would throw mid-analysis) and the streaming MoR face goes
+    // through StreamingMerge anyway — fail with the pointer, not a stack
+    // trace from the optimizer
+    require(!dv.isStreaming,
+      "applyDv is batch-only: streaming merge-on-read goes through " +
+        "graft.streaming.StreamingMerge (snapshotWithDeletes/currentStateMor)")
     val mask = dv.groupBy(col(key)).agg(max(col("below_seq")).as("_below"))
     // GATED broadcast (the enrichStream doctrine): the sidecar is
     // deltas-since-last-fold — normally the side a 1000-executor base
     // scan wants broadcast — but a fold-starved table can outgrow that;
     // past the cap this degrades to a keyed shuffle join instead of an
-    // executor OOM. The estimate is the optimizer's own sizeInBytes.
+    // executor OOM. The estimate is the optimizer's own non-CBO
+    // sizeInBytes, which OVERESTIMATES: Filter/Aggregate default stats
+    // inherit the child scan's size, so a tiny mask distilled from a
+    // large source can exceed the cap and fall back to the shuffle join —
+    // a latency cost, never a correctness or OOM risk (the bias only ever
+    // declines a broadcast; same doctrine as enrichStream's gate).
     val est = mask.queryExecution.optimizedPlan.stats.sizeInBytes
     val side = if (est <= maxBroadcastBytes) broadcast(mask) else mask
     data.join(side, Seq(key), "left_outer")
@@ -148,14 +176,13 @@ object DeletionVectors {
       (if (orderBy.nonEmpty) survivors0.sortWithinPartitions(orderBy: _*)
        else survivors0).localCheckpoint() // the sink overwrites dirs the plan reads
     val n = survivors.count()
-    val oldSeqs = seqDirs(dir)
+    val oldSeqs = seqDirs(spark, dir)
     survivors.write.mode("overwrite").parquet(s"$dir/$SeqCol=${oldSeqs.max + 1}")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
+    val (fs, _) = hfs(spark, dir)
+    oldSeqs.foreach { sq =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$SeqCol=$sq"), true); ()
     }
-    oldSeqs.foreach(sq => rm(new java.io.File(s"$dir/$SeqCol=$sq")))
-    rm(new java.io.File(s"$dir/$DvDirName"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$DvDirName"), true)
     (n, dvEntries)
   }
 }

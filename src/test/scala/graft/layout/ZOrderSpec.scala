@@ -125,6 +125,35 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === ref.toSeq)
   }
 
+  test("layoutBoxes keeps NULL leading keys and ranks them nulls-first like ntile") {
+    // r14 advisory: a NULL leading key used to bin to NULL and vanish in
+    // the offset equi-join — silent row loss vs the ntile reference,
+    // which ranks NULLs first. Pin: no rows dropped, bit-for-bit ntile
+    // equivalence on a frame where 1/5 of leading keys are NULL.
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .withColumn("_zk",
+        when(col("l_linenumber") % 5 === 0, lit(null).cast("long"))
+          .otherwise(ZOrder.zkey(col("l_partkey"), col("l_suppkey"))))
+    val order = Seq(col("_zk"), col("l_orderkey"), col("l_linenumber"))
+    val got = ZOrder.layoutBoxes(li, "l_partkey", "l_suppkey", order,
+      buckets = 16, bins = 7)
+    assert(got.agg(sum(col("n_rows"))).head.getLong(0) === li.count(),
+      "rows with NULL leading keys were dropped")
+    val ref = li
+      .withColumn("_bucket",
+        ntile(16).over(Window.orderBy(order: _*)).cast("long"))
+      .groupBy(col("_bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).cast("long").as("x_min"),
+        max(col("l_partkey")).cast("long").as("x_max"),
+        min(col("l_suppkey")).cast("long").as("y_min"),
+        max(col("l_suppkey")).cast("long").as("y_max"))
+      .orderBy("bucket").collect().map(_.toSeq)
+    assert(got.drop("box_area").orderBy("bucket").collect().map(_.toSeq).toSeq
+      === ref.toSeq)
+  }
+
   test("clusterByZ yields the requested partition count, sorted within each") {
     val li = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val clustered = ZOrder.clusterByZ(li, "l_partkey", "l_suppkey", numPartitions = 8)
