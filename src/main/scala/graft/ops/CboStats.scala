@@ -29,10 +29,21 @@ object CboStats {
     * catalog queries can call it on every invocation.
     */
   def registerAnalyzed(spark: SparkSession, sfDir: String,
-      table: String, name: String): Unit = {
+      table: String, name: String): Unit =
+    registerAnalyzedCols(spark, sfDir, table, name, Nil)
+
+  /** Like [[registerAnalyzed]] but restricted to `cols` when non-empty —
+    * the planner only needs stats on the join/filter columns it will
+    * estimate with, and at fact-table widths "FOR ALL COLUMNS" turns a
+    * per-invocation stats refresh into a full wide-row scan.
+    */
+  def registerAnalyzedCols(spark: SparkSession, sfDir: String,
+      table: String, name: String, cols: Seq[String]): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     spark.catalog.createTable(name, s"$sfDir/$table.parquet", "parquet")
-    spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+    val scope =
+      if (cols.isEmpty) "FOR ALL COLUMNS" else s"FOR COLUMNS ${cols.mkString(", ")}"
+    spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS $scope")
     ()
   }
 

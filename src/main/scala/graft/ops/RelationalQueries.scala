@@ -1602,6 +1602,46 @@ object RelationalQueries {
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
     }),
 
+    // The JOIN-REORDER half of the CBO lever (q_cbo_join pins the
+    // broadcast flip): a 3-table star written fact-FIRST —
+    // (lineitem ⋈ orders) ⋈ tiny-filtered-customer, the order a
+    // machine-generated query is free to emit — over fully ANALYZE'd
+    // catalog tables. With cbo + joinReorder scoped on,
+    // CostBasedJoinReorder's DP provably rewrites the tree dims-first
+    // with the fact joined LAST (CboStatsSpec pins the leaf order on the
+    // optimized plan, raw-vs-ANALYZE'd); the oracle pins that the
+    // reorder never perturbs values.
+    "q_cbo_reorder" -> ((s, d) => {
+      // stats scoped to the join/filter/agg columns the DP estimates
+      // with — FOR ALL COLUMNS on the fact would re-scan every wide row
+      // per invocation for stats the reorder never reads
+      val statCols = Map(
+        "lineitem" -> Seq("l_orderkey", "l_returnflag", "l_extendedprice"),
+        "orders" -> Seq("o_orderkey", "o_custkey"),
+        "customer" -> Seq("c_custkey", "c_mktsegment"))
+      for ((t, cs) <- statCols)
+        CboStats.registerAnalyzedCols(s, d, t, s"cbo_ro_$t", cs)
+      CboStats.withCbo(s) {
+        val df = s.table("cbo_ro_lineitem")
+          .join(s.table("cbo_ro_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(s.table("cbo_ro_customer")
+              .filter(col("c_mktsegment") === "BUILDING" &&
+                col("c_custkey") <= 150),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_returnflag").as("returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(round(col("l_extendedprice") * 100).cast("long"))
+              .as("sum_cents"))
+        // force optimization INSIDE the scope: optimizedPlan is a
+        // memoized lazy val on this Dataset's QueryExecution, so the
+        // caller's later action executes the CBO-reordered tree even
+        // though withCbo restores the confs on exit
+        df.queryExecution.optimizedPlan
+        df
+      }
+    }),
+
     // MERGE-ON-READ equivalence: the deletion-vector read path
     // (DeletionVectors.applyDv — per-key max(below_seq) mask, broadcast
     // left join, survive iff written at/after the mask) must produce
@@ -2905,6 +2945,16 @@ object RelationalQueries {
         |    AS sum_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
+
+    "q_cbo_reorder" ->
+      """SELECT l_returnflag AS returnflag, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 150
         |GROUP BY 1""".stripMargin,
 
     // COW formulation on purpose: upserts replace, then deletes subtract —

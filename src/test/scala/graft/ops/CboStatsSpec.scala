@@ -70,6 +70,48 @@ class CboStatsSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
+  test("join reorder: stats change the join ORDER on a 3-table star") {
+    // The second half of the CBO lever: cbo.joinReorder.enabled was
+    // switched on since r14 but only the broadcast FLIP was pinned. Here
+    // a 3-table star is written in a deliberately bad order — fact first:
+    // (lineitem ⋈ orders) ⋈ tiny-filtered-customer — and the assertion is
+    // on the optimized plan's JOIN TREE. CostBasedJoinReorder requires
+    // row-count stats on every item, so the no-stats twin (cbo on, raw
+    // catalog tables) provably keeps the written order; with all three
+    // ANALYZE'd, the DP reorder joins the dims first and the fact LAST.
+    for (t <- Seq("lineitem", "orders", "customer")) {
+      spark.sql(s"DROP TABLE IF EXISTS cbo_ro_${t}_raw")
+      spark.catalog.createTable(s"cbo_ro_${t}_raw", s"$sf/$t.parquet", "parquet")
+      CboStats.registerAnalyzed(spark, sf, t, s"cbo_ro_$t")
+    }
+    def star(suffix: String) = spark.table(s"cbo_ro_lineitem$suffix")
+      .join(spark.table(s"cbo_ro_orders$suffix"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(spark.table(s"cbo_ro_customer$suffix")
+          .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") <= 15),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    def leafOrder(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.catalogTable.map(_.identifier.table).getOrElse("?")
+      }
+    CboStats.withCbo(spark) {
+      val noStats = leafOrder(star("_raw")).map(_.stripSuffix("_raw"))
+      val withStats = leafOrder(star(""))
+      info(s"no-stats leaf order: $noStats; ANALYZE'd: $withStats")
+      assert(noStats === Seq("cbo_ro_lineitem", "cbo_ro_orders", "cbo_ro_customer"),
+        "no-stats plan should keep the written fact-first order")
+      assert(withStats !== noStats, "stats should change the join order")
+      assert(withStats.last === "cbo_ro_lineitem",
+        s"reorder should join the dims first and the fact last: $withStats")
+      // the reorder must not perturb values
+      val a = star("_raw").collect().map(_.toString).sorted
+      val b = star("").collect().map(_.toString).sorted
+      assert(a.nonEmpty && (a sameElements b))
+    }
+  }
+
   test("q_cbo_join values are plan-independent: same result with CBO on and off") {
     val q = graft.SparkEntry.queries("q_cbo_join")
     val off = q(spark, sf).collect().map(_.toString).sorted
