@@ -231,7 +231,116 @@ object LayoutQueries {
             p => p >= col("kmin") && p <= col("kmax")))
             .cast("long").as("n_minmax_admit"),
           coalesce(col("n_member"), lit(0L)).as("n_member"))
+    }),
+
+    // The MEASURED bloom win, from REAL footers (q_parquet_bloom_stats
+    // value-oracles the simulated statistics that justify the lever;
+    // this query reads the actual filters): documents' md5 keys land in
+    // a deterministic 16-row-group layout (single sorted writer +
+    // maxRecordsPerFile, so group k = the k-th doc_id range — the
+    // protocol the oracle replays arithmetically) with a column bloom
+    // filter sized for near-zero FPP (~300 bits/key: the probability of
+    // ONE false admit across every probe x group pair is < 1e-15, so the
+    // real filter's admit counts equal the ideal filter's and the oracle
+    // can pin them exactly). Both accounting sides come from the same
+    // executor-side footer reads: min/max boxes admit EVERY (probe,
+    // group) pair — a hash key defeats box pruning by construction —
+    // while the bloom admits exactly the true members for present probes
+    // and NOTHING for absent ones. minmax_admit_pairs vs
+    // eff_admit_pairs (box AND bloom, what a scan actually reads) IS the
+    // measured row-group skip, cross-engine-verified; PlanShapeSpec pins
+    // that the point-lookup predicate reaches the scan as a pushed
+    // filter, where Spark's reader consults the same footer bloom.
+    "q_bloom_skip_stats" -> ((s, d) => {
+      val dir = bloomDocsDir(s, d)
+      val pdocs = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(97)) === 0)
+      val probeCls = pdocs.select(
+          md5(col("doc_id").cast("string")).as("probe"),
+          lit("present").as("probe_class"), col("doc_id").as("src_doc"))
+        .unionByName(pdocs.select(
+          md5((col("doc_id") + lit(1000000000L)).cast("string")).as("probe"),
+          lit("absent").as("probe_class"), col("doc_id").as("src_doc")))
+      // probe list to the driver: bounded at |documents|/97 x 2 (the
+      // k-bounded-collect doctrine) — these parameterize the footer scan
+      val probeList = probeCls.select(col("probe"))
+        .collect().map(_.getString(0)).toSeq.sorted
+      val bloom = ParquetBloom.bloomProbeReport(s, dir, "key", probeList)
+        .select(col("path"), col("row_group"), col("probe"),
+          col("might_contain"))
+      val stats = ParquetBloom.rowGroupStatsReport(s, dir,
+        Seq("key", "doc_id"))
+      val keyBox = stats.filter(col("col") === "key").select(
+        col("path"), col("row_group"),
+        col("col_min").as("key_min"), col("col_max").as("key_max"))
+      val docBox = stats.filter(col("col") === "doc_id").select(
+        col("path"), col("row_group"),
+        col("col_min").cast("long").as("doc_min"),
+        col("col_max").cast("long").as("doc_max"))
+      // no broadcast() hint on the probe frame: it is density-bounded
+      // (|documents|/97 x 2) but still scale-proportional — the planner
+      // gates the join strategy from its own estimates (it broadcasts at
+      // every test SF; at lake scale a forced broadcast would be wrong)
+      bloom.join(keyBox, Seq("path", "row_group"))
+        .join(docBox, Seq("path", "row_group"))
+        .join(probeCls, Seq("probe"))
+        .select(col("probe_class"), col("probe"),
+          concat_ws("#", col("path"), col("row_group")).as("grp"),
+          (col("probe") >= col("key_min") &&
+            col("probe") <= col("key_max")).as("mm"),
+          col("might_contain").as("bl"),
+          (col("probe_class") === "present" &&
+            col("src_doc").between(col("doc_min"), col("doc_max"))).as("mem"))
+        .groupBy(col("probe_class"))
+        .agg(countDistinct(col("probe")).as("n_probes"),
+          countDistinct(col("grp")).as("n_groups"),
+          sum(when(col("mm"), 1L).otherwise(0L)).as("minmax_admit_pairs"),
+          sum(when(col("bl"), 1L).otherwise(0L)).as("bloom_admit_pairs"),
+          sum(when(col("mm") && col("bl"), 1L).otherwise(0L))
+            .as("eff_admit_pairs"),
+          sum(when(col("mem"), 1L).otherwise(0L)).as("member_pairs"))
     }))
+
+  /** Row groups in the deterministic bloom layout (and the ceil split the
+    * write and the oracle both use).
+    */
+  private val BloomGroups = 16L
+
+  /** Oversized expected-NDV for the bloom writer: ~16x the largest
+    * per-group key count any test SF produces, i.e. ~300 bits/key — FPP
+    * so small (~1e-30 per probe) that the admit counts are EXACTLY the
+    * ideal filter's, which is what lets the DuckDB oracle pin them.
+    */
+  private val BloomNdvOversize = 1000000L
+
+  private val bloomWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-time (per JVM x sf dir x fixture generation) bloom-indexed
+    * documents-key table: md5 keys sorted by doc_id, one writer task,
+    * files rolled every ceil(n/16) records → 16 row groups whose doc_id
+    * ranges are pure arithmetic (the [[Partitioning.partitionedOrdersDir]]
+    * staleness protocol: dir name carries the source's mtime+size).
+    */
+  private[graft] def bloomDocsDir(s: SparkSession, d: String): String =
+    bloomWritten.synchronized {
+      bloomWritten.getOrElseUpdate(d, {
+        val src = new java.io.File(s"$d/documents.parquet")
+        val stamp = s"${src.lastModified()}_${src.length()}"
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_bloom_docs_${math.abs(d.hashCode)}_$stamp")
+        if (!new java.io.File(dir, "_SUCCESS").exists()) {
+          val docs = Tables.documents(s, d)
+            .select(col("doc_id"), md5(col("doc_id").cast("string")).as("key"))
+          val total = docs.count()
+          val perFile = (total + BloomGroups - 1) / BloomGroups
+          ParquetBloom.writeWithBloom(
+            docs.coalesce(1).sortWithinPartitions("doc_id"),
+            dir.getAbsolutePath, Map("key" -> BloomNdvOversize),
+            maxRecordsPerFile = perFile)
+        }
+        dir.getAbsolutePath
+      })
+    }
 
   /** The simulated ingest-file report feeding the compaction queries:
     * (file_id, n_rows, size_bytes, zmin) — exactly the shape
@@ -485,6 +594,49 @@ object LayoutQueries {
         |       CAST(COALESCE(m.n_member, 0) AS BIGINT) AS n_member
         |FROM files f CROSS JOIN parr
         |LEFT JOIN member m ON f.file_id = m.file_id""".stripMargin,
+
+    // Replays the deterministic write protocol arithmetically (16 groups
+    // of ceil(n/16) doc_id-sorted rows) and models the bloom as the
+    // IDEAL filter — exactly what the near-zero-FPP real filter measures
+    // (see the query comment for the probability accounting).
+    "q_bloom_skip_stats" ->
+      """WITH docs AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key FROM documents),
+        |n AS (SELECT (COUNT(*) + 15) // 16 AS per FROM docs),
+        |grp AS (
+        |  SELECT doc_id, key,
+        |         (row_number() OVER (ORDER BY doc_id) - 1)
+        |           // (SELECT per FROM n) AS gid
+        |  FROM docs),
+        |g AS (
+        |  SELECT gid, MIN(key) AS kmin, MAX(key) AS kmax,
+        |         MIN(doc_id) AS dmin, MAX(doc_id) AS dmax
+        |  FROM grp GROUP BY 1),
+        |probes AS (
+        |  SELECT 'present' AS probe_class, doc_id AS src,
+        |         md5(CAST(doc_id AS VARCHAR)) AS probe
+        |  FROM documents WHERE doc_id % 97 = 0
+        |  UNION ALL
+        |  SELECT 'absent', doc_id, md5(CAST(doc_id + 1000000000 AS VARCHAR))
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |pairs AS (
+        |  SELECT p.probe_class, p.probe, g.gid,
+        |         (p.probe BETWEEN g.kmin AND g.kmax) AS mm,
+        |         (p.probe_class = 'present'
+        |           AND p.src BETWEEN g.dmin AND g.dmax) AS mem
+        |  FROM probes p CROSS JOIN g)
+        |SELECT probe_class,
+        |  CAST(COUNT(DISTINCT probe) AS BIGINT) AS n_probes,
+        |  CAST(COUNT(DISTINCT gid) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN mm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS minmax_admit_pairs,
+        |  CAST(SUM(CASE WHEN mem THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS bloom_admit_pairs,
+        |  CAST(SUM(CASE WHEN mm AND mem THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS eff_admit_pairs,
+        |  CAST(SUM(CASE WHEN mem THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS member_pairs
+        |FROM pairs GROUP BY 1""".stripMargin,
 
     "q_retention_plan" ->
       """WITH report AS (

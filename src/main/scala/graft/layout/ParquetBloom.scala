@@ -37,9 +37,15 @@ object ParquetBloom {
     * index unconditionally since 1.11).
     */
   def writeWithBloom(df: DataFrame, dir: String, bloomNdv: Map[String, Long],
-      pageRowLimit: Int = 20000): Unit = {
+      pageRowLimit: Int = 20000, maxRecordsPerFile: Long = 0L): Unit = {
     var w = df.write.mode("overwrite")
       .option("parquet.page.row.count.limit", pageRowLimit.toString)
+    // deterministic file boundaries: a single sorted writer task + this
+    // cap rolls a new file every N records, so file k holds exactly the
+    // k-th sorted record range — the protocol q_bloom_skip_stats' oracle
+    // replays arithmetically
+    if (maxRecordsPerFile > 0L)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
     bloomNdv.foreach { case (c, ndv) =>
       w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
         .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
@@ -165,5 +171,47 @@ object ParquetBloom {
         } finally reader.close()
       }
       .toDF("path", "row_group", "page", "n_rows", "page_min", "page_max")
+  }
+
+  /** Row-group column statistics from REAL footers: one row per
+    * (file, row group, column) with the chunk's min/max (rendered via
+    * UTF-8 for binary, decimal string for ints) and row count — the
+    * min/max boxes a scan's row-group pruning consults, surfaced through
+    * the same executor-side footer reads as the bloom/page reports so
+    * the with-vs-without-bloom accounting in `q_bloom_skip_stats` draws
+    * BOTH sides from the same footer bytes.
+    */
+  def rowGroupStatsReport(spark: SparkSession, dir: String,
+      colNames: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val paths = parquetPaths(spark, dir)
+    spark.createDataset(paths)
+      .repartition(math.min(paths.length, 32))
+      .flatMap { p =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(p), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          (0 until blocks.size()).flatMap { g =>
+            val block = blocks.get(g)
+            colNames.map { cn =>
+              val cmd = (0 until block.getColumns.size())
+                .map(block.getColumns.get)
+                .find(_.getPath.toDotString == cn)
+                .getOrElse(sys.error(s"column $cn not in $p"))
+              val st = cmd.getStatistics
+              require(st != null && !st.isEmpty, s"no chunk stats for $cn in $p")
+              def render(v: Any): String = v match {
+                case b: Binary => b.toStringUsingUTF8
+                case other => String.valueOf(other)
+              }
+              (p, g.toLong, block.getRowCount, cn,
+                render(st.genericGetMin()), render(st.genericGetMax()))
+            }
+          }
+        } finally reader.close()
+      }
+      .toDF("path", "row_group", "n_rows", "col", "col_min", "col_max")
   }
 }

@@ -284,6 +284,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(limits >= 2, s"partial top-k rewrite lost:\n$plan")
   }
 
+  test("bloom-table point lookup: key equality pushed to the parquet scan") {
+    // the read side of q_bloom_skip_stats' accounting: a point probe on
+    // the bloom-indexed md5 key must reach the scan as a pushed EqualTo —
+    // that is where Spark's vectorized reader consults the same footer
+    // bloom filter the query measures (parquet.filter.bloom enabled by
+    // default under spark.sql.parquet.filterPushdown)
+    val dir = graft.layout.LayoutQueries.bloomDocsDir(spark, d)
+    import org.apache.spark.sql.functions.{col, lit, md5}
+    val probe = spark.read.parquet(dir)
+      .filter(col("key") === md5(lit("0")))
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(key"), s"point probe not pushed:\n$pushed")
+  }
+
   test("q_pagerank: rank/edge joins are equi (hash) joins; only scalars cross") {
     // the shipped query localCheckpoints each iteration (block discipline),
     // so its final plan is a LogicalRDD scan — pin the join strategy on
