@@ -39,6 +39,7 @@ object DeletionVectors {
 
   val SeqCol = "seq"
   private val DvDirName = "_dv"
+  private val PosDirName = "_pdv"
 
   // Directory enumeration through the Hadoop FileSystem API (resolved
   // from the session's hadoopConf), NOT java.io.File: the table dir is an
@@ -153,11 +154,85 @@ object DeletionVectors {
   }
 
   /** Merge-on-read scan: current table state, deletes and superseded
-    * versions subtracted at read time.
+    * versions subtracted at read time — position deletes first (file-
+    * scoped anti join), then the equality mask. Both sidecars are
+    * subtractive, so application order cannot change the result.
     */
   def read(spark: SparkSession, dir: String, key: String): DataFrame =
-    applyDv(spark.read.parquet(dir), readDv(spark, dir, key), key)
+    applyDv(scanWithPositionMask(spark, dir), readDv(spark, dir, key), key)
       .drop(SeqCol)
+
+  /** Delete rows by POSITION — the (file, row-ordinal) variant
+    * (Delta's deletion vectors / Iceberg v2 position deletes) for
+    * keyless single-row erasure: when the row to remove has no equality
+    * key (duplicate rows, a corrupt record at a known scan position),
+    * the sidecar names the row's file and its ordinal inside that file.
+    * Like [[deleteKeys]], ONLY the sidecar (`_pdv/`) is written — every
+    * data file stays byte-identical (spec-pinned). `positions` must
+    * carry (`file_path`, `row_index`) as produced by a scan's
+    * `_metadata.file_path` / `_metadata.row_index` columns — the same
+    * representation the read path re-derives, so the anti join matches
+    * exactly. Positions stay valid until [[fold]]: appends create new
+    * files and never renumber existing ones. Returns the number of
+    * distinct positions deleted.
+    */
+  def deletePositions(spark: SparkSession, dir: String,
+      positions: DataFrame): Long = {
+    val batch = positions
+      .select(col("file_path").cast("string").as("file_path"),
+        col("row_index").cast("long").as("row_index"))
+      .distinct()
+      .localCheckpoint() // count + write from one materialization
+    batch.write.mode("append").parquet(s"$dir/$PosDirName")
+    batch.count()
+  }
+
+  /** The position sidecar as a frame (empty, correctly typed, when no
+    * position deletes have been written).
+    */
+  def readPosDv(spark: SparkSession, dir: String): DataFrame = {
+    val (fs, _) = hfs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$PosDirName")
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+      spark.read.parquet(p.toString)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("row_index",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  /** Table scan with the position mask applied: rows are identified by
+    * the scan's own `_metadata` (file URI + ordinal — zero storage or
+    * shuffle cost; parquet materializes `row_index` natively) and the
+    * sidecar is subtracted with one anti join, broadcast-gated exactly
+    * like [[applyDv]]'s mask (same overestimation-bias caveat; past the
+    * cap it degrades to a keyed shuffle of the SIDECAR, never an OOM —
+    * the base still doesn't shuffle under a broadcast anti join). When
+    * no position sidecar exists the scan is returned untouched — the
+    * equality-only path pays nothing for the feature.
+    */
+  def scanWithPositionMask(spark: SparkSession, dir: String,
+      maxBroadcastBytes: Long = 256L * 1024 * 1024): DataFrame = {
+    val (fs, _) = hfs(spark, dir)
+    val base = spark.read.parquet(dir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$PosDirName"))) base
+    else {
+      val pdv = readPosDv(spark, dir).distinct()
+      val est = pdv.queryExecution.optimizedPlan.stats.sizeInBytes
+      val side = if (est <= maxBroadcastBytes) broadcast(pdv) else pdv
+      val tagged = base
+        .withColumn("_file", col("_metadata.file_path"))
+        .withColumn("_pos", col("_metadata.row_index"))
+      tagged.join(side,
+          tagged("_file") === side("file_path") &&
+            tagged("_pos") === side("row_index"),
+          "left_anti")
+        .drop("_file", "_pos")
+    }
+  }
 
   /** Fold the sidecar into the data — the compaction step that turns the
     * accumulated merge-on-read state back into a clean COW snapshot: one
@@ -183,6 +258,10 @@ object DeletionVectors {
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$SeqCol=$sq"), true); ()
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$DvDirName"), true)
+    // position deletes are folded with everything else (read() applied
+    // them to the survivors); the rewritten files have fresh ordinals, so
+    // stale positions MUST not outlive the fold
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$PosDirName"), true)
     (n, dvEntries)
   }
 }

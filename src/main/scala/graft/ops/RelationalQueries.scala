@@ -49,6 +49,48 @@ object RelationalQueries {
       round(z, 6).as("z"), (abs(z) > 3.0).as("is_anomaly"))
   }
 
+  private val posDvWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-time (per JVM x sf dir x fixture generation) position-delete DV
+    * table for `q_pos_delete` (the [[graft.layout.LayoutQueries]]
+    * staleness protocol: dir name carries the source's mtime+size):
+    * orders as ONE sorted data file — a single writer task, so the
+    * scan's `_metadata.row_index` is the global o_orderkey-order row
+    * number — plus a position sidecar (every 13th ordinal) and an
+    * equality sidecar (keys divisible by 101). Incomplete builds (no
+    * `_pdv/_SUCCESS`) are discarded and rebuilt whole.
+    */
+  private def posDvDir(s: SparkSession, d: String): String =
+    posDvWritten.synchronized {
+      posDvWritten.getOrElseUpdate(d, {
+        val src = new java.io.File(s"$d/orders.parquet")
+        val stamp = s"${src.lastModified()}_${src.length()}"
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_posdv_${math.abs(d.hashCode)}_$stamp")
+        if (!new java.io.File(dir, "_pdv/_SUCCESS").exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          if (dir.exists()) rm(dir)
+          DeletionVectors.initTable(
+            orders(s, d).coalesce(1).sortWithinPartitions("o_orderkey"),
+            dir.getAbsolutePath)
+          val scan = s.read.parquet(dir.getAbsolutePath)
+            .withColumn("file_path", col("_metadata.file_path"))
+            .withColumn("row_index", col("_metadata.row_index"))
+          DeletionVectors.deletePositions(s, dir.getAbsolutePath,
+            scan.filter(pmod(col("row_index"), lit(13)) === 0)
+              .select(col("file_path"), col("row_index")))
+          DeletionVectors.deleteKeys(s, dir.getAbsolutePath,
+            orders(s, d).filter(pmod(col("o_orderkey"), lit(101)) === 0)
+              .select(col("o_orderkey")), "o_orderkey")
+          ()
+        }
+        dir.getAbsolutePath
+      })
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1 + P7 — scan, projection, rename, cast
     "q_scan_project" -> ((s, d) =>
@@ -1666,6 +1708,26 @@ object RelationalQueries {
       DeletionVectors.applyDv(data, dv, "k").drop(DeletionVectors.SeqCol)
     }),
 
+    // POSITION-scoped deletion vectors, MoR == COW on real files: orders
+    // lands as a single sorted data file (one writer task, so the scan's
+    // _metadata.row_index IS the global o_orderkey-order row number — the
+    // determinism the oracle replays with row_number()), then a position
+    // sidecar kills every 13th ordinal (the keyless-erasure face) and an
+    // equality sidecar kills keys divisible by 101 — BOTH masks compose
+    // on the read path. The oracle computes the COW twin in plain SQL:
+    // value equality proves the (file, ordinal) protocol names exactly
+    // the rows the arithmetic says. DeletionVectorsSpec pins the
+    // filesystem half (data files byte-identical, only _pdv/_dv written,
+    // fold clears both).
+    "q_pos_delete" -> ((s, d) => {
+      val dir = posDvDir(s, d)
+      DeletionVectors.read(s, dir, "o_orderkey")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+    }),
+
     // The DV audit report a lake operator reads before scheduling a fold:
     // per sequence directory, rows written vs rows still live under the
     // current sidecar — deferred-delete debt, per file scope. Same masks
@@ -2973,6 +3035,21 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT * FROM base WHERE k % 7 <> 0)
         |SELECT k, status, pay_cents FROM cow WHERE k % 13 <> 0""".stripMargin,
+
+    // COW twin of the position-delete protocol: the single sorted data
+    // file makes row_index == row_number() - 1 in o_orderkey order
+    "q_pos_delete" ->
+      """WITH ordered AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+        |  FROM orders)
+        |SELECT o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM ordered
+        |WHERE rn % 13 <> 0 AND o_orderkey % 101 <> 0
+        |GROUP BY 1""".stripMargin,
 
     "q_dv_mask_stats" ->
       """WITH base AS (SELECT o_orderkey AS k FROM orders),

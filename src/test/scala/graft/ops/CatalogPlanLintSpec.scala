@@ -133,6 +133,9 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
       "simulated here from filtered orders"),
     "q_dv_mask_stats" -> ("same gated applyDv mask broadcast as q_merge_on_read; " +
       "sidecar bounded by deltas-since-last-fold"),
+    "q_pos_delete" -> ("both hints are the GATED sidecar broadcasts (256 MB cap, " +
+      "shuffle fallback): scanWithPositionMask's (file, ordinal) anti-join side " +
+      "and applyDv's equality mask — each bounded by deltas-since-last-fold"),
     "q_zorder_layout" -> ("broadcast sides are layoutBoxes' per-range-partition " +
       "count/offset frames — rows bounded by rangePartitions (32), not data size"))
 

@@ -98,6 +98,63 @@ class DeletionVectorsSpec extends AnyFunSuite with SparkSpec {
     assert(asMap(DeletionVectors.read(spark, dir, "k")) === beforeFold - 1L)
   }
 
+  test("position delete writes ONLY the _pdv sidecar; exact ordinals subtracted") {
+    import spark.implicits._
+    val dir = mkDir("dv-pos")
+    DeletionVectors.initTable(
+      (1L to 60L).map(i => (i, s"v$i")).toDF("k", "v"), dir)
+    val dataBefore = fileSet(s"$dir/seq=0")
+
+    // positions straight from the scan's own metadata — the keyless
+    // erasure case: "kill rows 0 and 2 of whichever file holds k=10/12"
+    val victims = spark.read.parquet(dir)
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("row_index", col("_metadata.row_index"))
+      .filter(col("k").isin(10L, 12L, 44L))
+      .select(col("file_path"), col("row_index"), col("k"))
+    val expectGone = victims.select("k").collect().map(_.getLong(0)).toSet
+    val nDel = DeletionVectors.deletePositions(spark, dir,
+      victims.select("file_path", "row_index"))
+    assert(nDel === 3)
+
+    // byte-identical data files, new _pdv sidecar only
+    assert(fileSet(s"$dir/seq=0") === dataBefore)
+    assert(new java.io.File(s"$dir/_pdv").isDirectory)
+    assert(!new java.io.File(s"$dir/_dv").exists())
+
+    val after = asMap(DeletionVectors.read(spark, dir, "k"))
+    assert(after === (1L to 60L).filterNot(expectGone)
+      .map(i => i -> s"v$i").toMap)
+  }
+
+  test("position and equality deletes compose; appends keep old ordinals valid; fold clears both") {
+    import spark.implicits._
+    val dir = mkDir("dv-pos-comp")
+    DeletionVectors.initTable(
+      (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v"), dir)
+    // position-delete k=7's row, then equality-delete k=20
+    val pos7 = spark.read.parquet(dir)
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("row_index", col("_metadata.row_index"))
+      .filter(col("k") === 7L).select("file_path", "row_index")
+    DeletionVectors.deletePositions(spark, dir, pos7)
+    DeletionVectors.deleteKeys(spark, dir, Seq(20L).toDF("k"), "k")
+    // an APPEND after the position delete: new files get fresh ordinals,
+    // previously-recorded positions still name the same physical rows
+    DeletionVectors.appendUpserts(spark, dir,
+      Seq((41L, "v41"), (20L, "V20")).toDF("k", "v"), "k")
+
+    val expected = ((1L to 41L).filterNot(Set(7L))
+      .map(i => i -> s"v$i").toMap) + (20L -> "V20")
+    assert(asMap(DeletionVectors.read(spark, dir, "k")) === expected)
+
+    val before = asMap(DeletionVectors.read(spark, dir, "k"))
+    DeletionVectors.fold(spark, dir, "k", orderBy = Seq(col("k")))
+    assert(!new java.io.File(s"$dir/_pdv").exists())
+    assert(!new java.io.File(s"$dir/_dv").exists())
+    assert(asMap(DeletionVectors.read(spark, dir, "k")) === before)
+  }
+
   test("read-side plan: DV mask broadcasts, base never shuffles") {
     import spark.implicits._
     val dir = mkDir("dv-plan")
