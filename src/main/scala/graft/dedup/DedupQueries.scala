@@ -202,6 +202,27 @@ object DedupQueries {
         Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
     }),
 
+    // The PERSISTENT index face of the IVF stack, maintained
+    // INCREMENTALLY: the index is built once on the even-id half of the
+    // corpus (trained centroids + hive cell=N/ vector layout on disk),
+    // the odd-id half arrives later via IvfIndex.append — assigned
+    // against the FROZEN centroids, appended into the existing cell
+    // dirs, no rewrite of any existing file (IvfIndexSpec pins the
+    // filesystem half + one-shot-write equivalence). The probe then
+    // reads nprobe cell DIRECTORIES under partition pruning and must
+    // meet the same recall contract vs the float brute-force truth as
+    // the inline queries — proving the ingest path kept the index
+    // search-equivalent, not just written.
+    "q_knn_ivf_index" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      val dir = ivfIndexDir(s, d)
+      annRecallSummary(
+        graft.sim.IvfIndex.search(s, dir, q, "vec_id", "embedding",
+          k = 5, nprobe = 6),
+        Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
+    }),
+
     // The full production ANN stack (FAISS IVF+SQ8 shape): coarse
     // quantizer cells bound the probe set AND candidates ride as int8
     // codes — nlist/nprobe cuts the work, int8 cuts the scan bytes 4x.
@@ -544,6 +565,42 @@ object DedupQueries {
           sum(col("n_tokens")).cast("long").as("kept_tokens"))
     })
   )
+
+  private val ivfIndexWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-time (per JVM x sf dir x fixture generation) incrementally-built
+    * IVF index for `q_knn_ivf_index`: build on even vec_ids, append the
+    * odd half against the frozen centroids (the staleness-stamped dir
+    * protocol shared with [[graft.layout.LayoutQueries]]); a completion
+    * marker distinguishes a finished build+append from an interrupted
+    * one, which is discarded and redone whole.
+    */
+  private def ivfIndexDir(s: SparkSession, d: String): String =
+    ivfIndexWritten.synchronized {
+      ivfIndexWritten.getOrElseUpdate(d, {
+        val src = new java.io.File(s"$d/embeddings.parquet")
+        val stamp = s"${src.lastModified()}_${src.length()}"
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_ivf_index_${math.abs(d.hashCode)}_$stamp")
+        val marker = new java.io.File(dir, "_graft_index_complete")
+        if (!marker.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          if (dir.exists()) rm(dir)
+          val emb = embeddings(s, d)
+          graft.sim.IvfIndex.build(emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", dir.getAbsolutePath,
+            nlist = 8, sampleSize = 500, seed = 7L)
+          graft.sim.IvfIndex.append(s, dir.getAbsolutePath,
+            emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+          marker.createNewFile()
+          ()
+        }
+        dir.getAbsolutePath
+      })
+    }
 
   /** One-row recall@k summary of an ANN result vs the brute-force truth:
     * (n_queries, n_result_rows, k, recall_ge_085). Everything but the
@@ -1315,6 +1372,7 @@ object DedupQueries {
     // bound is the asserted invariant (see annRecallSummary).
     "q_knn_lsh" -> annSummarySql,
     "q_knn_ivf" -> annSummarySql,
+    "q_knn_ivf_index" -> annSummarySql,
     "q_knn_quantized" -> annSummarySql,
     "q_knn_ivf_quantized" -> annSummarySql,
     "q_knn_pq" -> annSummarySql,

@@ -39,15 +39,63 @@ object IvfIndex {
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    writeAssigned(candidates, idCol, vecCol, dir, centroids, "overwrite")
+    centroids
+  }
+
+  /** Incremental maintenance — the daily-embedding-ingest path: assign
+    * `newVectors` against the index's FROZEN centroids (the production
+    * discipline: the coarse quantizer retrains at rebuild cadence, not
+    * ingest cadence — recall decays only as the ingest distribution
+    * drifts from the trained one, which is what [[cellStats]] watches)
+    * and APPEND them into the existing hive cell layout. Existing vector
+    * files are never rewritten (spec-pinned — the
+    * [[graft.ops.DeletionVectors]] no-rewrite doctrine applied to index
+    * maintenance); a probe after append sees old and new vectors through
+    * the same partition-pruned scan. Returns the number of vectors
+    * appended.
+    */
+  def append(spark: SparkSession, dir: String, newVectors: DataFrame,
+      idCol: String, vecCol: String): Long = {
+    val centroids = loadCentroids(spark, dir)
+    val before = spark.read.parquet(s"$dir/vectors").count()
+    writeAssigned(newVectors, idCol, vecCol, dir, centroids, "append")
+    spark.read.parquet(s"$dir/vectors").count() - before
+  }
+
+  /** Per-cell occupancy + drift report from the stored index: vector
+    * count and mean L2 distance to the cell's own centroid (unit-sphere
+    * geometry, same as assignment). Rising mean distance or skewed
+    * occupancy is the retrain signal for the frozen quantizer.
+    */
+  def cellStats(spark: SparkSession, dir: String): DataFrame = {
+    val centroids = loadCentroids(spark, dir)
+    val bc = spark.sparkContext.broadcast(centroids.map(_.clone()))
+    val distTo = udf((cell: Int, v: Seq[Double]) => {
+      val u = Knn.unit(v.toArray)
+      val c = bc.value(cell)
+      var d = 0.0; var i = 0
+      while (i < c.length && i < u.length) { val x = u(i) - c(i); d += x * x; i += 1 }
+      math.sqrt(d)
+    })
+    spark.read.parquet(s"$dir/vectors")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(distTo(col("cell"), col("vec"))), 6).as("mean_dist"))
+  }
+
+  private def writeAssigned(vectors: DataFrame, idCol: String,
+      vecCol: String, dir: String, centroids: Seq[Array[Double]],
+      mode: String): Unit = {
+    val spark = vectors.sparkSession
     val bc = spark.sparkContext.broadcast(centroids.map(_.clone()))
     val cellOf = udf((v: Seq[Double]) => nearestCell(bc.value, v))
-    candidates
+    vectors
       .select(col(idCol).as("vec_id"), toDoubleArray(col(vecCol)).as("vec"))
       .withColumn("vn", norm(col("vec")))
       .filter(Vectors.finiteNorm(col("vn")))
       .withColumn("cell", cellOf(col("vec")))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
-    centroids
+      .write.mode(mode).partitionBy("cell").parquet(s"$dir/vectors")
   }
 
   def loadCentroids(spark: SparkSession, dir: String): Seq[Array[Double]] =

@@ -50,6 +50,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_text_heavy_hitters" -> "cross join against the broadcast 1-row total-token-count aggregate",
     "q_knn_lsh" -> "recall invariant joins ANN vs brute-force twin; brute side bounded to 10 query vectors",
     "q_knn_ivf" -> "recall invariant joins ANN vs brute-force twin; brute side bounded to 10 query vectors",
+    "q_knn_ivf_index" -> "recall invariant joins the persistent-index probe vs brute twin; brute side bounded to 10 query vectors (index side is equi on cell under partition pruning)",
     "q_knn_quantized" -> "recall invariant joins quantized vs float brute twin; query sides bounded to 10 vectors; stats cross join is a broadcast 1-row aggregate",
     "q_knn_ivf_quantized" -> "recall invariant joins quantized IVF vs brute twin; query side bounded to 10 vectors; stats cross join is a broadcast 1-row aggregate",
     "q_knn_pq" -> "recall invariant joins PQ+refine vs brute twin; ADC pass and brute side both bounded to 10 query vectors; refine join is equi on neighbor_id",
@@ -117,6 +118,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_knn_brute" -> "broadcast side is the query set, bounded to 10 vectors by the pushed filter",
     "q_knn_lsh" -> "broadcast side is the query set, bounded to 10 vectors by the pushed filter",
     "q_knn_ivf" -> "broadcast sides are the 10-vector query set and k centroids",
+    "q_knn_ivf_index" -> "broadcast side is the 10-vector query set, bounded by the pushed filter (IvfIndex.search probe join)",
     "q_knn_quantized" -> "broadcast sides are the 10-vector query set and the 1-row stats aggregate",
     "q_knn_ivf_quantized" -> "broadcast sides are the 10-vector query set, k centroids, and the 1-row stats aggregate",
     "q_knn_pq" -> "broadcast side is the query set, bounded to 10 vectors by the pushed filter (codebooks ride the closure, not a join)",

@@ -43,6 +43,50 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(fromIndex === inline)
   }
 
+  test("append: frozen centroids, no rewrite of existing files, one-shot equivalence") {
+    val t = Files.createTempDirectory("ivf_append").toString + "/idx"
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    IvfIndex.build(half1, "vec_id", "embedding", t, nlist = 8,
+      sampleSize = 500, seed = 7L)
+    def files(p: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${f.getPath}@${f.lastModified}@${f.length}").toSet
+    }
+    val before = files(s"$t/vectors")
+    val n = IvfIndex.append(spark, t, half2, "vec_id", "embedding")
+    assert(n === half2.count())
+    // index maintenance is append-only: every pre-existing vector file
+    // byte-identical (the DV no-rewrite doctrine)
+    assert(files(s"$t/vectors").intersect(before) === before)
+
+    // one-shot equivalence: an index whose vectors were written in a
+    // single pass against the SAME frozen centroids answers identically —
+    // the append path changes file layout, never search results
+    val t2 = Files.createTempDirectory("ivf_oneshot").toString + "/idx"
+    IvfIndex.build(half1, "vec_id", "embedding", t2, nlist = 8,
+      sampleSize = 500, seed = 7L) // same training half -> same centroids
+    spark.read.parquet(s"$t/vectors").where(lit(false)) // touch nothing
+    IvfIndex.append(spark, t2, half2, "vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 5)
+    def res(p: String) = IvfIndex.search(spark, p, q, "vec_id", "embedding",
+      k = 3, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res(t) === res(t2))
+
+    // visibility: appended (odd-id) vectors are reachable as neighbors
+    val neighbors = res(t).map(_._2)
+    assert(neighbors.exists(_ % 2 === 1), s"no appended vector surfaced: $neighbors")
+
+    // drift report: every cell occupied, mean distance finite
+    val stats = IvfIndex.cellStats(spark, t).collect()
+    assert(stats.map(_.getLong(1)).sum === emb.count())
+    assert(stats.forall(r => !r.getDouble(2).isNaN))
+  }
+
   test("probe scan prunes unprobed cell partitions") {
     // a single-cell filter stands in for one probe: the scan must carry
     // it as a PartitionFilter, not a post-scan predicate
