@@ -76,10 +76,24 @@ object DeletionVectors {
     * alone rewritten. Returns the batch's sequence number.
     */
   def appendUpserts(spark: SparkSession, dir: String,
-      updates: DataFrame, key: String): Long = {
+      updates: DataFrame, key: String): Long =
+    appendBatch(spark, dir, updates, updates.select(col(key)), key)
+
+  /** The generalized write protocol both [[appendUpserts]] and derived-
+    * view maintenance ([[JoinMv]]) use: `rows` land as a new sequence
+    * directory and `maskKeys` — which may be a SUPERSET of the rows'
+    * keys — are masked below it. A masked key with no replacement row in
+    * the batch is thereby deleted; a masked key with one is replaced.
+    * This is what lets one batch express inserts, updates, deletes, and
+    * rows UPDATED OUT of a derived view (the replacement no longer
+    * qualifies, so only the mask lands) with one data write + one sidecar
+    * write. Returns the batch's sequence number.
+    */
+  def appendBatch(spark: SparkSession, dir: String, rows: DataFrame,
+      maskKeys: DataFrame, key: String): Long = {
     val n = maxSeq(spark, dir) + 1
-    updates.write.mode("error").parquet(s"$dir/$SeqCol=$n")
-    updates.select(col(key), lit(n).as("below_seq"))
+    rows.write.mode("error").parquet(s"$dir/$SeqCol=$n")
+    maskKeys.select(col(key), lit(n).as("below_seq"))
       .distinct()
       .write.mode("append").parquet(s"$dir/$DvDirName")
     n

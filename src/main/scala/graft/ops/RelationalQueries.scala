@@ -91,6 +91,57 @@ object RelationalQueries {
       })
     }
 
+  private val joinMvWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-time (per JVM x sf dir x fixture generation) maintained join
+    * view for `q_join_mv` (same staleness/marker protocol as
+    * [[posDvDir]]): orders ⋈ customer materialized as a DV table, then
+    * ONE CDC batch applied through [[JoinMv.applyCdc]] — updates on keys
+    * divisible by 7, re-points to a nonexistent customer on keys
+    * divisible by 11 (the vanish-without-replacement edge), deletes on
+    * keys divisible by 13 (classes disjoint, 13 > 11 > 7 precedence).
+    */
+  private def joinMvDir(s: SparkSession, d: String): String =
+    joinMvWritten.synchronized {
+      joinMvWritten.getOrElseUpdate(d, {
+        val src = new java.io.File(s"$d/orders.parquet")
+        val stamp = s"${src.lastModified()}_${src.length()}"
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_joinmv_${math.abs(d.hashCode)}_$stamp")
+        val marker = new java.io.File(dir, "_graft_mv_complete")
+        if (!marker.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          if (dir.exists()) rm(dir)
+          val fact = orders(s, d).select(
+            col("o_custkey").as("c_custkey"), col("o_orderkey").as("k"),
+            col("o_orderstatus").as("status"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          val dim = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+          JoinMv.init(fact, dim, "c_custkey", dir.getAbsolutePath)
+          val del13 = fact.filter(pmod(col("k"), lit(13)) === 0)
+          val move11 = fact.filter(
+            pmod(col("k"), lit(11)) === 0 && pmod(col("k"), lit(13)) =!= 0)
+          val upd7 = fact.filter(pmod(col("k"), lit(7)) === 0 &&
+            pmod(col("k"), lit(11)) =!= 0 && pmod(col("k"), lit(13)) =!= 0)
+          val delta = del13.unionByName(move11).unionByName(upd7)
+            .withColumn("op", lit("d"))
+            .unionByName(move11.withColumn("c_custkey", lit(-1L))
+              .withColumn("op", lit("i")))
+            .unionByName(upd7.withColumn("status", lit("U"))
+              .withColumn("cents", col("cents") + 999L)
+              .withColumn("op", lit("i")))
+          JoinMv.applyCdc(s, dir.getAbsolutePath, delta, dim,
+            factKey = "k", joinKey = "c_custkey")
+          marker.createNewFile()
+          ()
+        }
+        dir.getAbsolutePath
+      })
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1 + P7 — scan, projection, rename, cast
     "q_scan_project" -> ((s, d) =>
@@ -1728,6 +1779,24 @@ object RelationalQueries {
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
     }),
 
+    // MATERIALIZED JOIN VIEW maintained merge-on-read (JoinMv): the
+    // orders ⋈ customer view lives as a DV table; one CDC batch lands as
+    // one appended sequence + one sidecar write — updates replace,
+    // deletes mask, and an update that RE-POINTS the join key at a
+    // nonexistent customer vanishes with no replacement row (the mask
+    // covers every CDC'd key, not just re-joined ones). The oracle
+    // recomputes (fact ⊕ delta) ⋈ dim from scratch in SQL — equality
+    // proves the delta-sized maintenance == the full re-join, while
+    // JoinMvSpec pins the filesystem half (no view file rewritten).
+    "q_join_mv" -> ((s, d) => {
+      val dir = joinMvDir(s, d)
+      JoinMv.read(s, dir, "k")
+        .groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("key_sum"),
+          sum(col("cents")).as("sum_cents"))
+    }),
+
     // The DV audit report a lake operator reads before scheduling a fold:
     // per sequence directory, rows written vs rows still live under the
     // current sidecar — deferred-delete debt, per file scope. Same masks
@@ -3049,6 +3118,25 @@ object RelationalQueries {
         |    AS sum_cents
         |FROM ordered
         |WHERE rn % 13 <> 0 AND o_orderkey % 101 <> 0
+        |GROUP BY 1""".stripMargin,
+
+    // full COW re-join twin: moved rows (custkey -1) match no customer,
+    // deleted rows gone, updated rows carry the new image
+    "q_join_mv" ->
+      """WITH f AS (
+        |  SELECT o_orderkey AS k, o_custkey AS ck, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |fnew AS (
+        |  SELECT k, ck, 'U' AS status, cents + 999 AS cents FROM f
+        |  WHERE k % 7 = 0 AND k % 11 <> 0 AND k % 13 <> 0
+        |  UNION ALL
+        |  SELECT k, ck, status, cents FROM f
+        |  WHERE k % 7 <> 0 AND k % 11 <> 0 AND k % 13 <> 0)
+        |SELECT c_mktsegment AS mktsegment, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM fnew JOIN customer ON ck = c_custkey
         |GROUP BY 1""".stripMargin,
 
     "q_dv_mask_stats" ->

@@ -138,6 +138,8 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_pos_delete" -> ("both hints are the GATED sidecar broadcasts (256 MB cap, " +
       "shuffle fallback): scanWithPositionMask's (file, ordinal) anti-join side " +
       "and applyDv's equality mask — each bounded by deltas-since-last-fold"),
+    "q_join_mv" -> ("same gated applyDv mask broadcast as q_merge_on_read on the " +
+      "maintained view's read path; sidecar bounded by CDC'd keys since last fold"),
     "q_zorder_layout" -> ("broadcast sides are layoutBoxes' per-range-partition " +
       "count/offset frames — rows bounded by rangePartitions (32), not data size"))
 
