@@ -91,7 +91,7 @@ object Dedup {
     * [[jaccard]] on pre-distinct arrays, ~an order of magnitude faster per
     * pair than the interpreted array_intersect expression.
     */
-  private val jaccardUdf = udf((a: Seq[String], b: Seq[String]) => {
+  private[dedup] val jaccardUdf = udf((a: Seq[String], b: Seq[String]) => {
     val sa = a.toSet
     var inter = 0
     b.foreach(x => if (sa.contains(x)) inter += 1)
@@ -221,6 +221,21 @@ object Dedup {
     })
     sigUdf(shingles)
   }
+
+  /** FNV-style fold of each band's signature slice into one 64-bit band
+    * key — shared by the inline pair-discovery paths and the persistent
+    * [[LshIndex]] postings (bit-identical band keys across build, append,
+    * and probe are what make the index appendable against frozen
+    * parameters).
+    */
+  private[dedup] def bandHashUdf(bands: Int, r: Int) =
+    udf((sig: Seq[Long]) =>
+      (0 until bands).map { bi =>
+        var h = 1125899906842597L
+        var i = bi * r
+        while (i < (bi + 1) * r) { h = h * 31 + sig(i); i += 1 }
+        h
+      })
 
   /** MinHash + LSH near-duplicate pairs:
     * shingle -> k-hash signature -> band buckets -> bucket equi-join for

@@ -75,6 +75,26 @@ object DedupQueries {
       Dedup.minhashPairsExact(documents(s, d), "doc_id", "text",
         shingleN = 2, numHashes = 64, bands = 16, threshold = 0.3)),
 
+    // The PERSISTENT index face of the near-dup stack, maintained
+    // INCREMENTALLY (the q_knn_ivf_index protocol applied to MinHash):
+    // band postings + shingle sets built once on the even-id corpus,
+    // the %4==1 batch appended later against the FROZEN hash parameters
+    // (no existing index file rewritten — LshIndexSpec pins the
+    // filesystem half + one-shot-write equivalence), then the %4==3
+    // batch probes: batch-only signatures, candidate discovery against
+    // the stored postings (index side never shuffles — the batch
+    // postings ride a gated broadcast), exact-Jaccard verification
+    // against the stored shingles. The oracle recomputes the TRUE
+    // cross-Jaccard pair set from scratch in SQL — equality proves both
+    // the banding recall and that append kept the index probe-
+    // equivalent, not just written.
+    "q_dedup_lsh_index" -> ((s, d) => {
+      val dir = lshIndexDir(s, d)
+      LshIndex.probe(s, dir,
+        documents(s, d).filter(col("doc_id") % 4 === 3),
+        "doc_id", "text", threshold = 0.3)
+    }),
+
     // SimHash near-dup pairs within Hamming distance 3. md5 token hashing
     // so DuckDB can rebuild the exact 64-bit simhash; slice blocking is
     // recall-complete by pigeonhole, so the oracle is exact.
@@ -602,6 +622,39 @@ object DedupQueries {
       })
     }
 
+  private val lshIndexWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-time (per JVM x sf dir x fixture generation) incrementally-built
+    * LSH index for `q_dedup_lsh_index`: build on even doc_ids, append the
+    * %4==1 batch against the frozen hash parameters (same staleness-
+    * stamped dir + completion-marker protocol as [[ivfIndexDir]]).
+    */
+  private def lshIndexDir(s: SparkSession, d: String): String =
+    lshIndexWritten.synchronized {
+      lshIndexWritten.getOrElseUpdate(d, {
+        val src = new java.io.File(s"$d/documents.parquet")
+        val stamp = s"${src.lastModified()}_${src.length()}"
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_lsh_index_${math.abs(d.hashCode)}_$stamp")
+        val marker = new java.io.File(dir, "_graft_index_complete")
+        if (!marker.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          if (dir.exists()) rm(dir)
+          val doc = documents(s, d)
+          LshIndex.build(doc.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", dir.getAbsolutePath)
+          LshIndex.append(s, dir.getAbsolutePath,
+            doc.filter(col("doc_id") % 4 === 1), "doc_id", "text")
+          marker.createNewFile()
+          ()
+        }
+        dir.getAbsolutePath
+      })
+    }
+
   /** One-row recall@k summary of an ANN result vs the brute-force truth:
     * (n_queries, n_result_rows, k, recall_ge_085). Everything but the
     * recall bound is data-derived, so the DuckDB oracle can reproduce it;
@@ -1002,6 +1055,26 @@ object DedupQueries {
             GROUP BY 1, 2, 3, 4)
           SELECT id_a, id_b, jaccard FROM (
             SELECT id_a, id_b,
+              round(CAST(inter AS DOUBLE) / (sza + szb - inter), 6) AS jaccard
+            FROM co) WHERE jaccard >= 0.3""",
+
+    // TRUE cross-Jaccard pair set (probe batch x indexed corpus) rebuilt
+    // from scratch — the incremental index path must find exactly these
+    "q_dedup_lsh_index" ->
+      s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh
+            FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+            WHERE len(toks) >= 2),
+          i AS (SELECT doc_id, sh FROM t
+            WHERE doc_id % 2 = 0 OR doc_id % 4 = 1),
+          q AS (SELECT doc_id, sh FROM t WHERE doc_id % 4 = 3),
+          pi AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM i),
+          pq AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM q),
+          co AS (SELECT a.doc_id AS index_id, b.doc_id AS probe_id,
+              a.sz AS sza, b.sz AS szb, count(*) AS inter
+            FROM pi a JOIN pq b ON a.s = b.s
+            GROUP BY 1, 2, 3, 4)
+          SELECT index_id, probe_id, jaccard FROM (
+            SELECT index_id, probe_id,
               round(CAST(inter AS DOUBLE) / (sza + szb - inter), 6) AS jaccard
             FROM co) WHERE jaccard >= 0.3""",
 

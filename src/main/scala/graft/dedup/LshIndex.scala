@@ -1,0 +1,162 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent MinHash-LSH index — the near-duplicate sibling of
+  * [[graft.sim.IvfIndex]]: [[Dedup.minhashPairsExact]] hashes and bands
+  * the whole corpus inline, the right thing for a one-shot dedup sweep;
+  * a standing corpus that admits nightly batches wants the corpus-side
+  * work done ONCE and appended to thereafter. On disk:
+  *
+  *   dir/meta/       one row: (shingle_n, num_hashes, bands, seed) — the
+  *                   FROZEN hash parameters every later append and probe
+  *                   replays (an index mixing two hash families is
+  *                   silently recall-less, so params live with the data)
+  *   dir/postings/   (band_idx, band_hash, id) — the LSH candidate
+  *                   surface, range-laid-out on (band_idx, band_hash) so
+  *                   parquet min/max row-group pruning narrows a probe's
+  *                   band keys to a slice of each file
+  *   dir/docs/       (id, shingles) — the verification surface: exact
+  *                   Jaccard needs the shingle sets, storing them beats
+  *                   re-reading + re-tokenizing corpus text per probe
+  *
+  * A probe computes signatures for the BATCH ONLY and discovers
+  * candidates by an equi join whose index side never shuffles: the
+  * batch's band postings ride a gated broadcast ([[DeletionVectors]]'
+  * 256 MB doctrine — an outsized batch degrades to a keyed shuffle, not
+  * an OOM). Verification joins are candidate-bounded the same way. At
+  * 100 TB the corpus postings/docs are scanned in place by executors;
+  * nothing corpus-sized ever moves.
+  */
+object LshIndex {
+
+  private val MaxBroadcastBytes = 256L * 1024 * 1024
+
+  /** Hash, band, and write the standing corpus; freeze the parameters. */
+  def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
+      shingleN: Int = 2, numHashes: Int = 64, bands: Int = 16,
+      seed: Long = 42L): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((shingleN, numHashes, bands, seed))
+      .toDF("shingle_n", "num_hashes", "bands", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    writeEntries(docs, idCol, textCol, dir,
+      shingleN, numHashes, bands, seed, "overwrite")
+  }
+
+  /** Incremental maintenance — the nightly-ingest path: hash `batch`
+    * with the index's FROZEN parameters and append its postings and
+    * shingle sets. Existing index files are never rewritten (spec-pinned,
+    * the no-rewrite doctrine shared with [[graft.sim.IvfIndex.append]]);
+    * a probe after append sees old and new docs through the same scan.
+    * Returns the number of docs appended (post empty-shingle filter).
+    */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, textCol: String): Long = {
+    val m = loadMeta(spark, dir)
+    val before = spark.read.parquet(s"$dir/docs").count()
+    writeEntries(batch, idCol, textCol, dir,
+      m.shingleN, m.numHashes, m.bands, m.seed, "append")
+    spark.read.parquet(s"$dir/docs").count() - before
+  }
+
+  /** Near-duplicate pairs between `batch` and the indexed corpus:
+    * batch-side signatures -> band keys -> candidate discovery against
+    * the stored postings -> exact-Jaccard verification against the
+    * stored shingle sets. Returns (index_id, probe_id, jaccard) at
+    * `jaccard >= threshold`; self-pairs (a doc probed against its own
+    * index entry) are excluded. All three hinted sides are batch- or
+    * candidate-bounded and gated at 256 MB with shuffle fallback.
+    */
+  def probe(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val m = loadMeta(spark, dir)
+    val base = prepared(batch, idCol, textCol, m.shingleN)
+    val sigs = base.withColumn("sig",
+      Dedup.minhashSignature(col("shingles"),
+        Dedup.minhashCoefficients(m.numHashes, m.seed)))
+    val banded = sigs.select(col("id").as("probe_id"),
+      posexplode(Dedup.bandHashUdf(m.bands, m.numHashes / m.bands)(col("sig")))
+        .as(Seq("band_idx", "band_hash")))
+    val postings = spark.read.parquet(s"$dir/postings")
+      .select(col("band_idx"), col("band_hash"), col("id").as("index_id"))
+    val candidates = postings
+      .join(gated(banded), Seq("band_idx", "band_hash"))
+      .filter(col("index_id") =!= col("probe_id"))
+      .select(col("index_id"), col("probe_id"))
+      .distinct()
+    val indexed = spark.read.parquet(s"$dir/docs")
+      .select(col("id").as("index_id"), col("shingles").as("sh_i"))
+    val probeSh = base.select(col("id").as("probe_id"),
+      col("shingles").as("sh_p"))
+    indexed.join(gated(candidates), Seq("index_id"))
+      .join(gated(probeSh), Seq("probe_id"))
+      .select(col("index_id"), col("probe_id"),
+        round(Dedup.jaccardUdf(col("sh_i"), col("sh_p")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-band posting-list report from the stored index: bucket count,
+    * max bucket size, and mean bucket size — the skew signal that says a
+    * degenerate shingle distribution is funnelling the corpus into few
+    * buckets (probe cost is candidate count, and candidates scale with
+    * bucket occupancy squared).
+    */
+  def bandStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/postings")
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("band_idx"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"),
+        round(avg(col("n")), 6).as("mean_bucket"))
+
+  private case class Meta(shingleN: Int, numHashes: Int, bands: Int, seed: Long)
+
+  private def loadMeta(spark: SparkSession, dir: String): Meta = {
+    val r = spark.read.parquet(s"$dir/meta")
+      .select("shingle_n", "num_hashes", "bands", "seed").head()
+    Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
+  }
+
+  /** (id, shingles) with empty shingle sets dropped — the shared doc
+    * preparation of build, append, and probe.
+    */
+  private def prepared(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    graft.prep.Preprocessing.spread(docs)
+      .select(col(idCol).as("id"),
+        Dedup.wordShingles(col(textCol), shingleN).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  private def writeEntries(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, shingleN: Int, numHashes: Int, bands: Int, seed: Long,
+      mode: String): Unit = {
+    val base = prepared(docs, idCol, textCol, shingleN)
+      .localCheckpoint() // shingle once; feed both writes from it
+    val sigs = base.withColumn("sig",
+      Dedup.minhashSignature(col("shingles"),
+        Dedup.minhashCoefficients(numHashes, seed)))
+    sigs.select(col("id"),
+        posexplode(Dedup.bandHashUdf(bands, numHashes / bands)(col("sig")))
+          .as(Seq("band_idx", "band_hash")))
+      // range layout on the join key: a probe's band hashes then prune
+      // row groups by parquet min/max instead of scanning every posting
+      .repartitionByRange(col("band_idx"), col("band_hash"))
+      .sortWithinPartitions(col("band_idx"), col("band_hash"))
+      .write.mode(mode).parquet(s"$dir/postings")
+    base.write.mode(mode).parquet(s"$dir/docs")
+  }
+
+  /** Gated broadcast: hint only when the optimizer's own size estimate
+    * fits the cap (the [[graft.ops.DeletionVectors.applyDv]] doctrine —
+    * the non-CBO estimate overestimates, so the bias only ever declines
+    * a broadcast; an outgrown side degrades to a shuffle, never an OOM).
+    */
+  private def gated(df: DataFrame): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= MaxBroadcastBytes)
+      broadcast(df)
+    else df
+}

@@ -140,6 +140,9 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
       "and applyDv's equality mask — each bounded by deltas-since-last-fold"),
     "q_join_mv" -> ("same gated applyDv mask broadcast as q_merge_on_read on the " +
       "maintained view's read path; sidecar bounded by CDC'd keys since last fold"),
+    "q_dedup_lsh_index" -> ("all three hinted sides are probe-batch- or candidate-" +
+      "bounded (batch band postings, candidate pairs, batch shingles), each behind " +
+      "LshIndex's 256 MB gate with shuffle fallback — the index side never shuffles"),
     "q_zorder_layout" -> ("broadcast sides are layoutBoxes' per-range-partition " +
       "count/offset frames — rows bounded by rangePartitions (32), not data size"))
 
