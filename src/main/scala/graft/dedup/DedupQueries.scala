@@ -20,6 +20,22 @@ object DedupQueries {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(documents(s, d), "doc_id", "text")),
 
+    // Same fingerprint groups through the CUSTOM-STATE operator
+    // (flatMapGroupsWithState in batch mode — the streaming ingest
+    // deduper of graft.streaming.DedupStreams, whose cross-trigger
+    // admission/TTL semantics DedupStreamsSpec pins on real
+    // MemoryStream triggers): proves the stateful path agrees with the
+    // declarative group-by under the same DuckDB oracle, the
+    // q_events_sessions_stateful doctrine applied to dedup.
+    "q_dedup_stateful" -> ((s, d) => {
+      import s.implicits._
+      val fpDocs = documents(s, d).select(
+        graft.text.TextFunctions.fingerprint(col("text")).as("fp"),
+        col("doc_id")).as[graft.streaming.DedupStreams.FpDoc]
+      graft.streaming.DedupStreams.admitFirst(s, fpDocs)
+        .toDF("fp", "keep_id", "dup_cnt")
+    }),
+
     // exact substring (duplicated-span) dedup, Lee et al. 2022: excise
     // every >=substringMinLen-token span that also appears verbatim in
     // another document, keeping the lowest-doc-id copy. minLen is passed
@@ -964,6 +980,13 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+         min(doc_id) AS keep_id, count(*) AS dup_cnt
+         FROM documents GROUP BY 1""",
+
+    // the stateful path must produce the SAME admission groups (in batch
+    // mode one invocation sees the whole group, so keep_id = min id)
+    "q_dedup_stateful" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
          min(doc_id) AS keep_id, count(*) AS dup_cnt
          FROM documents GROUP BY 1""",
