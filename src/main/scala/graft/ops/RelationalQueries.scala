@@ -1898,6 +1898,49 @@ object RelationalQueries {
           col("sum_price").cast("double").as("sum_price"))
     }),
 
+    // Incremental MIN/MAX maintenance under deletes — the gap
+    // IncrementalAgg documents out, closed by IncrementalExtrema's
+    // k-deep reserves: the %13 deletes and %7 update pairs are absorbed
+    // by the reserves (runner-up extrema already on hand, no base scan),
+    // while a targeted low-cents delete sweep on the 1-URGENT group
+    // provably EXHAUSTS its min-reserve (9 bottom rows deleted > k=4) —
+    // that one group takes the flagged-refresh path, a group-semi-joined
+    // probe of the post-delta base, never a full re-init. The oracle
+    // recomputes min/max/count over the surviving multiset from scratch:
+    // equality proves reserve maintenance, bound discipline, and the
+    // refresh routing in one readout.
+    "q_incr_extrema" -> ((s, d) => {
+      val f = orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("priority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val state0 = IncrementalExtrema.init(f, Seq("priority"), "cents", 4)
+      val del13 = f.filter(pmod(col("k"), lit(13)) === 0)
+      val upd7 = f.filter(pmod(col("k"), lit(7)) === 0 &&
+        pmod(col("k"), lit(13)) =!= 0)
+      val ins11 = f.filter(pmod(col("k"), lit(11)) === 0 &&
+        pmod(col("k"), lit(7)) =!= 0 && pmod(col("k"), lit(13)) =!= 0)
+      val delLow = f.filter(col("priority") === "1-URGENT" &&
+        col("cents") < 2000000L &&
+        pmod(col("k"), lit(13)) =!= 0 && pmod(col("k"), lit(7)) =!= 0)
+      val delta = del13.unionByName(upd7).unionByName(delLow)
+        .withColumn("op", lit("d"))
+        .unionByName(upd7.withColumn("cents", col("cents") + 999L)
+          .withColumn("op", lit("i")))
+        .unionByName(ins11.withColumn("cents", col("cents") + 1234567L)
+          .withColumn("op", lit("i")))
+      val post = f.filter(pmod(col("k"), lit(13)) =!= 0 &&
+          pmod(col("k"), lit(7)) =!= 0 &&
+          !(col("priority") === "1-URGENT" && col("cents") < 2000000L))
+        .unionByName(upd7.withColumn("cents", col("cents") + 999L))
+        .unionByName(ins11.withColumn("cents", col("cents") + 1234567L))
+      val s1 = IncrementalExtrema.applyDelta(state0, delta,
+        Seq("priority"), "cents", 4)
+      val s2 = IncrementalExtrema.refresh(s1, post, Seq("priority"), "cents", 4)
+      IncrementalExtrema.extrema(s2, Seq("priority"))
+        .select(col("priority"), col("min_v").as("min_cents"),
+          col("max_v").as("max_cents"), col("cnt"))
+    }),
+
     // Change-feed generation: diff the orders snapshot against a
     // deterministically edited twin (every 23rd key deleted, every 10th
     // surviving key's status flipped, every 97th key re-inserted under a
@@ -3190,6 +3233,27 @@ object RelationalQueries {
                 CAST(SUM(qty) AS DOUBLE) AS sum_qty,
                 CAST(SUM(price) AS DOUBLE) AS sum_price
          FROM edited GROUP BY 1, 2""",
+
+    // from-scratch min/max/count over the surviving multiset — the
+    // k-reserve maintenance + targeted refresh must land exactly here
+    "q_incr_extrema" ->
+      """WITH f AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS priority,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |post AS (
+        |  SELECT priority, cents FROM f
+        |   WHERE k % 13 <> 0 AND k % 7 <> 0
+        |     AND NOT (priority = '1-URGENT' AND cents < 2000000)
+        |  UNION ALL
+        |  SELECT priority, cents + 999 FROM f
+        |   WHERE k % 7 = 0 AND k % 13 <> 0
+        |  UNION ALL
+        |  SELECT priority, cents + 1234567 FROM f
+        |   WHERE k % 11 = 0 AND k % 7 <> 0 AND k % 13 <> 0)
+        |SELECT priority, min(cents) AS min_cents, max(cents) AS max_cents,
+        |       count(*) AS cnt
+        |FROM post GROUP BY 1""".stripMargin,
 
     "q_change_feed" ->
       """WITH o AS (
