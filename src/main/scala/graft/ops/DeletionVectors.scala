@@ -176,6 +176,29 @@ object DeletionVectors {
     applyDv(scanWithPositionMask(spark, dir), readDv(spark, dir, key), key)
       .drop(SeqCol)
 
+  /** Time travel: the table state just after data sequence `asOf`
+    * committed. Three filters reconstruct it — data `seq <= asOf` (a
+    * PARTITION filter on the hive layout, so newer sequence directories
+    * are never opened), equality entries `below_seq <= asOf` (an upsert
+    * at n carries below_seq = n; a delete issued at tip m carries
+    * m + 1 — so both rules reduce to "masks written strictly before
+    * sequence asOf's successor"), and position deletes `at_seq < asOf`.
+    * Deletes issued at the CURRENT tip are part of post-asOf history for
+    * every as-of — [[read]] is the live view that includes them. No
+    * snapshot metadata is stored or needed: sequence numbers ARE the
+    * version history, which is what makes MoR time travel free until
+    * [[fold]] collapses it (fold trades history for compaction — readers
+    * needing deeper travel keep pre-fold snapshots via the retention
+    * machinery).
+    */
+  def readAsOf(spark: SparkSession, dir: String, key: String,
+      asOf: Long): DataFrame = {
+    val base = scanWithPositionMask(spark, dir, posAsOf = Some(asOf))
+      .filter(col(SeqCol) <= asOf)
+    val dv = readDv(spark, dir, key).filter(col("below_seq") <= asOf)
+    applyDv(base, dv, key).drop(SeqCol)
+  }
+
   /** Delete rows by POSITION — the (file, row-ordinal) variant
     * (Delta's deletion vectors / Iceberg v2 position deletes) for
     * keyless single-row erasure: when the row to remove has no equality
@@ -192,10 +215,16 @@ object DeletionVectors {
     */
   def deletePositions(spark: SparkSession, dir: String,
       positions: DataFrame): Long = {
+    // at_seq = the data tip when the delete was issued — the stamp
+    // [[readAsOf]] filters on (a position delete issued at tip m is part
+    // of history strictly after m, the same rule as equality deletes'
+    // below_seq = m + 1)
+    val tip = maxSeq(spark, dir)
     val batch = positions
       .select(col("file_path").cast("string").as("file_path"),
         col("row_index").cast("long").as("row_index"))
       .distinct()
+      .withColumn("at_seq", lit(tip))
       .localCheckpoint() // count + write from one materialization
     batch.write.mode("append").parquet(s"$dir/$PosDirName")
     batch.count()
@@ -215,6 +244,8 @@ object DeletionVectors {
         org.apache.spark.sql.types.StructField("file_path",
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("row_index",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("at_seq",
           org.apache.spark.sql.types.LongType))))
   }
 
@@ -229,12 +260,15 @@ object DeletionVectors {
     * equality-only path pays nothing for the feature.
     */
   def scanWithPositionMask(spark: SparkSession, dir: String,
-      maxBroadcastBytes: Long = 256L * 1024 * 1024): DataFrame = {
+      maxBroadcastBytes: Long = 256L * 1024 * 1024,
+      posAsOf: Option[Long] = None): DataFrame = {
     val (fs, _) = hfs(spark, dir)
     val base = spark.read.parquet(dir)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$PosDirName"))) base
     else {
-      val pdv = readPosDv(spark, dir).distinct()
+      val all = readPosDv(spark, dir)
+      val pdv = posAsOf.fold(all)(s => all.filter(col("at_seq") < s))
+        .select(col("file_path"), col("row_index")).distinct()
       val est = pdv.queryExecution.optimizedPlan.stats.sizeInBytes
       val side = if (est <= maxBroadcastBytes) broadcast(pdv) else pdv
       val tagged = base

@@ -1759,6 +1759,39 @@ object RelationalQueries {
       DeletionVectors.applyDv(data, dv, "k").drop(DeletionVectors.SeqCol)
     }),
 
+    // TIME TRAVEL over the DV protocol (DeletionVectors.readAsOf's
+    // declarative twin — the FS half, partition-pruned seq dirs and
+    // at_seq-stamped position deletes, is spec-pinned): sequence numbers
+    // ARE the version history, so every historical state is three
+    // filters away — data seq <= s, masks below_seq <= s. The fixture
+    // layers an upsert (seq 1), a delete issued at tip 1 (below 2), and
+    // a post-delete reinsert (seq 2) so as-of 1 must EXCLUDE the delete
+    // while as-of 2 must show the %13∩%5 keys resurrected by the seq-2
+    // image — the ordering subtleties, value-oracled per version from a
+    // from-scratch SQL replay of all three states.
+    "q_dv_asof" -> ((s, d) => {
+      val base = orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val upd7 = base.filter(pmod(col("k"), lit(7)) === 0)
+        .withColumn("cents", col("cents") + 999L)
+      val upd5 = base.filter(pmod(col("k"), lit(5)) === 0)
+        .withColumn("cents", col("cents") + 555L)
+      val sq = DeletionVectors.SeqCol
+      val data = base.withColumn(sq, lit(0L))
+        .unionByName(upd7.withColumn(sq, lit(1L)))
+        .unionByName(upd5.withColumn(sq, lit(2L)))
+      val dv = upd7.select(col("k"), lit(1L).as("below_seq"))
+        .unionByName(base.filter(pmod(col("k"), lit(13)) === 0)
+          .select(col("k"), lit(2L).as("below_seq")))
+        .unionByName(upd5.select(col("k"), lit(2L).as("below_seq")))
+      def asOf(n: Long) = DeletionVectors.applyDv(
+          data.filter(col(sq) <= n), dv.filter(col("below_seq") <= n), "k")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"),
+          sum(col("cents")).as("cents_sum"))
+        .select(lit(n).as("as_of"), col("n"), col("key_sum"), col("cents_sum"))
+      asOf(0L).unionByName(asOf(1L)).unionByName(asOf(2L))
+    }),
+
     // POSITION-scoped deletion vectors, MoR == COW on real files: orders
     // lands as a single sorted data file (one writer task, so the scan's
     // _metadata.row_index IS the global o_orderkey-order row number — the
@@ -3233,6 +3266,30 @@ object RelationalQueries {
                 CAST(SUM(qty) AS DOUBLE) AS sum_qty,
                 CAST(SUM(price) AS DOUBLE) AS sum_price
          FROM edited GROUP BY 1, 2""",
+
+    // from-scratch SQL replay of all three historical states — the DV
+    // sequence/mask filters must reproduce each one exactly
+    "q_dv_asof" ->
+      """WITH f AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |s1 AS (SELECT k, CASE WHEN k % 7 = 0 THEN cents + 999 ELSE cents END
+        |         AS cents FROM f),
+        |s2 AS (
+        |  SELECT k, cents + 555 AS cents FROM f WHERE k % 5 = 0
+        |  UNION ALL
+        |  SELECT k, CASE WHEN k % 7 = 0 THEN cents + 999 ELSE cents END
+        |  FROM f WHERE k % 5 <> 0 AND k % 13 <> 0)
+        |SELECT CAST(0 AS BIGINT) AS as_of, count(*) AS n,
+        |       CAST(sum(k) AS BIGINT) AS key_sum,
+        |       CAST(sum(cents) AS BIGINT) AS cents_sum FROM f
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), count(*), CAST(sum(k) AS BIGINT),
+        |       CAST(sum(cents) AS BIGINT) FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(k) AS BIGINT),
+        |       CAST(sum(cents) AS BIGINT) FROM s2""".stripMargin,
 
     // from-scratch min/max/count over the surviving multiset — the
     // k-reserve maintenance + targeted refresh must land exactly here

@@ -135,6 +135,9 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
       "simulated here from filtered orders"),
     "q_dv_mask_stats" -> ("same gated applyDv mask broadcast as q_merge_on_read; " +
       "sidecar bounded by deltas-since-last-fold"),
+    "q_dv_asof" -> ("three per-version gated applyDv mask broadcasts (one per " +
+      "as-of state) — each sidecar bounded by deltas-since-last-fold, " +
+      "simulated here from filtered orders"),
     "q_pos_delete" -> ("both hints are the GATED sidecar broadcasts (256 MB cap, " +
       "shuffle fallback): scanWithPositionMask's (file, ordinal) anti-join side " +
       "and applyDv's equality mask — each bounded by deltas-since-last-fold"),

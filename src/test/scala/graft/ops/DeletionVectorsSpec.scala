@@ -168,4 +168,42 @@ class DeletionVectorsSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"base must not shuffle for the DV subtraction:\n$plan")
   }
+
+  test("time travel: every historical state reproducible; newer seq dirs pruned") {
+    import spark.implicits._
+    val dir = mkDir("dv-asof")
+    DeletionVectors.initTable(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"), dir)
+    // seq 1: upsert 3 -> V3, 21 -> V21
+    DeletionVectors.appendUpserts(spark, dir,
+      Seq((3L, "V3"), (21L, "V21")).toDF("k", "v"), "k")
+    // delete at tip 1 (below_seq = 2): kills 5 and the upserted 3
+    DeletionVectors.deleteKeys(spark, dir, Seq(5L, 3L).toDF("k"), "k")
+    // seq 2: upsert 5 back -> V5b (legitimate post-delete reinsert)
+    DeletionVectors.appendUpserts(spark, dir,
+      Seq((5L, "V5b")).toDF("k", "v"), "k")
+    // position delete at tip 2: kill one ordinal of seq=0
+    val victim = DeletionVectors.scanWithPositionMask(spark, dir)
+      .filter(col("k") === 9L)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+    DeletionVectors.deletePositions(spark, dir, victim)
+
+    val s0 = (1L to 20L).map(i => i -> s"v$i").toMap
+    val s1 = s0 ++ Map(3L -> "V3", 21L -> "V21")
+    val s2 = (s1 - 3L - 5L) ++ Map(5L -> "V5b")
+    val live = s2 - 9L
+    assert(asMap(DeletionVectors.readAsOf(spark, dir, "k", 0)) === s0)
+    assert(asMap(DeletionVectors.readAsOf(spark, dir, "k", 1)) === s1)
+    // as-of 2 includes the tip-1 delete and seq-2 reinsert, but NOT the
+    // tip-2 position delete (post-asOf history)
+    assert(asMap(DeletionVectors.readAsOf(spark, dir, "k", 2)) === s2)
+    assert(asMap(DeletionVectors.read(spark, dir, "k")) === live)
+
+    // the data filter is a PARTITION filter: as-of 0 never opens seq>=1
+    val plan = DeletionVectors.readAsOf(spark, dir, "k", 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("seq"),
+      s"asOf seq filter must prune partitions:\n$plan")
+  }
 }
