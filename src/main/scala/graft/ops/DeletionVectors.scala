@@ -21,11 +21,15 @@ import org.apache.spark.sql.functions._
   * number — `seq=<n>` partition directories here, so the scope of a
   * delete is a PARTITION-PRUNABLE set of files — and a sidecar entry
   * `(key, below_seq)` deletes every row of that key written at
-  * `seq < below_seq`. An upsert batch at seq n masks with `below_seq = n`
-  * (older versions die, its own rows survive); a delete batch masks with
-  * `below_seq = maxSeq + 1` (every current row dies). The sidecar lives
-  * under `_dv/`, a leading-underscore directory Spark's file index hides
-  * from table scans, so base reads need no path gymnastics.
+  * `seq < below_seq`. An upsert batch at commit n masks with
+  * `below_seq = n` (older versions die, its own rows survive); a delete
+  * batch owns a commit id of its own and masks below it (every earlier
+  * version dies). The sidecar lives under `_dv/b=<commit>/`, a
+  * leading-underscore directory Spark's file index hides from table
+  * scans, so base reads need no path gymnastics. Writes run under the
+  * commit protocol (reserve → write → seal; see [[allocateCommit]]), so
+  * readers never observe a half-landed batch and concurrent writers
+  * serialize on id reservation instead of corrupting each other.
   *
   * Scale shape: the read-side mask is one aggregate over the sidecar
   * (per-key max) broadcast against the data scan — the sidecar is bounded
@@ -40,6 +44,8 @@ object DeletionVectors {
   val SeqCol = "seq"
   private val DvDirName = "_dv"
   private val PosDirName = "_pdv"
+  private val LocksDirName = "_locks"
+  private val CommitsDirName = "_commits"
 
   // Directory enumeration through the Hadoop FileSystem API (resolved
   // from the session's hadoopConf), NOT java.io.File: the table dir is an
@@ -60,15 +66,79 @@ object DeletionVectors {
       .map(_.getPath.getName.stripPrefix(s"$SeqCol=").toLong).sorted
   }
 
+  // ------------------------------------------------------------------
+  // Commit protocol: every batch — data, equality delete, position
+  // delete — runs as (1) RESERVE an id by creating `_locks/<n>`
+  // exclusively (FileSystem.create(overwrite = false): the CAS that
+  // serializes concurrent writers — the loser's create throws and it
+  // retries n+1), (2) write its files, (3) SEAL by creating
+  // `_commits/<n>`. Readers resolve visibility from `_commits` ONLY, so
+  // a half-written batch (crashed writer, reader racing a writer) is
+  // invisible until its single-file seal appears — atomic visibility
+  // without a central coordinator. A crashed reservation is never
+  // reused (allocation maxes over locks AND commits) and its orphan
+  // files are vacuumed by [[fold]]. Atomicity of create-exclusive holds
+  // on HDFS and local filesystems; object stores need a conditional-put
+  // or external-lock shim behind the same two calls.
+  // ------------------------------------------------------------------
+
+  private def listIds(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong)
+
+  /** Sealed commit ids — the reader's single source of visibility. */
+  def committedIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, _) = hfs(spark, dir)
+    listIds(fs, new org.apache.hadoop.fs.Path(s"$dir/$CommitsDirName")).sorted
+  }
+
+  /** Reserve the next commit id (create-exclusive CAS, retried on
+    * collision with a concurrent writer).
+    */
+  def allocateCommit(spark: SparkSession, dir: String): Long = {
+    val (fs, _) = hfs(spark, dir)
+    val locks = new org.apache.hadoop.fs.Path(s"$dir/$LocksDirName")
+    fs.mkdirs(locks)
+    var n = (listIds(fs, locks) ++
+      listIds(fs, new org.apache.hadoop.fs.Path(s"$dir/$CommitsDirName")) ++
+      seqDirs(spark, dir)).foldLeft(-1L)(math.max) + 1
+    var reserved = false
+    while (!reserved) {
+      try {
+        fs.create(new org.apache.hadoop.fs.Path(locks, n.toString), false).close()
+        reserved = true
+      } catch {
+        case _: java.io.IOException => n += 1 // lost the race; next id
+      }
+    }
+    n
+  }
+
+  private def seal(spark: SparkSession, dir: String, n: Long): Unit = {
+    val (fs, _) = hfs(spark, dir)
+    val commits = new org.apache.hadoop.fs.Path(s"$dir/$CommitsDirName")
+    fs.mkdirs(commits)
+    fs.create(new org.apache.hadoop.fs.Path(commits, n.toString), false).close()
+    ()
+  }
+
   private def maxSeq(spark: SparkSession, dir: String): Long = {
-    val ds = seqDirs(spark, dir)
-    require(ds.nonEmpty, s"not a DV table (no $SeqCol=* dirs): $dir")
+    val ds = committedIds(spark, dir)
+    require(ds.nonEmpty, s"not a DV table (no sealed commits): $dir")
     ds.max
   }
 
   /** Create the table: the initial snapshot lands as sequence 0. */
-  def initTable(df: DataFrame, dir: String): Unit =
+  def initTable(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
     df.write.mode("error").parquet(s"$dir/$SeqCol=0")
+    val (fs, _) = hfs(spark, dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/$LocksDirName"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/$LocksDirName/0"), false).close()
+    seal(spark, dir, 0L)
+  }
 
   /** Append an upsert batch: its rows land as a NEW sequence directory and
     * the sidecar masks the batch keys below it — prior versions of those
@@ -91,25 +161,27 @@ object DeletionVectors {
     */
   def appendBatch(spark: SparkSession, dir: String, rows: DataFrame,
       maskKeys: DataFrame, key: String): Long = {
-    val n = maxSeq(spark, dir) + 1
+    val n = allocateCommit(spark, dir)
     rows.write.mode("error").parquet(s"$dir/$SeqCol=$n")
     maskKeys.select(col(key), lit(n).as("below_seq"))
       .distinct()
-      .write.mode("append").parquet(s"$dir/$DvDirName")
+      .write.mode("error").parquet(s"$dir/$DvDirName/b=$n")
+    seal(spark, dir, n)
     n
   }
 
   /** Append a delete batch: ONLY the sidecar is written — every data file
-    * of the table stays byte-identical (spec-pinned). Masks below
-    * `maxSeq + 1`, i.e. every currently-live version of the keys.
-    * Returns the number of distinct keys deleted.
+    * of the table stays byte-identical (spec-pinned). The batch owns a
+    * commit id of its own and masks below it — every version of the keys
+    * committed earlier dies. Returns the number of distinct keys deleted.
     */
   def deleteKeys(spark: SparkSession, dir: String,
       keys: DataFrame, key: String): Long = {
-    val below = maxSeq(spark, dir) + 1
-    val batch = keys.select(col(key), lit(below).as("below_seq")).distinct()
+    val n = allocateCommit(spark, dir)
+    val batch = keys.select(col(key), lit(n).as("below_seq")).distinct()
       .localCheckpoint() // count + write from one materialization
-    batch.write.mode("append").parquet(s"$dir/$DvDirName")
+    batch.write.mode("error").parquet(s"$dir/$DvDirName/b=$n")
+    seal(spark, dir, n)
     batch.count()
   }
 
@@ -118,9 +190,15 @@ object DeletionVectors {
     */
   def readDv(spark: SparkSession, dir: String, key: String): DataFrame = {
     val (fs, _) = hfs(spark, dir)
-    val dvPath = new org.apache.hadoop.fs.Path(s"$dir/$DvDirName")
-    if (fs.exists(dvPath) && fs.getFileStatus(dvPath).isDirectory)
-      spark.read.parquet(dvPath.toString)
+    // only SEALED batches' sidecar subdirs: an in-flight or crashed
+    // writer's mask is invisible until its commit marker lands, exactly
+    // like its data files
+    val dvDirs = committedIds(spark, dir)
+      .map(n => new org.apache.hadoop.fs.Path(s"$dir/$DvDirName/b=$n"))
+      .filter(fs.exists)
+    if (dvDirs.nonEmpty)
+      spark.read.parquet(dvDirs.map(_.toString): _*)
+        .select(col(key), col("below_seq"))
     else {
       // no sidecar yet (fresh or just-folded table): an empty, correctly
       // key-typed frame, schema taken from any live sequence directory
@@ -176,20 +254,16 @@ object DeletionVectors {
     applyDv(scanWithPositionMask(spark, dir), readDv(spark, dir, key), key)
       .drop(SeqCol)
 
-  /** Time travel: the table state just after data sequence `asOf`
-    * committed. Three filters reconstruct it — data `seq <= asOf` (a
-    * PARTITION filter on the hive layout, so newer sequence directories
-    * are never opened), equality entries `below_seq <= asOf` (an upsert
-    * at n carries below_seq = n; a delete issued at tip m carries
-    * m + 1 — so both rules reduce to "masks written strictly before
-    * sequence asOf's successor"), and position deletes `at_seq < asOf`.
-    * Deletes issued at the CURRENT tip are part of post-asOf history for
-    * every as-of — [[read]] is the live view that includes them. No
-    * snapshot metadata is stored or needed: sequence numbers ARE the
-    * version history, which is what makes MoR time travel free until
-    * [[fold]] collapses it (fold trades history for compaction — readers
-    * needing deeper travel keep pre-fold snapshots via the retention
-    * machinery).
+  /** Time travel: the table state just after commit `asOf` sealed.
+    * Three filters reconstruct it — data `seq <= asOf` (a PARTITION
+    * filter on the hive layout, so newer sequence directories are never
+    * opened), equality entries `below_seq <= asOf`, position deletes
+    * `at_seq <= asOf` — because every batch kind owns a commit id and
+    * stamps its artifacts with it. No snapshot metadata is stored or
+    * needed: commit ids ARE the version history, which is what makes MoR
+    * time travel free until [[fold]] collapses it (fold trades history
+    * for compaction — readers needing deeper travel keep pre-fold
+    * snapshots via the retention machinery).
     */
   def readAsOf(spark: SparkSession, dir: String, key: String,
       asOf: Long): DataFrame = {
@@ -215,18 +289,18 @@ object DeletionVectors {
     */
   def deletePositions(spark: SparkSession, dir: String,
       positions: DataFrame): Long = {
-    // at_seq = the data tip when the delete was issued — the stamp
-    // [[readAsOf]] filters on (a position delete issued at tip m is part
-    // of history strictly after m, the same rule as equality deletes'
-    // below_seq = m + 1)
-    val tip = maxSeq(spark, dir)
+    // at_seq = the batch's OWN commit id — the stamp [[readAsOf]]
+    // filters on (visible as of s iff at_seq <= s, the same rule as
+    // every other commit)
+    val n = allocateCommit(spark, dir)
     val batch = positions
       .select(col("file_path").cast("string").as("file_path"),
         col("row_index").cast("long").as("row_index"))
       .distinct()
-      .withColumn("at_seq", lit(tip))
+      .withColumn("at_seq", lit(n))
       .localCheckpoint() // count + write from one materialization
-    batch.write.mode("append").parquet(s"$dir/$PosDirName")
+    batch.write.mode("error").parquet(s"$dir/$PosDirName/b=$n")
+    seal(spark, dir, n)
     batch.count()
   }
 
@@ -235,9 +309,12 @@ object DeletionVectors {
     */
   def readPosDv(spark: SparkSession, dir: String): DataFrame = {
     val (fs, _) = hfs(spark, dir)
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$PosDirName")
-    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
-      spark.read.parquet(p.toString)
+    val pDirs = committedIds(spark, dir)
+      .map(n => new org.apache.hadoop.fs.Path(s"$dir/$PosDirName/b=$n"))
+      .filter(fs.exists)
+    if (pDirs.nonEmpty)
+      spark.read.parquet(pDirs.map(_.toString): _*)
+        .select(col("file_path"), col("row_index"), col("at_seq"))
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -263,11 +340,19 @@ object DeletionVectors {
       maxBroadcastBytes: Long = 256L * 1024 * 1024,
       posAsOf: Option[Long] = None): DataFrame = {
     val (fs, _) = hfs(spark, dir)
-    val base = spark.read.parquet(dir)
+    // only SEALED sequence directories: a crashed or in-flight writer's
+    // data files are invisible until the commit marker lands (basePath
+    // keeps the seq partition column over the explicit dir list)
+    val dataDirs = committedIds(spark, dir)
+      .map(n => new org.apache.hadoop.fs.Path(s"$dir/$SeqCol=$n"))
+      .filter(fs.exists)
+    require(dataDirs.nonEmpty, s"not a DV table (no sealed data): $dir")
+    val base = spark.read.option("basePath", dir)
+      .parquet(dataDirs.map(_.toString): _*)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$PosDirName"))) base
     else {
       val all = readPosDv(spark, dir)
-      val pdv = posAsOf.fold(all)(s => all.filter(col("at_seq") < s))
+      val pdv = posAsOf.fold(all)(s => all.filter(col("at_seq") <= s))
         .select(col("file_path"), col("row_index")).distinct()
       val est = pdv.queryExecution.optimizedPlan.stats.sizeInBytes
       val side = if (est <= maxBroadcastBytes) broadcast(pdv) else pdv
@@ -299,17 +384,25 @@ object DeletionVectors {
       (if (orderBy.nonEmpty) survivors0.sortWithinPartitions(orderBy: _*)
        else survivors0).localCheckpoint() // the sink overwrites dirs the plan reads
     val n = survivors.count()
-    val oldSeqs = seqDirs(spark, dir)
-    survivors.write.mode("overwrite").parquet(s"$dir/$SeqCol=${oldSeqs.max + 1}")
+    val newSeq = allocateCommit(spark, dir)
+    survivors.write.mode("overwrite").parquet(s"$dir/$SeqCol=$newSeq")
+    seal(spark, dir, newSeq)
     val (fs, _) = hfs(spark, dir)
-    oldSeqs.foreach { sq =>
+    // drop superseded sequence dirs — INCLUDING unsealed orphans from
+    // crashed writers (fold doubles as the vacuum), both sidecars (the
+    // rewritten files have fresh ordinals, so stale positions must not
+    // outlive the fold), and the spent locks/markers of folded history
+    seqDirs(spark, dir).filter(_ != newSeq).foreach { sq =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$SeqCol=$sq"), true); ()
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$DvDirName"), true)
-    // position deletes are folded with everything else (read() applied
-    // them to the survivors); the rewritten files have fresh ordinals, so
-    // stale positions MUST not outlive the fold
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$PosDirName"), true)
+    Seq(LocksDirName, CommitsDirName).foreach { ld =>
+      listIds(fs, new org.apache.hadoop.fs.Path(s"$dir/$ld"))
+        .filter(_ != newSeq).foreach { id =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$ld/$id"), false); ()
+        }
+    }
     (n, dvEntries)
   }
 }

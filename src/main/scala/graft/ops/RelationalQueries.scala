@@ -65,9 +65,11 @@ object RelationalQueries {
       posDvWritten.getOrElseUpdate(d, {
         val src = new java.io.File(s"$d/orders.parquet")
         val stamp = s"${src.lastModified()}_${src.length()}"
+        // "posdv2": the commit-protocol layout (_dv/b=<n> subdirs) —
+        // a pre-protocol cached dir must not be half-read
         val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_posdv_${math.abs(d.hashCode)}_$stamp")
-        if (!new java.io.File(dir, "_pdv/_SUCCESS").exists()) {
+          s"graft_posdv2_${math.abs(d.hashCode)}_$stamp")
+        if (!new java.io.File(dir, "_graft_posdv_complete").exists()) {
           def rm(f: java.io.File): Unit = {
             Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
             f.delete(); ()
@@ -85,6 +87,7 @@ object RelationalQueries {
           DeletionVectors.deleteKeys(s, dir.getAbsolutePath,
             orders(s, d).filter(pmod(col("o_orderkey"), lit(101)) === 0)
               .select(col("o_orderkey")), "o_orderkey")
+          new java.io.File(dir, "_graft_posdv_complete").createNewFile()
           ()
         }
         dir.getAbsolutePath
@@ -106,8 +109,9 @@ object RelationalQueries {
       joinMvWritten.getOrElseUpdate(d, {
         val src = new java.io.File(s"$d/orders.parquet")
         val stamp = s"${src.lastModified()}_${src.length()}"
+        // "joinmv2": the commit-protocol layout (_dv/b=<n> subdirs)
         val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_joinmv_${math.abs(d.hashCode)}_$stamp")
+          s"graft_joinmv2_${math.abs(d.hashCode)}_$stamp")
         val marker = new java.io.File(dir, "_graft_mv_complete")
         if (!marker.exists()) {
           def rm(f: java.io.File): Unit = {

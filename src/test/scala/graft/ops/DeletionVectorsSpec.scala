@@ -189,15 +189,18 @@ class DeletionVectorsSpec extends AnyFunSuite with SparkSpec {
         col("_metadata.row_index").as("row_index"))
     DeletionVectors.deletePositions(spark, dir, victim)
 
+    // commit ids: 0 init, 1 upsert, 2 delete, 3 reinsert, 4 pos-delete —
+    // every batch kind owns a version, so each is its own as-of point
     val s0 = (1L to 20L).map(i => i -> s"v$i").toMap
     val s1 = s0 ++ Map(3L -> "V3", 21L -> "V21")
-    val s2 = (s1 - 3L - 5L) ++ Map(5L -> "V5b")
-    val live = s2 - 9L
+    val s2 = s1 - 3L - 5L
+    val s3 = s2 ++ Map(5L -> "V5b")
+    val live = s3 - 9L
     assert(asMap(DeletionVectors.readAsOf(spark, dir, "k", 0)) === s0)
     assert(asMap(DeletionVectors.readAsOf(spark, dir, "k", 1)) === s1)
-    // as-of 2 includes the tip-1 delete and seq-2 reinsert, but NOT the
-    // tip-2 position delete (post-asOf history)
     assert(asMap(DeletionVectors.readAsOf(spark, dir, "k", 2)) === s2)
+    assert(asMap(DeletionVectors.readAsOf(spark, dir, "k", 3)) === s3)
+    assert(asMap(DeletionVectors.readAsOf(spark, dir, "k", 4)) === live)
     assert(asMap(DeletionVectors.read(spark, dir, "k")) === live)
 
     // the data filter is a PARTITION filter: as-of 0 never opens seq>=1
@@ -205,5 +208,44 @@ class DeletionVectorsSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("seq"),
       s"asOf seq filter must prune partitions:\n$plan")
+  }
+
+  test("commit protocol: unsealed batches invisible; CAS serializes writers; fold vacuums orphans") {
+    import spark.implicits._
+    val dir = mkDir("dv-commit")
+    DeletionVectors.initTable(
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"), dir)
+    val clean = asMap(DeletionVectors.read(spark, dir, "k"))
+
+    // a "crashed writer": reserved an id, wrote data AND sidecar, died
+    // before sealing — readers must see none of it
+    val orphan = DeletionVectors.allocateCommit(spark, dir)
+    Seq((5L, "CRASH")).toDF("k", "v")
+      .write.parquet(s"$dir/seq=$orphan")
+    Seq((5L, orphan)).toDF("k", "below_seq")
+      .write.parquet(s"$dir/_dv/b=$orphan")
+    assert(asMap(DeletionVectors.read(spark, dir, "k")) === clean,
+      "half-landed batch leaked into the read")
+
+    // the crashed reservation is never reused: the next writer allocates
+    // PAST it, and its sealed batch is fully visible
+    val n2 = DeletionVectors.appendUpserts(spark, dir,
+      Seq((7L, "V7")).toDF("k", "v"), "k")
+    assert(n2 > orphan)
+    assert(asMap(DeletionVectors.read(spark, dir, "k")) ===
+      clean ++ Map(7L -> "V7"))
+
+    // two racing allocations get distinct ids (the create-exclusive CAS)
+    val a = DeletionVectors.allocateCommit(spark, dir)
+    val b = DeletionVectors.allocateCommit(spark, dir)
+    assert(a !== b)
+
+    // fold vacuums the orphan data dir and spent markers; read unchanged
+    DeletionVectors.fold(spark, dir, "k")
+    assert(asMap(DeletionVectors.read(spark, dir, "k")) ===
+      clean ++ Map(7L -> "V7"))
+    val seqDirsLeft = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("seq=")).map(_.getName)
+    assert(seqDirsLeft.length === 1, seqDirsLeft.mkString(","))
   }
 }
