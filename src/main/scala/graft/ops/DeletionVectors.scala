@@ -94,6 +94,28 @@ object DeletionVectors {
     listIds(fs, new org.apache.hadoop.fs.Path(s"$dir/$CommitsDirName")).sorted
   }
 
+  /** Atomic create-exclusive of an empty file — the CAS primitive. On
+    * HDFS `FileSystem.create(overwrite = false)` is enforced atomically
+    * by the NameNode; the LOCAL filesystems behind it are check-then-
+    * create (a real TOCTOU — two racing writers both pass the exists
+    * check), so file:// paths go through POSIX `Files.createFile`, which
+    * is atomic (O_CREAT|O_EXCL). Returns false when the path already
+    * exists — the caller lost the race.
+    */
+  private def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    try {
+      if (fs.getScheme == "file")
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(
+          p.toUri.getPath))
+      else fs.create(p, false).close()
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException => false
+    }
+
   /** Reserve the next commit id (create-exclusive CAS, retried on
     * collision with a concurrent writer).
     */
@@ -104,15 +126,8 @@ object DeletionVectors {
     var n = (listIds(fs, locks) ++
       listIds(fs, new org.apache.hadoop.fs.Path(s"$dir/$CommitsDirName")) ++
       seqDirs(spark, dir)).foldLeft(-1L)(math.max) + 1
-    var reserved = false
-    while (!reserved) {
-      try {
-        fs.create(new org.apache.hadoop.fs.Path(locks, n.toString), false).close()
-        reserved = true
-      } catch {
-        case _: java.io.IOException => n += 1 // lost the race; next id
-      }
-    }
+    while (!createExclusive(fs, new org.apache.hadoop.fs.Path(locks, n.toString)))
+      n += 1 // lost the race; next id
     n
   }
 
@@ -120,8 +135,8 @@ object DeletionVectors {
     val (fs, _) = hfs(spark, dir)
     val commits = new org.apache.hadoop.fs.Path(s"$dir/$CommitsDirName")
     fs.mkdirs(commits)
-    fs.create(new org.apache.hadoop.fs.Path(commits, n.toString), false).close()
-    ()
+    require(createExclusive(fs, new org.apache.hadoop.fs.Path(commits, n.toString)),
+      s"commit $n already sealed — duplicate seal indicates a protocol bug")
   }
 
   private def maxSeq(spark: SparkSession, dir: String): Long = {
@@ -136,7 +151,7 @@ object DeletionVectors {
     df.write.mode("error").parquet(s"$dir/$SeqCol=0")
     val (fs, _) = hfs(spark, dir)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/$LocksDirName"))
-    fs.create(new org.apache.hadoop.fs.Path(s"$dir/$LocksDirName/0"), false).close()
+    createExclusive(fs, new org.apache.hadoop.fs.Path(s"$dir/$LocksDirName/0"))
     seal(spark, dir, 0L)
   }
 

@@ -248,4 +248,29 @@ class DeletionVectorsSpec extends AnyFunSuite with SparkSpec {
       .getOrElse(Array.empty).filter(_.getName.startsWith("seq=")).map(_.getName)
     assert(seqDirsLeft.length === 1, seqDirsLeft.mkString(","))
   }
+
+  test("two writers racing full append batches both land, with distinct commits") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = mkDir("dv-race")
+    DeletionVectors.initTable(
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v"), dir)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def writer(key: Long, v: String): Future[Long] = Future {
+      gate.await()
+      DeletionVectors.appendUpserts(spark, dir,
+        Seq((key, v)).toDF("k", "v"), "k")
+    }
+    val fa = writer(3L, "A")
+    val fb = writer(4L, "B")
+    gate.countDown()
+    val (na, nb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(na !== nb, "racing writers must reserve distinct commits")
+    // both batches fully visible, nothing corrupted
+    val after = asMap(DeletionVectors.read(spark, dir, "k"))
+    assert(after === (1L to 30L).map(i => i -> s"v$i").toMap ++
+      Map(3L -> "A", 4L -> "B"))
+  }
 }
