@@ -159,4 +159,46 @@ object LshIndex {
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= MaxBroadcastBytes)
       broadcast(df)
     else df
+
+  /** Streaming near-dup ingest: each micro-batch probes the standing
+    * index, docs with a near-duplicate already indexed are REJECTED, the
+    * admitted remainder (deduped within the batch by keeping the lowest
+    * id of any intra-batch near-dup pair) is APPENDED — so later
+    * triggers dedup against everything earlier ones admitted. The index
+    * IS the operator state, which is what makes near-dup streaming
+    * tractable: shingle sets can't live in Spark's per-key state store
+    * (no key — similarity isn't equality), but they persist fine as an
+    * appendable table the probe path reads in place. Admission decisions
+    * land at `admissionsDir` (one parquet dir per epoch, with the
+    * admitted flag), the audit trail a curation pipeline keeps. Returns
+    * the StreamingQuery; callers own its lifecycle.
+    */
+  def streamingIngest(spark: SparkSession, dir: String, admissionsDir: String,
+      stream: DataFrame, idCol: String, textCol: String,
+      threshold: Double): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val b = batch.localCheckpoint() // probed, anti-joined, appended
+        val m = loadMeta(spark, dir) // intra pairs use the FROZEN params
+        // cross pairs vs the index + intra-batch pairs at the same bar.
+        // Admission rule, deterministic: a doc is rejected iff the index
+        // already holds a near-dup of it, or a LOWER-id batchmate is
+        // near-dup to it (order-of-arrival priority within a trigger)
+        val vsIndex = probe(spark, dir, b, idCol, textCol, threshold)
+          .select(col("probe_id").as("_rej"))
+        val intra = Dedup.minhashPairsExact(b, idCol, textCol,
+          shingleN = m.shingleN, numHashes = m.numHashes, bands = m.bands,
+          threshold = threshold, seed = m.seed)
+          .select(greatest(col("id_a"), col("id_b")).as("_rej"))
+        val admitted = b.join(
+          gated(vsIndex.unionByName(intra).distinct()),
+          col(idCol) === col("_rej"), "left_anti")
+          .localCheckpoint() // audit write + append from one frame
+        admitted.withColumn("epoch", lit(epochId))
+          .write.mode("error").parquet(s"$admissionsDir/epoch=$epochId")
+        append(spark, dir, admitted, idCol, textCol)
+        ()
+      }
+      .start()
 }

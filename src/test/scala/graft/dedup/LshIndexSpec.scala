@@ -81,6 +81,51 @@ class LshIndexSpec extends AnyFunSuite with SparkSpec {
       s"no appended doc surfaced among ${viaAppend.size} pairs")
   }
 
+  test("streaming ingest: index-as-state dedups across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = Files.createTempDirectory("lsh_stream").toString
+    val idxDir = s"$t/idx"
+    val admDir = s"$t/adm"
+    LshIndex.build(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", idxDir)
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = LshIndex.streamingIngest(spark, idxDir, admDir,
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5)
+    try {
+      // trigger 1: near-dup of the SEEDED doc (rejected), one novel doc
+      // (admitted), and an intra-batch near-dup pair (lower id wins)
+      stream.addData(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+        (11L, "one two three four five six seven eight nine ten"),
+        (12L, "one two three four five six seven eight nine ten eleven"))
+      q.processAllAvailable()
+      val e0 = spark.read.parquet(s"$admDir/epoch=0")
+        .select("doc_id").as[Long].collect().toSet
+      assert(e0 === Set(11L), s"epoch 0 admitted $e0")
+
+      // trigger 2: near-dup of a doc ADMITTED IN TRIGGER 1 — rejected
+      // through the index (the cross-trigger state), plus a novel doc
+      stream.addData(
+        (20L, "one two three four five six seven eight nine ten twelve"),
+        (21L, "red orange yellow green blue indigo violet pink brown black"))
+      q.processAllAvailable()
+      val e1 = spark.read.parquet(s"$admDir/epoch=1")
+        .select("doc_id").as[Long].collect().toSet
+      assert(e1 === Set(21L), s"epoch 1 admitted $e1")
+
+      // the index grew by exactly the admitted docs
+      val ids = spark.read.parquet(s"$idxDir/docs")
+        .select("id").as[Long].collect().toSet
+      assert(ids === Set(1L, 11L, 21L))
+    } finally q.stop()
+  }
+
   test("band stats report covers every band; postings range-laid-out") {
     val stats = LshIndex.bandStats(spark, dir).collect()
     assert(stats.map(_.getInt(0)).toSet === (0 until 16).toSet)
