@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent inverted text index — the lexical member of the
+  * persistent-index family ([[graft.sim.IvfIndex]] serves vectors,
+  * [[graft.dedup.LshIndex]] serves near-duplicates, this serves BM25
+  * retrieval). [[TextRanking.bm25Relation]] tokenizes the whole corpus
+  * per query — right for one-shot scoring; an index that serves many
+  * queries tokenizes ONCE at ingest. On disk:
+  *
+  *   dir/postings/   (term, id, tf) — range-laid-out on `term`, so a
+  *                   query's handful of terms prunes row groups by
+  *                   parquet min/max instead of scanning every posting
+  *   dir/docs/       (id, dl) — the document-length spine: corpus stats
+  *                   (N, avgdl) and zero-score docs come from here, so
+  *                   scoring never touches text again
+  *
+  * A query reads the pruned postings slice plus the spine — both
+  * scans in place on executors; the only shuffle is the per-doc score
+  * aggregate over MATCHED postings (query-bounded selectivity). Append
+  * is the nightly-ingest path: tokenize the batch only, append postings
+  * and spine rows — no existing index file rewritten (spec-pinned), and
+  * because df/N/avgdl are computed AT QUERY TIME from the stored frames
+  * (not frozen at build), an appended corpus scores exactly like a
+  * rebuilt one — bit-for-bit, not approximately (spec-pinned).
+  */
+object TextIndex {
+
+  /** Tokenize and write the corpus. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit =
+    writeEntries(docs, idCol, textCol, dir, "overwrite")
+
+  /** Incremental maintenance: tokenize `batch` only and append its
+    * postings and spine rows. Returns docs appended.
+    */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, textCol: String): Long = {
+    val before = spark.read.parquet(s"$dir/docs").count()
+    writeEntries(batch, idCol, textCol, dir, "append")
+    spark.read.parquet(s"$dir/docs").count() - before
+  }
+
+  /** BM25 scores for every indexed document against a query-term
+    * relation — [[TextRanking.bm25Relation]] semantics (Lucene idf
+    * variant, same 6-dp rounding), computed from the stored index
+    * instead of the corpus text. Unmatched docs score 0 through the
+    * spine, so the output is a total scoring of the corpus.
+    */
+  def scoreAll(spark: SparkSession, dir: String, terms: DataFrame,
+      termCol: String = "term", k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val spine = spark.read.parquet(s"$dir/docs")
+    val stats = spine.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val t = broadcast(terms.select(col(termCol).as("term")).distinct())
+    // the term equi-join is what the range layout serves: with a pushed
+    // `term IN (...)` semantics via broadcast join, parquet min/max on
+    // the sorted term column admits only the row groups holding them
+    val matched = spark.read.parquet(s"$dir/postings")
+      .join(t, Seq("term"))
+    val dfreq = matched.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val scored = matched
+      .join(broadcast(dfreq), Seq("term"))
+      .join(spine, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+        (log(lit(1.0) +
+          (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
+          col("tf").cast("double") * (k1 + 1.0) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("__dl") / col("__avgdl"))))
+          .as("__s"))
+      .groupBy(col("id")).agg(sum(col("__s")).as("__score"))
+    spine.select(col("id"))
+      .join(scored, Seq("id"), "left_outer")
+      .select(col("id"),
+        round(coalesce(col("__score"), lit(0.0)), 6).as("bm25"))
+  }
+
+  /** Serving shape: the k best-scoring documents (TakeOrdered — no
+    * global sort materializes).
+    */
+  def topK(spark: SparkSession, dir: String, terms: DataFrame, k: Int,
+      termCol: String = "term"): DataFrame =
+    scoreAll(spark, dir, terms, termCol)
+      .orderBy(desc("bm25"), asc("id")).limit(k)
+
+  private def writeEntries(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, mode: String): Unit = {
+    val base = graft.prep.Preprocessing.spread(docs)
+      .select(col(idCol).as("id"),
+        TextFunctions.safeLowerTokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("double"))
+      .localCheckpoint() // tokenize once; feed both writes from it
+    base.select(col("id"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("id"))
+      .agg(count(lit(1)).as("tf"))
+      // range layout on the lookup key — the LshIndex postings doctrine
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col("id"))
+      .write.mode(mode).parquet(s"$dir/postings")
+    base.select(col("id"), col("__dl"))
+      .write.mode(mode).parquet(s"$dir/docs")
+  }
+}

@@ -43,6 +43,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q22_idle_customers" -> "cross join against a broadcast 1-row average aggregate",
     "q_text_bm25" -> "cross join against the broadcast 1-row corpus-stats aggregate",
     "q_text_bm25_rel" -> "cross join against the broadcast 1-row corpus-stats aggregate",
+    "q_text_bm25_index" -> "cross join against the broadcast 1-row spine-stats aggregate (the q_text_bm25_rel shape served from the stored index)",
     "q_text_lm_score" -> "cross join against the broadcast 1-row vocabulary-size aggregate",
     "q_vec_quantize" -> "cross join against the broadcast 1-row per-dim min/max aggregate",
     "q_text_boilerplate" -> "fractional df-cap cross-joins the broadcast 1-row corpus count onto the gram-df frame",
@@ -124,6 +125,8 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_knn_pq" -> "broadcast side is the query set, bounded to 10 vectors by the pushed filter (codebooks ride the closure, not a join)",
     "q_knn_wide" -> "broadcast sides are the 10-vector query set, k centroids, and the 1-row stats aggregate (q_knn_ivf_quantized at dim 1536)",
     "q_text_bm25_rel" -> "broadcast side is the per-term df aggregate — rows bounded by the query term count",
+    "q_text_bm25_index" -> ("broadcast sides are the query-term relation and the per-term " +
+      "df aggregate over index postings — both bounded by the query term count"),
     "q_dpp" -> ("broadcast side is DISTINCT order-months after a triple selective filter — " +
       "bounded by the calendar (~84 values over the 7-year range), not by data size; " +
       "the broadcast-hash join is what carries the dynamicpruning subquery into the fact scan"),

@@ -1,0 +1,71 @@
+package graft.text
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The persistent inverted index must (1) score exactly like the inline
+  * relational BM25 (same math, same rounding), (2) append without
+  * rewriting any existing index file, and (3) score an appended corpus
+  * bit-for-bit like a rebuilt one — query-time statistics are what make
+  * incremental lexical indexing exact, not approximate.
+  */
+class TextIndexSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  private lazy val docs = graft.ops.Tables.documents(spark, d)
+  private lazy val terms = Seq("spark", "window", "join").toDF("term")
+
+  private lazy val dir = {
+    val t = Files.createTempDirectory("text_index").toString + "/idx"
+    TextIndex.build(docs, "doc_id", "text", t)
+    t
+  }
+
+  private def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("scoreAll from the stored index equals inline bm25Relation") {
+    val fromIndex = scores(TextIndex.scoreAll(spark, dir, terms))
+    val inline = scores(TextRanking.bm25Relation(docs, "doc_id", "text",
+      terms = terms, termCol = "term"))
+    assert(fromIndex === inline)
+    assert(fromIndex.values.exists(_ > 0), "vacuous: no term matched")
+  }
+
+  test("append: no rewrite; appended corpus scores bit-for-bit like rebuilt") {
+    val t = Files.createTempDirectory("text_append").toString + "/idx"
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    TextIndex.build(evens, "doc_id", "text", t)
+    def files(p: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${f.getPath}@${f.lastModified}@${f.length}").toSet
+    }
+    val before = files(t)
+    val n = TextIndex.append(spark, t, odds, "doc_id", "text")
+    assert(n === odds.count())
+    assert(files(t).intersect(before) === before, "existing index files rewritten")
+
+    // df/N/avgdl are query-time: the appended index scores EXACTLY like
+    // the one-shot index over the full corpus
+    assert(scores(TextIndex.scoreAll(spark, t, terms)) ===
+      scores(TextIndex.scoreAll(spark, dir, terms)))
+  }
+
+  test("topK returns the k best with deterministic tie order") {
+    val top = TextIndex.topK(spark, dir, terms, 5).collect()
+    assert(top.length === 5)
+    val all = scores(TextIndex.scoreAll(spark, dir, terms))
+    val expected = all.toSeq.sortBy { case (id, s) => (-s, id) }.take(5)
+    assert(top.map(r => r.getLong(0) -> r.getDouble(1)).toSeq === expected)
+  }
+}
