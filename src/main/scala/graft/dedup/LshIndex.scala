@@ -88,7 +88,10 @@ object LshIndex {
       .filter(col("index_id") =!= col("probe_id"))
       .select(col("index_id"), col("probe_id"))
       .distinct()
-    val indexed = spark.read.parquet(s"$dir/docs")
+    // tombstoned docs drop out at the verification join (their postings
+    // may still surface candidates until compact — harmless, the inner
+    // join below is the filter)
+    val indexed = liveDocs(spark, dir)
       .select(col("id").as("index_id"), col("shingles").as("sh_i"))
     val probeSh = base.select(col("id").as("probe_id"),
       col("shingles").as("sh_p"))
@@ -112,6 +115,54 @@ object LshIndex {
       .groupBy(col("band_idx"))
       .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"),
         round(avg(col("n")), 6).as("mean_bucket"))
+
+  /** Remove docs from the index without touching a data file — ids land
+    * in a `tombstones/` sidecar and [[probe]] subtracts them at the
+    * verification join (the [[graft.text.TextIndex.delete]] doctrine);
+    * [[compact]] folds them. Ids are never reused before a compact.
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): Long = {
+    val batch = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint()
+    batch.write.mode("append").parquet(s"$dir/tombstones")
+    batch.count()
+  }
+
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(broadcast(spark.read.parquet(p.toString).distinct()))
+    else None
+  }
+
+  private def liveDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/docs")
+    tombstones(spark, dir).fold(docs)(t => docs.join(t, Seq("id"), "left_anti"))
+  }
+
+  /** Fold tombstones into the data: rewrite surviving postings (back
+    * into the range layout — also re-packs append-accumulated small
+    * files) and docs, clear the sidecar. Returns (surviving docs,
+    * tombstones folded).
+    */
+  def compact(spark: SparkSession, dir: String): (Long, Long) = {
+    val nT = tombstones(spark, dir).map(_.count()).getOrElse(0L)
+    val docs = liveDocs(spark, dir).localCheckpoint()
+    val postings = {
+      val p = spark.read.parquet(s"$dir/postings")
+      tombstones(spark, dir).fold(p)(t => p.join(t, Seq("id"), "left_anti"))
+    }
+      .repartitionByRange(col("band_idx"), col("band_hash"))
+      .sortWithinPartitions(col("band_idx"), col("band_hash"))
+      .localCheckpoint() // the sink overwrites dirs the plan reads
+    postings.write.mode("overwrite").parquet(s"$dir/postings")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    (docs.count(), nT)
+  }
 
   private case class Meta(shingleN: Int, numHashes: Int, bands: Int, seed: Long)
 

@@ -43,6 +43,62 @@ object TextIndex {
     spark.read.parquet(s"$dir/docs").count() - before
   }
 
+  /** Remove documents from retrieval WITHOUT touching a data file: ids
+    * land in a `tombstones/` sidecar (the [[graft.ops.DeletionVectors]]
+    * doctrine applied to index maintenance) and every read subtracts
+    * them — INCLUDING the corpus statistics, which recompute over the
+    * surviving spine at query time, so a post-delete score is exactly
+    * the score of an index never containing those docs (spec-pinned,
+    * bit-for-bit). Contract: ids are never reused — re-adding a
+    * tombstoned id needs a [[compact]] first. Returns ids tombstoned.
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): Long = {
+    val batch = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint() // count + write from one materialization
+    batch.write.mode("append").parquet(s"$dir/tombstones")
+    batch.count()
+  }
+
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(broadcast(spark.read.parquet(p.toString).distinct()))
+    else None
+  }
+
+  /** The surviving (id, dl) spine: tombstones subtracted. */
+  private def liveSpine(spark: SparkSession, dir: String): DataFrame = {
+    val spine = spark.read.parquet(s"$dir/docs")
+    tombstones(spark, dir).fold(spine)(t => spine.join(t, Seq("id"), "left_anti"))
+  }
+
+  /** Fold tombstones into the data — rewrite surviving postings and
+    * spine once, clear the sidecar (the DV fold doctrine; also re-packs
+    * append-accumulated small files into the range layout). Returns
+    * (surviving docs, tombstones folded).
+    */
+  def compact(spark: SparkSession, dir: String): (Long, Long) = {
+    val nT = tombstones(spark, dir).map(_.count()).getOrElse(0L)
+    val spine = liveSpine(spark, dir).localCheckpoint()
+    val postings = livePostings(spark, dir)
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col("id"))
+      .localCheckpoint() // the sink overwrites dirs the plan reads
+    postings.write.mode("overwrite").parquet(s"$dir/postings")
+    spine.write.mode("overwrite").parquet(s"$dir/docs")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    (spine.count(), nT)
+  }
+
+  private def livePostings(spark: SparkSession, dir: String): DataFrame = {
+    val postings = spark.read.parquet(s"$dir/postings")
+    tombstones(spark, dir).fold(postings)(t =>
+      postings.join(t, Seq("id"), "left_anti"))
+  }
+
   /** BM25 scores for every indexed document against a query-term
     * relation — [[TextRanking.bm25Relation]] semantics (Lucene idf
     * variant, same 6-dp rounding), computed from the stored index
@@ -52,14 +108,15 @@ object TextIndex {
   def scoreAll(spark: SparkSession, dir: String, terms: DataFrame,
       termCol: String = "term", k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val spine = spark.read.parquet(s"$dir/docs")
+    val spine = liveSpine(spark, dir)
     val stats = spine.agg(count(lit(1)).cast("double").as("__n"),
       avg(col("__dl")).as("__avgdl"))
     val t = broadcast(terms.select(col(termCol).as("term")).distinct())
     // the term equi-join is what the range layout serves: with a pushed
     // `term IN (...)` semantics via broadcast join, parquet min/max on
-    // the sorted term column admits only the row groups holding them
-    val matched = spark.read.parquet(s"$dir/postings")
+    // the sorted term column admits only the row groups holding them.
+    // livePostings keeps tombstoned docs out of df as well as scoring.
+    val matched = livePostings(spark, dir)
       .join(t, Seq("term"))
     val dfreq = matched.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("__df"))

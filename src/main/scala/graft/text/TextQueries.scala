@@ -283,18 +283,39 @@ object TextQueries {
       TextIndex.scoreAll(s, dir, bm25Terms.toDF("term"), termCol = "term",
         k1 = 1.2, b = 0.75)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // The MUTABLE-corpus face: %7 docs tombstoned (TextIndex.delete —
+    // sidecar only, no index file touched, TextIndexSpec pins the
+    // filesystem half), then scored. Because N/avgdl/df recompute over
+    // the SURVIVING spine at query time, the oracle is simply the
+    // relational BM25 over the corpus with those docs never present —
+    // deletes are exact, not approximate, and every statistic shifts
+    // accordingly (hash-checked per doc).
+    "q_text_bm25_mutable" -> ((s, d) => {
+      import s.implicits._
+      val dir = textIndexMutDir(s, d)
+      TextIndex.scoreAll(s, dir, bm25Terms.toDF("term"), termCol = "term",
+        k1 = 1.2, b = 0.75)
+        .withColumnRenamed("id", "doc_id")
     })
   )
 
   private val bm25Terms = Seq("spark", "window", "join")
 
   /** The relational BM25 replay — shared verbatim by q_text_bm25_rel and
-    * q_text_bm25_index (the index path must land on it bit-for-bit).
+    * q_text_bm25_index (the index path must land on it bit-for-bit);
+    * the mutable face restricts the corpus CTE to the never-deleted docs.
     */
-  private lazy val bm25RelationalSql: String = {
+  private lazy val bm25RelationalSql: String = bm25RelationalSqlOver("")
+
+  private lazy val bm25MutableSql: String =
+    bm25RelationalSqlOver("WHERE doc_id % 7 <> 0")
+
+  private def bm25RelationalSqlOver(corpusFilter: String): String = {
     val (k1, b) = (1.2, 0.75)
     val termValues = bm25Terms.map(t => s"('$t')").mkString(", ")
-    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents $corpusFilter),
         terms(term) AS (SELECT * FROM (VALUES $termValues)),
         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
           avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
@@ -312,6 +333,36 @@ object TextQueries {
         SELECT t.doc_id, round(coalesce(sc.score, 0.0), 6) AS bm25
         FROM t LEFT JOIN sc USING (doc_id)"""
   }
+
+  private val textIndexMutWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-time mutable-corpus index for `q_text_bm25_mutable`: full build,
+    * then %7 doc_ids tombstoned via TextIndex.delete.
+    */
+  private def textIndexMutDir(s: SparkSession, d: String): String =
+    textIndexMutWritten.synchronized {
+      textIndexMutWritten.getOrElseUpdate(d, {
+        val src = new java.io.File(s"$d/documents.parquet")
+        val stamp = s"${src.lastModified()}_${src.length()}"
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_text_index_mut_${math.abs(d.hashCode)}_$stamp")
+        val marker = new java.io.File(dir, "_graft_index_complete")
+        if (!marker.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          if (dir.exists()) rm(dir)
+          val doc = documents(s, d)
+          TextIndex.build(doc, "doc_id", "text", dir.getAbsolutePath)
+          TextIndex.delete(s, dir.getAbsolutePath,
+            doc.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
+          marker.createNewFile()
+          ()
+        }
+        dir.getAbsolutePath
+      })
+    }
 
   private val textIndexWritten = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -704,6 +755,10 @@ object TextQueries {
     // the persistent-index face must land on the SAME relational replay
     // bit-for-bit — query-time statistics make incremental indexing exact
     "q_text_bm25_index" -> bm25RelationalSql,
+
+    // tombstoned docs never existed as far as scoring goes: same replay
+    // over the surviving corpus (N, avgdl, df all shift)
+    "q_text_bm25_mutable" -> bm25MutableSql,
 
     // identical chunk boundaries replayed via positional slices; the
     // final short chunk and gram-less docs fall out of the same formula

@@ -126,6 +126,26 @@ class LshIndexSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("delete: tombstoned docs leave probe results; compact folds them") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("lsh_del").toString + "/idx"
+    LshIndex.build(corpus, "doc_id", "text", t)
+    val probeSet = batch
+    val full = LshIndex.probe(spark, t, probeSet, "doc_id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty, "fixture produced no pairs — vacuous")
+    val victim = full.head._1
+    LshIndex.delete(spark, t, Seq(victim).toDF("doc_id"), "doc_id")
+    val after = LshIndex.probe(spark, t, probeSet, "doc_id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === full.filterNot(_._1 == victim))
+    val (_, folded) = LshIndex.compact(spark, t)
+    assert(folded === 1)
+    assert(!new java.io.File(s"$t/tombstones").exists())
+    assert(LshIndex.probe(spark, t, probeSet, "doc_id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === after)
+  }
+
   test("band stats report covers every band; postings range-laid-out") {
     val stats = LshIndex.bandStats(spark, dir).collect()
     assert(stats.map(_.getInt(0)).toSet === (0 until 16).toSet)

@@ -44,6 +44,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_text_bm25" -> "cross join against the broadcast 1-row corpus-stats aggregate",
     "q_text_bm25_rel" -> "cross join against the broadcast 1-row corpus-stats aggregate",
     "q_text_bm25_index" -> "cross join against the broadcast 1-row spine-stats aggregate (the q_text_bm25_rel shape served from the stored index)",
+    "q_text_bm25_mutable" -> "same stored-index shape as q_text_bm25_index with the tombstone anti join added (sidecar-bounded)",
     "q_text_lm_score" -> "cross join against the broadcast 1-row vocabulary-size aggregate",
     "q_vec_quantize" -> "cross join against the broadcast 1-row per-dim min/max aggregate",
     "q_text_boilerplate" -> "fractional df-cap cross-joins the broadcast 1-row corpus count onto the gram-df frame",
@@ -127,6 +128,8 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_text_bm25_rel" -> "broadcast side is the per-term df aggregate — rows bounded by the query term count",
     "q_text_bm25_index" -> ("broadcast sides are the query-term relation and the per-term " +
       "df aggregate over index postings — both bounded by the query term count"),
+    "q_text_bm25_mutable" -> ("q_text_bm25_index's hinted sides plus the tombstone " +
+      "sidecar (deletes-since-last-compact — the DV mask bound)"),
     "q_dpp" -> ("broadcast side is DISTINCT order-months after a triple selective filter — " +
       "bounded by the calendar (~84 values over the 7-year range), not by data size; " +
       "the broadcast-hash join is what carries the dynamicpruning subquery into the fact scan"),

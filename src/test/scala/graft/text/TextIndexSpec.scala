@@ -61,6 +61,38 @@ class TextIndexSpec extends AnyFunSuite with SparkSpec {
       scores(TextIndex.scoreAll(spark, dir, terms)))
   }
 
+  test("delete: tombstones only; scores equal an index never holding the docs") {
+    val t = Files.createTempDirectory("text_del").toString + "/idx"
+    TextIndex.build(docs, "doc_id", "text", t)
+    def files(p: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${f.getPath}@${f.lastModified}@${f.length}").toSet
+    }
+    val before = files(s"$t/postings") ++ files(s"$t/docs")
+    val nDel = TextIndex.delete(spark, t,
+      docs.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
+    assert(nDel > 0)
+    // delete wrote ONLY the tombstone sidecar
+    assert((files(s"$t/postings") ++ files(s"$t/docs")) === before)
+
+    // stats recompute over survivors: scores == an index built WITHOUT
+    // the deleted docs, bit-for-bit (N, avgdl, df all shift)
+    val t2 = Files.createTempDirectory("text_del_truth").toString + "/idx"
+    TextIndex.build(docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", t2)
+    val got = scores(TextIndex.scoreAll(spark, t, terms))
+    assert(got === scores(TextIndex.scoreAll(spark, t2, terms)))
+    assert(!got.keySet.exists(_ % 7 == 0))
+
+    // compact folds: sidecar gone, same scores
+    val (nLive, nFolded) = TextIndex.compact(spark, t)
+    assert(nFolded === nDel && nLive === got.size)
+    assert(!new java.io.File(s"$t/tombstones").exists())
+    assert(scores(TextIndex.scoreAll(spark, t, terms)) === got)
+  }
+
   test("topK returns the k best with deterministic tie order") {
     val top = TextIndex.topK(spark, dir, terms, 5).collect()
     assert(top.length === 5)
