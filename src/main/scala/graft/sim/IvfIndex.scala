@@ -67,6 +67,8 @@ object IvfIndex {
     * count and mean L2 distance to the cell's own centroid (unit-sphere
     * geometry, same as assignment). Rising mean distance or skewed
     * occupancy is the retrain signal for the frozen quantizer.
+    * Tombstoned vectors are excluded — the report describes what a
+    * probe can actually reach.
     */
   def cellStats(spark: SparkSession, dir: String): DataFrame = {
     val centroids = loadCentroids(spark, dir)
@@ -78,10 +80,51 @@ object IvfIndex {
       while (i < c.length && i < u.length) { val x = u(i) - c(i); d += x * x; i += 1 }
       math.sqrt(d)
     })
-    spark.read.parquet(s"$dir/vectors")
+    liveVectors(spark, dir)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vectors"),
         round(avg(distTo(col("cell"), col("vec"))), 6).as("mean_dist"))
+  }
+
+  /** Remove vectors from search without touching a vector file — ids
+    * land in a `tombstones/` sidecar and every read subtracts them (the
+    * [[graft.text.TextIndex.delete]] doctrine, completing the
+    * persistent-index family's mutable face). Ids are never reused
+    * before a [[compact]]. Returns ids tombstoned.
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): Long = {
+    val batch = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .localCheckpoint()
+    batch.write.mode("append").parquet(s"$dir/tombstones")
+    batch.count()
+  }
+
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(broadcast(spark.read.parquet(p.toString).distinct()))
+    else None
+  }
+
+  private def liveVectors(spark: SparkSession, dir: String): DataFrame = {
+    val v = spark.read.parquet(s"$dir/vectors")
+    tombstones(spark, dir).fold(v)(t => v.join(t, Seq("vec_id"), "left_anti"))
+  }
+
+  /** Fold tombstones: rewrite surviving vectors once (hive cell layout
+    * preserved), clear the sidecar. Returns (survivors, folded).
+    */
+  def compact(spark: SparkSession, dir: String): (Long, Long) = {
+    val nT = tombstones(spark, dir).map(_.count()).getOrElse(0L)
+    val live = liveVectors(spark, dir)
+      .localCheckpoint() // the sink overwrites dirs the plan reads
+    live.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/vectors")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    (live.count(), nT)
   }
 
   private def writeAssigned(vectors: DataFrame, idCol: String,
@@ -118,7 +161,7 @@ object IvfIndex {
       .filter(Vectors.finiteNorm(col("qn")))
       .withColumn("cell", explode(probeCells(col("qv"))))
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val c = spark.read.parquet(s"$dir/vectors")
+    val c = liveVectors(spark, dir)
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
       .select(col("vec_id").as("neighbor_id"), col("vec").as("cv"),
         col("vn").as("cn"), col("cell"))

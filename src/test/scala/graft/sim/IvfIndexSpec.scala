@@ -87,6 +87,32 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(stats.forall(r => !r.getDouble(2).isNaN))
   }
 
+  test("delete: tombstoned vectors leave search results; compact folds") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("ivf_del").toString + "/idx"
+    IvfIndex.build(emb, "vec_id", "embedding", t, nlist = 8,
+      sampleSize = 500, seed = 7L)
+    val full = IvfIndex.search(spark, t, queries, "vec_id", "embedding",
+      k = 3, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val victim = full.head._2
+    IvfIndex.delete(spark, t, Seq(victim).toDF("vec_id"), "vec_id")
+    val after = IvfIndex.search(spark, t, queries, "vec_id", "embedding",
+      k = 3, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!after.exists(_._2 == victim), "tombstoned vector still served")
+    // ranks re-close over survivors: every query still gets k neighbors
+    assert(after.groupBy(_._1).forall(_._2.size == 3))
+    val statsTotal = IvfIndex.cellStats(spark, t).collect().map(_.getLong(1)).sum
+    assert(statsTotal === emb.count() - 1)
+    val (nLive, nFolded) = IvfIndex.compact(spark, t)
+    assert(nFolded === 1 && nLive === emb.count() - 1)
+    assert(!new java.io.File(s"$t/tombstones").exists())
+    assert(IvfIndex.search(spark, t, queries, "vec_id", "embedding",
+      k = 3, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === after)
+  }
+
   test("probe scan prunes unprobed cell partitions") {
     // a single-cell filter stands in for one probe: the scan must carry
     // it as a PartitionFilter, not a post-scan predicate
