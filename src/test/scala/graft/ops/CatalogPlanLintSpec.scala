@@ -63,6 +63,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_skew_profile" -> "cross join of the broadcast 1-row total/nkeys aggregate onto the 20-row TakeOrdered result",
     "q_domain_stats" -> "cross join against the broadcast 1-row corpus-total aggregate for per-domain share",
     "q_ndv_incremental" -> "cross join of two broadcast 1-row sketch/exact aggregates for the invariant row",
+    "q_stats_incremental" -> "cross join of the column-count-sized stats table against the broadcast 1-row exact-NDV aggregate (invariant flag)",
     "q_pagerank" -> "per-iteration cross join against ONE combined broadcast 1-row scalar (dangling mass x node count) — the standard distributed PageRank decomposition; edge/rank joins are equi",
     "q_triangles" -> "summary row crosses three broadcast 1-row aggregates (nodes, edges, triangles); triangle enumeration itself is two equi self-joins",
     "q_profile_robust" -> "cross join against the broadcast 1-row percentile aggregate (the adjudicated q_dq_outliers two-pass shape)",
