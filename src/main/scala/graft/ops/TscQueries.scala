@@ -446,6 +446,41 @@ object TscQueries {
         .agg(count(lit(1)).as("n_clips"), min(col("media_id")).as("keep_id"))
     }),
 
+    // VIDEO-level dedup by sampled-frame signature — the standard cheap
+    // video dedup (sample k frames, hash each, match the signature):
+    // every %10==3 doc carries a byte-identical COPY of its predecessor's
+    // video, the real demux+decode path runs per row (mpng walk, PNG
+    // decode, luma), and the signature is the frame-ordered quantized
+    // luma tuple (floor(x*10000+0.5) — the engine-agnostic rounding
+    // doctrine). The oracle rebuilds every signature from the closed-form
+    // color formula and must land on the same groups: planted pairs
+    // collapse, everything else stays singleton.
+    "q_video_sig_dedup" -> ((s, d) => {
+      val mpngUdf = udf((id: Long) => fixtureMpng(id))
+      val lumaUdf = udf((frame: Array[Byte]) =>
+        graft.multimodal.ImageCodecs.imageFeatures(frame, 1)(0))
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        lit("video").as("kind"),
+        mpngUdf(when(pmod(col("doc_id"), lit(10)) === 3, col("doc_id") - 1)
+          .otherwise(col("doc_id"))).as("payload"),
+        lit(8).as("width"), lit(8).as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(250L).as("duration_ms"))
+      graft.multimodal.Multimodal
+        .sampleVideoFrames(s, media, numFrames = 3, codec = "mpng")
+        .select(col("media_id"), col("frame_idx").cast("long").as("fi"),
+          floor(lumaUdf(col("frame")).cast("double") * 10000 + 0.5)
+            .cast("long").as("lq"))
+        .groupBy(col("media_id"))
+        .agg(concat_ws("_",
+          transform(array_sort(collect_list(struct(col("fi"), col("lq")))),
+            x => x.getField("lq").cast("string"))).as("sig"))
+        .groupBy(col("sig"))
+        .agg(min(col("media_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+    }),
+
     // REAL video demux + frame decode, oracled end to end: an executor UDF
     // assembles a 6-frame motion-PNG container per row (solid frame colors
     // derived from media_id × frame index), VideoCodecs walks the frame
@@ -697,6 +732,26 @@ object TscQueries {
            round(CAST(CAST(CAST((doc_id*53) % 16384 AS DOUBLE) / 32768.0 AS FLOAT) AS DOUBLE), 6) AS b2,
            round(CAST(CAST(CAST((doc_id*53) % 16384 AS DOUBLE) / 32768.0 AS FLOAT) AS DOUBLE), 6) AS b3
          FROM documents""",
+
+    // every signature rebuilt from the closed-form colors of the SOURCE
+    // id (%10==3 copies its predecessor), quantized with the
+    // engine-agnostic floor(x+0.5); groups must match exactly
+    "q_video_sig_dedup" ->
+      """WITH src AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END AS sid
+        |  FROM documents),
+        |f AS (SELECT doc_id, sid, unnest([0, 2, 4]) AS fi FROM src),
+        |l AS (SELECT doc_id, fi,
+        |    CAST(floor(CAST(CAST((0.299*((sid + fi*17) % 256)
+        |      + 0.587*((sid*7 + fi*29) % 256)
+        |      + 0.114*((sid*13 + fi*41) % 256)) / 255.0 AS FLOAT) AS DOUBLE)
+        |      * 10000 + 0.5) AS BIGINT) AS lq
+        |  FROM f),
+        |sig AS (SELECT doc_id,
+        |    string_agg(CAST(lq AS VARCHAR), '_' ORDER BY fi) AS sig
+        |  FROM l GROUP BY doc_id)
+        |SELECT sig, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM sig GROUP BY 1""".stripMargin,
 
     // closed-form frame lumas: sampling 3 of 6 frames picks true indices
     // 0/2/4; each solid frame's luma follows the id x index color formula
