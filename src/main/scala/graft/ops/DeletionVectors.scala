@@ -288,6 +288,64 @@ object DeletionVectors {
     applyDv(base, dv, key).drop(SeqCol)
   }
 
+  /** NET change feed between two commits, derived from STORAGE — the
+    * inverse of the write protocol: downstream consumers (an
+    * [[IncrementalAgg]] aggregate, a [[JoinMv]] view, a replica)
+    * incrementally maintain from a DV table without ever seeing the
+    * original CDC stream. `_change = 'insert'` rows are new images that
+    * SURVIVE at `toSeq`; `_change = 'delete'` rows are the OLD images of
+    * rows live at `fromSeq` that a mask in (from, to] killed — an upsert
+    * appears as its delete+insert pair, and a row inserted AND deleted
+    * inside the window appears not at all (net semantics: applying the
+    * feed to the as-of-from state reproduces the as-of-to state,
+    * spec-pinned). Work is delta-shaped: the insert side's `seq > from`
+    * filter partition-prunes to the new sequence directories, and the
+    * delete side joins the base against the broadcast-gated NEW-mask key
+    * set — the base never shuffles, output is changed-keys-sized.
+    * Equality protocol only: position deletes are keyless, and a change
+    * FEED is keyed by definition — fold before deriving a feed across a
+    * position-delete window.
+    */
+  def changesBetween(spark: SparkSession, dir: String, key: String,
+      fromSeq: Long, toSeq: Long): DataFrame = {
+    require(fromSeq < toSeq, s"need fromSeq < toSeq, got $fromSeq >= $toSeq")
+    val (fs, _) = hfs(spark, dir)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$PosDirName")),
+      "changesBetween covers the equality protocol only — fold position " +
+        "deletes before deriving a change feed")
+    val dataDirs = committedIds(spark, dir)
+      .map(n => new org.apache.hadoop.fs.Path(s"$dir/$SeqCol=$n"))
+      .filter(fs.exists)
+    val base = spark.read.option("basePath", dir)
+      .parquet(dataDirs.map(_.toString): _*)
+    changesOf(base, readDv(spark, dir, key), key, fromSeq, toSeq)
+  }
+
+  /** The pure combinator behind [[changesBetween]] (shared with the
+    * oracled catalog query): `data` carries a `seq` column, `dv` the
+    * `(key, below_seq)` entries.
+    */
+  def changesOf(data: DataFrame, dv: DataFrame, key: String,
+      fromSeq: Long, toSeq: Long): DataFrame = {
+    val liveAtFrom = applyDv(data.filter(col(SeqCol) <= fromSeq),
+      dv.filter(col("below_seq") <= fromSeq), key)
+    val liveAtTo = applyDv(data.filter(col(SeqCol) <= toSeq),
+      dv.filter(col("below_seq") <= toSeq), key)
+    val inserts = liveAtTo.filter(col(SeqCol) > fromSeq)
+      .drop(SeqCol).withColumn("_change", lit("insert"))
+    // new masks only — the delete side is bounded by keys changed in the
+    // window, and rides the same gated broadcast as every DV mask
+    val newMasks = dv
+      .filter(col("below_seq") > fromSeq && col("below_seq") <= toSeq)
+      .groupBy(col(key)).agg(max(col("below_seq")).as("_b"))
+    val est = newMasks.queryExecution.optimizedPlan.stats.sizeInBytes
+    val side = if (est <= 256L * 1024 * 1024) broadcast(newMasks) else newMasks
+    val deletes = liveAtFrom.join(side, Seq(key))
+      .filter(col(SeqCol) < col("_b"))
+      .drop("_b", SeqCol).withColumn("_change", lit("delete"))
+    inserts.unionByName(deletes)
+  }
+
   /** Delete rows by POSITION — the (file, row-ordinal) variant
     * (Delta's deletion vectors / Iceberg v2 position deletes) for
     * keyless single-row erasure: when the row to remove has no equality

@@ -1796,6 +1796,36 @@ object RelationalQueries {
       asOf(0L).unionByName(asOf(1L)).unionByName(asOf(2L))
     }),
 
+    // CHANGE FEED derived FROM the DV table (DeletionVectors.changesOf —
+    // the storage-level inverse of the write protocol; changesBetween's
+    // FS face and the asOf(from) ⊕ feed == asOf(to) law are spec-pinned):
+    // net insert/delete images over the (0, 2] window of the q_dv_asof
+    // fixture — upserts emit their delete+insert pair, the %7 images
+    // superseded again within the window net out of the insert side, and
+    // the delete side carries the exact OLD images (key AND value sums
+    // hash-checked per change type). This is how a downstream aggregate
+    // or replica maintains from the lake without the original CDC stream.
+    "q_dv_change_feed" -> ((s, d) => {
+      val base = orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val upd7 = base.filter(pmod(col("k"), lit(7)) === 0)
+        .withColumn("cents", col("cents") + 999L)
+      val upd5 = base.filter(pmod(col("k"), lit(5)) === 0)
+        .withColumn("cents", col("cents") + 555L)
+      val sq = DeletionVectors.SeqCol
+      val data = base.withColumn(sq, lit(0L))
+        .unionByName(upd7.withColumn(sq, lit(1L)))
+        .unionByName(upd5.withColumn(sq, lit(2L)))
+      val dv = upd7.select(col("k"), lit(1L).as("below_seq"))
+        .unionByName(base.filter(pmod(col("k"), lit(13)) === 0)
+          .select(col("k"), lit(2L).as("below_seq")))
+        .unionByName(upd5.select(col("k"), lit(2L).as("below_seq")))
+      DeletionVectors.changesOf(data, dv, "k", fromSeq = 0L, toSeq = 2L)
+        .groupBy(col("_change").as("change"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"),
+          sum(col("cents")).as("cents_sum"))
+    }),
+
     // POSITION-scoped deletion vectors, MoR == COW on real files: orders
     // lands as a single sorted data file (one writer task, so the scan's
     // _metadata.row_index IS the global o_orderkey-order row number — the
@@ -3270,6 +3300,28 @@ object RelationalQueries {
                 CAST(SUM(qty) AS DOUBLE) AS sum_qty,
                 CAST(SUM(price) AS DOUBLE) AS sum_price
          FROM edited GROUP BY 1, 2""",
+
+    // net-change replay over (0, 2]: inserts = window images that survive
+    // at 2; deletes = every seq-0 original whose key a window mask killed
+    "q_dv_change_feed" ->
+      """WITH f AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |ins AS (
+        |  SELECT k, cents + 999 AS cents FROM f
+        |   WHERE k % 7 = 0 AND k % 13 <> 0 AND k % 5 <> 0
+        |  UNION ALL
+        |  SELECT k, cents + 555 FROM f WHERE k % 5 = 0),
+        |del AS (
+        |  SELECT k, cents FROM f
+        |   WHERE k % 7 = 0 OR k % 13 = 0 OR k % 5 = 0)
+        |SELECT 'insert' AS change, count(*) AS n,
+        |       CAST(sum(k) AS BIGINT) AS key_sum,
+        |       CAST(sum(cents) AS BIGINT) AS cents_sum FROM ins
+        |UNION ALL
+        |SELECT 'delete', count(*), CAST(sum(k) AS BIGINT),
+        |       CAST(sum(cents) AS BIGINT) FROM del""".stripMargin,
 
     // from-scratch SQL replay of all three historical states — the DV
     // sequence/mask filters must reproduce each one exactly

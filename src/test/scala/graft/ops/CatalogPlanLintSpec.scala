@@ -145,6 +145,8 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_dv_asof" -> ("three per-version gated applyDv mask broadcasts (one per " +
       "as-of state) — each sidecar bounded by deltas-since-last-fold, " +
       "simulated here from filtered orders"),
+    "q_dv_change_feed" -> ("changesOf's gated broadcasts: two applyDv masks " +
+      "(live-at-from/to) plus the window's new-mask key set — all sidecar-bounded"),
     "q_pos_delete" -> ("both hints are the GATED sidecar broadcasts (256 MB cap, " +
       "shuffle fallback): scanWithPositionMask's (file, ordinal) anti-join side " +
       "and applyDv's equality mask — each bounded by deltas-since-last-fold"),

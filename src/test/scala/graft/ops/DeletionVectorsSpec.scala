@@ -249,6 +249,42 @@ class DeletionVectorsSpec extends AnyFunSuite with SparkSpec {
     assert(seqDirsLeft.length === 1, seqDirsLeft.mkString(","))
   }
 
+  test("change feed: asOf(from) plus net changes reproduces asOf(to)") {
+    import spark.implicits._
+    val dir = mkDir("dv-feed")
+    DeletionVectors.initTable(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"), dir)
+    DeletionVectors.appendUpserts(spark, dir,
+      Seq((3L, "V3"), (21L, "V21")).toDF("k", "v"), "k") // commit 1
+    DeletionVectors.deleteKeys(spark, dir, Seq(5L, 3L).toDF("k"), "k") // 2
+    DeletionVectors.appendUpserts(spark, dir,
+      Seq((5L, "V5b"), (3L, "V3b")).toDF("k", "v"), "k") // commit 3
+
+    def applyFeed(state: Map[Long, String], from: Long, to: Long) = {
+      val feed = DeletionVectors.changesBetween(spark, dir, "k", from, to)
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+          r.getAs[String]("_change")))
+      val afterDel = feed.filter(_._3 == "delete")
+        .foldLeft(state) { case (s, (k, v, _)) =>
+          assert(s.get(k).contains(v), s"delete image mismatch for $k")
+          s - k
+        }
+      feed.filter(_._3 == "insert")
+        .foldLeft(afterDel) { case (s, (k, v, _)) => s + (k -> v) }
+    }
+    val states = (0L to 3L).map(i =>
+      i -> asMap(DeletionVectors.readAsOf(spark, dir, "k", i))).toMap
+    // every window: state(from) ⊕ feed(from,to) == state(to)
+    for (from <- 0L to 2L; to <- (from + 1) to 3L)
+      assert(applyFeed(states(from), from, to) === states(to), s"$from->$to")
+    // net semantics: key 3 deleted at 2 and reinserted at 3 appears in
+    // the 1->3 window as its delete(V3)+insert(V3b) pair, not a triple
+    val w13 = DeletionVectors.changesBetween(spark, dir, "k", 1, 3)
+      .filter(col("k") === 3L).collect()
+      .map(r => (r.getAs[String]("v"), r.getAs[String]("_change"))).toSet
+    assert(w13 === Set(("V3", "delete"), ("V3b", "insert")))
+  }
+
   test("two writers racing full append batches both land, with distinct commits") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
