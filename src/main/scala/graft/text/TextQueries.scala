@@ -298,8 +298,56 @@ object TextQueries {
       TextIndex.scoreAll(s, dir, bm25Terms.toDF("term"), termCol = "term",
         k1 = 1.2, b = 0.75)
         .withColumnRenamed("id", "doc_id")
-    })
+    }),
+
+    // STABLE token codebook maintained across three ingest days
+    // (prep/Codebook — the vocabulary/feature-id contract: once a token
+    // has an id it never moves, new tokens extend the id space
+    // monotonically, each day's newcomers ranked by in-day frequency
+    // with the lexicographic tie-break). The global rank is sort +
+    // zipWithIndex — the two-pass distributed exact rank, no
+    // single-partition window funnel on an open vocabulary. The oracle
+    // replays the full three-stage assignment protocol in SQL, so every
+    // (token, id) pair is hash-checked.
+    "q_codebook_tokens" -> ((s, d) =>
+      graft.prep.Codebook.read(s, codebookDir(s, d)))
   )
+
+  private val codebookWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-time three-day incrementally-built token codebook for
+    * `q_codebook_tokens` (day = doc_id % 3; same staleness-stamped dir +
+    * marker protocol as the index fixtures).
+    */
+  private def codebookDir(s: SparkSession, d: String): String =
+    codebookWritten.synchronized {
+      codebookWritten.getOrElseUpdate(d, {
+        val src = new java.io.File(s"$d/documents.parquet")
+        val stamp = s"${src.lastModified()}_${src.length()}"
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_codebook_${math.abs(d.hashCode)}_$stamp")
+        val marker = new java.io.File(dir, "_graft_codebook_complete")
+        val bookDir = new java.io.File(dir, "book").getAbsolutePath
+        if (!marker.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          if (dir.exists()) rm(dir)
+          val tok = documents(s, d).select(
+            pmod(col("doc_id"), lit(3)).as("day"),
+            explode(TextFunctions.safeLowerTokens(col("text"))).as("tok"))
+          graft.prep.Codebook.init(tok.filter(col("day") === 0), "tok", bookDir)
+          (1 to 2).foreach { day =>
+            graft.prep.Codebook.update(s, bookDir,
+              tok.filter(col("day") === day), "tok")
+          }
+          marker.createNewFile()
+          ()
+        }
+        bookDir
+      })
+    }
 
   private val bm25Terms = Seq("spark", "window", "join")
 
@@ -759,6 +807,37 @@ object TextQueries {
     // tombstoned docs never existed as far as scoring goes: same replay
     // over the surviving corpus (N, avgdl, df all shift)
     "q_text_bm25_mutable" -> bm25MutableSql,
+
+    // the full three-stage stable-id assignment replayed: day-0 tokens
+    // ranked (count desc, token asc) from 0; each later day's UNSEEN
+    // tokens ranked by in-day counts, offset by the book size so far
+    "q_codebook_tokens" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id % 3 AS day, unnest(toks) AS category
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |c0 AS (SELECT category, count(*) AS cnt FROM tok
+         |  WHERE day = 0 GROUP BY 1),
+         |b0 AS (SELECT category,
+         |    row_number() OVER (ORDER BY cnt DESC, category) - 1 AS id
+         |  FROM c0),
+         |c1 AS (SELECT category, count(*) AS cnt FROM tok
+         |  WHERE day = 1 AND category NOT IN (SELECT category FROM b0)
+         |  GROUP BY 1),
+         |b1 AS (SELECT category,
+         |    (SELECT count(*) FROM b0) +
+         |    row_number() OVER (ORDER BY cnt DESC, category) - 1 AS id
+         |  FROM c1),
+         |c2 AS (SELECT category, count(*) AS cnt FROM tok
+         |  WHERE day = 2 AND category NOT IN (SELECT category FROM b0)
+         |    AND category NOT IN (SELECT category FROM b1)
+         |  GROUP BY 1),
+         |b2 AS (SELECT category,
+         |    (SELECT count(*) FROM b0) + (SELECT count(*) FROM b1) +
+         |    row_number() OVER (ORDER BY cnt DESC, category) - 1 AS id
+         |  FROM c2)
+         |SELECT category, CAST(id AS BIGINT) AS id FROM b0
+         |UNION ALL SELECT category, CAST(id AS BIGINT) FROM b1
+         |UNION ALL SELECT category, CAST(id AS BIGINT) FROM b2""".stripMargin,
 
     // identical chunk boundaries replayed via positional slices; the
     // final short chunk and gram-less docs fall out of the same formula
