@@ -420,7 +420,13 @@ object DeletionVectors {
       .map(n => new org.apache.hadoop.fs.Path(s"$dir/$SeqCol=$n"))
       .filter(fs.exists)
     require(dataDirs.nonEmpty, s"not a DV table (no sealed data): $dir")
+    // mergeSchema: a later batch may carry columns the initial snapshot
+    // lacked (additive schema evolution — the only kind append-only
+    // storage can express); without it the scan takes one footer's schema
+    // and SILENTLY drops the new column. Old rows read null there,
+    // spec-pinned, and fold materializes the widened schema.
     val base = spark.read.option("basePath", dir)
+      .option("mergeSchema", "true")
       .parquet(dataDirs.map(_.toString): _*)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$PosDirName"))) base
     else {

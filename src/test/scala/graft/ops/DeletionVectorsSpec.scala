@@ -249,6 +249,29 @@ class DeletionVectorsSpec extends AnyFunSuite with SparkSpec {
     assert(seqDirsLeft.length === 1, seqDirsLeft.mkString(","))
   }
 
+  test("additive schema evolution: a later batch's new column survives the read") {
+    import spark.implicits._
+    val dir = mkDir("dv-schema")
+    DeletionVectors.initTable(
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"), dir)
+    // the upsert batch carries a column the snapshot lacked
+    DeletionVectors.appendUpserts(spark, dir,
+      Seq((3L, "V3", "en"), (11L, "V11", "de")).toDF("k", "v", "lang"), "k")
+    val rows = DeletionVectors.read(spark, dir, "k").collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[String]("v"), Option(r.getAs[String]("lang"))))).toMap
+    assert(rows(3L) === (("V3", Some("en"))))
+    assert(rows(11L) === (("V11", Some("de"))))
+    assert(rows(5L) === (("v5", None))) // old rows read null in the new column
+    assert(rows.size === 11)
+    // fold materializes the widened schema; read unchanged
+    DeletionVectors.fold(spark, dir, "k")
+    val folded = DeletionVectors.read(spark, dir, "k").collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[String]("v"), Option(r.getAs[String]("lang"))))).toMap
+    assert(folded === rows)
+  }
+
   test("change feed: asOf(from) plus net changes reproduces asOf(to)") {
     import spark.implicits._
     val dir = mkDir("dv-feed")
