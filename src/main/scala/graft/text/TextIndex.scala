@@ -111,13 +111,17 @@ object TextIndex {
     val spine = liveSpine(spark, dir)
     val stats = spine.agg(count(lit(1)).cast("double").as("__n"),
       avg(col("__dl")).as("__avgdl"))
-    val t = broadcast(terms.select(col(termCol).as("term")).distinct())
-    // the term equi-join is what the range layout serves: with a pushed
-    // `term IN (...)` semantics via broadcast join, parquet min/max on
-    // the sorted term column admits only the row groups holding them.
+    // the term list is query-bounded BY DEFINITION, so it collects to the
+    // driver and lands as a pushed `term IN (...)` scan filter — that, on
+    // the range-laid-out postings, is what makes the probe a row-group
+    // LOOKUP (parquet min/max on the sorted term column) instead of a
+    // posting scan with a join-side filter the reader can't see.
     // livePostings keeps tombstoned docs out of df as well as scoring.
+    val termList = terms.select(col(termCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(termList.nonEmpty, "empty query term set")
     val matched = livePostings(spark, dir)
-      .join(t, Seq("term"))
+      .filter(col("term").isin(termList: _*))
     val dfreq = matched.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("__df"))
     val scored = matched

@@ -38,6 +38,13 @@ class TextIndexSpec extends AnyFunSuite with SparkSpec {
     assert(fromIndex.values.exists(_ > 0), "vacuous: no term matched")
   }
 
+  test("the term filter reaches the postings scan as a pushed IN") {
+    val plan = TextIndex.scoreAll(spark, dir, terms)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term IN(...) must push into the postings scan:\n$plan")
+  }
+
   test("append: no rewrite; appended corpus scores bit-for-bit like rebuilt") {
     val t = Files.createTempDirectory("text_append").toString + "/idx"
     val evens = docs.filter(col("doc_id") % 2 === 0)
