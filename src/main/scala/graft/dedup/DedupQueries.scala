@@ -976,7 +976,12 @@ object DedupQueries {
     }),
     "q_contamination_bloom" -> ((s, d) => contaminationBloom(s, d,
       Some(org.apache.spark.util.sketch.BloomFilter.create(1000, 1e-4)))),
-    "q_corpus_build" -> ((s, d) => corpusBuild(s, d, materialize = false)))
+    "q_corpus_build" -> ((s, d) => corpusBuild(s, d, materialize = false)),
+    // the probe without its checkpoint/pushdown stage boundary
+    "q_dedup_lsh_index" -> ((s, d) =>
+      LshIndex.probe(s, lshIndexDir(s, d),
+        documents(s, d).filter(col("doc_id") % 4 === 3),
+        "doc_id", "text", threshold = 0.3, materialize = false)))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->

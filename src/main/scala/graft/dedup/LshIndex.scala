@@ -72,17 +72,34 @@ object LshIndex {
     * candidate-bounded and gated at 256 MB with shuffle fallback.
     */
   def probe(spark: SparkSession, dir: String, batch: DataFrame,
-      idCol: String, textCol: String, threshold: Double): DataFrame = {
+      idCol: String, textCol: String, threshold: Double,
+      materialize: Boolean = true): DataFrame = {
     val m = loadMeta(spark, dir)
     val base = prepared(batch, idCol, textCol, m.shingleN)
     val sigs = base.withColumn("sig",
       Dedup.minhashSignature(col("shingles"),
         Dedup.minhashCoefficients(m.numHashes, m.seed)))
-    val banded = sigs.select(col("id").as("probe_id"),
+    val banded0 = sigs.select(col("id").as("probe_id"),
       posexplode(Dedup.bandHashUdf(m.bands, m.numHashes / m.bands)(col("sig")))
         .as(Seq("band_idx", "band_hash")))
-    val postings = spark.read.parquet(s"$dir/postings")
+    // sized once; feeds the pushdown decision + join (materialize = false
+    // is the declarative lint twin: same logical content, no mid-plan
+    // stage boundary, no driver collect)
+    val banded = if (materialize) banded0.localCheckpoint() else banded0
+    val all = spark.read.parquet(s"$dir/postings")
       .select(col("band_idx"), col("band_hash"), col("id").as("index_id"))
+    // a broadcast JOIN alone never prunes row groups — the reader can't
+    // see a join-side filter. For small probes the band-hash set collects
+    // to the driver and lands as a pushed coarse IN filter (correctness
+    // still comes from the (band_idx, band_hash) equi-join; the IN just
+    // lets parquet min/max on the range-laid-out postings skip row
+    // groups). Big probes skip the pushdown and rely on the join.
+    val postings =
+      if (materialize && banded.count() <= 10000) {
+        val hashes = banded.select(col("band_hash")).distinct()
+          .collect().map(r => java.lang.Long.valueOf(r.getLong(0)))
+        all.filter(col("band_hash").isin(hashes: _*))
+      } else all
     val candidates = postings
       .join(gated(banded), Seq("band_idx", "band_hash"))
       .filter(col("index_id") =!= col("probe_id"))

@@ -45,6 +45,19 @@ class LshIndexSpec extends AnyFunSuite with SparkSpec {
       }.toSet
     assert(fromIndex === inline)
     assert(fromIndex.nonEmpty, "fixture produced no cross pairs — vacuous")
+    // the declarative lint twin computes the same pairs
+    val unmaterialized = LshIndex.probe(spark, dir, batch, "doc_id", "text",
+      threshold = 0.3, materialize = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(unmaterialized === fromIndex)
+  }
+
+  test("a small probe pushes its band hashes into the postings scan") {
+    val small = batch.limit(20)
+    val plan = LshIndex.probe(spark, dir, small, "doc_id", "text", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(band_hash"),
+      s"coarse band-hash IN must push into the postings scan:\n$plan")
   }
 
   test("append: frozen params, no rewrite of existing files, visibility") {
