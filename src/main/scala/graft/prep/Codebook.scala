@@ -83,4 +83,19 @@ object Codebook {
       book.select(col("category").as(s"__cb_$valueCol"), col("id").as(outCol)),
       col(valueCol).cast("string") === col(s"__cb_$valueCol"), "left_outer")
       .drop(s"__cb_$valueCol")
+
+  /** The hashing-trick companion: bucket = md5(category) mod numBuckets
+    * — no book, no state, no OOV (every category lands somewhere,
+    * collisions traded for the zero-maintenance id space; the standard
+    * feature-hashing bargain). Pure projection, no shuffle, and
+    * cross-engine replayable (the repo's md5 idiom: first 15 hex chars
+    * = 60 bits, exact in a long).
+    */
+  def hashEncode(df: DataFrame, valueCol: String, outCol: String,
+      numBuckets: Int): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    df.withColumn(outCol,
+      pmod(conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(numBuckets.toLong)))
+  }
 }

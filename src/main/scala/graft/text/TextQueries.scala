@@ -310,7 +310,23 @@ object TextQueries {
     // replays the full three-stage assignment protocol in SQL, so every
     // (token, id) pair is hash-checked.
     "q_codebook_tokens" -> ((s, d) =>
-      graft.prep.Codebook.read(s, codebookDir(s, d)))
+      graft.prep.Codebook.read(s, codebookDir(s, d))),
+
+    // The HASHING-TRICK encoder beside the codebook (Codebook.hashEncode):
+    // bucket = md5(token) mod 1024 — stateless, OOV-free, collisions
+    // traded for zero maintenance; a pure projection with no shuffle
+    // before the summary aggregate. Per-bucket occupancy (distinct tokens
+    // + occurrences) is hash-checked against DuckDB rebuilding the same
+    // md5 buckets, so the bucket function, the collision pattern, and the
+    // load distribution are all value-oracled.
+    "q_feature_hash" -> ((s, d) => {
+      val tok = documents(s, d).select(
+        explode(TextFunctions.safeLowerTokens(col("text"))).as("tok"))
+      graft.prep.Codebook.hashEncode(tok, "tok", "bucket", 1024)
+        .groupBy(col("bucket"))
+        .agg(countDistinct(col("tok")).as("n_distinct"),
+          count(lit(1)).as("n_occurrences"))
+    })
   )
 
   private val codebookWritten = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -807,6 +823,18 @@ object TextQueries {
     // tombstoned docs never existed as far as scoring goes: same replay
     // over the surviving corpus (N, avgdl, df all shift)
     "q_text_bm25_mutable" -> bm25MutableSql,
+
+    // the same md5 buckets rebuilt: bucket function, collisions, and
+    // load distribution all value-checked
+    "q_feature_hash" ->
+      s"""WITH tok AS (SELECT unnest(toks) AS tok
+         |  FROM (SELECT $toksSql AS toks FROM documents)),
+         |b AS (SELECT tok,
+         |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS bucket
+         |  FROM tok)
+         |SELECT bucket, count(DISTINCT tok) AS n_distinct,
+         |       count(*) AS n_occurrences
+         |FROM b GROUP BY 1""".stripMargin,
 
     // the full three-stage stable-id assignment replayed: day-0 tokens
     // ranked (count desc, token asc) from 0; each later day's UNSEEN
