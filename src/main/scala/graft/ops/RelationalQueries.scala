@@ -928,6 +928,27 @@ object RelationalQueries {
         .filter(col("n_individuals") < k)
     }),
 
+    // Differentially-private count release (eps = 1, Laplace mechanism)
+    // beside the k-anonymity gate: noise is DERIVED, not drawn — the
+    // md5-uniform of a per-release salt x group key feeds the inverse-CDF
+    // Laplace transform, so the release is reproducible for audit and
+    // cross-engine value-oracled (the md5 idiom + the lm_score ln-round-6
+    // doctrine), while a production deployment swaps the salt per release
+    // to get fresh draws with the same plan. Pure projection over the
+    // grouped counts — the mechanism adds zero shuffles.
+    "q_dp_counts" -> ((s, d) => {
+      val eps = 1.0
+      val u = conv(substring(md5(concat(lit("dp_r15:"),
+        col("segment"))), 1, 8), 16, 10).cast("double") / 4294967296.0
+      val centered = u - 0.5
+      val noise = -signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered)) / eps
+      customer(s, d)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("true_n"))
+        .select(col("segment"),
+          round(col("true_n") + noise, 6).as("noisy_n"))
+    }),
+
     // The 100 TB twin of q_rolling_distinct: 7-day NDV from MERGED DAILY
     // HLL SKETCHES. The exact version explodes (day, user) pairs ×7;
     // this one sketches each day ONCE (fact-scale work ends there) and
@@ -2729,6 +2750,20 @@ object RelationalQueries {
         |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_distinct_sensitive
         |FROM customer GROUP BY 1
         |HAVING count(DISTINCT c_mktsegment) < 4""".stripMargin,
+
+    // the seeded Laplace release replayed: same md5-uniform, same
+    // inverse-CDF transform, 6-dp rounded (the ln doctrine)
+    "q_dp_counts" ->
+      """WITH g AS (SELECT c_mktsegment AS segment, count(*) AS true_n
+        |  FROM customer GROUP BY 1),
+        |n AS (SELECT segment, true_n,
+        |    CAST(CAST('0x' || substr(md5('dp_r15:' || segment), 1, 8)
+        |      AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM g)
+        |SELECT segment,
+        |  round(true_n + (-sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) / 1.0), 6)
+        |    AS noisy_n
+        |FROM n""".stripMargin,
 
     "q_k_anonymity" ->
       """SELECT c_nationkey AS nation, c_mktsegment AS segment,
