@@ -414,6 +414,32 @@ object RelationalQueries {
         .withColumn("split", Splits.hashSplitColumn("c_custkey", 12))
         .groupBy(col("split")).agg(count(lit(1)).as("cnt"))),
 
+    // Temporal train/eval split + ENTITY-LEAKAGE audit — the gate a
+    // time-split benchmark needs before anyone trusts it: split events
+    // at the 80th time percentile (fences snapped to whole micros, so
+    // the boundary is engine-exact), then report, per side, rows and
+    // users, plus the users present on BOTH sides (the leaked entities
+    // whose eval rows a user-level model has effectively seen). One
+    // scan + two semi-joined aggregates; the fence is a broadcast 1-row
+    // aggregate.
+    "q_split_leakage" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), unix_micros(col("ts")).as("t"))
+      val fence = ev.agg(
+        expr("floor(percentile(t, 0.8D))").cast("long").as("cut"))
+      val tagged = ev.crossJoin(broadcast(fence))
+        .withColumn("side", when(col("t") < col("cut"), "train")
+          .otherwise("eval"))
+      val users = tagged.select(col("side"), col("user_id")).distinct()
+      val leaked = users.filter(col("side") === "train")
+        .join(users.filter(col("side") === "eval"), Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("leaked_users").as("side"), col("n"),
+          lit(null).cast("long").as("n_users"))
+      tagged.groupBy(col("side"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .unionByName(leaked)
+    }),
+
     // P11 + A6 — accuracy of a deterministic rule predictor
     "q_rule_accuracy" -> ((s, d) =>
       Metrics.accuracyDF(
@@ -2750,6 +2776,27 @@ object RelationalQueries {
         |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_distinct_sensitive
         |FROM customer GROUP BY 1
         |HAVING count(DISTINCT c_mktsegment) < 4""".stripMargin,
+
+    // the temporal fence (floor-snapped continuous 80th percentile of
+    // micros) and both side profiles + the leaked-entity count replayed
+    "q_split_leakage" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |cut AS (SELECT CAST(floor(quantile_cont(t, 0.8)) AS BIGINT) AS c
+        |  FROM ev),
+        |tagged AS (SELECT user_id,
+        |    CASE WHEN t < (SELECT c FROM cut) THEN 'train' ELSE 'eval' END
+        |      AS side
+        |  FROM ev),
+        |sides AS (SELECT side, count(*) AS n,
+        |    count(DISTINCT user_id) AS n_users
+        |  FROM tagged GROUP BY 1),
+        |leak AS (SELECT 'leaked_users' AS side, count(*) AS n,
+        |    CAST(NULL AS BIGINT) AS n_users
+        |  FROM (SELECT user_id FROM tagged WHERE side = 'train'
+        |        INTERSECT
+        |        SELECT user_id FROM tagged WHERE side = 'eval'))
+        |SELECT side, n, n_users FROM sides
+        |UNION ALL SELECT side, n, n_users FROM leak""".stripMargin,
 
     // the seeded Laplace release replayed: same md5-uniform, same
     // inverse-CDF transform, 6-dp rounded (the ln doctrine)

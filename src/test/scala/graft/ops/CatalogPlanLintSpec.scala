@@ -68,6 +68,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_triangles" -> "summary row crosses three broadcast 1-row aggregates (nodes, edges, triangles); triangle enumeration itself is two equi self-joins",
     "q_profile_robust" -> "cross join against the broadcast 1-row percentile aggregate (the adjudicated q_dq_outliers two-pass shape)",
     "q_winsorize" -> "cross join against the broadcast 1-row p01/p99 aggregate feeding the clipping projection",
+    "q_split_leakage" -> "cross joins against the broadcast 1-row temporal-fence percentile aggregate (the q_winsorize shape)",
     "q_text_tfidf" -> "cross join against the broadcast 1-row corpus-count aggregate (the q_text_bm25 shape)",
     "q_histogram_eqdepth" -> "cross join against the broadcast 1-row quartile-fence aggregate",
     "q_psi_drift" -> "both sides cross-join the broadcast 1-row reference-fence aggregate (binning protocol)",
