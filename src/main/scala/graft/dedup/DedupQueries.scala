@@ -181,6 +181,17 @@ object DedupQueries {
             count(lit(1)), 6).as("recall"))
     }),
 
+    // Distributed Lloyd's k-means trained IN-ENGINE (KMeans.scala): 3
+    // iterations, k=8, md5-rank seeding, fixed-point long domain — per
+    // iteration one projection-only assignment (centroids ride the plan
+    // as an array literal; no join) + one O(k·dim)-buffer typed
+    // aggregate. Bit-for-bit oracled: DuckDB unrolls the identical
+    // iterations as CTEs (integer sums/divs are order- and
+    // engine-independent). Emits (cid, n, inertia, pos, cval).
+    "q_kmeans_train" -> ((s, d) =>
+      graft.sim.KMeans.trainReadout(embeddings(s, d), "vec_id", "embedding",
+        k = 8, dim = cosLshDim, iters = 3)),
+
     // int8 embedding quantization (VectorQuant): one stats aggregate,
     // then a pure projection — 4x storage cut, no corpus shuffle. DuckDB
     // replays the exact integer codes (floor(x+0.5), not round(): engines
@@ -863,6 +874,53 @@ object DedupQueries {
           round(CAST(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall
         FROM exactp x LEFT JOIN lshp l ON x.id_a = l.id_a AND x.id_b = l.id_b"""
 
+  /** q_kmeans_train unrolled: the SAME 3 Lloyd iterations as CTEs. Exact
+    * parity holds because every quantity is fixed-point long (offset
+    * non-negative, so Spark `div` == DuckDB `//` == floor) and integer
+    * sums are order-independent; seeding is the shared md5-rank protocol;
+    * argmin ties break (d, cid) on both engines (Spark: array_position's
+    * first-minimum; here: the row_number window). Empty clusters keep the
+    * previous centroid via the left-join coalesce, mirroring
+    * [[graft.sim.KMeans.train]]'s getOrElse.
+    */
+  private lazy val kmeansOracleSql: String = {
+    val k = 8; val dim = 64
+    def assign(s: String, a: String): String =
+      s"""$a AS (
+          SELECT vec_id, q, cid, d FROM (
+            SELECT e.vec_id, e.q, s.cid,
+              CAST(list_sum(list_transform(range(1,${dim + 1}),
+                i -> (e.q[i]-s.c[i])*(e.q[i]-s.c[i]))) AS BIGINT) AS d
+            FROM e CROSS JOIN $s s)
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1)"""
+    def update(a: String, sprev: String, snew: String): String =
+      s"""$snew AS (
+          SELECT p.cid, coalesce(u.c, p.c) AS c FROM $sprev p LEFT JOIN (
+            SELECT cid, list(s // n ORDER BY pos) AS c FROM (
+              SELECT cid, i AS pos, CAST(sum(q[i]) AS BIGINT) AS s, count(*) AS n
+              FROM $a, LATERAL unnest(range(1,${dim + 1})) AS u(i) GROUP BY cid, i)
+            GROUP BY cid) u USING (cid))"""
+    s"""WITH e AS (
+          SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+            x -> CAST(floor(x*10000 + 0.5) AS BIGINT) + 100000) AS q
+          FROM embeddings),
+        s0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY m, vec_id) - 1 AS BIGINT) AS cid, q AS c
+          FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS m, vec_id, q FROM e
+                ORDER BY 1, 2 LIMIT $k)),
+        ${assign("s0", "a1")}, ${update("a1", "s0", "s1")},
+        ${assign("s1", "a2")}, ${update("a2", "s1", "s2")},
+        ${assign("s2", "a3")}, ${update("a3", "s2", "s3")},
+        ${assign("s3", "af")},
+        stats AS (
+          SELECT cid, CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS inertia
+          FROM af GROUP BY cid)
+        SELECT s.cid, coalesce(st.n, 0) AS n, coalesce(st.inertia, 0) AS inertia,
+          CAST(u.i AS BIGINT) AS pos, s.c[u.i] AS cval
+        FROM s3 s LEFT JOIN stats st USING (cid),
+          LATERAL unnest(range(1,${dim + 1})) AS u(i)"""
+  }
+
 
   /** Shared body of q_contamination_bloom. `prebuilt` (lint only) skips
     * the bloom-build driver action — sketch contents never change the
@@ -1332,6 +1390,8 @@ object DedupQueries {
             (SELECT count(*) FROM documents WHERE doc_id % 50 <> 0) AS n_train,
             (SELECT count(*) FROM exact) AS n_exact,
             TRUE AS no_false_negatives, TRUE AS fp_bounded""",
+
+    "q_kmeans_train" -> kmeansOracleSql,
 
     // assignment argmax + in-cluster prune replayed exactly against the
     // SAME frozen trained centroids: same left-fold dot products, same
