@@ -312,6 +312,26 @@ object TextQueries {
     "q_codebook_tokens" -> ((s, d) =>
       graft.prep.Codebook.read(s, codebookDir(s, d))),
 
+    // Count-min sketch over the token stream (CountMin.scala): frequency
+    // estimation with O(depth·width) memory instead of a full-vocabulary
+    // groupBy — ONE map-side-combined global aggregate builds the 4×256
+    // grid; estimates are a pure projection against the broadcast 1-row
+    // sketch. Probes = the vocabulary of every 101st document (bounded,
+    // in-corpus), each emitted with its exact count beside the estimate —
+    // the md5 bucket functions, the collision-inflated counters, and the
+    // CMS overestimate property are all value-oracled in SQL.
+    "q_cms_freq" -> ((s, d) => {
+      val toks = documents(s, d).select(
+        explode(TextFunctions.safeLowerTokens(col("text"))).as("tok"),
+        col("doc_id"))
+      val sk = graft.quality.CountMin.sketch(toks, "tok", depth = 4, width = 256)
+      val truth = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
+      val probes = toks.filter(pmod(col("doc_id"), lit(101L)) === 0L)
+        .select(col("tok")).distinct()
+        .join(truth, Seq("tok"))
+      graft.quality.CountMin.estimate(probes, "tok", sk, depth = 4, width = 256)
+    }),
+
     // The HASHING-TRICK encoder beside the codebook (Codebook.hashEncode):
     // bucket = md5(token) mod 1024 — stateless, OOV-free, collisions
     // traded for zero maintenance; a pure projection with no shuffle
@@ -823,6 +843,29 @@ object TextQueries {
     // tombstoned docs never existed as far as scoring goes: same replay
     // over the surviving corpus (N, avgdl, df all shift)
     "q_text_bm25_mutable" -> bm25MutableSql,
+
+    // the 4x256 counter grid rebuilt exactly: counter (r, b) = the number
+    // of token occurrences hashing to bucket b under row r's md5; the
+    // estimate is the min over the probe's four buckets. Probes are
+    // in-corpus, so every probed bucket holds >= 1 and the sketch
+    // group-by join never drops a row
+    "q_cms_freq" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |grid AS (
+         |  SELECT u.r,
+         |    CAST('0x' || substr(md5(u.r || ':' || tok), 1, 15) AS BIGINT) % 256 AS b,
+         |    count(*) AS c
+         |  FROM toks, LATERAL unnest(range(0, 4)) AS u(r) GROUP BY 1, 2),
+         |truth AS (SELECT tok, count(*) AS true_n FROM toks GROUP BY 1),
+         |probes AS (
+         |  SELECT DISTINCT t.tok, tr.true_n
+         |  FROM toks t JOIN truth tr USING (tok) WHERE t.doc_id % 101 = 0)
+         |SELECT p.tok, p.true_n, min(g.c) AS est_n
+         |FROM probes p, LATERAL unnest(range(0, 4)) AS u(r)
+         |  JOIN grid g ON g.r = u.r
+         |    AND g.b = CAST('0x' || substr(md5(u.r || ':' || p.tok), 1, 15) AS BIGINT) % 256
+         |GROUP BY 1, 2""".stripMargin,
 
     // the same md5 buckets rebuilt: bucket function, collisions, and
     // load distribution all value-checked

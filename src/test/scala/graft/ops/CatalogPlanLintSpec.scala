@@ -75,7 +75,8 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_join_size_est" -> "cross join against the broadcast 1-row predicted-total aggregate for per-key share",
     "q_ab_test" -> "cross of the two 1-row arm-moment frames (control x treatment readout)",
     "q_parquet_bloom_stats" -> "cross join against the broadcast 1-row sorted probe-set array aggregate (the q_minmax broadcast-scalar pattern)",
-    "q_zorder_layout" -> "layoutBoxes crosses the broadcast 1-row leading-key min/max span aggregate (the deterministic bin protocol)")
+    "q_zorder_layout" -> "layoutBoxes crosses the broadcast 1-row leading-key min/max span aggregate (the deterministic bin protocol)",
+    "q_cms_freq" -> "cross join against the broadcast 1-row count-min sketch aggregate (O(depth*width) grid; probes never shuffle)")
 
   test("lint variants cover a live query and never go stale") {
     val gone = lintVariants.keySet.diff(graft.SparkEntry.queries.keySet)
