@@ -187,7 +187,7 @@ object PageRank {
     * rank frame (the ContextCleaner only frees them on GC — too late for
     * an iterative loop; same helper shape as [[graft.dedup.Dedup]]).
     */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[graph] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))
@@ -214,6 +214,15 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, d) => PageRank.pageRankFp(docEdges(s, d), "src", "dst")),
+
+    // Multi-source BFS (Bfs.scala): distances <= 4 hops from the seed
+    // residue class node % 31 == 0 over the directed doc graph — per
+    // iteration one equi join + one min aggregate, exact integer labels,
+    // the 4 iterations unrolled verbatim as oracle CTEs. Unreached nodes
+    // carry no row on both engines.
+    "q_bfs_dist" -> ((s, d) =>
+      Bfs.distancesFp(docEdges(s, d), "src", "dst",
+        node => pmod(node, lit(31L)) === 0L, iterations = 4)),
 
     // Triangle count — the clustering-coefficient / community-structure
     // primitive. Undirected simple graph (least/greatest canonical
@@ -271,6 +280,27 @@ object GraphQueries {
           |${step("r1", "r2")},
           |${step("r2", "r3")}
           |SELECT node, r FROM r3""".stripMargin,
+
+      "q_bfs_dist" -> {
+        def bstep(prev: String, cur: String): String =
+          s"""$cur AS (
+            |  SELECT node, min(dist) AS dist FROM (
+            |    SELECT node, dist FROM $prev
+            |    UNION ALL
+            |    SELECT e.dst AS node, p.dist + 1 AS dist
+            |    FROM e JOIN $prev p ON e.src = p.node) u
+            |  GROUP BY node)""".stripMargin
+        s"""WITH e AS (
+          |  SELECT DISTINCT doc_id % 97 AS src, (doc_id * 31 + 7) % 101 AS dst
+          |  FROM documents),
+          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM n WHERE node % 31 = 0),
+          |${bstep("d0", "d1")},
+          |${bstep("d1", "d2")},
+          |${bstep("d2", "d3")},
+          |${bstep("d3", "d4")}
+          |SELECT node, dist FROM d4""".stripMargin
+      },
 
       "q_triangles" ->
         """WITH raw AS (
