@@ -192,6 +192,15 @@ object DedupQueries {
       graft.sim.KMeans.trainReadout(embeddings(s, d), "vec_id", "embedding",
         k = 8, dim = cosLshDim, iters = 3)),
 
+    // One-pass Gram matrix (Gram.scala) — the covariance/PCA precursor:
+    // a SINGLE typed aggregate whose shuffle carries one d(d+1)/2 long
+    // buffer per partition (first 16 dims here); products/sums of
+    // quantized longs are exact, so the upper triangle hash-matches the
+    // SQL replay. At 100 TB this is the only shape that works: the d x d
+    // second moment reduces map-side; eigen work on it is driver trivia.
+    "q_gram_matrix" -> ((s, d) =>
+      graft.sim.Gram.gramReadout(embeddings(s, d), "embedding", dim = 16)),
+
     // int8 embedding quantization (VectorQuant): one stats aggregate,
     // then a pure projection — 4x storage cut, no corpus shuffle. DuckDB
     // replays the exact integer codes (floor(x+0.5), not round(): engines
@@ -1392,6 +1401,18 @@ object DedupQueries {
             TRUE AS no_false_negatives, TRUE AS fp_bounded""",
 
     "q_kmeans_train" -> kmeansOracleSql,
+
+    // the upper triangle rebuilt over the same quantized longs — exact
+    // integer products, order-independent sums
+    "q_gram_matrix" ->
+      """WITH e AS (
+        |  SELECT list_transform((CAST(embedding AS DOUBLE[]))[1:16],
+        |    x -> CAST(floor(x*10000+0.5) AS BIGINT)) AS q
+        |  FROM embeddings)
+        |SELECT u.i, v.j, CAST(sum(q[u.i]*q[v.j]) AS BIGINT) AS s, count(*) AS n
+        |FROM e, LATERAL unnest(range(1,17)) AS u(i),
+        |  LATERAL unnest(range(u.i,17)) AS v(j)
+        |GROUP BY 1, 2""".stripMargin,
 
     // assignment argmax + in-cluster prune replayed exactly against the
     // SAME frozen trained centroids: same left-fold dot products, same

@@ -12,6 +12,24 @@ import graft.ops.Tables
 object QualityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Mergeable fixed-bin histogram quantiles (HistQuantiles.scala) — the
+    // quantile face of the incremental-stats family: fence frozen by the
+    // init batch (l_orderkey%4==0), four per-batch 32-bin histograms
+    // folded by integer addition, quantiles read off the merged bins with
+    // RATIONAL targets (ceil(num*n/den) in integers — never p*n in
+    // doubles). The oracle replays the whole table one-shot, so the hash
+    // match IS the merged==one-shot exactness proof, per-value.
+    "q_quantile_hist" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        floor(col("l_extendedprice") * 100d + lit(0.5d)).cast("long").as("v"),
+        pmod(col("l_orderkey"), lit(4L)).as("b"))
+      val fence = li.filter(col("b") === 0L)
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val hist = HistQuantiles.mergedHistogram(li, "v", "b", fence, bins = 32)
+      HistQuantiles.quantiles(hist, fence, bins = 32,
+        ps = Seq((50, 1, 2), (90, 9, 10), (99, 99, 100)))
+    }),
+
     // One-pass numeric column profile over the fact table.
     "q_profile_numeric" -> ((s, d) =>
       DataQuality.profileNumeric(Tables.lineitem(s, d),
@@ -449,6 +467,31 @@ object QualityQueries {
     }
 
   val oracles: Map[String, String] = Map(
+    // one-shot whole-table replay of the frozen-fence binning: hash
+    // equality against the four-batch folded path proves the merge exact
+    "q_quantile_hist" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v,
+        |    l_orderkey % 4 AS b
+        |  FROM lineitem),
+        |f AS (SELECT min(v) AS lo, max(v) AS hi FROM v WHERE b = 0),
+        |h AS (
+        |  SELECT least(greatest(((v - lo) * 32) // (hi - lo), 0), 31) AS bin,
+        |    count(*) AS cnt
+        |  FROM v, f GROUP BY 1),
+        |c AS (SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM h),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+        |t AS (SELECT * FROM (VALUES (50, 1, 2), (90, 9, 10), (99, 99, 100))
+        |  AS t(p_pct, num, den)),
+        |sel AS (
+        |  SELECT CAST(t.p_pct AS BIGINT) AS p_pct, min(c.bin) AS qbin
+        |  FROM c, n, t WHERE c.cum >= (t.num * n.n + t.den - 1) // t.den
+        |  GROUP BY 1)
+        |SELECT s.p_pct, s.qbin, c.cum AS cum_le, n.n,
+        |  round(CAST(f.lo AS DOUBLE) +
+        |    (s.qbin + 1) * (CAST(f.hi - f.lo AS DOUBLE) / 32), 6) AS est
+        |FROM sel s JOIN c ON c.bin = s.qbin, n, f""".stripMargin,
+
     "q_profile_numeric" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(numProfileSql).mkString("\nUNION ALL\n"),

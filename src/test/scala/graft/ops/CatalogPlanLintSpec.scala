@@ -76,7 +76,8 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_ab_test" -> "cross of the two 1-row arm-moment frames (control x treatment readout)",
     "q_parquet_bloom_stats" -> "cross join against the broadcast 1-row sorted probe-set array aggregate (the q_minmax broadcast-scalar pattern)",
     "q_zorder_layout" -> "layoutBoxes crosses the broadcast 1-row leading-key min/max span aggregate (the deterministic bin protocol)",
-    "q_cms_freq" -> "cross join against the broadcast 1-row count-min sketch aggregate (O(depth*width) grid; probes never shuffle)")
+    "q_cms_freq" -> "cross join against the broadcast 1-row count-min sketch aggregate (O(depth*width) grid; probes never shuffle)",
+    "q_quantile_hist" -> "crosses the broadcast 1-row init-batch fence, total-count scalar, and 3-row rational-target frame onto the 32-bin histogram (binning protocol, the q_psi_drift shape)")
 
   test("lint variants cover a live query and never go stale") {
     val gone = lintVariants.keySet.diff(graft.SparkEntry.queries.keySet)
@@ -183,7 +184,8 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_skew_profile" -> "rank/cum-share windows over the 20-row TakeOrdered result (round-12 verdict shape)",
     "q_text_zipf" -> "row_number over the top-100 TakeOrdered token frame feeding the log-log fit",
     "q_woe_encode" -> "event/nonevent totals window over the per-category frame — category cardinality",
-    "q_zorder_layout" -> "offset/total windows over layoutBoxes' per-bin counts frame — <= bins (32) rows, metadata scale")
+    "q_zorder_layout" -> "offset/total windows over layoutBoxes' per-bin counts frame — <= bins (32) rows, metadata scale",
+    "q_quantile_hist" -> "cumulative window over the merged 32-bin histogram — bin cardinality, metadata scale")
 
   test("no catalog query plans an unpartitioned window off-allowlist") {
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
