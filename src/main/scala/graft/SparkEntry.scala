@@ -29,7 +29,8 @@ object SparkEntry {
       layout.LayoutQueries.queries ++
       layout.Partitioning.queries ++
       quality.QualityQueries.queries ++
-      graph.GraphQueries.queries
+      graph.GraphQueries.queries ++
+      ops.ScaleQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the driver's rows-only check.
@@ -43,5 +44,6 @@ object SparkEntry {
       layout.LayoutQueries.oracles ++
       layout.Partitioning.oracles ++
       quality.QualityQueries.oracles ++
-      graph.GraphQueries.oracles
+      graph.GraphQueries.oracles ++
+      ops.ScaleQueries.oracles
 }

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog entries for the scale-pattern operators: shapes whose whole
+  * point is surviving hot keys and data-scale permutations ([[SaltedAgg]],
+  * [[graft.prep.ShuffleShard]]); values stay bit-exact, so both are
+  * value-oracled.
+  */
+object ScaleQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Two-stage salted aggregation over the 3-value l_returnflag key —
+    // the canonical hot-key histogram: the salted result is bit-identical
+    // to the direct groupBy (associative long sums), which is exactly
+    // what the oracle's plain GROUP BY replays.
+    "q_salted_agg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_returnflag"),
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * 100d + lit(0.5d)).cast("long").as("cents"),
+        floor(col("l_quantity") + lit(0.5d)).cast("long").as("qty"))
+      SaltedAgg.sumCount(li, Seq("l_returnflag"), Seq("cents", "qty"),
+        saltOn = Seq("l_orderkey", "l_linenumber"), salts = 16)
+    }),
+
+    // Deterministic corpus shuffle + sharding: seeded-md5 global order,
+    // distributed two-pass exact rank, shard/pos hash-checked per row
+    // against the SQL row_number replay.
+    "q_shuffle_shard" -> ((s, d) =>
+      graft.prep.ShuffleShard.shard(Tables.documents(s, d), "doc_id",
+        seed = "epoch0", shardSize = 1000L)))
+
+  val oracles: Map[String, String] = Map(
+    "q_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_shuffle_shard" ->
+      """SELECT doc_id AS id, rn // 1000 AS shard, rn % 1000 AS pos
+        |FROM (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY md5('epoch0:' || doc_id), doc_id) - 1 AS rn
+        |  FROM documents) t""".stripMargin)
+}
