@@ -30,7 +30,20 @@ object ScaleQueries {
     // against the SQL row_number replay.
     "q_shuffle_shard" -> ((s, d) =>
       graft.prep.ShuffleShard.shard(Tables.documents(s, d), "doc_id",
-        seed = "epoch0", shardSize = 1000L)))
+        seed = "epoch0", shardSize = 1000L)),
+
+    // Dominant principal direction: ONE distributed Gram pass, then exact
+    // integer power iteration on the driver's d×d readout — every step
+    // replayed bit-for-bit by the oracle's unrolled CTE chain.
+    "q_pca_power" -> ((s, d) =>
+      graft.sim.Pca.directionReadout(Tables.embeddings(s, d), "embedding",
+        dim = 8, iters = 6)),
+
+    // The data-scale face of the same pipeline: broadcast-literal integer
+    // dot per row + TakeOrderedAndProject top-10 by |projection|.
+    "q_pca_project" -> ((s, d) =>
+      graft.sim.Pca.projectTopK(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 8, iters = 6, k = 10)))
 
   val oracles: Map[String, String] = Map(
     "q_salted_agg" ->
@@ -44,5 +57,15 @@ object ScaleQueries {
         |FROM (
         |  SELECT doc_id,
         |    row_number() OVER (ORDER BY md5('epoch0:' || doc_id), doc_id) - 1 AS rn
-        |  FROM documents) t""".stripMargin)
+        |  FROM documents) t""".stripMargin,
+
+    "q_pca_power" -> graft.sim.Pca.oracleSql("vec_id", dim = 8, iters = 6,
+      fin = "SELECT i, v FROM v6"),
+
+    "q_pca_project" -> graft.sim.Pca.oracleSql("vec_id", dim = 8, iters = 6,
+      fin = """, proj AS (
+        |  SELECT q.id AS id, CAST(sum(q.q[v.i] * v.v) AS BIGINT) AS score
+        |  FROM q, v6 v GROUP BY 1)
+        |SELECT id, score FROM proj
+        |ORDER BY abs(score) DESC, id LIMIT 10""".stripMargin))
 }
