@@ -131,7 +131,48 @@ object Dedup {
       blockCols: Seq[String],
       n: Int,
       threshold: Double,
-      maxDocFreq: Int = 1000): DataFrame = {
+      maxDocFreq: Int = 1000): DataFrame =
+    coPairs(df, idCol, textCol, blockCols, n, maxDocFreq)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Asymmetric containment pairs over the same inverted-index candidates:
+    * |A∩B| / min(|A|, |B|) — the quote/subset detector Jaccard is blind
+    * to (a 50-shingle doc fully embedded in a 5000-shingle doc scores
+    * jaccard 0.01 but containment 1.0; an LLM corpus full of article+
+    * quote pairs needs exactly this). Same blocking, df cap, and exact
+    * integer sizes as [[jaccardPairs]]; `contained_id` names the
+    * smaller-set side — the row a subset-dedup policy drops.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Int = 1000): DataFrame =
+    coPairs(df, idCol, textCol, blockCols, n, maxDocFreq)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          least(col("sz_a"), col("sz_b")), 6).as("containment"),
+        when(col("sz_a") <= col("sz_b"), col("id_a")).otherwise(col("id_b"))
+          .as("contained_id"))
+      .filter(col("containment") >= threshold)
+
+  /** Shared candidate stage for [[jaccardPairs]] / [[containmentPairs]]:
+    * (id_a, id_b, sz_a, sz_b, inter) over shared-shingle candidates only
+    * — see the scale/hot-shingle notes on [[jaccardPairs]].
+    */
+  private def coPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      n: Int,
+      maxDocFreq: Int): DataFrame = {
     require(maxDocFreq > 1, s"maxDocFreq must exceed 1, got $maxDocFreq")
     val base = graft.prep.Preprocessing.spread(df)
       .select(col(idCol) +: wordShingles(col(textCol), n).as("shingles") +:
@@ -169,10 +210,6 @@ object Dedup {
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
-      .select(col("id_a"), col("id_b"),
-        round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   // 2^31 - 1 (Mersenne). Hash values are masked to 31 bits so that

@@ -53,6 +53,15 @@ object DedupQueries {
         blockCols = Seq("lang"), n = 2, threshold = 0.3,
         maxDocFreq = jaccardDfCap)),
 
+    // asymmetric containment over the SAME candidate universe: the
+    // quote/subset detector (|A∩B| / min) — catches a small doc embedded
+    // in a big one where jaccard stays near 0. Lower threshold than
+    // jaccard's because containment dominates it pointwise.
+    "q_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(documents(s, d), "doc_id", "text",
+        blockCols = Seq("lang"), n = 2, threshold = 0.6,
+        maxDocFreq = jaccardDfCap)),
+
     // transitive duplicate CLUSTERS over the jaccard pair graph (threshold
     // 0.1 so multi-hop chains exist in this corpus): hash-min label
     // propagation to the component minimum — the keep/drop assignment a
@@ -781,6 +790,19 @@ object DedupQueries {
     * counts. Ends in a `pairs(id_a, id_b, jaccard)` CTE.
     */
   private def jaccardPairsCtes(threshold: Double): String =
+    pairGraphCtes(threshold,
+      "CAST(co.inter AS DOUBLE) / (sa.sz + sb.sz - co.inter)", "jaccard")
+
+  private def containmentPairsCtes(threshold: Double): String =
+    pairGraphCtes(threshold,
+      "CAST(co.inter AS DOUBLE) / least(sa.sz, sb.sz)", "containment")
+
+  // shared skeleton: same shingle space, df cap, and candidate join for
+  // every pair score — only the closing formula differs, so the jaccard
+  // and containment oracles cannot drift apart structurally. `pairs`
+  // always carries contained_id (the smaller-set side; ties → id_a).
+  private def pairGraphCtes(threshold: Double, scoreSql: String,
+      scoreName: String): String =
     s"""t AS (SELECT doc_id, lang, $shinglesSql AS sh
           FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
           WHERE len(toks) >= 2),
@@ -798,14 +820,15 @@ object DedupQueries {
             ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
         pairs AS (
-          SELECT id_a, id_b, jaccard FROM (
+          SELECT id_a, id_b, $scoreName, contained_id FROM (
             SELECT co.id_a, co.id_b,
-              round(CAST(co.inter AS DOUBLE) /
-                (sa.sz + sb.sz - co.inter), 6) AS jaccard
+              round($scoreSql, 6) AS $scoreName,
+              CASE WHEN sa.sz <= sb.sz THEN co.id_a ELSE co.id_b END
+                AS contained_id
             FROM co
             JOIN sz sa ON co.id_a = sa.doc_id
             JOIN sz sb ON co.id_b = sb.doc_id) p
-          WHERE jaccard >= $threshold)"""
+          WHERE $scoreName >= $threshold)"""
 
   // One source of truth for the jaccard pair graph + reachability CTEs
   // behind q_dedup_clusters AND q_dedup_keep — both oracles must see the
@@ -1119,6 +1142,10 @@ object DedupQueries {
     "q_dedup_jaccard" ->
       s"""WITH ${jaccardPairsCtes(0.3)}
           SELECT id_a, id_b, jaccard FROM pairs""",
+
+    "q_dedup_containment" ->
+      s"""WITH ${containmentPairsCtes(0.6)}
+          SELECT id_a, id_b, containment, contained_id FROM pairs""",
 
     // Components = min reachable id per vertex, via recursive reachability
     // over the same symmetrized pair graph the Spark side propagates on.

@@ -125,6 +125,34 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got === Set((1L, 2L, 0.333333)))
   }
 
+  test("containment pairs catch a quote jaccard is blind to") {
+    // doc 2's bigrams are a strict subset of doc 1's: containment 1.0,
+    // jaccard only 3/12 — below any useful jaccard threshold
+    val quote = Seq(
+      (1L, "a b c d e f g h i j k l m"),
+      (2L, "d e f g"),
+      (3L, "x y z w v")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(quote, "doc_id", "text",
+        blockCols = Nil, n = 2, threshold = 0.9)
+      .select("id_a", "id_b", "containment", "contained_id")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(cont === Set((1L, 2L, 1.0, 2L)))
+    val jac = Dedup.jaccardPairs(quote, "doc_id", "text",
+        blockCols = Nil, n = 2, threshold = 0.3)
+    assert(jac.count() === 0L)
+  }
+
+  test("containment formula and tie-break are exact: equal sizes name id_a") {
+    // A={a b, b c}, B={a b, b d}: inter 1, min size 2 -> 0.5; tie -> id_a
+    val mini = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(mini, "doc_id", "text",
+        blockCols = Nil, n = 2, threshold = 0.4)
+      .select("id_a", "id_b", "containment", "contained_id")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 0.5, 1L)))
+  }
+
   test("bloom decontamination never false-negatives a contaminated doc") {
     // bench = 2 docs; train docs 10-12 each share a full 5-gram with a
     // bench doc, 13-15 are clean. The bloom contract is one-sided error:
