@@ -43,7 +43,20 @@ object ScaleQueries {
     // dot per row + TakeOrderedAndProject top-10 by |projection|.
     "q_pca_project" -> ((s, d) =>
       graft.sim.Pca.projectTopK(Tables.embeddings(s, d), "vec_id",
-        "embedding", dim = 8, iters = 6, k = 10)))
+        "embedding", dim = 8, iters = 6, k = 10)),
+
+    // Per-group top-k as a bounded aggregate (no WindowExec, no full-data
+    // sort-exchange): shuffle carries k rows per (group, partition).
+    "q_topk_agg" -> ((s, d) =>
+      TopKAgg.topK(Tables.orders(s, d), Seq("o_orderpriority"),
+        "o_orderkey", "o_totalprice", k = 3)),
+
+    // Pareto frontier on (price, size), both minimized: local skyline per
+    // partition, final pass over per-partition frontiers only.
+    "q_skyline" -> ((s, d) =>
+      Skyline.skyline(Tables.part(s, d), Seq("p_retailprice", "p_size"))
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("long").as("p_size"))))
 
   val oracles: Map[String, String] = Map(
     "q_salted_agg" ->
@@ -67,5 +80,23 @@ object ScaleQueries {
         |  SELECT q.id AS id, CAST(sum(q.q[v.i] * v.v) AS BIGINT) AS score
         |  FROM q, v6 v GROUP BY 1)
         |SELECT id, score FROM proj
-        |ORDER BY abs(score) DESC, id LIMIT 10""".stripMargin))
+        |ORDER BY abs(score) DESC, id LIMIT 10""".stripMargin),
+
+    "q_topk_agg" ->
+      """SELECT o_orderpriority, rn AS rank, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q_skyline" ->
+      """SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))"""
+        .stripMargin)
 }
