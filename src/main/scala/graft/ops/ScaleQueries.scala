@@ -56,7 +56,19 @@ object ScaleQueries {
     "q_skyline" -> ((s, d) =>
       Skyline.skyline(Tables.part(s, d), Seq("p_retailprice", "p_size"))
         .select(col("p_partkey"), col("p_retailprice"),
-          col("p_size").cast("long").as("p_size"))))
+          col("p_size").cast("long").as("p_size"))),
+
+    // Golden record per user over events, with nulls planted
+    // deterministically (click rows carry no value) so the per-column
+    // latest-NON-NULL rule does real work — one hash aggregate, no
+    // window-per-column.
+    "q_golden_record" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("v",
+        when(col("event_type") === "click", lit(null).cast("double"))
+          .otherwise(col("value")))
+      Survivorship.goldenRecord(e, "user_id", "ts", "event_id",
+        Seq("event_type", "v"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "q_salted_agg" ->
@@ -98,5 +110,28 @@ object ScaleQueries {
         |  SELECT 1 FROM part q
         |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))"""
-        .stripMargin)
+        .stripMargin,
+
+    "q_golden_record" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+        |  FROM events),
+        |et AS (
+        |  SELECT user_id, event_type FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM base WHERE event_type IS NOT NULL) t WHERE rn = 1),
+        |vv AS (
+        |  SELECT user_id, v FROM (
+        |    SELECT user_id, v, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM base WHERE v IS NOT NULL) t WHERE rn = 1),
+        |agg AS (
+        |  SELECT user_id, max(ts) AS last_ts, count(*) AS n
+        |  FROM base GROUP BY 1)
+        |SELECT agg.user_id, et.event_type, vv.v, agg.last_ts, agg.n
+        |FROM agg
+        |LEFT JOIN et ON agg.user_id = et.user_id
+        |LEFT JOIN vv ON agg.user_id = vv.user_id""".stripMargin)
 }
