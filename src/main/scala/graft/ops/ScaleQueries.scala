@@ -68,7 +68,29 @@ object ScaleQueries {
           .otherwise(col("value")))
       Survivorship.goldenRecord(e, "user_id", "ts", "event_id",
         Seq("event_type", "v"))
-    }))
+    }),
+
+    // Interval coalescing: each event opens a 5-minute validity span;
+    // overlapping spans per user merge into islands. Exact microsecond
+    // longs end to end.
+    "q_interval_merge" -> ((s, d) => {
+      val iv = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + lit(300000000L)).as("e"))
+      IntervalMerge.merge(iv, "user_id", "s", "e")
+    }),
+
+    // Export integrity manifest over the sharded corpus: per-shard counts,
+    // dense-position bounds, and an order-independent content checksum —
+    // what a training job validates before reading a shard.
+    "q_shard_manifest" -> ((s, d) =>
+      graft.prep.ShuffleShard.shard(Tables.documents(s, d), "doc_id",
+          seed = "epoch0", shardSize = 1000L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("pos")).as("pos_lo"), max(col("pos")).as("pos_hi"),
+          sum(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+            .cast("long")).as("checksum"))))
 
   val oracles: Map[String, String] = Map(
     "q_salted_agg" ->
@@ -133,5 +155,39 @@ object ScaleQueries {
         |SELECT agg.user_id, et.event_type, vv.v, agg.last_ts, agg.n
         |FROM agg
         |LEFT JOIN et ON agg.user_id = et.user_id
-        |LEFT JOIN vv ON agg.user_id = vv.user_id""".stripMargin)
+        |LEFT JOIN vv ON agg.user_id = vv.user_id""".stripMargin,
+
+    "q_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id
+        |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS pm
+        |  FROM iv),
+        |f AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, s, e, sum(ni) OVER (PARTITION BY user_id
+        |    ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM f)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  min(s) AS start, max(e) AS "end", count(*) AS n_rows
+        |FROM g GROUP BY 1, 2""".stripMargin,
+
+    "q_shard_manifest" ->
+      """WITH r AS (
+        |  SELECT doc_id AS id,
+        |    row_number() OVER (ORDER BY md5('epoch0:' || doc_id), doc_id) - 1
+        |      AS rn
+        |  FROM documents),
+        |sh AS (SELECT id, rn // 1000 AS shard, rn % 1000 AS pos FROM r)
+        |SELECT shard, count(*) AS n_docs, min(pos) AS pos_lo,
+        |  max(pos) AS pos_hi,
+        |  CAST(sum(CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)
+        |    AS BIGINT)) AS BIGINT) AS checksum
+        |FROM sh GROUP BY 1""".stripMargin)
 }
