@@ -160,6 +160,49 @@ object TextQueries {
       Chunking.chunkDocuments(documents(s, d), "doc_id", "text",
         window = 64, stride = 32)),
 
+    // Sparse TF-IDF cosine pairs — text similarity with NO embeddings:
+    // integer weights (tf × milli-scaled smooth idf) make every pair
+    // numerator and norm an order-independent exact sum (decimal(38,0)
+    // accumulators — w² sums would overflow longs on web-scale docs), so
+    // the only float math is the per-pair closed-form division, same op
+    // order both engines, round(6). Candidates come from a postings
+    // self-join on the hashed token (never all-pairs), with a df cap
+    // dropping stopword-grade tokens BEFORE the join — tf-idf would
+    // downweight them anyway, but the cap is what bounds candidate
+    // volume at corpus scale (the jaccardPairs doctrine); norms are
+    // computed over the retained universe so the cosine stays internally
+    // consistent.
+    "q_text_cosine" -> ((s, d) => {
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(safeLowerTokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfKept = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= textCosineDfCap)
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val idfInt = floor((log((col("__n").cast("double") + 1) /
+        (col("df") + 1)) + 1) * 1000d + lit(0.5d)).cast("long")
+      val wgt = tf.join(dfKept, Seq("tok")).crossJoin(broadcast(n))
+        .select(col("doc_id"), xxhash64(col("tok")).as("tk"),
+          (col("tf") * idfInt).as("w"))
+      val norms = wgt.groupBy(col("doc_id"))
+        .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("nrm"))
+      wgt.as("a").join(wgt.as("b"),
+          col("a.tk") === col("b.tk") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(sum((col("a.w") * col("b.w")).cast("decimal(38,0)")).as("num"))
+        .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("na")),
+          Seq("id_a"))
+        .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(col("num").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+            6).as("cosine"))
+        .filter(col("cosine") >= textCosineThreshold)
+    }),
+
     // Corpus vocabulary statistics: the top-50 tokens by document
     // frequency with corpus-wide term frequency — the vocab audit every
     // corpus build starts with. One explode → distinct (doc, token) for
@@ -499,6 +542,11 @@ object TextQueries {
   private[graft] val boilerplateDfCap = 40
   private[graft] val boilerplateDfFraction = 0.06
 
+  // sparse-cosine knobs, shared with the SQL twin (the jaccardDfCap
+  // must-move-together pattern)
+  private[graft] val textCosineDfCap = 1000
+  private[graft] val textCosineThreshold = 0.5
+
   /** Boilerplate-removal CTE chain (gram width [[boilerplateN]], cap =
     * max([[boilerplateDfCap]], [[boilerplateDfFraction]] of corpus)),
     * ending in `cln(doc_id, text_clean, n_kept)` with `t` still in scope.
@@ -574,6 +622,34 @@ object TextQueries {
         0.001, 0.99, 42)))))
 
   val oracles: Map[String, String] = Map(
+    "q_text_cosine" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+          tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+          dfk AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1
+                  HAVING count(*) <= $textCosineDfCap),
+          nn AS (SELECT count(*) AS n FROM documents),
+          wgt AS (
+            SELECT tf.doc_id, tf.tok,
+              tf.tf * CAST(floor((ln((nn.n + 1) / CAST(dfk.df + 1 AS DOUBLE))
+                + 1) * 1000 + 0.5) AS BIGINT) AS w
+            FROM tf JOIN dfk USING (tok), nn),
+          norms AS (SELECT doc_id, sum(w * w) AS nrm FROM wgt GROUP BY 1),
+          num AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS num
+            FROM wgt a JOIN wgt b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT id_a, id_b, cosine FROM (
+            SELECT num.id_a, num.id_b,
+              round(CAST(num.num AS DOUBLE) /
+                (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))),
+                6) AS cosine
+            FROM num
+            JOIN norms na ON num.id_a = na.doc_id
+            JOIN norms nb ON num.id_b = nb.doc_id) p
+          WHERE cosine >= $textCosineThreshold""",
+
     "q_text_tokens" ->
       s"""SELECT doc_id,
           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
