@@ -203,6 +203,17 @@ object TextQueries {
         .filter(col("cosine") >= textCosineThreshold)
     }),
 
+    // Multinomial Naive Bayes language ID, trained and scored in-plan
+    // (NaiveBayes.scala): folds 0-3 of the doc_id-residue split train the
+    // per-(class, token) add-one-smoothed model, fold 4 is scored by
+    // exact integer sums of fixed-point log weights (floor(ln·10⁶+0.5) —
+    // the q_text_cosine idf pattern), so the argmax replays bit-for-bit.
+    // Classes ride a broadcast; the only data-scale shuffle keys on
+    // (doc, class).
+    "q_text_nb" -> ((s, d) =>
+      NaiveBayes.trainPredict(documents(s, d), "doc_id", "text", "lang")
+        .withColumnRenamed("lbl", "lang")),
+
     // Corpus vocabulary statistics: the top-50 tokens by document
     // frequency with corpus-wide term frequency — the vocab audit every
     // corpus build starts with. One explode → distinct (doc, token) for
@@ -622,6 +633,49 @@ object TextQueries {
         0.001, 0.99, 42)))))
 
   val oracles: Map[String, String] = Map(
+    // the NB model replayed: identical smoothing ratios under ln, the
+    // same fixed-point floor, integer evidence sums (HUGEINT cast back),
+    // ties broken (score DESC, cls ASC) on both engines
+    "q_text_nb" ->
+      s"""WITH base AS (SELECT doc_id, lang AS cls, $toksSql AS toks
+            FROM documents),
+          tr AS (SELECT * FROM base WHERE doc_id % 5 <> 4),
+          te AS (SELECT * FROM base WHERE doc_id % 5 = 4),
+          trtok AS (SELECT cls, unnest(toks) AS tok FROM tr),
+          tot AS (SELECT cls, count(*) AS tot FROM trtok GROUP BY 1),
+          voc AS (SELECT count(DISTINCT tok) AS v FROM trtok),
+          ntr AS (SELECT count(*) AS ntr FROM tr),
+          cl AS (
+            SELECT nd.cls,
+              CAST(floor(ln(nd.nd / CAST(ntr.ntr AS DOUBLE)) * 1000000.0
+                + 0.5) AS BIGINT) AS prior,
+              CAST(floor(ln(CAST(1 AS DOUBLE) / (tot.tot + voc.v))
+                * 1000000.0 + 0.5) AS BIGINT) AS dflt
+            FROM (SELECT cls, count(*) AS nd FROM tr GROUP BY 1) nd
+            JOIN tot ON tot.cls = nd.cls, voc, ntr),
+          w AS (
+            SELECT c.cls, c.tok,
+              CAST(floor(ln((c.c + 1) / CAST(tot.tot + voc.v AS DOUBLE))
+                * 1000000.0 + 0.5) AS BIGINT) AS w
+            FROM (SELECT cls, tok, count(*) AS c FROM trtok GROUP BY 1, 2) c
+            JOIN tot ON tot.cls = c.cls, voc),
+          tetok AS (SELECT doc_id, unnest(toks) AS tok FROM te),
+          ev AS (
+            SELECT tt.doc_id, cl.cls,
+              CAST(sum(coalesce(w.w, cl.dflt)) AS BIGINT) AS ev
+            FROM tetok tt CROSS JOIN cl
+            LEFT JOIN w ON w.cls = cl.cls AND w.tok = tt.tok
+            GROUP BY 1, 2),
+          sc AS (
+            SELECT te.doc_id, te.cls AS lang, cl.cls,
+              cl.prior + coalesce(ev.ev, 0) AS score,
+              row_number() OVER (PARTITION BY te.doc_id
+                ORDER BY cl.prior + coalesce(ev.ev, 0) DESC, cl.cls ASC)
+                AS rk
+            FROM te CROSS JOIN cl
+            LEFT JOIN ev ON ev.doc_id = te.doc_id AND ev.cls = cl.cls)
+          SELECT doc_id, lang, cls AS pred, score FROM sc WHERE rk = 1""",
+
     "q_text_cosine" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),

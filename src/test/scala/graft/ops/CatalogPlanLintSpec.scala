@@ -77,7 +77,9 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_parquet_bloom_stats" -> "cross join against the broadcast 1-row sorted probe-set array aggregate (the q_minmax broadcast-scalar pattern)",
     "q_zorder_layout" -> "layoutBoxes crosses the broadcast 1-row leading-key min/max span aggregate (the deterministic bin protocol)",
     "q_cms_freq" -> "cross join against the broadcast 1-row count-min sketch aggregate (O(depth*width) grid; probes never shuffle)",
-    "q_quantile_hist" -> "crosses the broadcast 1-row init-batch fence, total-count scalar, and 3-row rational-target frame onto the 32-bin histogram (binning protocol, the q_psi_drift shape)")
+    "q_quantile_hist" -> "crosses the broadcast 1-row init-batch fence, total-count scalar, and 3-row rational-target frame onto the 32-bin histogram (binning protocol, the q_psi_drift shape)",
+    "q_text_cosine" -> "cross join against the broadcast 1-row corpus-count aggregate feeding the idf (the q_text_bm25 shape)",
+    "q_text_nb" -> "crosses the broadcast 1-row vocabulary/train-count scalars and the per-class prior frame — rows bounded by label cardinality, not data size")
 
   test("lint variants cover a live query and never go stale") {
     val gone = lintVariants.keySet.diff(graft.SparkEntry.queries.keySet)
@@ -159,7 +161,9 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
       "bounded (batch band postings, candidate pairs, batch shingles), each behind " +
       "LshIndex's 256 MB gate with shuffle fallback — the index side never shuffles"),
     "q_zorder_layout" -> ("broadcast sides are layoutBoxes' per-range-partition " +
-      "count/offset frames — rows bounded by rangePartitions (32), not data size"))
+      "count/offset frames — rows bounded by rangePartitions (32), not data size"),
+    "q_text_nb" -> ("broadcast side is the per-class prior/default aggregate — " +
+      "rows bounded by label cardinality (languages), not data size"))
 
   /** Queries whose plans legitimately contain an UNPARTITIONED window,
     * with the reason the frame under it is bounded (metadata scale or
