@@ -162,6 +162,90 @@ object Dedup {
           .as("contained_id"))
       .filter(col("containment") >= threshold)
 
+  /** EXACT threshold-Jaccard pair join by prefix filtering (the
+    * AllPairs/ppjoin candidate strategy, Bayardo et al. 2007 / Xiao et
+    * al. 2008) — the lossless complement to [[jaccardPairs]]'s df cap:
+    * instead of DROPPING hot shingles (which perturbs the score the
+    * moment any shingle crosses the cap), each doc indexes only its
+    * prefix — the (sz − ⌈t·sz⌉ + 1) RAREST shingles under a global
+    * frequency-ascending order. Prefix-filtering principle: any pair
+    * with |A∩B| ≥ max(⌈t·|A|⌉, ⌈t·|B|⌉) shares its globally-smallest
+    * common shingle in BOTH prefixes (if A's prefix missed every common
+    * element, all ⌈t·|A|⌉+ of them would sit in A's last ⌈t·|A|⌉−1
+    * positions — impossible), and J ≥ t implies that overlap bound, so
+    * candidate generation has NO false negatives and verification makes
+    * the result exact.
+    *
+    * Scale shape: the ordering pass is one shingle-keyed df aggregate
+    * joined back to the postings, the per-doc prefix is an aggregate
+    * (sort_array over collect_list — never a window), and the candidate
+    * self-join keys on prefix shingles, which the frequency-ascending
+    * order makes the RAREST ones — that is the whole lever: fan-out per
+    * join key is small by construction, without discarding information.
+    * Verification joins candidates (pair-scale) back to the full
+    * postings on (id, shingle). Every shuffle is keyed; nothing
+    * collects. (A corpus of near-identical docs still goes quadratic —
+    * but there the OUTPUT is quadratic; that is inherent to exact
+    * all-pairs, not to this plan.)
+    *
+    * `thresholdPct` is an integer percent so ⌈t·sz⌉ = (pct·sz + 99) div
+    * 100 and the acceptance test inter·100 ≥ pct·(szA + szB − inter)
+    * stay in exact integer arithmetic on both engines — the returned
+    * `jaccard` double is reporting, never a comparison operand.
+    */
+  def prefixJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      thresholdPct: Int): DataFrame = {
+    require(thresholdPct > 0 && thresholdPct <= 100,
+      s"thresholdPct in (0, 100], got $thresholdPct")
+    val base = graft.prep.Preprocessing.spread(df)
+      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // 8-byte hashed shingle keys, the coPairs doctrine (collision p
+    // ~ |vocab|^2/2^64 — negligible); wordShingles already de-dups per
+    // doc, so postings are (id, shk)-distinct by construction
+    val post = base.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("shk"))
+    val dfCnt = post.groupBy(col("shk")).agg(count(lit(1)).as("df_cnt"))
+    // global total order: frequency-ascending, shk tiebreak (unique) —
+    // the order that concentrates prefixes on rare shingles
+    val ordered = post.join(dfCnt, Seq("shk"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df_cnt"), col("shk"))))
+        .as("arr"))
+      .select(col("id"), size(col("arr")).as("sz"),
+        col("arr.shk").as("toks"))
+    val prefix = ordered.select(col("id"), col("sz"),
+      explode(slice(col("toks"), lit(1),
+        (col("sz") - expr(s"($thresholdPct * sz + 99) div 100") + lit(1))
+          .cast("int"))).as("shk"))
+    val cand = prefix.select(col("id").as("id_a"), col("sz").as("sz_a"),
+        col("shk"))
+      .join(prefix.select(col("id").as("id_b"), col("sz").as("sz_b"),
+        col("shk")), Seq("shk"))
+      .filter(col("id_a") < col("id_b"))
+      // length filter: J ≥ t forces min(sz)·100 ≥ t%·max(sz)
+      .filter(least(col("sz_a"), col("sz_b")) * 100 >=
+        greatest(col("sz_a"), col("sz_b")) * thresholdPct)
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .distinct()
+    val inter = cand
+      .join(post.select(col("id").as("id_a"), col("shk")), Seq("id_a"))
+      .join(post.select(col("id").as("id_b"), col("shk")),
+        Seq("id_b", "shk"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .filter(col("inter") * 100 >=
+        (col("sz_a") + col("sz_b") - col("inter")) * thresholdPct)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+  }
+
   /** Shared candidate stage for [[jaccardPairs]] / [[containmentPairs]]:
     * (id_a, id_b, sz_a, sz_b, inter) over shared-shingle candidates only
     * — see the scale/hot-shingle notes on [[jaccardPairs]].

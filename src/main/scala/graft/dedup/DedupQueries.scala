@@ -62,6 +62,16 @@ object DedupQueries {
         blockCols = Seq("lang"), n = 2, threshold = 0.6,
         maxDocFreq = jaccardDfCap)),
 
+    // EXACT threshold-Jaccard join by prefix filtering (AllPairs/ppjoin):
+    // no df cap, no blocking — each doc indexes only its rarest
+    // (sz - ceil(t*sz) + 1) bigrams under the global frequency order, so
+    // candidate fan-out stays bounded WITHOUT discarding hot shingles.
+    // The oracle is the brute-force all-pairs replay — lossless candidate
+    // generation means the two must agree row-for-row.
+    "q_dedup_prefix" -> ((s, d) =>
+      Dedup.prefixJaccardPairs(documents(s, d), "doc_id", "text",
+        n = 2, thresholdPct = 10)),
+
     // transitive duplicate CLUSTERS over the jaccard pair graph (threshold
     // 0.1 so multi-hop chains exist in this corpus): hash-min label
     // propagation to the component minimum — the keep/drop assignment a
@@ -1146,6 +1156,29 @@ object DedupQueries {
     "q_dedup_containment" ->
       s"""WITH ${containmentPairsCtes(0.6)}
           SELECT id_a, id_b, containment, contained_id FROM pairs""",
+
+    // brute-force exact replay of the prefix-filtered join: every pair
+    // sharing any bigram, exact integer acceptance inter*100 >= pct*union
+    // (the double jaccard column is reporting, never the comparison).
+    // No df cap, no lang blocking — the Spark side's prefix candidates
+    // are provably lossless, so the two agree row-for-row.
+    "q_dedup_prefix" ->
+      s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh
+            FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+            WHERE len(toks) >= 2),
+          post AS (SELECT doc_id, unnest(sh) AS s FROM t),
+          sz AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY 1),
+          co AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT co.id_a, co.id_b,
+            round(CAST(co.inter AS DOUBLE) / (sa.sz + sb.sz - co.inter), 6)
+              AS jaccard
+          FROM co
+          JOIN sz sa ON co.id_a = sa.doc_id
+          JOIN sz sb ON co.id_b = sb.doc_id
+          WHERE co.inter * 100 >= 10 * (sa.sz + sb.sz - co.inter)""",
 
     // Components = min reachable id per vertex, via recursive reachability
     // over the same symmetrized pair graph the Spark side propagates on.
