@@ -284,6 +284,19 @@ object RelationalQueries {
           col("l_linestatus").as("status"))
         .agg(count(lit(1)).as("cnt"))),
 
+    // ROLLUP by re-aggregation (RollupAgg.scala): the multi-level pricing
+    // summary with ONE data-scale aggregate — super-levels derive from
+    // the finest frame (key-cardinality input), never Spark's Expand
+    // which replicates the full scan once per level. gid uses the
+    // grouping_id bit convention; money in exact cents.
+    "q_rollup_pricing" -> ((s, d) =>
+      RollupAgg.sumCountRollup(
+        lineitem(s, d).select(col("l_returnflag").as("rf"),
+          col("l_linestatus").as("ls"),
+          floor(col("l_extendedprice") * 100d + lit(0.5d)).cast("long")
+            .as("cents")),
+        keys = Seq("rf", "ls"), sumCol = "cents")),
+
     // A3 — argmax via orderBy(desc(count)).limit(1), deterministic tie-break
     "q_argmax_majority" -> ((s, d) =>
       orders(s, d).groupBy(col("o_orderpriority").as("priority"))
@@ -2278,6 +2291,17 @@ object RelationalQueries {
     "q_group_count" ->
       """SELECT l_returnflag AS flag, l_linestatus AS status, count(*) AS cnt
          FROM lineitem GROUP BY 1, 2""",
+
+    // GROUPING() per column (not GROUPING_ID) so the bit order is spelled
+    // out identically on both engines: first key = most significant.
+    "q_rollup_pricing" ->
+      """SELECT l_returnflag AS rf, l_linestatus AS ls,
+           CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus)
+             AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS sum_cents
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 
     "q_argmax_majority" ->
       """SELECT o_orderpriority AS priority, count(*) AS cnt FROM orders
