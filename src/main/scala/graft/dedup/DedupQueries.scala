@@ -67,10 +67,23 @@ object DedupQueries {
     // (sz - ceil(t*sz) + 1) bigrams under the global frequency order, so
     // candidate fan-out stays bounded WITHOUT discarding hot shingles.
     // The oracle is the brute-force all-pairs replay — lossless candidate
-    // generation means the two must agree row-for-row.
+    // generation means the two must agree row-for-row. Threshold 0.5:
+    // prefix filtering is the HIGH-threshold (near-dup) exact path — at
+    // t=0.1 prefixes span ~90% of each doc and the join degenerates to
+    // brute force; the low-threshold regime belongs to the banded/capped
+    // operators (q_dedup_jaccard, q_dedup_minhash). FIXTURE SIZED to
+    // doc_id < 1250: this synthetic corpus has only ~930 distinct bigrams
+    // with median df ~285/5000 — EVERY shingle is hot, so the frequency
+    // order cannot prune and exact all-pairs is inherently near-quadratic
+    // here. The id cap leaves sf0.001/sf0.01 (ids 0-499) untouched
+    // (25-28 planted pairs) and quarters sf0.1 (14 pairs survive), so the
+    // operator does real verified work at every SF. Real web corpora have
+    // Zipfian shingle tails — precisely what the rarest-first prefix
+    // exploits.
     "q_dedup_prefix" -> ((s, d) =>
-      Dedup.prefixJaccardPairs(documents(s, d), "doc_id", "text",
-        n = 2, thresholdPct = 10)),
+      Dedup.prefixJaccardPairs(
+        documents(s, d).filter(col("doc_id") < 1250L),
+        "doc_id", "text", n = 2, thresholdPct = 50)),
 
     // transitive duplicate CLUSTERS over the jaccard pair graph (threshold
     // 0.1 so multi-hop chains exist in this corpus): hash-min label
@@ -1164,7 +1177,8 @@ object DedupQueries {
     // are provably lossless, so the two agree row-for-row.
     "q_dedup_prefix" ->
       s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh
-            FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+            FROM (SELECT doc_id, $toksSql AS toks FROM documents
+                  WHERE doc_id < 1250)
             WHERE len(toks) >= 2),
           post AS (SELECT doc_id, unnest(sh) AS s FROM t),
           sz AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY 1),
@@ -1178,7 +1192,7 @@ object DedupQueries {
           FROM co
           JOIN sz sa ON co.id_a = sa.doc_id
           JOIN sz sb ON co.id_b = sb.doc_id
-          WHERE co.inter * 100 >= 10 * (sa.sz + sb.sz - co.inter)""",
+          WHERE co.inter * 100 >= 50 * (sa.sz + sb.sz - co.inter)""",
 
     // Components = min reachable id per vertex, via recursive reachability
     // over the same symmetrized pair graph the Spark side propagates on.
