@@ -29,17 +29,24 @@ class RollupAggSpec extends AnyFunSuite with SparkSpec {
     assert(ours.map(_._3) === Set(0L, 1L, 3L))
   }
 
-  test("re-aggregation plans NO Expand; the built-in does (the contrast)") {
+  test("re-agg Expand replicates an aggregate, not the scan (the contrast)") {
     // logical optimized plans: AQE wraps the physical tree and hides its
-    // operators from collect, and the Expand decision is logical anyway
-    val ours = RollupAgg.sumCountRollup(input, Seq("rf", "ls"), "cents")
-      .queryExecution.optimizedPlan
-    assert(ours.collectFirst { case e: Expand => e }.isEmpty,
-      s"re-agg rollup must not replicate the scan per level:\n$ours")
-    val builtin = input.rollup(col("rf"), col("ls"))
-      .agg(count(lit(1)).as("n")).queryExecution.optimizedPlan
-    assert(builtin.collectFirst { case e: Expand => e }.nonEmpty,
-      "expected Spark's rollup to plan Expand — if this changed, " +
+    // operators from collect, and the Expand placement is logical anyway
+    def expandChildHasAggregate(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectFirst { case e: Expand =>
+        e.child.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.nonEmpty
+      }
+    // ours: Expand exists but sits ABOVE the finest aggregate — it
+    // replicates key-cardinality rows, not the 100 TB scan
+    assert(expandChildHasAggregate(
+      RollupAgg.sumCountRollup(input, Seq("rf", "ls"), "cents"))
+      === Some(true))
+    // built-in: Expand's subtree has no aggregate — it replicates the scan
+    assert(expandChildHasAggregate(input.rollup(col("rf"), col("ls"))
+      .agg(count(lit(1)).as("n"))) === Some(false),
+      "expected Spark's rollup to Expand the raw scan — if this changed, " +
         "re-evaluate whether RollupAgg still earns its keep")
   }
 }
