@@ -26,11 +26,11 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(all.size === all.distinct.size, "duplicate query names across catalogs")
   }
 
-  test("catalog size: at least 248 queries, at least 248 oracled") {
+  test("catalog size: at least 251 queries, at least 251 oracled") {
     // floor, not exact count — catches an accidentally dropped catalog
     // merge (or a silently shrinking query set, the round-11 failure mode)
     // without needing an edit per added query
-    assert(SparkEntry.queries.size >= 248, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size >= 248, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.queries.size >= 251, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size >= 251, SparkEntry.oracleSql.size.toString)
   }
 }
