@@ -90,34 +90,9 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n_docs"),
           min(col("pos")).as("pos_lo"), max(col("pos")).as("pos_hi"),
           sum(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
-            .cast("long")).as("checksum"))),
-
-    // Weighted sampling without replacement (A-Res, Efraimidis-Spirakis):
-    // 100 docs proportional to token count — md5-deterministic draws,
-    // fixed-point ln, the priority a single IEEE division, so the sampled
-    // SET replays bit-for-bit. orderBy+limit = TakeOrderedAndProject:
-    // k·partitions rows leave the executors, never a global sort.
-    "q_weighted_sample" -> ((s, d) =>
-      graft.prep.WeightedSample.sample(
-        Tables.documents(s, d).select(col("doc_id"),
-          graft.text.TextFunctions.tokenCount(col("text")).as("w")),
-        "doc_id", "w", k = 100)))
+            .cast("long")).as("checksum"))))
 
   val oracles: Map[String, String] = Map(
-    "q_weighted_sample" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |      t -> t <> '')) AS BIGINT) AS w
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id, w,
-        |    CAST(floor(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-        |        AS BIGINT) + 0.5) / 4294967296.0) * 1000000000.0 + 0.5)
-        |      AS BIGINT) AS l
-        |  FROM w WHERE w > 0)
-        |SELECT doc_id, w, CAST(l AS DOUBLE) / w AS priority
-        |FROM p ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,

@@ -26,11 +26,30 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(all.size === all.distinct.size, "duplicate query names across catalogs")
   }
 
-  test("catalog size: at least 251 queries, at least 251 oracled") {
+  test("the merged catalog equals the sum of its parts (no shadowed keys)") {
+    // the dup-name test above predates half the catalogs; this one can't
+    // go stale: if ANY constituent map shares a key with another, the ++
+    // merge silently drops one — caught here as a size mismatch. (Round
+    // 15 shipped a q_weighted_sample in ScaleQueries that shadowed
+    // DedupQueries' — the merged catalog stayed flat and only the floor
+    // ratchet noticed.)
+    val parts = Seq(
+      ops.RelationalQueries.queries, text.TextQueries.queries,
+      text.UrlQueries.queries, dedup.DedupQueries.queries,
+      ops.TscQueries.queries, layout.LayoutQueries.queries,
+      layout.Partitioning.queries, quality.QualityQueries.queries,
+      graph.GraphQueries.queries, ops.ScaleQueries.queries)
+    val keys = parts.flatMap(_.keys)
+    val dups = keys.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"shadowed catalog keys: ${dups.mkString(", ")}")
+    assert(SparkEntry.queries.size === keys.size)
+  }
+
+  test("catalog size: at least 250 queries, at least 250 oracled") {
     // floor, not exact count — catches an accidentally dropped catalog
     // merge (or a silently shrinking query set, the round-11 failure mode)
     // without needing an edit per added query
-    assert(SparkEntry.queries.size >= 251, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size >= 251, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.queries.size >= 250, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size >= 250, SparkEntry.oracleSql.size.toString)
   }
 }
