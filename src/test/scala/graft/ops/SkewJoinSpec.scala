@@ -5,35 +5,69 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
 
+/** GraftSession ships `spark.sql.adaptive.skewJoin` on, and SourcesSpec
+  * asserts the CONF — but a conf is not a lever until the split is seen
+  * happening (the CboStatsSpec doctrine). This builds a celebrity-key
+  * join, drops AQE's skew thresholds to fixture scale, and pins the FLIP:
+  * the executed SortMergeJoin is marked skew=true with the skewed side
+  * split into more tasks than the static partitioning, and values are
+  * identical with the optimization off.
+  */
 class SkewJoinSpec extends AnyFunSuite with SparkSpec {
-  import spark.implicits._
 
-  // 90% of fact rows hit key 1 — the canonical skew shape
-  private lazy val fact = ((1 to 900).map(i => (1L, s"v$i")) ++
-    (1 to 100).map(i => (1L + i % 10, s"w$i"))).toDF("k", "payload")
-  private lazy val dim = (1L to 11L).map(k => (k, s"dim_$k")).toDF("k", "name")
-
-  test("salted join returns exactly the plain-join result") {
-    val plain = fact.join(dim, "k").select("k", "payload", "name")
-      .as[(Long, String, String)].collect().sorted
-    val salted = SkewJoin.saltedEquiJoin(fact, dim, "k", buckets = 4)
-      .select("k", "payload", "name")
-      .as[(Long, String, String)].collect().sorted
-    assert(salted === plain)
-    assert(salted.length === 1000)
+  // ~90% of fact rows on key 0 — the celebrity-hub histogram AQE's
+  // OptimizeSkewedJoin exists for
+  private def fact = {
+    import spark.implicits._
+    spark.range(0, 200000).select(
+      when(col("id") % 10 < 9, 0L).otherwise(pmod(col("id"), lit(997L)))
+        .as("k"),
+      col("id").as("payload"))
   }
 
-  test("salting actually spreads the hot key over multiple partitions") {
-    val salted = fact.withColumn("_salt", (rand(42) * 4).cast("int"))
-    val spreadCount = salted.filter($"k" === 1L)
-      .select("_salt").distinct().count()
-    assert(spreadCount === 4) // hot key present in every salt bucket
+  private def dim = {
+    import spark.implicits._
+    spark.range(0, 997).select(col("id").as("k"),
+      (col("id") * 7L).as("attr"))
   }
 
-  test("keySkewProfile surfaces the hot key with its share") {
-    val prof = SkewJoin.keySkewProfile(fact, $"k", topN = 3)
-      .as[(Long, Long, Double)].collect()
-    assert(prof.head._1 === 1L)
-    assert(prof.head._3 > 0.8) // ~90% share
+  private def scoped[A](pairs: (String, String)*)(body: => A): A = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def run(skewOn: Boolean) = scoped(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> skewOn.toString,
+    // fixture-scale thresholds: the 90%-key partition is a few MB, not
+    // the 256 MB a cluster profile calls skewed
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k",
+    // keep AQE from coalescing the contrast away
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+    val joined = fact.join(dim, Seq("k"))
+      .agg(count(lit(1)).as("n"), sum(col("payload") + col("attr")).as("s"))
+    val row = joined.collect()(0)
+    // executedPlan AFTER the action = AQE's final plan
+    (row.getLong(0), row.getLong(1),
+      joined.queryExecution.executedPlan.toString)
+  }
+
+  test("AQE splits the celebrity partition: skew=true in the final plan") {
+    val (n, s, plan) = run(skewOn = true)
+    assert(plan.contains("skew=true"),
+      s"expected a skew-split SortMergeJoin in the final AQE plan:\n$plan")
+    val (n2, s2, plan2) = run(skewOn = false)
+    assert(!plan2.contains("skew=true"), "contrast run still split")
+    assert((n, s) === (n2, s2), "skew split must not perturb values")
+    assert(n === 200000L)
   }
 }
