@@ -29,6 +29,29 @@ class RollupAggSpec extends AnyFunSuite with SparkSpec {
     assert(ours.map(_._3) === Set(0L, 1L, 3L))
   }
 
+  test("NULL key values: real-null groups equal the built-in's, gid disambiguates") {
+    import spark.implicits._
+    // nulls IN the key columns — the classic rollup ambiguity: a NULL ls
+    // at gid=0 is a real group, a NULL ls at gid=1 is the super-aggregate;
+    // both paths must produce the same (keys, gid)-keyed values
+    val rnd = new scala.util.Random(20260815L)
+    val rows = Seq.fill(500)((
+      if (rnd.nextInt(5) == 0) null else s"r${rnd.nextInt(3)}",
+      if (rnd.nextInt(4) == 0) null else s"s${rnd.nextInt(2)}",
+      rnd.nextInt(1000).toLong))
+    val df = rows.toDF("rf", "ls", "cents")
+    val ours = canon(RollupAgg.sumCountRollup(df, Seq("rf", "ls"), "cents"))
+    val builtin = canon(df.rollup(col("rf"), col("ls"))
+      .agg((grouping(col("rf")) * 2 + grouping(col("ls"))).cast("long")
+        .as("gid"),
+        count(lit(1)).as("n"), sum(col("cents")).as("sum_cents")))
+    assert(ours === builtin)
+    // the ambiguity is actually exercised: a real (rf, NULL) group at
+    // gid=0 coexists with the per-rf super-aggregate at gid=1
+    assert(ours.exists(r => r._2.isEmpty && r._3 == 0L))
+    assert(ours.exists(r => r._2.isEmpty && r._3 == 1L))
+  }
+
   test("re-agg Expand replicates an aggregate, not the scan (the contrast)") {
     // logical optimized plans: AQE wraps the physical tree and hides its
     // operators from collect, and the Expand placement is logical anyway
