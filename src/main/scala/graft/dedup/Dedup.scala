@@ -212,15 +212,18 @@ object Dedup {
     val dfCnt = post.groupBy(col("shk")).agg(count(lit(1)).as("df_cnt"))
     // global total order: frequency-ascending, shk tiebreak (unique) —
     // the order that concentrates prefixes on rare shingles
+    // sz long from birth: pct·sz and sz·100 below would ANSI-throw on an
+    // int overflow at a degenerate ~2^31/100-shingle document — absurd
+    // for prose, not for the adversarial inputs a 100 TB crawl contains
     val ordered = post.join(dfCnt, Seq("shk"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df_cnt"), col("shk"))))
         .as("arr"))
-      .select(col("id"), size(col("arr")).as("sz"),
+      .select(col("id"), size(col("arr")).cast("long").as("sz"),
         col("arr.shk").as("toks"))
     val prefix = ordered.select(col("id"), col("sz"),
       explode(slice(col("toks"), lit(1),
-        (col("sz") - expr(s"($thresholdPct * sz + 99) div 100") + lit(1))
+        (col("sz") - expr(s"(${thresholdPct}L * sz + 99L) div 100L") + lit(1L))
           .cast("int"))).as("shk"))
     val cand = prefix.select(col("id").as("id_a"), col("sz").as("sz_a"),
         col("shk"))
