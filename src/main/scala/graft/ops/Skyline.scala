@@ -34,7 +34,11 @@ object Skyline {
     // (df, encoder) and fail serialization
     val pass = passFn(dims.map(schema.fieldIndex).toArray)
     val enc = Encoders.row(schema)
-    df.mapPartitions(pass)(enc)
+    // a NULL dimension has no place on a ≤/< frontier (and would NPE the
+    // kernel); dominance over incomparable rows is undefined, so they are
+    // excluded rather than silently coerced
+    df.filter(dims.map(col(_).isNotNull).reduce(_ && _))
+      .mapPartitions(pass)(enc)
       .coalesce(1)
       .mapPartitions(pass)(enc)
   }

@@ -40,13 +40,17 @@ object TopKAgg {
   }
 
   /** Top-k (valueCol DESC, idCol ASC) rows per group:
-    * (groupCols, rank 1-based, id, value).
+    * (groupCols, rank 1-based, id, value). NULL value/id rows are
+    * EXCLUDED up front — the primitive tuple encoder would otherwise
+    * coerce them to 0.0/0L and silently rank them as real zeros (a
+    * window formulation would have sorted them last instead).
     */
   def topK(df: DataFrame, groupCols: Seq[String], idCol: String,
       valueCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val agg = udaf(new TopK(k), ExpressionEncoder[(Double, Long)]())
-    df.groupBy(groupCols.map(col): _*)
+    df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
       .agg(agg(col(valueCol).cast("double"),
         col(idCol).cast("long")).as("__top"))
       .select(groupCols.map(col) :+ posexplode(col("__top")).as(Seq("__p", "__t")): _*)

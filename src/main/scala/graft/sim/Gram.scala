@@ -25,18 +25,26 @@ object Gram {
       extends Aggregator[Seq[Long], (Array[Long], Long), (Seq[Long], Long)] {
     private val tri = dim * (dim + 1) / 2
     def zero: (Array[Long], Long) = (new Array[Long](tri), 0L)
+    // addExact/multiplyExact (JIT intrinsics — a flag branch, not a cost):
+    // a bare += would WRAP silently past ~2^63, and unit-norm fixed-point
+    // terms are ~10^8, so the sum bound (~9·10^10 rows) is within an order
+    // of magnitude of a real 100 TB embedding corpus — overflow must be an
+    // ArithmeticException (the ANSI doctrine), never a wrong triangle.
     def reduce(b: (Array[Long], Long), v: Seq[Long]): (Array[Long], Long) = {
       var k = 0; var i = 0
       while (i < dim) {
         val vi = v(i); var j = i
-        while (j < dim) { b._1(k) += vi * v(j); j += 1; k += 1 }
+        while (j < dim) {
+          b._1(k) = Math.addExact(b._1(k), Math.multiplyExact(vi, v(j)))
+          j += 1; k += 1
+        }
         i += 1
       }
       (b._1, b._2 + 1)
     }
     def merge(a: (Array[Long], Long), b: (Array[Long], Long)): (Array[Long], Long) = {
       var k = 0
-      while (k < tri) { a._1(k) += b._1(k); k += 1 }
+      while (k < tri) { a._1(k) = Math.addExact(a._1(k), b._1(k)); k += 1 }
       (a._1, a._2 + b._2)
     }
     def finish(b: (Array[Long], Long)): (Seq[Long], Long) = (b._1.toSeq, b._2)
