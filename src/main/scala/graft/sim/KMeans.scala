@@ -61,14 +61,16 @@ object KMeans {
   private final class LongVecSum(dim: Int)
       extends Aggregator[Seq[Long], (Array[Long], Long), (Seq[Long], Long)] {
     def zero: (Array[Long], Long) = (new Array[Long](dim), 0L)
+    // addExact: loud ArithmeticException past 2^63, never a silent wrap
+    // (the Gram doctrine; bound here is ~4·10^14 rows per cluster)
     def reduce(b: (Array[Long], Long), v: Seq[Long]): (Array[Long], Long) = {
       var i = 0
-      while (i < dim) { b._1(i) += v(i); i += 1 }
+      while (i < dim) { b._1(i) = Math.addExact(b._1(i), v(i)); i += 1 }
       (b._1, b._2 + 1)
     }
     def merge(a: (Array[Long], Long), b: (Array[Long], Long)): (Array[Long], Long) = {
       var i = 0
-      while (i < dim) { a._1(i) += b._1(i); i += 1 }
+      while (i < dim) { a._1(i) = Math.addExact(a._1(i), b._1(i)); i += 1 }
       (a._1, a._2 + b._2)
     }
     def finish(b: (Array[Long], Long)): (Seq[Long], Long) =
