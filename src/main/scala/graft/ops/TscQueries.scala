@@ -51,6 +51,18 @@ object TscQueries {
     baseQueries ++ scaleQuery ++ fixedQuery ++ mediaQuery
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact top-k DTW trajectory search, LB_Keogh-pruned (DtwSearch.scala):
+    // the UCR-suite two-phase shape — envelope broadcast, O(L) lower
+    // bound per (row, query), exact banded DTW only on seeds + admitted
+    // rows. Exactness is measured in-plan rank-by-rank against the brute
+    // DTW twin (the q_knn invariant doctrine): is_match must be 1 on
+    // every (query, rank) row, and the oracle pins the full expected
+    // (qid × rank) grid from the data.
+    "q_dtw_topk" -> ((s, d) =>
+      graft.sim.DtwSearch.topKReport(Tables.embeddings(s, d),
+        "vec_id", "embedding",
+        qid => pmod(qid, lit(250L)) === 7L, k = 5, band = 8)),
+
     // Local strategy: k per-partition trees -> forest vote
     "q_tsc_local_forest" -> ((s, d) => {
       val all = wide(s, d)
@@ -549,6 +561,15 @@ object TscQueries {
        FROM embeddings WHERE vec_id >= 400 AND vec_id < 500"""
 
   val oracles: Map[String, String] = Map(
+    // the expected (qid × rank) grid with corpus count; is_match = 1 is
+    // the exactness claim the in-plan brute twin enforces
+    "q_dtw_topk" ->
+      """SELECT e.vec_id AS qid, r.rank,
+         (SELECT count(*) FROM embeddings) AS n_corpus,
+         CAST(1 AS BIGINT) AS is_match
+         FROM embeddings e, (SELECT unnest(range(1, 6)) AS rank) r
+         WHERE e.vec_id % 250 = 7""",
+
     "q_tsc_local_forest" -> tscInvariantSql,
     "q_tsc_global_tree" -> tscInvariantSql,
 

@@ -79,7 +79,8 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_cms_freq" -> "cross join against the broadcast 1-row count-min sketch aggregate (O(depth*width) grid; probes never shuffle)",
     "q_quantile_hist" -> "crosses the broadcast 1-row init-batch fence, total-count scalar, and 3-row rational-target frame onto the 32-bin histogram (binning protocol, the q_psi_drift shape)",
     "q_text_cosine" -> "cross join against the broadcast 1-row corpus-count aggregate feeding the idf (the q_text_bm25 shape)",
-    "q_text_nb" -> "crosses the broadcast 1-row vocabulary/train-count scalars and the per-class prior frame — rows bounded by label cardinality, not data size")
+    "q_text_nb" -> "crosses the broadcast 1-row vocabulary/train-count scalars and the per-class prior frame — rows bounded by label cardinality, not data size",
+    "q_dtw_topk" -> "LB/DTW passes cross the broadcast query-envelope frame (query-bounded) and the 1-row corpus-count scalar; per-query caps join is equi on qid — the q_knn brute-twin shape")
 
   test("lint variants cover a live query and never go stale") {
     val gone = lintVariants.keySet.diff(graft.SparkEntry.queries.keySet)
@@ -163,7 +164,10 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_zorder_layout" -> ("broadcast sides are layoutBoxes' per-range-partition " +
       "count/offset frames — rows bounded by rangePartitions (32), not data size"),
     "q_text_nb" -> ("broadcast side is the per-class prior/default aggregate — " +
-      "rows bounded by label cardinality (languages), not data size"))
+      "rows bounded by label cardinality (languages), not data size"),
+    "q_dtw_topk" -> ("broadcast sides are the query-envelope frame " +
+      "(query-bounded by queryPred), the k·|queries| per-query DTW caps, " +
+      "and the 1-row corpus-count scalar — never the corpus"))
 
   /** Queries whose plans legitimately contain an UNPARTITIONED window,
     * with the reason the frame under it is bounded (metadata scale or
