@@ -1643,6 +1643,18 @@ object RelationalQueries {
           unix_micros(col("purchase_ts")).as("purchase_us"),
           col("value"))),
 
+    // the funnel-DROPOUT face: LEFT-OUTER interval join — every click
+    // emits, unconverted ones as NULLs; the streaming twin
+    // (EventStreams.attributionJoinOuter) holds each click in state
+    // until the watermark proves no purchase can still match
+    // (EventStreamsSpec pins the watermark-advanced null emission).
+    "q_events_attribution_outer" -> ((s, d) =>
+      graft.streaming.EventStreams.attributionJoinOuter(events(s, d))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          col("value"))),
+
     // Events — ordered conversion funnel view→click→purchase with 24-hour
     // stage windows: each stage's first time must follow the previous
     // stage's within the window (a click before the first view, or hours
@@ -3214,6 +3226,16 @@ object RelationalQueries {
            FROM events WHERE event_type = 'purchase')
          SELECT click_id, purchase_id, c.user_id, click_us, purchase_us, value
          FROM c JOIN p ON c.user_id = p.user_id
+           AND purchase_us >= click_us
+           AND purchase_us < click_us + 3600000000""",
+
+    "q_events_attribution_outer" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+           FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us, value
+           FROM events WHERE event_type = 'purchase')
+         SELECT click_id, purchase_id, c.user_id, click_us, purchase_us, value
+         FROM c LEFT JOIN p ON c.user_id = p.user_id
            AND purchase_us >= click_us
            AND purchase_us < click_us + 3600000000""",
 

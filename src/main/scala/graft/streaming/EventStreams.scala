@@ -280,7 +280,31 @@ object EventStreams {
   def attributionJoin(
       events: DataFrame,
       horizonMinutes: Long = 60,
-      watermarkDelay: String = "30 minutes"): DataFrame = {
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    attributionJoinImpl(events, horizonMinutes, watermarkDelay, "inner")
+
+  /** LEFT-OUTER stream-stream interval join — the funnel-DROPOUT face of
+    * [[attributionJoin]]: every click emits, converted ones with their
+    * purchases, unconverted ones with NULLs — but only once the watermark
+    * has passed click_ts + horizon, i.e. once no future purchase can
+    * still match (Spark holds the click in state until then; the
+    * time-range bound keeps that state a sliding window, exactly as in
+    * the inner face). On a batch frame the same plan is an ordinary
+    * left-outer interval join — the oracled q_events_attribution_outer
+    * twin; EventStreamsSpec drives the STREAMING face through a
+    * watermark advance and pins the null emission.
+    */
+  def attributionJoinOuter(
+      events: DataFrame,
+      horizonMinutes: Long = 60,
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    attributionJoinImpl(events, horizonMinutes, watermarkDelay, "leftOuter")
+
+  private def attributionJoinImpl(
+      events: DataFrame,
+      horizonMinutes: Long,
+      watermarkDelay: String,
+      joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -293,7 +317,8 @@ object EventStreams {
         col("user_id") === col("p_user") &&
           col("purchase_ts") >= col("click_ts") &&
           col("purchase_ts") <
-            col("click_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+            col("click_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"),
+        joinType)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         col("click_ts"), col("purchase_ts"), col("value"))
   }

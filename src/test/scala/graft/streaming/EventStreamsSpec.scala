@@ -375,6 +375,51 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoinOuter: unconverted clicks emit NULLs after the watermark passes") {
+    // user 300 clicks and never purchases — the dropout row. The outer
+    // null may only emit once the watermark proves no purchase can still
+    // match (click_ts + 60 min horizon + 30 min delay), so heartbeats in
+    // LATER BATCHES advance it; same-batch data alone must NOT emit it.
+    val data = Seq(
+      Event(1, ts(0), 100, "click", 0.0),
+      Event(3, ts(10), 100, "purchase", 9.99),
+      Event(7, ts(0), 300, "click", 0.0))
+    val batchOut = EventStreams.attributionJoinOuter(data.toDF())
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(batchOut === Set((1L, 3L), (7L, -1L)))
+    val stream = MemoryStream[Event]
+    stream.addData(data: _*)
+    val q = EventStreams.attributionJoinOuter(stream.toDF())
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      def got = spark.table("attr_outer_out")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(!got.contains((7L, -1L)),
+        "dropout emitted before the watermark could prove no match")
+      // heartbeats must SURVIVE the type filters to reach the watermark
+      // nodes (a filtered-out event advances nothing): one click + one
+      // purchase per batch, on disjoint users so they match no one. Two
+      // batches: advance the watermark, then flush the evicted state.
+      // The 12:00 click heartbeat itself stays in state (its horizon
+      // never expires) — absent from the output, as asserted.
+      stream.addData(
+        Event(98, Timestamp.valueOf("2026-01-01 12:00:00"), 998, "click", 0.0),
+        Event(99, Timestamp.valueOf("2026-01-01 12:00:00"), 999, "purchase", 1.0))
+      q.processAllAvailable()
+      stream.addData(
+        Event(96, Timestamp.valueOf("2026-01-01 12:30:00"), 998, "click", 0.0),
+        Event(97, Timestamp.valueOf("2026-01-01 12:30:00"), 999, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(got === Set((1L, 3L), (7L, -1L)))
+    } finally q.stop()
+  }
+
   test("streaming and batch windowedAgg agree on the same data") {
     val batchOut = EventStreams.windowedAgg(batch.toDF(), "15 minutes", "5 minutes")
       .select("event_type", "n", "total_value")
