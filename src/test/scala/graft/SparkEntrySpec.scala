@@ -45,11 +45,11 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.queries.size === keys.size)
   }
 
-  test("catalog size: at least 250 queries, at least 250 oracled") {
+  test("catalog size: at least 252 queries, at least 252 oracled") {
     // floor, not exact count — catches an accidentally dropped catalog
     // merge (or a silently shrinking query set, the round-11 failure mode)
     // without needing an edit per added query
-    assert(SparkEntry.queries.size >= 250, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size >= 250, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.queries.size >= 252, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size >= 252, SparkEntry.oracleSql.size.toString)
   }
 }
