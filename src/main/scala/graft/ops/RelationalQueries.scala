@@ -1631,6 +1631,40 @@ object RelationalQueries {
           col("purchase_value"))
     }),
 
+    // FORWARD as-of (pandas merge_asof direction parity): each click picks
+    // up the user's FIRST at-or-after purchase — the backward operator on
+    // negated times, same custom sort-merge exec.
+    "q_asof_forward" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
+        .agg(max(col("value")).as("purchase_value"))
+      graft.plans.AsOfJoinPlan.asOfForward(clicks, purchases,
+          "user_id", "t_us", "p_user", "p_us")
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          col("purchase_value"))
+    }),
+
+    // NEAREST as-of: min |purchase_ts - click_ts| per user, exact ties
+    // backward — two native as-of runs stitched on the unique event_id;
+    // the matched time is surfaced so the tie-break is hash-checked too.
+    "q_asof_nearest" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
+        .agg(max(col("value")).as("purchase_value"))
+      graft.plans.AsOfJoinPlan.asOfNearest(clicks, purchases, "event_id",
+          "user_id", "t_us", "p_user", "p_us", Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          col("purchase_value"), col("p_us_matched"))
+    }),
+
     // Events — stream-stream interval join in batch form: purchases
     // attributed to same-user clicks within the preceding hour. Timestamps
     // surfaced as epoch-micros for exact cross-engine compare; the
@@ -3218,6 +3252,45 @@ object RelationalQueries {
          SELECT c.event_id, c.user_id, c.t_us, p.purchase_value
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.p_user AND c.t_us >= p.p_us""",
+
+    "q_asof_forward" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, epoch_us(ts) AS t_us
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id AS p_user, epoch_us(ts) AS p_us, max(value) AS purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.event_id, c.user_id, c.t_us, p.purchase_value
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.p_user AND c.t_us <= p.p_us""",
+
+    // both directions replayed, winner CASE-selected with the same
+    // backward tie-break the Spark side pins
+    "q_asof_nearest" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, epoch_us(ts) AS t_us
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id AS p_user, epoch_us(ts) AS p_us, max(value) AS purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         b AS (
+           SELECT c.event_id, p.p_us AS p_us_b, p.purchase_value AS v_b
+           FROM clicks c ASOF LEFT JOIN purchases p
+             ON c.user_id = p.p_user AND c.t_us >= p.p_us),
+         f AS (
+           SELECT c.event_id, p.p_us AS p_us_f, p.purchase_value AS v_f
+           FROM clicks c ASOF LEFT JOIN purchases p
+             ON c.user_id = p.p_user AND c.t_us <= p.p_us)
+         SELECT c.event_id, c.user_id, c.t_us,
+           CASE WHEN f.p_us_f IS NULL OR (b.p_us_b IS NOT NULL
+                  AND (c.t_us - b.p_us_b) <= (f.p_us_f - c.t_us))
+                THEN b.v_b ELSE f.v_f END AS purchase_value,
+           CASE WHEN f.p_us_f IS NULL OR (b.p_us_b IS NOT NULL
+                  AND (c.t_us - b.p_us_b) <= (f.p_us_f - c.t_us))
+                THEN b.p_us_b ELSE f.p_us_f END AS p_us_matched
+         FROM clicks c
+         JOIN b ON b.event_id = c.event_id
+         JOIN f ON f.event_id = c.event_id""",
 
     "q_events_attribution" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us

@@ -160,4 +160,70 @@ object AsOfJoinPlan {
       attr(rPlan, rightKeyCol), attr(rPlan, rightTimeCol))
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark, node)
   }
+
+  /** FORWARD as-of (pandas merge_asof direction="forward"): every left
+    * row joined to the FIRST right row of the same key with
+    * rightTime >= leftTime (equality included) — the "next scheduled
+    * event / next price tick" enrichment. Implemented as the backward
+    * operator over NEGATED times (last right with -rt <= -lt IS the
+    * first right with rt >= lt), so the exact same exchange/sort/merge
+    * physical machinery runs; time columns must be numeric (the catalog
+    * convention: epoch micros as long).
+    */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeyCol: String, leftTimeCol: String,
+      rightKeyCol: String, rightTimeCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    val lNeg = left.withColumn("__negt_l", -col(leftTimeCol).cast("long"))
+    val rNeg = right.withColumn("__negt_r", -col(rightTimeCol).cast("long"))
+    asOf(lNeg, rNeg, leftKeyCol, "__negt_l", rightKeyCol, "__negt_r")
+      .drop("__negt_l", "__negt_r")
+  }
+
+  /** NEAREST as-of (pandas direction="nearest"): the right row
+    * minimizing |rightTime - leftTime| within the key; ties break
+    * BACKWARD (the at-or-before row wins), matching the convention the
+    * scaladoc pins so both engines replay it. Needs `leftIdCol` unique
+    * per left row to stitch the backward and forward candidates back
+    * together — two runs of the native operator and one id-keyed join
+    * of the (left-row-scale) results, never a widened state machine.
+    * Right columns other than the key arrive suffixed `_b`/`_f` on the
+    * candidate frames and the winner is CASE-selected per column.
+    */
+  def asOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftIdCol: String,
+      leftKeyCol: String, leftTimeCol: String,
+      rightKeyCol: String, rightTimeCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    def renamed(suffix: String): (DataFrame, Seq[String], String) = {
+      val vs = valueCols.map(c => s"$c$suffix")
+      val rt = s"$rightTimeCol$suffix"
+      val df = (valueCols :+ rightTimeCol).foldLeft(right)((d, c) =>
+        d.withColumnRenamed(c, s"$c$suffix"))
+      (df, vs, rt)
+    }
+    val (rb, vb, rtb) = renamed("_b")
+    val (rf, vf, rtf) = renamed("_f")
+    val back = asOf(left, rb, leftKeyCol, leftTimeCol, rightKeyCol, rtb)
+      .select((leftIdCol +: rtb +: vb).map(col): _*)
+    val fwd = asOfForward(left, rf, leftKeyCol, leftTimeCol, rightKeyCol, rtf)
+      .select((leftIdCol +: rtf +: vf).map(col): _*)
+    // backward wins when the forward side is absent OR not strictly
+    // closer: (lt - rt_b) <= (rt_f - lt), null-safe on both sides
+    val joined = left.join(back, Seq(leftIdCol), "left_outer")
+      .join(fwd, Seq(leftIdCol), "left_outer")
+    val lt = col(leftTimeCol).cast("long")
+    val backWins = col(rtf).isNull ||
+      (col(rtb).isNotNull && (lt - col(rtb)) <= (col(rtf) - lt))
+    joined.select(left.columns.map(col) ++
+      valueCols.zip(vb.zip(vf)).map { case (c, (b, f)) =>
+        when(backWins, col(b)).otherwise(col(f)).as(c)
+      } :+ when(backWins, col(rtb)).otherwise(col(rtf))
+        .as(s"${rightTimeCol}_matched"): _*)
+  }
 }

@@ -89,6 +89,42 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(row.isNullAt(row.fieldIndex("aux")))
   }
 
+  test("forward direction: first at-or-after match, null when none follows") {
+    val out = AsOfJoinPlan.asOfForward(trades, quotes,
+        "key", "time", "qkey", "qtime")
+      .select($"trade", $"price").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out === Map(
+      "t1" -> Some(101.0), // first quote >= 10 is quote@20
+      "t2" -> Some(101.0), // quote@20 == 20: equality included forward too
+      "t3" -> None,        // no quote at/after 30
+      "t4" -> Some(200.0), // quote@16 >= 15 — the row backward missed
+      "t5" -> None))
+  }
+
+  test("nearest direction: min |gap| wins, exact tie breaks backward") {
+    // key 1 quotes at 8/20/25: trade@10 -> back gap 2 vs fwd gap 10 (back);
+    // trade@30 -> only back exists; key 4: quotes at 10 and 30, trade@20 is
+    // an EXACT tie -> backward (quote@10) by convention
+    val l = trades.unionByName(Seq((4L, 20L, "t6")).toDF("key", "time", "trade"))
+    val q = quotes.unionByName(
+      Seq((4L, 10L, 400.0), (4L, 30L, 401.0)).toDF("qkey", "qtime", "price"))
+    val out = AsOfJoinPlan.asOfNearest(l, q, "trade",
+        "key", "time", "qkey", "qtime", Seq("price"))
+      .select($"trade", $"price", $"qtime_matched").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getDouble(1), r.getLong(2)))))
+      .toMap
+    assert(out === Map(
+      "t1" -> Some((100.0, 8L)),   // back gap 2 beats fwd gap 10
+      "t2" -> Some((101.0, 20L)),  // exact hit
+      "t3" -> Some((102.0, 25L)),  // nothing forward
+      "t4" -> Some((200.0, 16L)),  // nothing backward — forward wins
+      "t5" -> None,                // no quotes at all
+      "t6" -> Some((400.0, 10L)))) // exact tie -> backward
+  }
+
   test("physical plan contains the custom exec with exchanges under it") {
     val plan = AsOfJoinPlan.asOf(trades, quotes, "key", "time", "qkey", "qtime")
       .queryExecution.executedPlan.toString
