@@ -62,7 +62,11 @@ object CountMin {
     */
   def sketch(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
     val agg = udaf(new CmsAgg(depth, width), ExpressionEncoder[Seq[Long]]())
-    df.select(buckets(col(keyCol), depth, width).as("__bks"))
+    // a NULL key hashes to a null bucket array (md5 of null is null) and
+    // would crash the unboxing aggregator — and carries no frequency
+    // information anyway; excluded, documented
+    df.filter(col(keyCol).isNotNull)
+      .select(buckets(col(keyCol), depth, width).as("__bks"))
       .agg(agg(col("__bks")).as("sk"))
   }
 

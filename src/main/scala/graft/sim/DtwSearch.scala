@@ -67,6 +67,10 @@ object DtwSearch {
     val base = graft.prep.Preprocessing.spread(corpus)
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("x"))
+      // null/empty series have no DTW neighborhood (the kernel returns
+      // +Inf) and would NPE the driver-side envelope build if selected
+      // as queries — excluded up front
+      .filter(col("x").isNotNull && size(col("x")) > 0)
     // query-bounded driver collect (the Knn/GlobalTrainer doctrine): the
     // envelope is a per-query O(L·band) precompute the executors consume
     val qRows = base.filter(queryPred(col("id"))).collect().map { r =>
