@@ -33,6 +33,30 @@ object DtwKernels {
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+
+  /** LB_Keogh lower bound (Keogh & Ratanamahatana 2005): sqrt of x's
+    * squared excursions outside the per-position envelope [l, u] — with
+    * squared local costs and a shared band this lower-bounds banded DTW,
+    * the pruning gate of [[graft.sim.DtwSearch]]. One interleaved pass;
+    * each element contributes to exactly one branch, so the value can
+    * differ from a two-sum HOF formulation only in addition ORDER (ulps)
+    * — fine for a pruning bound that never reaches an oracle.
+    */
+  def lbKeogh(x: ArrayData, u: ArrayData, l: ArrayData): Double = {
+    val n = math.min(x.numElements(),
+      math.min(u.numElements(), l.numElements()))
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val ui = u.getDouble(i)
+      val li = l.getDouble(i)
+      if (xi > ui) { val d = xi - ui; s += d * d }
+      else if (xi < li) { val d = li - xi; s += d * d }
+      i += 1
+    }
+    math.sqrt(s)
+  }
 }
 
 /** Native Catalyst expression: DTW distance between two array<double>
@@ -121,6 +145,38 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** Codegen'd LB_Keogh lower bound over (series, upper-envelope,
+  * lower-envelope) array<double> columns — the scalar gate of the pruned
+  * DTW search promoted to a native expression (no HOF interpretation in
+  * the hot corpus×queries pass).
+  */
+case class LbKeogh(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with Serializable {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(first, second, third).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "lb_keogh expects (array<double>, array<double>, array<double>)")
+  }
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(x: Any, u: Any, l: Any): Any =
+    DtwKernels.lbKeogh(x.asInstanceOf[ArrayData], u.asInstanceOf[ArrayData],
+      l.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, u, l) => s"graft.functions.DtwKernels.lbKeogh($x, $u, $l)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): LbKeogh =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "lb_keogh"
+}
+
 /** Registration: either `spark.sql.extensions=graft.functions.GraftExtensions`
   * at session build, or [[GraftFunctions.register]] on a live session.
   */
@@ -145,7 +201,10 @@ object GraftFunctions {
     (FunctionIdentifier("jaro_winkler_similarity"),
       new ExpressionInfo(classOf[JaroWinklerSimilarity].getName,
         "jaro_winkler_similarity"),
-      (es: Seq[Expression]) => JaroWinklerSimilarity(es(0), es(1))))
+      (es: Seq[Expression]) => JaroWinklerSimilarity(es(0), es(1))),
+    (FunctionIdentifier("lb_keogh"),
+      new ExpressionInfo(classOf[LbKeogh].getName, "lb_keogh"),
+      (es: Seq[Expression]) => LbKeogh(es(0), es(1), es(2))))
 
   /** Imperative registration for an existing session (tests, REPLs). */
   def register(spark: SparkSession): Unit =
@@ -164,4 +223,10 @@ object GraftFunctions {
   def euclideanDistance(a: Column, b: Column): Column = col2(EuclideanDistance.apply)(a, b)
   def dotProduct(a: Column, b: Column): Column = col2(DotProduct.apply)(a, b)
   def jaroWinkler(a: Column, b: Column): Column = col2(JaroWinklerSimilarity.apply)(a, b)
+  def lbKeogh(x: Column, u: Column, l: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(LbKeogh(
+      GraftColumnBridge.expression(x), GraftColumnBridge.expression(u),
+      GraftColumnBridge.expression(l)))
+  }
 }

@@ -30,9 +30,9 @@ import graft.dist.Distances
   * Scale shape: the corpus never shuffles — both phases are projections
   * against broadcast frames (queries, then per-query thresholds), and
   * the only aggregations are k-bounded TopKAgg buffers keyed by qid.
-  * The LB projection here uses zip_with/aggregate (interpreted HOFs —
-  * fine at catalog scale); the 100 TB path would promote lb_keogh to a
-  * codegen'd native expression beside [[graft.functions]]'s dtw_distance.
+  * The LB projection is the codegen'd native lb_keogh expression
+  * ([[graft.functions.LbKeogh]], beside dtw_distance) — no interpreted
+  * HOF in the corpus×queries hot pass.
   */
 object DtwSearch {
 
@@ -93,13 +93,11 @@ object DtwSearch {
     val qFrame = broadcast(qRows.toSeq.toDF("qid", "q", "u", "l"))
 
     // LB_Keogh per (corpus row, query): squared excursions outside [l, u]
-    val lbCol = sqrt(
-      aggregate(zip_with(col("x"), col("u"), (xi, ui) =>
-        when(xi > ui, (xi - ui) * (xi - ui)).otherwise(lit(0d))),
-        lit(0d), (acc, v) => acc + v) +
-      aggregate(zip_with(col("x"), col("l"), (xi, li) =>
-        when(xi < li, (li - xi) * (li - xi)).otherwise(lit(0d))),
-        lit(0d), (acc, v) => acc + v))
+    // — the codegen'd native expression (functions/DtwExpression.scala
+    // LbKeogh), not an interpreted HOF chain: this projection runs once
+    // per (corpus row, query) and is the whole point of the lower bound
+    val lbCol = graft.functions.GraftFunctions.lbKeogh(
+      col("x"), col("u"), col("l"))
     val lbFrame = base.crossJoin(qFrame)
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), col("x"), col("q"), lbCol.as("lb"))

@@ -62,4 +62,39 @@ class DtwExpressionSpec extends AnyFunSuite with SparkSpec {
       bad.select(GraftFunctions.dtwDistance(col("s"), col("s"))).collect()
     }
   }
+
+  test("lb_keogh: matches a reference fold, lower-bounds banded DTW, codegen") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(20260817L)
+    val rows = Seq.fill(50) {
+      val q = Array.fill(16)(rnd.nextDouble() * 4 - 2)
+      val x = Array.fill(16)(rnd.nextDouble() * 4 - 2)
+      val band = 3
+      val u = Array.tabulate(16)(i =>
+        (math.max(0, i - band) to math.min(15, i + band)).map(q).max)
+      val l = Array.tabulate(16)(i =>
+        (math.max(0, i - band) to math.min(15, i + band)).map(q).min)
+      (x.toSeq, u.toSeq, l.toSeq, q.toSeq)
+    }
+    val df = rows.toDF("x", "u", "l", "q")
+    val got = df.select(GraftFunctions.lbKeogh($"x", $"u", $"l").as("lb"),
+        GraftFunctions.dtwDistance($"x", $"q").as("d"))
+      .as[(Double, Double)].collect()
+    got.zip(rows).foreach { case ((lb, _), (x, u, l, _)) =>
+      val ref = math.sqrt(x.indices.map { i =>
+        if (x(i) > u(i)) (x(i) - u(i)) * (x(i) - u(i))
+        else if (x(i) < l(i)) (l(i) - x(i)) * (l(i) - x(i))
+        else 0.0
+      }.sum)
+      assert(math.abs(lb - ref) < 1e-9)
+    }
+    // the pruning contract: lb <= banded DTW with the same band, every row
+    got.zip(rows).foreach { case ((lb, _), (x, _, _, q)) =>
+      val d = graft.dist.Distances.dtw(x.toArray, q.toArray, 3)
+      assert(lb <= d + 1e-9, s"lb $lb exceeds banded dtw $d")
+    }
+    // SQL surface
+    df.createOrReplaceTempView("lbk_in")
+    assert(spark.sql("SELECT lb_keogh(x, u, l) FROM lbk_in").count() === 50)
+  }
 }
