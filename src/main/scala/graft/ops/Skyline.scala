@@ -37,9 +37,14 @@ object Skyline {
     // a NULL dimension has no place on a ≤/< frontier (and would NPE the
     // kernel); dominance over incomparable rows is undefined, so they are
     // excluded rather than silently coerced
+    // repartition(1), NOT coalesce(1): coalesce is a narrow dependency,
+    // so it would collapse scan + local pass + final pass into ONE task
+    // and the "distributed local pass" claim above would be false. The
+    // exchange here ships only the per-partition frontiers — tiny — while
+    // the data-scale first pass keeps the scan's parallelism.
     df.filter(dims.map(col(_).isNotNull).reduce(_ && _))
       .mapPartitions(pass)(enc)
-      .coalesce(1)
+      .repartition(1)
       .mapPartitions(pass)(enc)
   }
 

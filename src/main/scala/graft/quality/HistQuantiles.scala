@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * the reference fence [lo, hi] is FROZEN by the init batch — later
   * batches clamp into the edge bins, so bin identity never shifts under
   * appends. The bin index is pure long arithmetic; the clamp to
-  * [0, B-1] also neutralizes the one engine divergence (Spark `div`
-  * truncates, DuckDB `//` floors — they differ only on negative
-  * quotients, which all clamp to 0). Quantile targets are rational
+  * [0, B-1] is belt-and-braces on the division: Spark `div` and
+  * DuckDB `//` BOTH truncate toward zero (-7 // 2 = -3 in both — see
+  * Pca.scala for the engine-division survey), so below-fence values
+  * agree engine-to-engine even before the clamp pins them to bin 0.
+  * Quantile targets are rational
   * (ceil(num·n/den) in integers, never p·n in doubles — double(0.9)·n
   * crossing an integer boundary would flip the selected bin); the only
   * doubles are the final bin-edge interpolation, fixed IEEE arithmetic

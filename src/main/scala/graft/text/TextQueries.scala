@@ -162,8 +162,10 @@ object TextQueries {
 
     // Sparse TF-IDF cosine pairs — text similarity with NO embeddings:
     // integer weights (tf × milli-scaled smooth idf) make every pair
-    // numerator and norm an order-independent exact sum (decimal(38,0)
-    // accumulators — w² sums would overflow longs on web-scale docs), so
+    // numerator and norm an order-independent exact sum (w is cast to
+    // decimal(38,0) BEFORE squaring/cross-multiplying, so the products
+    // themselves get the headroom — a long×long product would throw
+    // under ANSI before any decimal accumulator saw it), so
     // the only float math is the per-pair closed-form division, same op
     // order both engines, round(6). Candidates come from a postings
     // self-join on the hashed token (never all-pairs), with a df cap
@@ -187,11 +189,11 @@ object TextQueries {
         .select(col("doc_id"), xxhash64(col("tok")).as("tk"),
           (col("tf") * idfInt).as("w"))
       val norms = wgt.groupBy(col("doc_id"))
-        .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("nrm"))
+        .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("nrm"))
       wgt.as("a").join(wgt.as("b"),
           col("a.tk") === col("b.tk") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(sum((col("a.w") * col("b.w")).cast("decimal(38,0)")).as("num"))
+        .agg(sum(col("a.w").cast("decimal(38,0)") * col("b.w")).as("num"))
         .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("na")),
           Seq("id_a"))
         .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")),
