@@ -626,7 +626,23 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxRounds: Int = 48,
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true): DataFrame =
+    connectedComponentsStats(pairs, aCol, bCol, maxRounds, strict)._1
+
+  /** [[connectedComponents]] plus the run's shape: (labels, rounds to
+    * convergence, pair count). Rounds ≈ max component diameter — the
+    * O(diameter) cost driver of the hash-min loop, which is why
+    * [[graft.FixtureStats]] pins it per fixture generation: a testdata
+    * regen that grows the pair graph's diameter is a WORKLOAD change and
+    * must be visible as one, not read as an engine regression
+    * (round-15 verdict, "flat-box uptick").
+    */
+  def connectedComponentsStats(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 48,
+      strict: Boolean = true): (DataFrame, Int, Long) = {
     // materialize the (possibly expensive) pair plan ONCE before the
     // symmetrizing union — both union branches would otherwise re-execute
     // the full upstream pair detection
@@ -699,7 +715,8 @@ object Dedup {
     // the final round's checkpoint backs the returned frame and stays
     // cached (one narrow vertex-set copy) until the caller is done with it
     // — loops over many graphs should releasePlan(result) after consuming
-    labels.select(col("v").as("member_id"), col("label").as("cluster_id"))
+    (labels.select(col("v").as("member_id"), col("label").as("cluster_id")),
+      round, nEdges / 2)
   }
 
   /** Bloom-filter benchmark-decontamination probe: build ONE Bloom filter

@@ -797,7 +797,8 @@ object DedupQueries {
   // retained universe, so an oracle computing UNCAPPED Jaccard would
   // silently diverge the moment any shingle crosses the cap (common
   // bigrams cross 1000 docs somewhere between sf0.1 and sf1).
-  private val jaccardDfCap = 1000
+  // private[graft]: FixtureStats pins the pair graph built with THIS cap
+  private[graft] val jaccardDfCap = 1000
 
   // Span length (in whitespace tokens) for exact substring dedup — shared
   // by the Spark call site and the SQL twin, same doctrine as

@@ -17,10 +17,22 @@ import org.apache.spark.sql.functions._
   * loop-invariant edges pinned once, the label frame cut with a blocking
   * localCheckpoint every [[PageRank.CheckpointEvery]]-th span so shallow
   * runs pay one materialization while the unrolled-plan depth stays
-  * bounded; superseded checkpoint blocks freed eagerly. A delta-frontier
-  * variant (join only newly-labeled nodes) saves work on high-diameter
-  * graphs but changes no values — the full-frame form keeps the oracle
-  * replay trivial.
+  * bounded; superseded checkpoint blocks freed eagerly.
+  *
+  * Two formulations, identical values (BfsSpec pins bit-for-bit
+  * equality): [[distancesFp]] re-joins the FULL label frame every
+  * iteration — O(K·|labeled|) join work, trivially unrollable to the
+  * oracle's CTEs — while [[distancesDelta]] joins only the round's
+  * newly-labeled frontier — O(Σ|frontier_i|) = O(|reachable|) total join
+  * work, the production form on high-diameter graphs (a K-hop crawl
+  * radius over a web graph re-probes every settled node K times under
+  * the full-frame form; the frontier form probes each node once, when
+  * it is first reached). Equivalence argument: on an unweighted graph a
+  * node's first-assigned distance is already minimal (induction on BFS
+  * layers), so nodes outside the frontier can never improve and skipping
+  * them drops no relaxation that matters. The frontier form also exits
+  * early when the frontier empties (the full-frame form must run all K
+  * iterations to mirror the oracle's fixed CTE unroll).
   *
   * Determinism: distances are exact integers (min over unions is order-
   * independent), so the K-iteration run unrolls to SQL CTEs verbatim —
@@ -57,5 +69,53 @@ object Bfs {
     }
     if (eager) edges.unpersist(blocking = false)
     dist
+  }
+
+  /** Delta-frontier BFS: same contract and values as [[distancesFp]],
+    * join work proportional to nodes REACHED rather than nodes-settled ×
+    * iterations. See the object doc for the equivalence argument.
+    */
+  def distancesDelta(edges0: DataFrame, srcCol: String, dstCol: String,
+      seedPred: Column => Column, iterations: Int = 4): DataFrame =
+    distancesDeltaStats(edges0, srcCol, dstCol, seedPred, iterations)._1
+
+  /** [[distancesDelta]] plus the per-round frontier sizes (index 0 = the
+    * seed set) — the join-probe work measure BfsSpec uses to prove the
+    * frontier form does strictly less work than the full-frame form on a
+    * high-diameter graph.
+    */
+  def distancesDeltaStats(edges0: DataFrame, srcCol: String, dstCol: String,
+      seedPred: Column => Column, iterations: Int = 4): (DataFrame, Seq[Long]) = {
+    val edges = edges0
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct().persist()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    // each round's frontier is checkpointed: the count below (needed for
+    // the early exit anyway) is the materializing action, and `dist`
+    // becomes a union of small materialized disjoint frames — total
+    // footprint one node-scale frame, no unbounded lineage
+    var frontier = nodes.filter(seedPred(col("node")))
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(false)
+    val sizes = scala.collection.mutable.ArrayBuffer(frontier.count())
+    var dist = frontier
+    var i = 1
+    while (i <= iterations && sizes.last > 0L) {
+      val relaxed = edges.join(frontier, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      // a node re-reached this round already carries its (minimal) first
+      // distance — the anti-join against the settled set is what makes
+      // the frontier a DELTA instead of the full frame
+      val newNodes = relaxed.groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint(false)
+      sizes += newNodes.count()
+      dist = dist.union(newNodes)
+      frontier = newNodes
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    (dist, sizes.toSeq)
   }
 }

@@ -216,12 +216,13 @@ object GraphQueries {
     "q_pagerank" -> ((s, d) => PageRank.pageRankFp(docEdges(s, d), "src", "dst")),
 
     // Multi-source BFS (Bfs.scala): distances <= 4 hops from the seed
-    // residue class node % 31 == 0 over the directed doc graph — per
-    // iteration one equi join + one min aggregate, exact integer labels,
-    // the 4 iterations unrolled verbatim as oracle CTEs. Unreached nodes
-    // carry no row on both engines.
+    // residue class node % 31 == 0 over the directed doc graph. Runs the
+    // DELTA-FRONTIER form (join work O(nodes reached), the 100 TB shape);
+    // the full-frame distancesFp is the oracle twin — BfsSpec pins the two
+    // bit-for-bit equal, and the oracle CTEs unroll the full-frame
+    // iteration verbatim. Unreached nodes carry no row on both engines.
     "q_bfs_dist" -> ((s, d) =>
-      Bfs.distancesFp(docEdges(s, d), "src", "dst",
+      Bfs.distancesDelta(docEdges(s, d), "src", "dst",
         node => pmod(node, lit(31L)) === 0L, iterations = 4)),
 
     // Triangle count — the clustering-coefficient / community-structure

@@ -34,6 +34,64 @@ class BfsSpec extends AnyFunSuite with SparkSpec {
     assert(got(5L) === 3L)
   }
 
+  // ---- delta-frontier form: values identical, work strictly smaller ----
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("delta-frontier: bit-for-bit equal to full-frame on every shape") {
+    // chain + shortcut + disjoint pair, single and multi seed, radius cap
+    for ((pred, iters) <- Seq(
+        ((n: org.apache.spark.sql.Column) => n === 0L, 4),
+        ((n: org.apache.spark.sql.Column) => n === 1L, 2),
+        ((n: org.apache.spark.sql.Column) => n === 0L || n === 10L, 4),
+        ((n: org.apache.spark.sql.Column) => n === 999L, 3))) { // no seeds
+      val fp = asMap(Bfs.distancesFp(chain, "s", "t", pred, iters))
+      val de = asMap(Bfs.distancesDelta(chain, "s", "t", pred, iters))
+      assert(de === fp)
+    }
+    // pseudo-random graph: residue edges, several components, cross edges
+    val rnd = spark.range(0, 400).select(
+      (col("id") % 53).as("s"), ((col("id") * 17 + 3) % 59).as("t"))
+    val fp = asMap(Bfs.distancesFp(rnd, "s", "t",
+      n => n % 7L === 0L, iterations = 5))
+    val de = asMap(Bfs.distancesDelta(rnd, "s", "t",
+      n => n % 7L === 0L, iterations = 5))
+    assert(de === fp)
+  }
+
+  test("delta-frontier wins on a high-diameter graph: probe work is " +
+      "O(reached), not O(settled x rounds)") {
+    // a 60-node path: the full-frame form joins ALL settled nodes every
+    // round — sum over 30 rounds of |settled_i| = 1+2+...+30 probes —
+    // while the frontier form probes exactly one node per round
+    val n = 60
+    val path = spark.range(0, n - 1).select(col("id").as("s"),
+      (col("id") + 1L).as("t"))
+    val rounds = 30
+    val (dist, frontiers) = Bfs.distancesDeltaStats(path, "s", "t",
+      c => c === 0L, iterations = rounds)
+    assert(asMap(dist) === (0 to rounds).map(i => i.toLong -> i.toLong).toMap)
+    // frontier form: one node per layer
+    assert(frontiers === (0 to rounds).map(_ => 1L))
+    val deltaProbes = frontiers.sum
+    // full-frame probe work on the same run: round i joins all i settled
+    val fullProbes = (1 to rounds).map(_.toLong).sum
+    assert(deltaProbes === (rounds + 1).toLong)
+    assert(fullProbes === 465L)
+    assert(deltaProbes * 10 < fullProbes,
+      "frontier form must do an order of magnitude less probe work here")
+  }
+
+  test("delta-frontier exits early when the frontier empties") {
+    // component exhausted after 1 hop; 50 requested iterations must not
+    // run 50 rounds (frontier sizes stop right after the first empty)
+    val (dist, frontiers) = Bfs.distancesDeltaStats(chain, "s", "t",
+      c => c === 10L, iterations = 50)
+    assert(asMap(dist) === Map(10L -> 0L, 11L -> 1L))
+    assert(frontiers === Seq(1L, 1L, 0L))
+  }
+
   test("partition invariance and eager/declarative agreement") {
     val a = Bfs.distancesFp(chain, "s", "t", n => n === 0L, iterations = 4)
       .orderBy("node").collect().toSeq
