@@ -43,8 +43,11 @@ object FixtureStats {
     val pairs = dedup.Dedup.jaccardPairs(docs, "doc_id", "text",
       blockCols = Seq("lang"), n = 2, threshold = 0.1,
       maxDocFreq = dedup.DedupQueries.jaccardDfCap)
+    // driverEdgeCap = 0: force the distributed loop — `rounds` pins the
+    // graph's diameter, which the driver union-find shortcut never measures
     val (labels, rounds, nPairs) =
-      dedup.Dedup.connectedComponentsStats(pairs, "id_a", "id_b")
+      dedup.Dedup.connectedComponentsStats(pairs, "id_a", "id_b",
+        driverEdgeCap = 0L)
     val comp = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("sz"))
       .agg(count(lit(1)).as("n_components"),

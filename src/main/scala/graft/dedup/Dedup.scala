@@ -584,14 +584,29 @@ object Dedup {
     * (Measured, not assumed: a pointer-jumping variant — adopt the label's
     * label each round — cut rounds 18 → 11 on the sf0.1 diameter-17 chain
     * but RAISED wall 6.3 → 8.0 s: the extra vertex-set self-join per round
-    * outweighs the saved rounds, locally and asymptotically, so plain
-    * propagation stays.)
+    * outweighs the saved rounds, so plain propagation stays for the
+    * distributed path.)
     *
-    * Scale shape: every round is one equi-join + one min-aggregate on
-    * narrow (long, long) rows; the vertex set is only docs with >= 1
-    * candidate pair (orders of magnitude below corpus size at production
-    * thresholds); localCheckpoint per round cuts the iterative lineage so
-    * round N's plan does not replay rounds 1..N-1.
+    * TWO-TIER (round 16): the loop is scheduler-latency-bound — rounds ×
+    * per-job fixed cost, ~0.2 s/round on a graph of a few THOUSAND edges —
+    * because a post-blocking pair graph is orders of magnitude smaller
+    * than its corpus (sf0.1: 5,000 docs → 2,990 pairs; a df-capped /
+    * prefix-filtered detector keeps that ratio at any corpus size). So a
+    * graph whose EDGE COUNT (already counted for partition sizing) fits
+    * `driverEdgeCap` is solved exactly on the driver — one collect of
+    * (long, long) pairs, union-find with path compression, one small
+    * labels frame back — microseconds of CPU replacing diameter × job
+    * latency. Larger graphs take the distributed loop unchanged: the cap
+    * (1M pairs ≈ 16 MB collected) bounds driver memory the same way the
+    * repo's other driver collects are k-/dim-/query-bounded, and the
+    * labeling is identical either way (component minimum; spec-pinned
+    * equal on both paths).
+    *
+    * Scale shape (distributed path): every round is one equi-join + one
+    * min-aggregate on narrow (long, long) rows; the vertex set is only
+    * docs with >= 1 candidate pair (orders of magnitude below corpus size
+    * at production thresholds); localCheckpoint per round cuts the
+    * iterative lineage so round N's plan does not replay rounds 1..N-1.
     */
   /** The DECLARATIVE shape of one [[connectedComponents]] propagation
     * round over the full pair-detection subtree, with no checkpoint, no
@@ -626,23 +641,27 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxRounds: Int = 48,
-      strict: Boolean = true): DataFrame =
-    connectedComponentsStats(pairs, aCol, bCol, maxRounds, strict)._1
+      strict: Boolean = true,
+      driverEdgeCap: Long = 1000000L): DataFrame =
+    connectedComponentsStats(pairs, aCol, bCol, maxRounds, strict,
+      driverEdgeCap)._1
 
   /** [[connectedComponents]] plus the run's shape: (labels, rounds to
     * convergence, pair count). Rounds ≈ max component diameter — the
     * O(diameter) cost driver of the hash-min loop, which is why
-    * [[graft.FixtureStats]] pins it per fixture generation: a testdata
-    * regen that grows the pair graph's diameter is a WORKLOAD change and
-    * must be visible as one, not read as an engine regression
-    * (round-15 verdict, "flat-box uptick").
+    * [[graft.FixtureStats]] pins it per fixture generation (it passes
+    * driverEdgeCap = 0 to force the loop, since the driver shortcut runs
+    * zero rounds): a testdata regen that grows the pair graph's diameter
+    * is a WORKLOAD change and must be visible as one, not read as an
+    * engine regression (round-15 verdict, "flat-box uptick").
     */
   def connectedComponentsStats(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
       maxRounds: Int = 48,
-      strict: Boolean = true): (DataFrame, Int, Long) = {
+      strict: Boolean = true,
+      driverEdgeCap: Long = 1000000L): (DataFrame, Int, Long) = {
     // materialize the (possibly expensive) pair plan ONCE before the
     // symmetrizing union — both union branches would otherwise re-execute
     // the full upstream pair detection
@@ -655,6 +674,11 @@ object Dedup {
     // dominates when thousands of rows ride the corpus partition count.
     // ~100k edges per partition, capped at the cluster's parallelism.
     val nEdges = 2 * p0.count()
+    if (driverEdgeCap > 0 && nEdges / 2 <= driverEdgeCap) {
+      val out = driverComponents(p0)
+      freeCheckpoint(p0)
+      return (out, 0, nEdges / 2)
+    }
     val parts = math.max(1, math.min(
       p0.sparkSession.sparkContext.defaultParallelism,
       (nEdges / 100000L).toInt + 1))
@@ -717,6 +741,46 @@ object Dedup {
     // — loops over many graphs should releasePlan(result) after consuming
     (labels.select(col("v").as("member_id"), col("label").as("cluster_id")),
       round, nEdges / 2)
+  }
+
+  /** Exact components for a driver-sized pair graph: one collect, classic
+    * union-find (union by size, path compression — O(E α(V))), labels =
+    * component MINIMUM id, identical to the distributed loop's fixpoint.
+    */
+  private def driverComponents(p0: DataFrame): DataFrame = {
+    val spark = p0.sparkSession
+    import spark.implicits._
+    val es = p0.select(col("pa"), col("pb")).as[(Long, Long)].collect()
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    def id(x: Long): Int = idx.getOrElseUpdate(x, idx.size)
+    es.foreach { case (a, b) => id(a); id(b); () }
+    val n = idx.size
+    val parent = Array.tabulate(n)(identity)
+    val size = Array.fill(n)(1)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(idx(a)); val rb = find(idx(b))
+      if (ra != rb) {
+        if (size(ra) >= size(rb)) { parent(rb) = ra; size(ra) += size(rb) }
+        else { parent(ra) = rb; size(rb) += size(ra) }
+      }
+    }
+    // component label = MIN vertex id in the set (the distributed loop's
+    // fixpoint), not the union-find root (which is order-dependent)
+    val minOfRoot = new Array[Long](n)
+    java.util.Arrays.fill(minOfRoot, Long.MaxValue)
+    val vids = new Array[Long](n)
+    idx.foreach { case (vid, i) =>
+      vids(i) = vid
+      val r = find(i)
+      if (vid < minOfRoot(r)) minOfRoot(r) = vid
+    }
+    val rows = (0 until n).map(i => (vids(i), minOfRoot(find(i))))
+    spark.createDataset(rows).toDF("member_id", "cluster_id")
   }
 
   /** Bloom-filter benchmark-decontamination probe: build ONE Bloom filter

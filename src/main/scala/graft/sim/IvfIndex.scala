@@ -127,9 +127,12 @@ object IvfIndex {
     (live.count(), nT)
   }
 
-  private def writeAssigned(vectors: DataFrame, idCol: String,
-      vecCol: String, dir: String, centroids: Seq[Array[Double]],
-      mode: String): Unit = {
+  /** The frozen-quantizer assignment projection: (vec_id, vec, vn, cell),
+    * non-finite norms dropped — shared by batch build/append and
+    * [[streamingIngest]] so every ingest face assigns identically.
+    */
+  private def assignCells(vectors: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Array[Double]]): DataFrame = {
     val spark = vectors.sparkSession
     val bc = spark.sparkContext.broadcast(centroids.map(_.clone()))
     val cellOf = udf((v: Seq[Double]) => nearestCell(bc.value, v))
@@ -138,8 +141,48 @@ object IvfIndex {
       .withColumn("vn", norm(col("vec")))
       .filter(Vectors.finiteNorm(col("vn")))
       .withColumn("cell", cellOf(col("vec")))
-      .write.mode(mode).partitionBy("cell").parquet(s"$dir/vectors")
   }
+
+  private def writeAssigned(vectors: DataFrame, idCol: String,
+      vecCol: String, dir: String, centroids: Seq[Array[Double]],
+      mode: String): Unit =
+    assignCells(vectors, idCol, vecCol, centroids)
+      .write.mode(mode).partitionBy("cell").parquet(s"$dir/vectors")
+
+  /** Streaming ingest — the vector-serving face of the same nightly
+    * pipeline [[graft.dedup.LshIndex.streamingIngest]] serves for
+    * near-dups: per trigger, assign the micro-batch against the index's
+    * FROZEN centroids (quantizer retrains at rebuild cadence, not ingest
+    * cadence — [[cellStats]] is the retrain signal) and APPEND into the
+    * hive cell layout; no existing vector file is rewritten. Each epoch
+    * also writes an audit row set (vec_id, cell, epoch) to
+    * `auditDir/epoch=N` with mode("error") — a replayed epoch id fails
+    * loudly instead of double-ingesting, and the audit trail IS the
+    * ingest ledger (which vector arrived when, into which cell). A probe
+    * in trigger N+1 sees trigger N's vectors through the same
+    * partition-pruned [[search]]; IvfIndexSpec pins byte-equal search
+    * results against a single batch [[append]] of the same data (same
+    * frozen centroids => same cells => same index).
+    */
+  def streamingIngest(spark: SparkSession, dir: String, auditDir: String,
+      stream: DataFrame, idCol: String,
+      vecCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // one checkpoint: the audit write and the index append must see
+        // the SAME assignment (a lazy plan re-evaluated twice could in
+        // principle differ only in row order, but pinning it is free)
+        val assigned = assignCells(batch, idCol, vecCol,
+          loadCentroids(spark, dir)).localCheckpoint()
+        assigned.select(col("vec_id"), col("cell"))
+          .withColumn("epoch", lit(epochId))
+          .write.mode("error").parquet(s"$auditDir/epoch=$epochId")
+        assigned.write.mode("append").partitionBy("cell")
+          .parquet(s"$dir/vectors")
+        ()
+      }
+      .start()
 
   def loadCentroids(spark: SparkSession, dir: String): Seq[Array[Double]] =
     spark.read.parquet(s"$dir/centroids")

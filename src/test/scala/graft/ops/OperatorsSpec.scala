@@ -46,6 +46,30 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     Seq(20L, 21L, 22L).foreach(v => assert(got(v) === 20L))
     assert(got(30L) === 30L && got(31L) === 30L)
     assert(got.size === 15) // every vertex labeled exactly once
+    // the default call above took the driver union-find shortcut (13
+    // pairs << cap); the distributed loop must produce the identical
+    // labeling — the two tiers are one contract
+    val loop = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        driverEdgeCap = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(loop === got)
+  }
+
+  test("connected components: driver shortcut and distributed loop agree on a random graph") {
+    // residue-class pseudo-random graph: several components of mixed
+    // size/shape, ids sparse and out of order
+    val rnd = spark.range(0, 500).select(
+      ((col("id") * 13) % 211).as("id_a"), ((col("id") * 29 + 5) % 223).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val (driver, r0, _) = Dedup.connectedComponentsStats(rnd, "id_a", "id_b")
+    val (loop, r1, _) = Dedup.connectedComponentsStats(rnd, "id_a", "id_b",
+      driverEdgeCap = 0L)
+    assert(r0 === 0, "driver path runs zero propagation rounds")
+    assert(r1 > 0, "forced loop actually iterates")
+    val dm = driver.as[(Long, Long)].collect().toMap
+    val lm = loop.as[(Long, Long)].collect().toMap
+    assert(dm === lm)
+    Dedup.releasePlan(loop)
   }
 
   test("connected components: a 50k-pair celebrity hub resolves without a wrong label") {
@@ -57,7 +81,10 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     // and every vertex must land on the hub's min label.
     val star = spark.range(1, 50001)
       .select(lit(0L).as("id_a"), col("id").as("id_b"))
-    val got = Dedup.connectedComponents(star, "id_a", "id_b", maxRounds = 6)
+    // driverEdgeCap = 0: the skew story below is about the DISTRIBUTED
+    // loop's symmetrized hub key — keep exercising it
+    val got = Dedup.connectedComponents(star, "id_a", "id_b", maxRounds = 6,
+      driverEdgeCap = 0L)
     assert(got.count() === 50001L)
     assert(got.filter(col("cluster_id") =!= 0L).count() === 0L)
     Dedup.releasePlan(got)
@@ -77,11 +104,14 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val chain = (0 until 9).map(i => (100L + i, 101L + i)).toDF("id_a", "id_b")
     // strict (the default): a non-converged labeling must not come back
     // looking like a correct one
+    // driverEdgeCap = 0 on both: the union-find shortcut is exact and
+    // round-free, so the cap contract only exists on the distributed loop
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, "id_a", "id_b", maxRounds = 2).collect()
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxRounds = 2,
+        driverEdgeCap = 0L).collect()
     }
     val capped = Dedup.connectedComponents(chain, "id_a", "id_b",
-        maxRounds = 2, strict = false)
+        maxRounds = 2, strict = false, driverEdgeCap = 0L)
       .as[(Long, Long)].collect().toMap
     // far end cannot have converged to 100 in 2 rounds — the cap is real
     assert(capped(109L) > 100L)

@@ -133,4 +133,71 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       assert(rows.map(r => indexed(r.getLong(1))).toSet.size === 1)
     }
   }
+
+  test("streaming ingest: frozen-centroid appends per trigger, audit " +
+      "ledger, cross-trigger visibility, batch-append equivalence") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("ivf_stream").toString
+    val idxDir = s"$base/idx"
+    val auditDir = s"$base/audit"
+    val seedHalf = emb.filter(col("vec_id") % 2 === 0)
+    IvfIndex.build(seedHalf, "vec_id", "embedding", idxDir, nlist = 8,
+      sampleSize = 500, seed = 7L)
+
+    // two deterministic 64-dim vectors, far from each other
+    def vec(phase: Double): Seq[Double] =
+      (0 until 64).map(i => math.sin(i / 3.0 + phase) + 0.1 * i * phase)
+    val v1 = vec(0.5); val v2 = vec(2.5)
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = IvfIndex.streamingIngest(spark, idxDir, auditDir,
+      stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding")
+    try {
+      // trigger 1: one new vector
+      stream.addData((1001L, v1))
+      q.processAllAvailable()
+      val e0 = spark.read.parquet(s"$auditDir/epoch=0")
+      assert(e0.select("vec_id").as[Long].collect().toSet === Set(1001L))
+
+      // trigger 2: another vector arrives AND a probe must find the
+      // trigger-1 vector through the standing index
+      stream.addData((1002L, v2))
+      q.processAllAvailable()
+      val probe = Seq((9001L, v1)).toDF("vec_id", "embedding")
+      val hit = IvfIndex.search(spark, idxDir, probe,
+        "vec_id", "embedding", k = 1, nprobe = 2).collect()
+      assert(hit.length === 1)
+      assert(hit(0).getLong(1) === 1001L,
+        s"trigger-2 probe should find the trigger-1 vector, got ${hit(0)}")
+      assert(hit(0).getDouble(3) > 0.999999, "self-vector cosine ~ 1")
+
+      // audit ledger: one epoch dir per trigger, cells within nlist range
+      val e1 = spark.read.parquet(s"$auditDir/epoch=1")
+      assert(e1.select("vec_id").as[Long].collect().toSet === Set(1002L))
+      val cells = spark.read.parquet(s"$auditDir/epoch=0")
+        .union(e1).select("cell").as[Int].collect()
+      assert(cells.forall(c => c >= 0 && c < 8))
+    } finally q.stop()
+
+    // equivalence: a twin index (same seed half -> same frozen centroids)
+    // taking both vectors in ONE batch append answers every search
+    // identically — trigger count changes file layout, never results
+    val twin = s"$base/twin"
+    IvfIndex.build(seedHalf, "vec_id", "embedding", twin, nlist = 8,
+      sampleSize = 500, seed = 7L)
+    IvfIndex.append(spark, twin,
+      Seq((1001L, v1), (1002L, v2)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    // embeddings is array<float>; cast for the union with the literal
+    // array<double> probes (search casts to double internally anyway)
+    val qset = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .union(Seq((9001L, v1), (9002L, v2)).toDF("vec_id", "embedding"))
+    def res(p: String) = IvfIndex.search(spark, p, qset, "vec_id",
+      "embedding", k = 3, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res(idxDir) === res(twin))
+  }
 }
