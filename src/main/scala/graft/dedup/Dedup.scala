@@ -138,6 +138,46 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
+  /** Top-k most-similar documents PER DOCUMENT by exact n-gram Jaccard —
+    * the retrieval-shaped face of [[jaccardPairs]]: thresholds answer
+    * "which pairs are duplicates"; top-k answers "what is most like THIS
+    * doc" (near-dup triage, eval-set nearest-source attribution, template
+    * mining). Candidates come from the identical lang-blocked, df-capped
+    * postings join; every candidate pair is scored exactly, then each
+    * direction keeps its k best under the total order (jaccard desc,
+    * neighbor_id asc — ties deterministic). A doc with no
+    * retained-shingle co-candidate emits no row (absent ≠ sim 0, the
+    * BFS-unreached doctrine).
+    *
+    * Scale shape: ONE pair-detection subtree — the symmetrizing union's
+    * branches project the same aggregate, so Spark's exchange reuse
+    * serves both from one execution; the top-k window partitions by
+    * doc_id (keyed, never global). Candidate volume is bounded by the
+    * same df cap as every other postings join here.
+    */
+  def jaccardTopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      n: Int,
+      k: Int,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val p = coPairs(df, idCol, textCol, blockCols, n, maxDocFreq)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+    val sym = p.select(col("id_a").as("doc_id"),
+        col("id_b").as("neighbor_id"), col("jaccard"))
+      .unionByName(p.select(col("id_b").as("doc_id"),
+        col("id_a").as("neighbor_id"), col("jaccard")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(desc("jaccard"), asc("neighbor_id"))
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Asymmetric containment pairs over the same inverted-index candidates:
     * |A∩B| / min(|A|, |B|) — the quote/subset detector Jaccard is blind
     * to (a 50-shingle doc fully embedded in a 5000-shingle doc scores

@@ -260,6 +260,25 @@ object DedupQueries {
         "vec_id", "embedding", k = 5)
     }),
 
+    // Hard-negative mining (Knn.hardNegatives): top-5 nearest-by-cosine
+    // candidates with a DIFFERENT label per query — the contrastive-
+    // training negative set; label inequality fused into the join
+    // predicate so ranking never sees positives. Oracled row-for-row
+    // against the same cosine/tie-break arithmetic in DuckDB.
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Knn.hardNegatives(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", "label", k = 5)
+    }),
+
+    // Per-document top-k exact-Jaccard neighbors (Dedup.jaccardTopK):
+    // the retrieval face of the pair detector — same lang-blocked
+    // df-capped postings, k best per DIRECTION (jaccard desc, id asc).
+    "q_dedup_topk_jaccard" -> ((s, d) =>
+      Dedup.jaccardTopK(documents(s, d), "doc_id", "text",
+        blockCols = Seq("lang"), n = 2, k = 3,
+        maxDocFreq = jaccardDfCap)),
+
     // SRP-LSH bucketed ANN with 2-bit multiprobe, self-validating: the
     // query computes recall@5 against the in-query brute-force answer and
     // emits an invariant row the DuckDB oracle checks (query/result counts
@@ -1624,6 +1643,37 @@ object DedupQueries {
          FROM spine s LEFT JOIN agg a USING (group_id)""",
 
     "q_knn_brute" -> bruteTopKSql,
+
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE isfinite(sqrt(list_dot_product(
+              CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))),
+          q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+            FROM e WHERE vec_id < 10),
+          scored AS (SELECT q.query_id, q.query_label,
+            c.vec_id AS neighbor_id, c.label AS neighbor_label,
+            CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)) > 0
+              THEN list_dot_product(q.qv, c.v) /
+                (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)))
+              ELSE 0.0 END AS sim
+            FROM q JOIN e c
+              ON q.query_id <> c.vec_id AND q.query_label <> c.label),
+          ranked AS (SELECT query_id, neighbor_id,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+            round(sim, 6) AS cosine_sim, query_label, neighbor_label
+            FROM scored)
+         SELECT query_id, neighbor_id, rank, cosine_sim, query_label, neighbor_label
+         FROM ranked WHERE rank <= 5""",
+
+    "q_dedup_topk_jaccard" ->
+      s"""WITH ${jaccardPairsCtes(0.0)},
+          sym AS (SELECT id_a AS doc_id, id_b AS neighbor_id, jaccard FROM pairs
+                  UNION ALL
+                  SELECT id_b, id_a, jaccard FROM pairs),
+          ranked AS (SELECT doc_id, neighbor_id, jaccard,
+            CAST(row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM sym)
+         SELECT doc_id, neighbor_id, jaccard, rank FROM ranked WHERE rank <= 3""",
 
     // ANN self-validation rows: counts come from the data, the recall
     // bound is the asserted invariant (see annRecallSummary).

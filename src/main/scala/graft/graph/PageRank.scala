@@ -61,7 +61,31 @@ object PageRank {
     * the catalog run eager.
     */
   def pageRankFp(edges0: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 3, eager: Boolean = true): DataFrame = {
+      iterations: Int = 3, eager: Boolean = true): DataFrame =
+    pageRankImpl(edges0, srcCol, dstCol, None, iterations, eager)
+
+  /** Personalized PageRank: the teleport vector concentrates on
+    * `seedPred`-nodes instead of spreading uniformly — the random surfer
+    * restarts at a seed, so rank measures proximity-weighted authority
+    * RELATIVE TO the seed set (topic-focused crawl frontiers, "more like
+    * these" page discovery, seed-anchored spam distance). Same fixed-point
+    * arithmetic, same one-join-one-aggregate iteration shape, same
+    * checkpoint discipline: the ONLY changes are the restart term
+    * (Scale·(1−d)/|S| on seeds, 0 elsewhere) and the dangling mass
+    * returning to the seeds rather than everywhere. Uniform PageRank IS
+    * the special case seedPred ≡ true (PageRankSpec pins the two
+    * bit-for-bit equal), so both entry points share one loop. A node
+    * unreachable from the seed set converges to rank 0 — absent mass,
+    * not absent row (every node still reports).
+    */
+  def personalizedPageRankFp(edges0: DataFrame, srcCol: String,
+      dstCol: String, seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      iterations: Int = 3, eager: Boolean = true): DataFrame =
+    pageRankImpl(edges0, srcCol, dstCol, Some(seedPred), iterations, eager)
+
+  private def pageRankImpl(edges0: DataFrame, srcCol: String, dstCol: String,
+      seedPred: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column],
+      iterations: Int, eager: Boolean): DataFrame = {
     // Let AQE size the ITERATION frames' partitioning from observed data
     // instead of inheriting the static shuffle.partitions: cached-plan
     // compilation pins output partitioning by default
@@ -77,7 +101,7 @@ object PageRank {
     val prev = if (eager) scopedConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
       else Nil
     if (eager) scopedConfs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try pageRankFpInner(edges0, srcCol, dstCol, iterations, eager)
+    try pageRankFpInner(edges0, srcCol, dstCol, seedPred, iterations, eager)
     finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
@@ -85,6 +109,7 @@ object PageRank {
   }
 
   private def pageRankFpInner(edges0: DataFrame, srcCol: String, dstCol: String,
+      seedPred: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column],
       iterations: Int, eager: Boolean): DataFrame = {
     // persist() the frames every iteration re-reads: the unrolled plan
     // references edges and nodeDeg and ranks_k from 2-3 consumers each,
@@ -106,17 +131,32 @@ object PageRank {
     // (the former ranks ⋈ deg was evaluated twice per iteration — once
     // under the dangling aggregate, once under perSrc — pure stage
     // overhead at fixture scale, a repeated node-scale shuffle at 100 TB)
+    // the seed flag rides nodeDeg (and thence the rank state) the same
+    // way outdeg does — the hot loop never re-evaluates the predicate.
+    // Uniform PageRank = every node a seed; __ns then equals __n and the
+    // arithmetic below reduces to the classic form term for term.
+    val isSeed = seedPred.map(p => p(col("node"))).getOrElse(lit(true))
     val nodeDeg = pin(edges
       .select(explode(array(
         struct(col("src").as("node"), lit(1L).as("__isSrc")),
         struct(col("dst").as("node"), lit(0L).as("__isSrc")))).as("ep"))
       .select(col("ep.node").as("node"), col("ep.__isSrc").as("__isSrc"))
       .groupBy(col("node"))
-      .agg(when(sum(col("__isSrc")) > 0L, sum(col("__isSrc"))).as("outdeg")))
-    val nTotal = nodeDeg.agg(count(lit(1)).cast("long").as("__n"))
+      .agg(when(sum(col("__isSrc")) > 0L, sum(col("__isSrc"))).as("outdeg"))
+      .withColumn("seed", isSeed))
+    val nTotal = nodeDeg.agg(count(lit(1)).cast("long").as("__n"),
+      coalesce(sum(when(col("seed"), 1L)), lit(0L)).as("__ns"))
+    if (eager && seedPred.isDefined) {
+      // a silent empty seed set would converge every rank to 0 via NULL
+      // division — refuse loudly instead (plan-only callers skip the probe)
+      require(nTotal.head().getLong(1) > 0L,
+        "personalizedPageRankFp: seed predicate matched no node")
+    }
 
     var ranks = nodeDeg.crossJoin(broadcast(nTotal))
-      .select(col("node"), expr(s"${Scale}L div __n").as("r"), col("outdeg"))
+      .select(col("node"),
+        expr(s"case when seed then ${Scale}L div __ns else 0L end").as("r"),
+        col("outdeg"), col("seed"))
     var prevCp: DataFrame = null
     var spanPinned: List[DataFrame] = Nil
     for (i <- 1 to iterations) {
@@ -150,9 +190,10 @@ object PageRank {
           "left_outer")
         .crossJoin(broadcast(scalars))
         .select(col("node"),
-          expr(s"(${BaseNum}L div __n) + " +
-            "(85 * (coalesce(__csum, 0L) + (__dang div __n))) div 100").as("r"),
-          col("outdeg"))
+          expr(s"case when seed then ${BaseNum}L div __ns else 0L end + " +
+            "(85 * (coalesce(__csum, 0L) + " +
+            "case when seed then __dang div __ns else 0L end)) div 100").as("r"),
+          col("outdeg"), col("seed"))
       if (!eager) {
         ranks = next
       } else if (i % CheckpointEvery == 0 || i == iterations) {
@@ -214,6 +255,13 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, d) => PageRank.pageRankFp(docEdges(s, d), "src", "dst")),
+
+    // Personalized PageRank: teleport restricted to the node % 31 == 0
+    // seed residue class (the q_bfs_dist seed set — rank is now
+    // proximity-to-seeds authority). Same integer fixed point; the 3
+    // iterations unroll to oracle CTEs with the seed CASE inlined.
+    "q_ppr" -> ((s, d) => PageRank.personalizedPageRankFp(docEdges(s, d),
+      "src", "dst", node => pmod(node, lit(31L)) === 0L)),
 
     // Multi-source BFS (Bfs.scala): distances <= 4 hops from the seed
     // residue class node % 31 == 0 over the directed doc graph. Runs the
@@ -281,6 +329,39 @@ object GraphQueries {
           |${step("r1", "r2")},
           |${step("r2", "r3")}
           |SELECT node, r FROM r3""".stripMargin,
+
+      "q_ppr" -> {
+        // the uniform step with the seed CASE inlined: restart mass and
+        // the dangling return land on node % 31 = 0 only, divided by the
+        // SEED count; same truncating integer ops in the same order
+        def pstep(prev: String, cur: String): String =
+          s"""$cur AS (
+            |  SELECT nd.node,
+            |    CAST((CASE WHEN nd.node % 31 = 0
+            |        THEN 150000000000 // (SELECT ns FROM nn) ELSE 0 END)
+            |      + (85 * (CAST(coalesce(c.csum, 0) AS BIGINT)
+            |               + (CASE WHEN nd.node % 31 = 0
+            |                   THEN ((SELECT CAST(coalesce(sum(r), 0) AS BIGINT) FROM $prev
+            |                          WHERE node NOT IN (SELECT src FROM deg))
+            |                         // (SELECT ns FROM nn))
+            |                   ELSE 0 END))) // 100 AS BIGINT) AS r
+            |  FROM n nd LEFT JOIN (
+            |    SELECT e.dst AS node, CAST(sum(p.r // deg.outdeg) AS BIGINT) AS csum
+            |    FROM e JOIN deg USING (src) JOIN $prev p ON p.node = e.src
+            |    GROUP BY e.dst) c USING (node))""".stripMargin
+        s"""WITH e AS (
+          |  SELECT DISTINCT doc_id % 97 AS src, (doc_id * 31 + 7) % 101 AS dst
+          |  FROM documents),
+          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+          |nn AS (SELECT CAST(count(*) FILTER (WHERE node % 31 = 0) AS BIGINT) AS ns FROM n),
+          |r0 AS (SELECT node, CASE WHEN node % 31 = 0
+          |  THEN 1000000000000 // (SELECT ns FROM nn) ELSE 0 END AS r FROM n),
+          |${pstep("r0", "r1")},
+          |${pstep("r1", "r2")},
+          |${pstep("r2", "r3")}
+          |SELECT node, r FROM r3""".stripMargin
+      },
 
       "q_bfs_dist" -> {
         def bstep(prev: String, cur: String): String =

@@ -54,6 +54,51 @@ object Knn extends Serializable {
         round(col("sim"), 6).as("cosine_sim"))
   }
 
+  /** Hard-negative mining for contrastive / metric training: for each
+    * query, the k nearest candidates by cosine whose label DIFFERS from
+    * the query's — the negatives that actually move an embedding model
+    * (random negatives are trivially far; same-label near neighbors are
+    * positives, not negatives). Exactly [[bruteForceTopK]]'s
+    * broadcast-queries / scan-candidates-in-place shape with the label
+    * inequality fused into the join predicate, so mismatched pairs are
+    * dropped BEFORE the dot product, not after ranking — k negatives per
+    * query survive no matter how label-skewed the neighborhood is. For
+    * the 100 TB path compose with [[ivfTopK]]'s cell probing (mine
+    * within probed cells); the per-cell scoring shape is identical.
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      toDoubleArray(col(vecCol)).as("qv"),
+      col(labelCol).as("query_label"))
+      .withColumn("qn", norm(col("qv")))
+      .filter(finiteNorm("qn"))
+    val c = graft.prep.Preprocessing.spread(candidates)
+      .select(col(idCol).as("neighbor_id"),
+        toDoubleArray(col(vecCol)).as("cv"),
+        col(labelCol).as("neighbor_label"))
+      .withColumn("cn", norm(col("cv")))
+      .filter(finiteNorm("cn"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          col("query_label") =!= col("neighbor_label"))
+      .select(col("query_id"), col("query_label"),
+        col("neighbor_id"), col("neighbor_label"),
+        cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("cosine_sim"),
+        col("query_label"), col("neighbor_label"))
+  }
+
   /** Seeded random hyperplanes for sign-random-projection LSH. */
   def randomHyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)

@@ -45,11 +45,11 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.queries.size === keys.size)
   }
 
-  test("catalog size: at least 254 queries, at least 254 oracled") {
+  test("catalog size: at least 257 queries, at least 257 oracled") {
     // floor, not exact count — catches an accidentally dropped catalog
     // merge (or a silently shrinking query set, the round-11 failure mode)
     // without needing an edit per added query
-    assert(SparkEntry.queries.size >= 254, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size >= 254, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.queries.size >= 257, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size >= 257, SparkEntry.oracleSql.size.toString)
   }
 }

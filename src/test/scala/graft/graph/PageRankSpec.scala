@@ -77,6 +77,40 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("personalized: all-seeds reduces bit-for-bit to uniform PageRank") {
+    val g = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 5L -> 1L)
+    val uniform = ranks(PageRank.pageRankFp(g, "src", "dst", iterations = 3))
+    val allSeed = ranks(PageRank.personalizedPageRankFp(g, "src", "dst",
+      _ => lit(true), iterations = 3))
+    assert(allSeed === uniform)
+  }
+
+  test("personalized: mass concentrates near the seed; unreachable nodes rank 0") {
+    // seed 1 reaches {1,2,3} (cycle with a backlink so the pulse damps);
+    // {10,11} is a separate component the surfer can never restart into.
+    // 12 iterations: contraction 0.67^12 ~ 0.8% — ordering is the
+    // steady state's, not a transient's
+    val g = edges(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L,
+      10L -> 11L, 11L -> 10L)
+    val r = ranks(PageRank.personalizedPageRankFp(g, "src", "dst",
+      n => n === 1L, iterations = 12))
+    assert(r.size === 5, "every node reports a row")
+    assert(r(10L) === 0L && r(11L) === 0L,
+      "teleport-unreachable nodes carry zero mass")
+    assert(r(1L) > r(2L) && r(2L) > r(3L),
+      s"rank should decay with distance from the seed: $r")
+    // restart mass lands on the seed every iteration
+    assert(r(1L) > Scale * 15 / 100, s"seed keeps at least the restart term: $r")
+  }
+
+  test("personalized: empty seed set refuses loudly") {
+    val g = edges(1L -> 2L)
+    intercept[IllegalArgumentException] {
+      PageRank.personalizedPageRankFp(g, "src", "dst",
+        n => n === 99L, iterations = 2).collect()
+    }
+  }
+
   test("chain orders ranks by depth and matches closed-form hand iteration") {
     // 1 -> 2 -> 3 (3 a dangling sink): deeper nodes accumulate more rank
     val g = edges(1L -> 2L, 2L -> 3L)

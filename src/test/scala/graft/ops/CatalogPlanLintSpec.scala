@@ -38,6 +38,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
   private val allowed: Map[String, String] = Map(
     "q_dedup_cosine_exact" -> "documented O(n^2) small-data twin (block-pair exact baseline)",
     "q_knn_brute" -> "brute-force baseline; query side bounded to 10 vectors by design",
+    "q_hard_negatives" -> "the q_knn_brute shape with the label inequality fused into the predicate; broadcast side bounded to 10 query vectors",
     "q11_important_parts" -> "cross join against a broadcast 1-row scalar aggregate",
     "q15_top_supplier" -> "cross join against a broadcast 1-row max aggregate",
     "q22_idle_customers" -> "cross join against a broadcast 1-row average aggregate",
@@ -125,6 +126,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_events_enrich" -> ("enrichStream gates the hint on the dim's " +
       "estimated plan size (256 MB cap) — an outgrown dim drops the hint"),
     "q_knn_brute" -> "broadcast side is the query set, bounded to 10 vectors by the pushed filter",
+    "q_hard_negatives" -> "broadcast side is the query set, bounded to 10 vectors by the pushed filter (the q_knn_brute shape)",
     "q_knn_lsh" -> "broadcast side is the query set, bounded to 10 vectors by the pushed filter",
     "q_knn_ivf" -> "broadcast sides are the 10-vector query set and k centroids",
     "q_knn_ivf_index" -> "broadcast side is the 10-vector query set, bounded by the pushed filter (IvfIndex.search probe join)",

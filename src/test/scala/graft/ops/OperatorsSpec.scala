@@ -372,6 +372,47 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(top1(2L) === 1L)
   }
 
+  test("hard negatives: same-label near neighbors are excluded, k respected") {
+    // nearest overall neighbor of 1 is 2 (same label 0) — the positive a
+    // contrastive miner must NOT return; the hardest NEGATIVE is 3
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.99f, 0.01f, 0.0f), 0),
+      (3L, Seq(0.9f, 0.3f, 0.0f), 1),
+      (4L, Seq(0.0f, 1.0f, 0.0f), 1),
+      (5L, Seq(0.0f, 0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Knn.hardNegatives(vecs.filter(col("vec_id") === 1L), vecs,
+      "vec_id", "embedding", "label", k = 2)
+      .orderBy("rank")
+      .select("neighbor_id", "neighbor_label", "rank")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq(3L, 4L), s"got $got")
+    assert(got.forall(_._2 === 1), "every mined negative carries the other label")
+    // k caps the output even with 3 available negatives
+    assert(got.size === 2)
+  }
+
+  test("jaccard top-k: per-direction ranking, deterministic ties, isolated docs absent") {
+    val mini = Seq(
+      (1L, "a b c d e"),     // bigrams {ab,bc,cd,de}
+      (2L, "a b c d x"),     // shares {ab,bc,cd} with 1 -> J=3/5
+      (3L, "a b y z w"),     // shares {ab} with 1,2 -> J=1/7
+      (9L, "q r s t u")      // no shared bigram: absent from output
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardTopK(mini, "doc_id", "text",
+      blockCols = Nil, n = 2, k = 1)
+      .select("doc_id", "neighbor_id", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L)._1 === 2L && math.abs(got(1L)._2 - 0.6) < 1e-9)
+    assert(got(2L)._1 === 1L)
+    // 3's best is its strongest link; both 1 and 2 score J=1/7 — the
+    // id-asc tie-break must pick 1 deterministically
+    assert(got(3L)._1 === 1L)
+    assert(!got.contains(9L), "isolated doc must emit no row")
+  }
+
   test("lsh knn recall vs brute force is reasonable at few planes") {
     val rng = new scala.util.Random(9)
     // clustered vectors so neighbors share buckets more often than chance
