@@ -202,16 +202,7 @@ object Bench {
     // a failed bench.
     val DriftRatio = 3.0
     val MaxDriftQueries = 8
-    def extractObj(json: String, key: String): String = {
-      // flat {"name":num,...} objects only — first '}' closes
-      val i = json.indexOf("\"" + key + "\"")
-      val s = if (i < 0) -1 else json.indexOf('{', i)
-      val e = if (s < 0) -1 else json.indexOf('}', s)
-      if (e < 0) "" else json.substring(s, e + 1)
-    }
-    def parseNumMap(obj: String): Map[String, Double] =
-      "\"([^\"]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(obj)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    import BenchDrift.{extractObj, parseNumMap}
     val floorsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOORS",
       "/root/repo/BENCH_FLOORS.json")
     val floors: Map[String, Double] =
@@ -223,11 +214,9 @@ object Bench {
           parseNumMap(extractObj(java.nio.file.Files.readString(p), "floors"))
         else Map.empty
       } catch { case _: Throwable => Map.empty }
-    val movers = resultsFull
-      .collect { case (k, _, mn, _, None, _)
-        if floors.get(k).exists(f => f > 0 && mn > DriftRatio * f) => (k, mn) }
-      .sortBy { case (k, mn) => -(mn / floors(k)) }
-      .take(MaxDriftQueries)
+    val movers = BenchDrift.selectMovers(
+      resultsFull.collect { case (k, _, mn, _, None, _) => (k, mn) },
+      floors, DriftRatio, MaxDriftQueries)
     var driftError = ""
     def freshJvmMins(names: Seq[String]): Map[String, Double] = {
       def codeDir(c: Class[_]): Option[String] =
@@ -284,10 +273,7 @@ object Bench {
           .map(f => (k, med, f, c, None, rq)).getOrElse(r)
       case r => r
     }
-    val drifted = movers.flatMap { case (k, mn) =>
-      val best = freshMins.get(k).filter(_ > 0).fold(mn)(math.min(mn, _))
-      if (best > DriftRatio * floors(k)) Some((k, best, floors(k))) else None
-    }
+    val drifted = BenchDrift.unresolved(movers, freshMins, floors, DriftRatio)
     // Failed queries live ONLY in the `errors` object: a -1 sentinel in the
     // per-query maps would make naive per-query sums disagree with the
     // reported totals (round-12 ADVICE).
@@ -384,4 +370,48 @@ object Bench {
     println(head.replace("NNN", omitted.toString) + kept.mkString(",") + tail0)
     spark.stop()
   }
+}
+
+/** Pure decision logic of the Bench drift gate, extracted so BenchDriftSpec
+  * can pin it without forking JVMs: flat-JSON parsing (the gate reads its
+  * committed floors and the fresh JVM's envelope without a JSON library),
+  * mover selection, and residual-drift adjudication.
+  */
+private[graft] object BenchDrift {
+
+  /** The flat `{"name":num,...}` object following `"key"` — first '}'
+    * closes (every map this gate reads is flat by construction).
+    */
+  def extractObj(json: String, key: String): String = {
+    val i = json.indexOf("\"" + key + "\"")
+    val s = if (i < 0) -1 else json.indexOf('{', i)
+    val e = if (s < 0) -1 else json.indexOf('}', s)
+    if (e < 0) "" else json.substring(s, e + 1)
+  }
+
+  def parseNumMap(obj: String): Map[String, Double] =
+    "\"([^\"]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(obj)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  /** Queries whose fresh min exceeds ratio x committed floor, worst
+    * excess first, capped — the fresh-JVM requery list. Queries without
+    * a floor (new this round) are never movers.
+    */
+  def selectMovers(mins: Seq[(String, Double)], floors: Map[String, Double],
+      ratio: Double, cap: Int): Seq[(String, Double)] =
+    mins
+      .filter { case (k, mn) =>
+        floors.get(k).exists(f => f > 0 && mn > ratio * f) }
+      .sortBy { case (k, mn) => -(mn / floors(k)) }
+      .take(cap)
+
+  /** Movers the fresh JVM did NOT bring back under ratio x floor:
+    * (query, best min over both JVMs, floor) — the adjudication queue.
+    */
+  def unresolved(movers: Seq[(String, Double)], fresh: Map[String, Double],
+      floors: Map[String, Double], ratio: Double): Seq[(String, Double, Double)] =
+    movers.flatMap { case (k, mn) =>
+      val best = fresh.get(k).filter(_ > 0).fold(mn)(math.min(mn, _))
+      if (best > ratio * floors(k)) Some((k, best, floors(k))) else None
+    }
 }

@@ -149,11 +149,13 @@ object Dedup {
     * retained-shingle co-candidate emits no row (absent ≠ sim 0, the
     * BFS-unreached doctrine).
     *
-    * Scale shape: ONE pair-detection subtree — the symmetrizing union's
-    * branches project the same aggregate, so Spark's exchange reuse
-    * serves both from one execution; the top-k window partitions by
-    * doc_id (keyed, never global). Candidate volume is bounded by the
-    * same df cap as every other postings join here.
+    * Scale shape: the pair frame is materialized ONCE (localCheckpoint —
+    * the [[connectedComponents]] doctrine: a symmetrizing union would
+    * otherwise re-execute the whole upstream pair detection per branch;
+    * exchange reuse does NOT span the union's re-planned subtrees, plan-
+    * verified). The checkpointed frame is pair-scale — candidate volume
+    * bounded by the same df cap as every postings join here — and the
+    * top-k window partitions by doc_id (keyed, never global).
     */
   def jaccardTopK(
       df: DataFrame,
@@ -167,6 +169,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+      .localCheckpoint(true)
     val sym = p.select(col("id_a").as("doc_id"),
         col("id_b").as("neighbor_id"), col("jaccard"))
       .unionByName(p.select(col("id_b").as("doc_id"),

@@ -413,6 +413,25 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(!got.contains(9L), "isolated doc must emit no row")
   }
 
+  test("jaccard top-k: pair detection executes ONCE, not once per union branch") {
+    // plan-verified: exchange reuse does NOT span the symmetrize union's
+    // re-planned subtrees, so the operator checkpoints the pair frame —
+    // the returned plan must read the materialized RDD (both branches)
+    // and contain NO shingle machinery (no explode, no postings join)
+    val mini = (1L to 40L).map(i =>
+      (i, s"tok${i % 7} tok${(i * 3) % 7} tok${(i * 5) % 7} u$i")).toSeq
+      .toDF("doc_id", "text")
+    val df = Dedup.jaccardTopK(mini, "doc_id", "text",
+      blockCols = Nil, n = 2, k = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
+      s"expected the checkpointed pair frame:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"shingle explode leaked past the checkpoint:\n$plan")
+    // and the values still rank: doc 1's best neighbor exists
+    assert(df.filter(col("doc_id") === 1L).count() > 0)
+  }
+
   test("lsh knn recall vs brute force is reasonable at few planes") {
     val rng = new scala.util.Random(9)
     // clustered vectors so neighbors share buckets more often than chance
