@@ -786,6 +786,33 @@ object Dedup {
       round, nEdges / 2)
   }
 
+  /** Quality-aware survivorship over near-dup clusters: keep the BEST
+    * member of each cluster under (score desc, id asc) — the production
+    * keep rule when duplicates differ in quality (the cleaner, longer
+    * fetch of an article should survive over a truncated earlier crawl;
+    * the min-id rule behind q_dedup_keep is right only when members are
+    * interchangeable). Docs with no pair keep themselves. The selection
+    * is ONE aggregate: max over struct(score, −id, id) per cluster — the
+    * [[graft.ops.Survivorship]] golden-record shape applied to dedup —
+    * so the decision never shuffles more than (clusters × 1) rows after
+    * the join. Returns one `keep_id` row per surviving doc.
+    */
+  def keepBest(docs: DataFrame, idCol: String, score: Column,
+      clusters: DataFrame): DataFrame = {
+    val scored = docs.select(col(idCol).cast("long").as("__id"),
+      score.as("__score"))
+    val best = clusters
+      .join(scored, col("member_id") === col("__id"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("__score"), (-col("__id")).as("__negid"),
+        col("__id"))).as("b"))
+      .select(col("b.__id").as("keep_id"))
+    val unpaired = scored
+      .join(clusters, col("__id") === col("member_id"), "left_anti")
+      .select(col("__id").as("keep_id"))
+    best.unionByName(unpaired)
+  }
+
   /** Exact components for a driver-sized pair graph: one collect, classic
     * union-find (union by size, path compression — O(E α(V))), labels =
     * component MINIMUM id, identical to the distributed loop's fixpoint.

@@ -115,6 +115,28 @@ object DedupQueries {
           sum(col("doc_id")).cast("long").as("kept_id_sum"))
     }),
 
+    // Quality-aware survivorship (Dedup.keepBest): keep the LONGEST
+    // member of each near-dup cluster (tie -> min id) instead of the min
+    // id — the production rule when duplicates differ in quality. Same
+    // pair graph as q_dedup_clusters/keep; the summary fingerprints the
+    // kept set by count, id sum, AND length sum (so a keep-min result
+    // cannot masquerade as keep-best).
+    "q_dedup_keep_best" -> ((s, d) => {
+      val docs = documents(s, d)
+      val clusters = Dedup.connectedComponents(
+        Dedup.jaccardPairs(docs, "doc_id", "text",
+          blockCols = Seq("lang"), n = 2, threshold = 0.1,
+          maxDocFreq = jaccardDfCap),
+        "id_a", "id_b")
+      Dedup.keepBest(docs, "doc_id", length(col("text")).cast("long"),
+          clusters)
+        .join(docs, col("keep_id") === col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("keep_id")).cast("long").as("kept_id_sum"),
+          sum(length(col("text")).cast("long")).cast("long")
+            .as("kept_len_sum"))
+    }),
+
     // MinHash+LSH candidates -> EXACT-Jaccard verification: output equals
     // the true near-dup pair set whenever band recall holds (the data's
     // thinnest true pair has J=0.82 -> P(miss) ~ 7e-5 per pair at 16x4
@@ -1230,6 +1252,25 @@ object DedupQueries {
             WHERE v <> cluster_id)
           SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
           FROM documents WHERE doc_id NOT IN (SELECT v FROM dropset)""",
+
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $jaccardClusterCtes,
+          labels AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY 1),
+          best AS (
+            SELECT v FROM (
+              SELECT l.v, row_number() OVER (PARTITION BY l.cluster_id
+                ORDER BY length(d.text) DESC, l.v ASC) AS rn
+              FROM labels l JOIN documents d ON d.doc_id = l.v)
+            WHERE rn = 1),
+          kept AS (
+            SELECT v AS doc_id FROM best
+            UNION ALL
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT v FROM labels))
+          SELECT count(*) AS n_kept,
+            CAST(sum(d.doc_id) AS BIGINT) AS kept_id_sum,
+            CAST(sum(length(d.text)) AS BIGINT) AS kept_len_sum
+          FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM kept)""",
 
     // True near-dup pair set via an inverted-index posting join (cheap in
     // DuckDB too) — matches q_dedup_minhash whenever LSH recall holds.

@@ -413,6 +413,21 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(!got.contains(9L), "isolated doc must emit no row")
   }
 
+  test("keepBest: highest score survives per cluster, ties to min id, unpaired keep themselves") {
+    val d = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // cluster A: 2 and 3 tie on score -> 2
+      (7L, 5L),                        // unpaired
+      (8L, 1L), (9L, 9L)               // cluster B: 9 wins outright
+    ).toDF("doc_id", "score")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (8L, 8L), (9L, 8L)
+    ).toDF("member_id", "cluster_id")
+    val kept = Dedup.keepBest(d, "doc_id", col("score"), clusters)
+      .select("keep_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 7L, 9L))
+  }
+
   test("jaccard top-k: pair detection executes ONCE, not once per union branch") {
     // plan-verified: exchange reuse does NOT span the symmetrize union's
     // re-planned subtrees, so the operator checkpoints the pair frame —
