@@ -115,6 +115,14 @@ object DedupQueries {
           sum(col("doc_id")).cast("long").as("kept_id_sum"))
     }),
 
+    // Incrementally-maintained transitive clustering (ClusterIndex): the
+    // q_dedup_clusters pair graph arrives in three epochs (build + two
+    // delta batches that MERGE standing clusters); resolved merge-on-read
+    // labels must equal the from-scratch clustering over all pairs —
+    // the oracle below IS q_dedup_clusters' SQL.
+    "q_dedup_cluster_index" -> ((s, d) =>
+      ClusterIndex.resolve(s, clusterIndexDir(s, d))),
+
     // Quality-aware survivorship (Dedup.keepBest): keep the LONGEST
     // member of each near-dup cluster (tie -> min id) instead of the min
     // id — the production rule when duplicates differ in quality. Same
@@ -732,6 +740,46 @@ object DedupQueries {
     }
 
   private val lshIndexWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val clusterIndexWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-time (per JVM x sf dir x fixture generation) incrementally-built
+    * cluster index for `q_dedup_cluster_index`: the q_dedup_clusters pair
+    * graph split into thirds by (id_a + id_b) % 3 — build on residue 0,
+    * then two addPairs epochs — so the resolved labels exercise
+    * cross-epoch merges while the oracle stays the from-scratch cluster
+    * SQL over ALL pairs.
+    */
+  private def clusterIndexDir(s: SparkSession, d: String): String =
+    clusterIndexWritten.synchronized {
+      clusterIndexWritten.getOrElseUpdate(d, {
+        val src = new java.io.File(s"$d/documents.parquet")
+        val stamp = s"${src.lastModified()}_${src.length()}"
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_cluster_index_${math.abs(d.hashCode)}_$stamp")
+        val marker = new java.io.File(dir, "_graft_index_complete")
+        if (!marker.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          if (dir.exists()) rm(dir)
+          val pairs = Dedup.jaccardPairs(documents(s, d), "doc_id", "text",
+            blockCols = Seq("lang"), n = 2, threshold = 0.1,
+            maxDocFreq = jaccardDfCap).localCheckpoint(true)
+          def part(r: Int) = pairs.filter(
+            pmod(col("id_a") + col("id_b"), lit(3L)) === r)
+          ClusterIndex.build(part(0), "id_a", "id_b", dir.getAbsolutePath)
+          ClusterIndex.addPairs(s, dir.getAbsolutePath, part(1),
+            "id_a", "id_b", epoch = 1)
+          ClusterIndex.addPairs(s, dir.getAbsolutePath, part(2),
+            "id_a", "id_b", epoch = 2)
+          Dedup.releasePlan(pairs)
+          marker.createNewFile()
+          ()
+        }
+        dir.getAbsolutePath
+      })
+    }
 
   /** One-time (per JVM x sf dir x fixture generation) incrementally-built
     * LSH index for `q_dedup_lsh_index`: build on even doc_ids, append the
@@ -1241,6 +1289,13 @@ object DedupQueries {
     // Shared CTE block so both cluster-family oracles validate the SAME
     // pair graph (a threshold edit cannot diverge them).
     "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardClusterCtes
+          SELECT CAST(v AS BIGINT) AS member_id, CAST(min(r) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY 1""",
+
+    // the incremental index must resolve to the FROM-SCRATCH clustering —
+    // same SQL as q_dedup_clusters by design
+    "q_dedup_cluster_index" ->
       s"""WITH RECURSIVE $jaccardClusterCtes
           SELECT CAST(v AS BIGINT) AS member_id, CAST(min(r) AS BIGINT) AS cluster_id
           FROM reach GROUP BY 1""",

@@ -1,0 +1,78 @@
+package graft.dedup
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The incremental clustering's one contract: resolved labels after ANY
+  * batch sequence equal the from-scratch clustering over the union of
+  * all pairs — including the hard case, a delta pair merging standing
+  * clusters. Plus the lifecycle: no-op batches, epoch replay refusal,
+  * compact invariance.
+  */
+class ClusterIndexSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def pairsDf(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, Long)].collect().toMap
+
+  test("incremental batches converge to the from-scratch clustering, merges included") {
+    val dir = Files.createTempDirectory("cluster_idx").toString + "/idx"
+    // final graph: chain 1-2-3-4-5, triangle 10-11-12, pair 20-21
+    val b0 = pairsDf(1L -> 2L, 4L -> 5L, 10L -> 11L)
+    val b1 = pairsDf(2L -> 3L, 11L -> 12L)            // grows two clusters
+    val b2 = pairsDf(3L -> 4L, 10L -> 12L, 20L -> 21L) // MERGES {1,2,3}+{4,5}
+    ClusterIndex.build(b0, "id_a", "id_b", dir)
+    val n1 = ClusterIndex.addPairs(spark, dir, b1, "id_a", "id_b", epoch = 1)
+    assert(n1 === 2L, "batch 1 labels the two new vertices (3 and 12)")
+    val n2 = ClusterIndex.addPairs(spark, dir, b2, "id_a", "id_b", epoch = 2)
+    // batch 2: 4 and 5 move to label 1; 20 and 21 appear — 10/12's
+    // intra-cluster shortcut changes nothing
+    assert(n2 === 4L, s"expected 4 relabels, got $n2")
+    val got = labelsOf(ClusterIndex.resolve(spark, dir))
+    val scratch = labelsOf(Dedup.connectedComponents(
+      b0.union(b1).union(b2), "id_a", "id_b"))
+    assert(got === scratch)
+    assert(got(5L) === 1L && got(12L) === 10L && got(21L) === 20L)
+
+    // no-op batch: already-known pairs relabel nothing and resolve is
+    // unchanged; replaying a used epoch id refuses loudly
+    val n3 = ClusterIndex.addPairs(spark, dir,
+      pairsDf(1L -> 2L, 10L -> 11L), "id_a", "id_b", epoch = 3)
+    assert(n3 === 0L)
+    assert(labelsOf(ClusterIndex.resolve(spark, dir)) === scratch)
+    intercept[Exception] {
+      ClusterIndex.addPairs(spark, dir, pairsDf(30L -> 31L),
+        "id_a", "id_b", epoch = 2)
+    }
+    assert(labelsOf(ClusterIndex.resolve(spark, dir)) === scratch,
+      "a refused replay must not half-apply")
+
+    // compact: same resolved labels from a folded base, update log gone
+    ClusterIndex.compact(spark, dir)
+    assert(labelsOf(ClusterIndex.resolve(spark, dir)) === scratch)
+    assert(!new java.io.File(s"$dir/label_updates").exists())
+    // and the index still accepts batches after compaction
+    val n4 = ClusterIndex.addPairs(spark, dir, pairsDf(21L -> 22L),
+      "id_a", "id_b", epoch = 4)
+    assert(n4 === 1L)
+    assert(labelsOf(ClusterIndex.resolve(spark, dir))(22L) === 20L)
+  }
+
+  test("a delta that bridges EVERY standing cluster still resolves exactly") {
+    val dir = Files.createTempDirectory("cluster_idx2").toString + "/idx"
+    val b0 = pairsDf(1L -> 2L, 10L -> 11L, 20L -> 21L)
+    ClusterIndex.build(b0, "id_a", "id_b", dir)
+    val bridge = pairsDf(2L -> 10L, 11L -> 20L)
+    val n = ClusterIndex.addPairs(spark, dir, bridge, "id_a", "id_b", 1)
+    assert(n === 4L, "10,11,20,21 all move to label 1")
+    val got = labelsOf(ClusterIndex.resolve(spark, dir))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 1L, 21L -> 1L))
+  }
+}
