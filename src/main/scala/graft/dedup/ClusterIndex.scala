@@ -102,7 +102,8 @@ object ClusterIndex {
     * member (merge-on-read; one small struct-max aggregate).
     */
   def resolve(spark: SparkSession, dir: String): DataFrame = {
-    val base = spark.read.parquet(s"$dir/labels_base")
+    val base = spark.read.schema("member_id long, cluster_id long")
+      .parquet(s"$dir/labels_base")
       .select(col("member_id"), col("cluster_id"), lit(0L).as("ep"))
     val upd = updatesOpt(spark, dir).map(_.select(col("member_id"),
       col("cluster_id"), (col("epoch").cast("long") + 1L).as("ep")))
@@ -124,13 +125,64 @@ object ClusterIndex {
     Dedup.releasePlan(folded)
   }
 
+  /** Streaming face closing the whole near-dup loop: per trigger the
+    * micro-batch is (1) paired against the standing [[LshIndex]] (cross-
+    * corpus) and against itself (intra-batch) under the index's FROZEN
+    * hash parameters, (2) appended to the LshIndex so later triggers
+    * pair against it, and (3) its pairs folded into THIS clustering
+    * (epoch = trigger epoch + 1, so a replayed trigger refuses via the
+    * mode("error") ledger like every other graft streaming ingest).
+    *
+    * The complementary policy to [[LshIndex.streamingIngest]]: that face
+    * REJECTS near-dups at the door (dedup-on-ingest — right when storage
+    * is the constraint); this face keeps every doc and maintains the
+    * transitive keep/drop state instead (cluster-on-ingest — right when
+    * survivorship wants hindsight, e.g. [[Dedup.keepBest]] choosing the
+    * best member AFTER all duplicates have arrived).
+    */
+  def streamingIngest(spark: SparkSession, lshDir: String,
+      clusterDir: String, stream: DataFrame, idCol: String,
+      textCol: String,
+      threshold: Double): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val b = batch.localCheckpoint()
+        val m = LshIndex.loadMeta(spark, lshDir)
+        val cross = LshIndex.probe(spark, lshDir, b, idCol, textCol,
+            threshold)
+          .select(col("index_id").as("id_a"), col("probe_id").as("id_b"))
+        val intra = Dedup.minhashPairsExact(b, idCol, textCol,
+            shingleN = m.shingleN, numHashes = m.numHashes,
+            bands = m.bands, threshold = threshold, seed = m.seed)
+          .select(col("id_a"), col("id_b"))
+        // pair detection BEFORE the append (a doc must not pair with
+        // itself through the index), append BEFORE clustering (a crash
+        // between the two leaves a detectable gap: pairs present for an
+        // epoch the cluster ledger lacks — re-derivable; the reverse
+        // order would lose detection state silently)
+        val pairs = cross.unionByName(intra).localCheckpoint()
+        LshIndex.append(spark, lshDir, b, idCol, textCol)
+        addPairs(spark, clusterDir, pairs, "id_a", "id_b",
+          epoch = epochId.toInt + 1)
+        ()
+      }
+      .start()
+
+  // explicit schemas: an empty batch writes a part-file-less dir, and
+  // schema INFERENCE over it would throw — declared schemas make empty
+  // epochs (and an empty build) first-class states
   private def readPairs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/pairs").select(col("pa"), col("pb"))
+    spark.read.schema("pa long, pb long").parquet(s"$dir/pairs")
+      .select(col("pa"), col("pb"))
 
   private def updatesOpt(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/label_updates")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    if (fs.exists(p))
+      Some(spark.read.schema("member_id long, cluster_id long")
+        .parquet(p.toString))
+    else None
   }
 
   private def canonical(pairs: DataFrame, aCol: String, bCol: String): DataFrame =

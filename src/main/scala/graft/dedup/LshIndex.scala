@@ -181,9 +181,9 @@ object LshIndex {
     (docs.count(), nT)
   }
 
-  private case class Meta(shingleN: Int, numHashes: Int, bands: Int, seed: Long)
+  private[dedup] case class Meta(shingleN: Int, numHashes: Int, bands: Int, seed: Long)
 
-  private def loadMeta(spark: SparkSession, dir: String): Meta = {
+  private[dedup] def loadMeta(spark: SparkSession, dir: String): Meta = {
     val r = spark.read.parquet(s"$dir/meta")
       .select("shingle_n", "num_hashes", "bands", "seed").head()
     Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))

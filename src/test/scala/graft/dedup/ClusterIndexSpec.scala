@@ -64,6 +64,49 @@ class ClusterIndexSpec extends AnyFunSuite with SparkSpec {
     assert(labelsOf(ClusterIndex.resolve(spark, dir))(22L) === 20L)
   }
 
+  test("streaming ingest: detection and clustering maintained together per trigger") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("cluster_stream").toString
+    val lshDir = s"$base/lsh"
+    val clDir = s"$base/cluster"
+    // seed corpus: two unrelated docs; no standing pairs yet (an EMPTY
+    // build is a first-class state)
+    val w = (1 to 10).map(i => s"w$i").mkString(" ")
+    val seed = Seq(
+      (1L, w),
+      (2L, "zero uno due tre quattro cinque sei sette otto nove")
+    ).toDF("doc_id", "text")
+    LshIndex.build(seed, "doc_id", "text", lshDir)
+    ClusterIndex.build(pairsDf(), "id_a", "id_b", clDir)
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = ClusterIndex.streamingIngest(spark, lshDir, clDir,
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5)
+    try {
+      // trigger 1: near-dup of SEED doc 1 -> cross pair via the index
+      stream.addData((10L, w + " w11"))
+      q.processAllAvailable()
+      val r1 = labelsOf(ClusterIndex.resolve(spark, clDir))
+      assert(r1 === Map(1L -> 1L, 10L -> 1L), s"after trigger 1: $r1")
+
+      // trigger 2: near-dup of the TRIGGER-1 doc (cross-trigger state)
+      // plus a novel doc that must stay unclustered
+      stream.addData((20L, w + " w11 w12"),
+        (21L, "red orange yellow green blue indigo violet pink"))
+      q.processAllAvailable()
+      val r2 = labelsOf(ClusterIndex.resolve(spark, clDir))
+      assert(r2.keySet.contains(20L) && r2(20L) === 1L, s"after trigger 2: $r2")
+      assert(!r2.contains(21L), "the novel doc has no pair, hence no label")
+
+      // the detection index grew too: every streamed doc is probe-able
+      val ids = spark.read.parquet(s"$lshDir/docs")
+        .select("id").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L, 10L, 20L, 21L))
+    } finally q.stop()
+  }
+
   test("a delta that bridges EVERY standing cluster still resolves exactly") {
     val dir = Files.createTempDirectory("cluster_idx2").toString + "/idx"
     val b0 = pairsDf(1L -> 2L, 10L -> 11L, 20L -> 21L)
