@@ -214,9 +214,12 @@ object Bench {
           parseNumMap(extractObj(java.nio.file.Files.readString(p), "floors"))
         else Map.empty
       } catch { case _: Throwable => Map.empty }
-    val movers = BenchDrift.selectMovers(
+    // NO SILENT CAP: every over-ratio query is adjudicated in `drifted`;
+    // the cap only bounds how many get the fresh-JVM retry
+    val overRatio = BenchDrift.selectMovers(
       resultsFull.collect { case (k, _, mn, _, None, _) => (k, mn) },
-      floors, DriftRatio, MaxDriftQueries)
+      floors, DriftRatio, Int.MaxValue)
+    val movers = overRatio.take(MaxDriftQueries)
     var driftError = ""
     def freshJvmMins(names: Seq[String]): Map[String, Double] = {
       def codeDir(c: Class[_]): Option[String] =
@@ -273,7 +276,9 @@ object Bench {
           .map(f => (k, med, f, c, None, rq)).getOrElse(r)
       case r => r
     }
-    val drifted = BenchDrift.unresolved(movers, freshMins, floors, DriftRatio)
+    // adjudicate the FULL over-ratio set: un-retried overflow beyond the
+    // cap lands here with its battery min (no fresh sample to heal it)
+    val drifted = BenchDrift.unresolved(overRatio, freshMins, floors, DriftRatio)
     // Failed queries live ONLY in the `errors` object: a -1 sentinel in the
     // per-query maps would make naive per-query sums disagree with the
     // reported totals (round-12 ADVICE).

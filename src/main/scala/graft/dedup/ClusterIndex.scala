@@ -57,6 +57,9 @@ object ClusterIndex {
   def addPairs(spark: SparkSession, dir: String, newPairs: DataFrame,
       aCol: String, bCol: String, epoch: Int): Long = {
     require(epoch > 0, "epoch 0 is the build; batches start at 1")
+    val bad = unsealedEpochs(spark, dir)
+    require(bad.isEmpty,
+      s"unsealed epochs $bad (crashed addPairs) — run ClusterIndex.repair first")
     val np = canonical(newPairs, aCol, bCol).localCheckpoint(true)
     val labels = resolve(spark, dir).localCheckpoint(true)
     // current cluster of every batch endpoint; an unseen vertex is its
@@ -79,8 +82,8 @@ object ClusterIndex {
       .select(col("pa"), col("pb"))
     val relabeled = Dedup.connectedComponents(stored.union(np), "pa", "pb")
       .localCheckpoint(true)
-    // only genuine changes land in the epoch (a no-op batch writes an
-    // empty epoch dir — present for the audit trail, zero rows)
+    // only genuine changes land in the update log (a no-op batch still
+    // records pairs + seal, so its epoch id stays spent)
     val changed = relabeled.join(labels.select(
         col("member_id").as("m0"), col("cluster_id").as("c0")),
         col("member_id") === col("m0"), "left_outer")
@@ -88,25 +91,138 @@ object ClusterIndex {
       .select(col("member_id"), col("cluster_id"))
       .localCheckpoint(true)
     val n = changed.count()
-    // an all-empty-partition parquet write leaves a schema-less dir that
-    // breaks partition-discovery reads — a no-op batch records only its
-    // pairs (whose mode("error") still rejects an epoch replay)
+    // COMMIT ORDER (the DV reserve/write/seal doctrine, small form):
+    //   1. pairs   — the epoch ledger AND the source of truth: every label
+    //                is re-derivable from pairs, never the reverse, so the
+    //                truth lands first (labels-first would let a crash
+    //                strand labels for pairs the store never recorded —
+    //                a later delta would then silently split the cluster)
+    //   2. updates — derived state (skipped when empty: an all-empty-
+    //                partition parquet write leaves a schema-less dir
+    //                that breaks partition-discovery reads)
+    //   3. seal    — single file; readers of the LEDGER trust sealed
+    //                epochs only. addPairs refuses to build on an
+    //                unsealed predecessor (a crash window 1->3) and
+    //                points at [[repair]], which re-derives the labels
+    //                from the recorded pairs and seals.
+    // The pairs mode("error") write is also the replay refusal: a reused
+    // epoch id dies here, before any state changes.
+    np.write.mode("error").parquet(s"$dir/pairs/epoch=$epoch")
     if (n > 0)
       changed.write.mode("error").parquet(s"$dir/label_updates/epoch=$epoch")
-    np.write.mode("error").parquet(s"$dir/pairs/epoch=$epoch")
+    seal(spark, dir, epoch)
     Seq(np, labels, affected, relabeled, changed).foreach(Dedup.releasePlan)
     n
   }
 
+  private def sealPath(dir: String, epoch: Int) =
+    new org.apache.hadoop.fs.Path(s"$dir/seals/epoch_$epoch")
+
+  private def seal(spark: SparkSession, dir: String, epoch: Int): Unit = {
+    val p = sealPath(dir, epoch)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(p.getParent)
+    fs.create(p, false).close()
+  }
+
+  /** True iff `epoch` committed fully (pairs + labels + seal). */
+  def isSealed(spark: SparkSession, dir: String, epoch: Int): Boolean = {
+    val p = sealPath(dir, epoch)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Epochs whose pairs landed but whose seal did not — the crash window
+    * between addPairs' write 1 and write 3. Their labels may be missing
+    * or partial; [[repair]] re-derives them from the recorded pairs.
+    */
+  def unsealedEpochs(spark: SparkSession, dir: String): Seq[Int] = {
+    val pairsP = new org.apache.hadoop.fs.Path(s"$dir/pairs")
+    val fs = pairsP.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(pairsP)) return Nil
+    fs.listStatus(pairsP).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("epoch=") => s.drop(6).toInt }
+      .filter(e => e > 0 && !isSealed(spark, dir, e))
+      .sorted
+  }
+
+  /** Recover from a crashed addPairs: for each unsealed epoch, drop any
+    * partial update dir, re-derive that epoch's labels FROM ITS RECORDED
+    * PAIRS (labels are always a function of pairs), and seal. Safe to
+    * run any time; a no-op on a healthy index.
+    */
+  def repair(spark: SparkSession, dir: String): Seq[Int] = {
+    val bad = unsealedEpochs(spark, dir)
+    bad.foreach { e =>
+      val upd = new org.apache.hadoop.fs.Path(s"$dir/label_updates/epoch=$e")
+      val fs = upd.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(upd, true) // partial or absent either way
+      // replay epoch e's labeling against the state BELOW e: resolve()
+      // over updates < e plus base (epochs are repaired in order, so
+      // earlier repairs are already sealed when later ones replay)
+      val np = spark.read.schema("pa long, pb long")
+        .parquet(s"$dir/pairs/epoch=$e").localCheckpoint(true)
+      val labels = resolveBelow(spark, dir, e).localCheckpoint(true)
+      val eps = np.select(col("pa").as("v"))
+        .union(np.select(col("pb").as("v"))).distinct()
+      val affected = eps.join(labels, col("v") === col("member_id"), "left_outer")
+        .select(coalesce(col("cluster_id"), col("v")).as("albl")).distinct()
+      val stored = spark.read.schema("pa long, pb long")
+        .parquet(s"$dir/pairs")
+        .filter(col("epoch") < e)
+        .select(col("pa"), col("pb"))
+        .join(labels, col("pa") === col("member_id"), "left_outer")
+        .select(col("pa"), col("pb"),
+          coalesce(col("cluster_id"), col("pa")).as("lbl"))
+        .join(affected, col("lbl") === col("albl"), "left_semi")
+        .select(col("pa"), col("pb"))
+      val relabeled = Dedup.connectedComponents(stored.union(np), "pa", "pb")
+      val changed = relabeled.join(labels.select(
+          col("member_id").as("m0"), col("cluster_id").as("c0")),
+          col("member_id") === col("m0"), "left_outer")
+        .filter(col("c0").isNull || col("c0") =!= col("cluster_id"))
+        .select(col("member_id"), col("cluster_id"))
+        .localCheckpoint(true)
+      if (changed.count() > 0)
+        changed.write.mode("error").parquet(s"$dir/label_updates/epoch=$e")
+      seal(spark, dir, e)
+      Seq(np, labels, changed).foreach(Dedup.releasePlan)
+    }
+    bad
+  }
+
+  /** [[resolve]] restricted to update epochs strictly below `e`. */
+  private def resolveBelow(spark: SparkSession, dir: String, e: Int): DataFrame = {
+    val base = spark.read.schema("member_id long, cluster_id long")
+      .parquet(s"$dir/labels_base")
+      .select(col("member_id"), col("cluster_id"), lit(0L).as("ep"))
+    val upd = updatesOpt(spark, dir).map(_.filter(col("epoch") < e)
+      .select(col("member_id"), col("cluster_id"),
+        (col("epoch").cast("long") + 1L).as("ep")))
+    upd.fold(base)(base.unionByName(_))
+      .groupBy(col("member_id"))
+      .agg(max(struct(col("ep"), col("cluster_id"))).as("b"))
+      .select(col("member_id"), col("b.cluster_id").as("cluster_id"))
+  }
+
   /** Current labels: base overlaid with updates, latest epoch wins per
-    * member (merge-on-read; one small struct-max aggregate).
+    * member (merge-on-read; one small struct-max aggregate). Reads
+    * SEALED state only — updates from a crashed (unsealed) epoch are
+    * invisible until [[repair]] re-derives and seals them, so a reader
+    * racing a crash never sees half a merge.
     */
   def resolve(spark: SparkSession, dir: String): DataFrame = {
     val base = spark.read.schema("member_id long, cluster_id long")
       .parquet(s"$dir/labels_base")
       .select(col("member_id"), col("cluster_id"), lit(0L).as("ep"))
-    val upd = updatesOpt(spark, dir).map(_.select(col("member_id"),
-      col("cluster_id"), (col("epoch").cast("long") + 1L).as("ep")))
+    val bad = unsealedEpochs(spark, dir)
+    val upd = updatesOpt(spark, dir).map { u =>
+      val visible =
+        if (bad.isEmpty) u
+        else u.filter(!col("epoch").isin(bad.map(Integer.valueOf): _*))
+      visible.select(col("member_id"), col("cluster_id"),
+        (col("epoch").cast("long") + 1L).as("ep"))
+    }
     upd.fold(base)(base.unionByName(_))
       .groupBy(col("member_id"))
       .agg(max(struct(col("ep"), col("cluster_id"))).as("b"))
@@ -147,24 +263,37 @@ object ClusterIndex {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val b = batch.localCheckpoint()
-        val m = LshIndex.loadMeta(spark, lshDir)
-        val cross = LshIndex.probe(spark, lshDir, b, idCol, textCol,
-            threshold)
-          .select(col("index_id").as("id_a"), col("probe_id").as("id_b"))
-        val intra = Dedup.minhashPairsExact(b, idCol, textCol,
-            shingleN = m.shingleN, numHashes = m.numHashes,
-            bands = m.bands, threshold = threshold, seed = m.seed)
-          .select(col("id_a"), col("id_b"))
-        // pair detection BEFORE the append (a doc must not pair with
-        // itself through the index), append BEFORE clustering (a crash
-        // between the two leaves a detectable gap: pairs present for an
-        // epoch the cluster ledger lacks — re-derivable; the reverse
-        // order would lose detection state silently)
-        val pairs = cross.unionByName(intra).localCheckpoint()
-        LshIndex.append(spark, lshDir, b, idCol, textCol)
-        addPairs(spark, clusterDir, pairs, "id_a", "id_b",
-          epoch = epochId.toInt + 1)
+        val epoch = epochId.toInt + 1
+        // RESTART IDEMPOTENCY: a re-delivered trigger (no streaming
+        // checkpointLocation, or a recovery replay) whose epoch already
+        // SEALED is skipped whole — without this, the LshIndex.append
+        // below would re-run before addPairs' ledger could refuse,
+        // duplicating the batch's docs in the detection index
+        if (!isSealed(spark, clusterDir, epoch)) {
+          val b = batch.localCheckpoint()
+          val m = LshIndex.loadMeta(spark, lshDir)
+          val cross = LshIndex.probe(spark, lshDir, b, idCol, textCol,
+              threshold)
+            .select(col("index_id").as("id_a"), col("probe_id").as("id_b"))
+          val intra = Dedup.minhashPairsExact(b, idCol, textCol,
+              shingleN = m.shingleN, numHashes = m.numHashes,
+              bands = m.bands, threshold = threshold, seed = m.seed)
+            .select(col("id_a"), col("id_b"))
+          // pair detection BEFORE the append (a doc must not pair with
+          // itself through the index). A crash AFTER the append but
+          // before the seal re-runs the whole trigger: the re-append
+          // duplicates doc rows in the LSH store — pair CORRECTNESS is
+          // unaffected (candidates and pairs are distinct-ed, addPairs
+          // canonicalizes), only doc counts inflate until an
+          // LshIndex.compact folds them
+          val pairs = cross.unionByName(intra).localCheckpoint()
+          LshIndex.append(spark, lshDir, b, idCol, textCol)
+          addPairs(spark, clusterDir, pairs, "id_a", "id_b", epoch)
+          // per-trigger checkpoints die with the trigger, not with GC
+          // (the freeCheckpoint doctrine — a standing query must not
+          // accumulate batch-scale blocks across triggers)
+          Seq(b, pairs).foreach(Dedup.releasePlan)
+        }
         ()
       }
       .start()

@@ -147,7 +147,10 @@ object Dedup {
     * direction keeps its k best under the total order (jaccard desc,
     * neighbor_id asc — ties deterministic). A doc with no
     * retained-shingle co-candidate emits no row (absent ≠ sim 0, the
-    * BFS-unreached doctrine).
+    * BFS-unreached doctrine). The returned frame is backed by the
+    * checkpointed pair-scale RDD — callers looping over many corpora
+    * should [[releasePlan]] the result after consuming (the
+    * [[connectedComponents]] contract).
     *
     * Scale shape: the pair frame is materialized ONCE (localCheckpoint —
     * the [[connectedComponents]] doctrine: a symmetrizing union would
@@ -640,7 +643,9 @@ object Dedup {
     * (long, long) pairs, union-find with path compression, one small
     * labels frame back — microseconds of CPU replacing diameter × job
     * latency. Larger graphs take the distributed loop unchanged: the cap
-    * (1M pairs ≈ 16 MB collected) bounds driver memory the same way the
+    * (250k pairs ≈ 4 MB of raw longs, ~25 MB as the collected boxed
+    * Tuple2 rows plus transients — sized for DEFAULT driver heaps, not
+    * this box's 16g) bounds driver memory the same way the
     * repo's other driver collects are k-/dim-/query-bounded, and the
     * labeling is identical either way (component minimum; spec-pinned
     * equal on both paths).
@@ -685,7 +690,7 @@ object Dedup {
       bCol: String,
       maxRounds: Int = 48,
       strict: Boolean = true,
-      driverEdgeCap: Long = 1000000L): DataFrame =
+      driverEdgeCap: Long = 250000L): DataFrame =
     connectedComponentsStats(pairs, aCol, bCol, maxRounds, strict,
       driverEdgeCap)._1
 
@@ -704,7 +709,7 @@ object Dedup {
       bCol: String,
       maxRounds: Int = 48,
       strict: Boolean = true,
-      driverEdgeCap: Long = 1000000L): (DataFrame, Int, Long) = {
+      driverEdgeCap: Long = 250000L): (DataFrame, Int, Long) = {
     // materialize the (possibly expensive) pair plan ONCE before the
     // symmetrizing union — both union branches would otherwise re-execute
     // the full upstream pair detection

@@ -754,8 +754,9 @@ object DedupQueries {
       clusterIndexWritten.getOrElseUpdate(d, {
         val src = new java.io.File(s"$d/documents.parquet")
         val stamp = s"${src.lastModified()}_${src.length()}"
+        // v2: sealed-epoch layout (r16 review) — never reuse a pre-seal dir
         val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_cluster_index_${math.abs(d.hashCode)}_$stamp")
+          s"graft_cluster_index_v2_${math.abs(d.hashCode)}_$stamp")
         val marker = new java.io.File(dir, "_graft_index_complete")
         if (!marker.exists()) {
           def rm(f: java.io.File): Unit = {

@@ -247,25 +247,44 @@ object LshIndex {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val b = batch.localCheckpoint() // probed, anti-joined, appended
-        val m = loadMeta(spark, dir) // intra pairs use the FROZEN params
-        // cross pairs vs the index + intra-batch pairs at the same bar.
-        // Admission rule, deterministic: a doc is rejected iff the index
-        // already holds a near-dup of it, or a LOWER-id batchmate is
-        // near-dup to it (order-of-arrival priority within a trigger)
-        val vsIndex = probe(spark, dir, b, idCol, textCol, threshold)
-          .select(col("probe_id").as("_rej"))
-        val intra = Dedup.minhashPairsExact(b, idCol, textCol,
-          shingleN = m.shingleN, numHashes = m.numHashes, bands = m.bands,
-          threshold = threshold, seed = m.seed)
-          .select(greatest(col("id_a"), col("id_b")).as("_rej"))
-        val admitted = b.join(
-          gated(vsIndex.unionByName(intra).distinct()),
-          col(idCol) === col("_rej"), "left_anti")
-          .localCheckpoint() // audit write + append from one frame
-        admitted.withColumn("epoch", lit(epochId))
-          .write.mode("error").parquet(s"$admissionsDir/epoch=$epochId")
-        append(spark, dir, admitted, idCol, textCol)
+        // RESTART IDEMPOTENCY (round-16 review): the admissions dir is
+        // the epoch SEAL — a re-delivered trigger whose seal landed is
+        // skipped whole instead of half-re-running
+        val sealP = new org.apache.hadoop.fs.Path(
+          s"$admissionsDir/epoch=$epochId")
+        val fs = sealP.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(sealP)) {
+          val b = batch.localCheckpoint() // probed, anti-joined, appended
+          val m = loadMeta(spark, dir) // intra pairs use the FROZEN params
+          // cross pairs vs the index + intra-batch pairs at the same bar.
+          // Admission rule, deterministic: a doc is rejected iff the index
+          // already holds a near-dup of it, or a LOWER-id batchmate is
+          // near-dup to it (order-of-arrival priority within a trigger)
+          val vsIndex = probe(spark, dir, b, idCol, textCol, threshold)
+            .select(col("probe_id").as("_rej"))
+          val intra = Dedup.minhashPairsExact(b, idCol, textCol,
+            shingleN = m.shingleN, numHashes = m.numHashes, bands = m.bands,
+            threshold = threshold, seed = m.seed)
+            .select(greatest(col("id_a"), col("id_b")).as("_rej"))
+          val admitted = b.join(
+            gated(vsIndex.unionByName(intra).distinct()),
+            col(idCol) === col("_rej"), "left_anti")
+            .localCheckpoint() // audit write + append from one frame
+          // index append FIRST, admissions ledger-seal SECOND: the
+          // ledger never claims docs the index lacks. The crash window
+          // (append done, seal missing) re-runs the trigger and
+          // re-appends — duplicate doc/posting rows for that epoch's
+          // admitted docs (same-id probe exclusion means a doc cannot
+          // reject its own first-attempt copy), dedupable offline by id;
+          // admission DECISIONS are unaffected. The old seal-first order
+          // was strictly worse: it lost the epoch's docs permanently
+          // while the ledger said admitted
+          append(spark, dir, admitted, idCol, textCol)
+          admitted.withColumn("epoch", lit(epochId))
+            .write.mode("error").parquet(s"$admissionsDir/epoch=$epochId")
+          // per-trigger checkpoints die with the trigger, not with GC
+          Seq(b, admitted).foreach(Dedup.releasePlan)
+        }
         ()
       }
       .start()

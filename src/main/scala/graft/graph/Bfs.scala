@@ -99,6 +99,7 @@ object Bfs {
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(false)
     val sizes = scala.collection.mutable.ArrayBuffer(frontier.count())
+    var pinned: List[DataFrame] = List(frontier)
     var dist = frontier
     var i = 1
     while (i <= iterations && sizes.last > 0L) {
@@ -111,11 +112,19 @@ object Bfs {
         .join(dist.select(col("node")), Seq("node"), "left_anti")
         .localCheckpoint(false)
       sizes += newNodes.count()
+      pinned = newNodes :: pinned
       dist = dist.union(newNodes)
       frontier = newNodes
       i += 1
     }
     edges.unpersist(blocking = false)
-    (dist, sizes.toSeq)
+    // ONE blocking materialization of the result, then free every
+    // per-round frontier block (the distancesFp / freeCheckpoint
+    // discipline) — without this, a bench session strands one
+    // checkpointed frame per BFS round per call until GC; the caller
+    // gets exactly one lineage-free node-scale frame
+    val out = dist.localCheckpoint(true)
+    pinned.foreach(PageRank.freeCheckpoint)
+    (out, sizes.toSeq)
   }
 }

@@ -155,10 +155,15 @@ object IvfIndex {
     * FROZEN centroids (quantizer retrains at rebuild cadence, not ingest
     * cadence — [[cellStats]] is the retrain signal) and APPEND into the
     * hive cell layout; no existing vector file is rewritten. Each epoch
-    * also writes an audit row set (vec_id, cell, epoch) to
-    * `auditDir/epoch=N` with mode("error") — a replayed epoch id fails
-    * loudly instead of double-ingesting, and the audit trail IS the
-    * ingest ledger (which vector arrived when, into which cell). A probe
+    * then writes an audit row set (vec_id, cell, epoch) to
+    * `auditDir/epoch=N` — the ingest ledger (which vector arrived when,
+    * into which cell) AND the epoch seal: a re-delivered trigger whose
+    * audit already landed is skipped whole, so restarts never
+    * double-ingest a completed epoch. The vectors append strictly
+    * precedes the seal — the ledger never claims vectors the index
+    * lacks; the remaining crash window (append done, seal missing)
+    * re-runs the trigger and shows up as count(vectors) > audit total
+    * (dedupable offline by vec_id). A probe
     * in trigger N+1 sees trigger N's vectors through the same
     * partition-pruned [[search]]; IvfIndexSpec pins byte-equal search
     * results against a single batch [[append]] of the same data (same
@@ -170,16 +175,34 @@ object IvfIndex {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        // one checkpoint: the audit write and the index append must see
-        // the SAME assignment (a lazy plan re-evaluated twice could in
-        // principle differ only in row order, but pinning it is free)
-        val assigned = assignCells(batch, idCol, vecCol,
-          loadCentroids(spark, dir)).localCheckpoint()
-        assigned.select(col("vec_id"), col("cell"))
-          .withColumn("epoch", lit(epochId))
-          .write.mode("error").parquet(s"$auditDir/epoch=$epochId")
-        assigned.write.mode("append").partitionBy("cell")
-          .parquet(s"$dir/vectors")
+        // RESTART IDEMPOTENCY: the audit dir doubles as the epoch SEAL —
+        // a re-delivered trigger whose audit already landed is skipped
+        // whole, so a replay never double-appends a completed epoch
+        val sealP = new org.apache.hadoop.fs.Path(s"$auditDir/epoch=$epochId")
+        val fs = sealP.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(sealP)) {
+          // one checkpoint: the append and the ledger must record the
+          // SAME assignment (a lazy plan re-evaluated twice could in
+          // principle differ only in row order, but pinning it is free)
+          val assigned = assignCells(batch, idCol, vecCol,
+            loadCentroids(spark, dir)).localCheckpoint()
+          // vectors FIRST, ledger-seal SECOND: the ledger must never
+          // claim an ingest the index lacks (a crash in between re-runs
+          // the trigger and re-appends — duplicate vector rows for that
+          // epoch, visible as count(vectors) exceeding the audit total,
+          // dedupable offline by vec_id; the reverse order would lose the
+          // epoch's vectors PERMANENTLY while the audit says they
+          // arrived)
+          assigned.write.mode("append").partitionBy("cell")
+            .parquet(s"$dir/vectors")
+          assigned.select(col("vec_id"), col("cell"))
+            .withColumn("epoch", lit(epochId))
+            .write.mode("error").parquet(s"$auditDir/epoch=$epochId")
+          // free the per-trigger checkpoint now, not at GC
+          assigned.queryExecution.logical.collectFirst {
+            case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+          }.foreach(_.unpersist(blocking = false))
+        }
         ()
       }
       .start()

@@ -54,6 +54,22 @@ class BenchDriftSpec extends AnyFunSuite {
       Map("q_d" -> 1.0), 3.0) === Seq(("q_d", 4.0, 1.0)))
   }
 
+  test("no silent cap: over-ratio queries beyond the retry cap still adjudicate as drifted") {
+    // Bench takes movers = selectMovers(..., cap) for the fresh-JVM retry
+    // but feeds the UNCAPPED over-ratio list to unresolved() — overflow
+    // queries land in `drifted` with their battery min
+    val mins = (1 to 12).map(i => (s"q_$i", 10.0 + i))
+    val floors = mins.map { case (k, _) => k -> 1.0 }.toMap
+    val overRatio = BenchDrift.selectMovers(mins, floors, 3.0, Int.MaxValue)
+    assert(overRatio.size === 12)
+    val movers = overRatio.take(8)
+    // fresh JVM heals only the retried 8; the other 4 must still be listed
+    val fresh = movers.map { case (k, _) => k -> 0.5 }.toMap
+    val drifted = BenchDrift.unresolved(overRatio, fresh, floors, 3.0)
+    assert(drifted.map(_._1).toSet ===
+      overRatio.drop(8).map(_._1).toSet)
+  }
+
   test("the committed BENCH_FLOORS.json parses and covers the bench-era catalog") {
     val txt = java.nio.file.Files.readString(
       java.nio.file.Paths.get("BENCH_FLOORS.json"))

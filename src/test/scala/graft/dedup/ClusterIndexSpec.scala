@@ -107,6 +107,34 @@ class ClusterIndexSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("crash recovery: unsealed pairs are invisible until repair re-derives and seals") {
+    val dir = Files.createTempDirectory("cluster_crash").toString + "/idx"
+    ClusterIndex.build(pairsDf(1L -> 2L), "id_a", "id_b", dir)
+    val before = labelsOf(ClusterIndex.resolve(spark, dir))
+    // simulate addPairs crashing between write 1 (pairs) and write 3
+    // (seal): the epoch's pairs land, labels and seal do not
+    pairsDf(2L -> 3L).select(
+        least(col("id_a"), col("id_b")).as("pa"),
+        greatest(col("id_a"), col("id_b")).as("pb"))
+      .write.parquet(s"$dir/pairs/epoch=1")
+    assert(ClusterIndex.unsealedEpochs(spark, dir) === Seq(1))
+    // readers see only committed state; writers refuse to build on it
+    assert(labelsOf(ClusterIndex.resolve(spark, dir)) === before)
+    intercept[IllegalArgumentException] {
+      ClusterIndex.addPairs(spark, dir, pairsDf(3L -> 4L), "id_a", "id_b", 2)
+    }
+    // repair re-derives epoch 1's labels FROM ITS RECORDED PAIRS
+    assert(ClusterIndex.repair(spark, dir) === Seq(1))
+    assert(ClusterIndex.unsealedEpochs(spark, dir) === Nil)
+    val healed = labelsOf(ClusterIndex.resolve(spark, dir))
+    assert(healed === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // and the index accepts batches again, building on the repaired state
+    ClusterIndex.addPairs(spark, dir, pairsDf(3L -> 4L), "id_a", "id_b", 2)
+    assert(labelsOf(ClusterIndex.resolve(spark, dir)) ===
+      labelsOf(Dedup.connectedComponents(
+        pairsDf(1L -> 2L, 2L -> 3L, 3L -> 4L), "id_a", "id_b")))
+  }
+
   test("a delta that bridges EVERY standing cluster still resolves exactly") {
     val dir = Files.createTempDirectory("cluster_idx2").toString + "/idx"
     val b0 = pairsDf(1L -> 2L, 10L -> 11L, 20L -> 21L)

@@ -60,9 +60,16 @@ def main():
             if isinstance(v, (int, float)) and v > 0:
                 samples.setdefault(k, []).append(v)
     # include the working tree's file (the round's own close run) so new
-    # queries get a floor the round AFTER they land
+    # queries get a floor the round AFTER they land — but NOT when it is
+    # byte-identical to the newest committed revision (the normal clean-
+    # checkout state), which would double-count the latest run in every
+    # median and drag floors toward it
     try:
-        wt = json.load(open("BENCH_LOCAL.json"))
+        wt_txt = open("BENCH_LOCAL.json").read()
+        head_txt = subprocess.run(
+            ["git", "show", "HEAD:BENCH_LOCAL.json"],
+            capture_output=True, text=True).stdout
+        wt = json.loads(wt_txt) if wt_txt != head_txt else {}
         if wt.get("contaminated") is False and "sf0.1" in str(wt.get("sf", "")):
             current |= set(wt.get("queries", {}))
             for k, v in wt.get("queries", {}).items():
