@@ -230,6 +230,19 @@ object Bench {
       val sparkJars = codeDir(classOf[SparkSession])
         .map(j => new java.io.File(j).getParent + "/*")
         .getOrElse("/opt/spark/jars/*")
+      // Under `sbt runMain` the codeSource pair above is NOT enough: sbt
+      // forks the app JVM with every dependency jar scattered into its
+      // own target/bg-jobs/<hash>/ directory, so spark-sql's parent dir
+      // holds exactly one jar and the fork died with
+      // NoClassDefFoundError: scala/math/Ordering (measured, r16). But
+      // precisely BECAUSE sbt forks, java.class.path in this process IS
+      // the complete effective classpath — inherit it verbatim (under
+      // tools/run_main.sh it is the working classes+glob form, cwd-
+      // inherited by ProcessBuilder; the codeSource entries stay as a
+      // belt-and-braces union for any in-process launcher).
+      val inherited = System.getProperty("java.class.path", "")
+        .split(java.io.File.pathSeparator).toSeq.filter(_.nonEmpty)
+      val chain = inherited.distinct
       val javaBin = java.nio.file.Paths
         .get(System.getProperty("java.home"), "bin", "java").toString
       val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
@@ -240,7 +253,8 @@ object Bench {
       val outF = java.nio.file.Files.createTempFile("bench_drift", ".json")
       val logF = java.nio.file.Files.createTempFile("bench_drift", ".log")
       val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx16g",
-        "-cp", s"$graftCp:$sparkJars", "graft.Bench")).toArray
+        "-cp", (chain ++ Seq(graftCp, sparkJars)).distinct.mkString(":"),
+        "graft.Bench")).toArray
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
