@@ -412,15 +412,20 @@ private[graft] object BenchDrift {
     "\"([^\"]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(obj)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
-  /** Queries whose fresh min exceeds ratio x committed floor, worst
-    * excess first, capped — the fresh-JVM requery list. Queries without
-    * a floor (new this round) are never movers.
+  /** Queries whose fresh min exceeds ratio x committed floor AND sits at
+    * least `minAbs` seconds above it, worst excess first, capped — the
+    * fresh-JVM requery list. The absolute guard keeps sub-second jitter
+    * out: a 0.14 s query at 0.44 s is ±0.3 s of scheduling noise
+    * (measured r16: same query 0.14/0.25/0.44 across flat-sentinel
+    * runs), not the 9x multi-second outlier class this gate exists for —
+    * q_knn_quantized's 0.5 -> 4.4 s clears both bars. Queries without a
+    * floor (new this round) are never movers.
     */
   def selectMovers(mins: Seq[(String, Double)], floors: Map[String, Double],
-      ratio: Double, cap: Int): Seq[(String, Double)] =
+      ratio: Double, cap: Int, minAbs: Double = 0.75): Seq[(String, Double)] =
     mins
       .filter { case (k, mn) =>
-        floors.get(k).exists(f => f > 0 && mn > ratio * f) }
+        floors.get(k).exists(f => f > 0 && mn > ratio * f && mn - f > minAbs) }
       .sortBy { case (k, mn) => -(mn / floors(k)) }
       .take(cap)
 
@@ -428,9 +433,12 @@ private[graft] object BenchDrift {
     * (query, best min over both JVMs, floor) — the adjudication queue.
     */
   def unresolved(movers: Seq[(String, Double)], fresh: Map[String, Double],
-      floors: Map[String, Double], ratio: Double): Seq[(String, Double, Double)] =
+      floors: Map[String, Double], ratio: Double,
+      minAbs: Double = 0.75): Seq[(String, Double, Double)] =
     movers.flatMap { case (k, mn) =>
       val best = fresh.get(k).filter(_ > 0).fold(mn)(math.min(mn, _))
-      if (best > ratio * floors(k)) Some((k, best, floors(k))) else None
+      if (best > ratio * floors(k) && best - floors(k) > minAbs)
+        Some((k, best, floors(k)))
+      else None
     }
 }

@@ -42,6 +42,22 @@ class BenchDriftSpec extends AnyFunSuite {
       3.0, 8) === Nil)
   }
 
+  test("absolute guard: sub-second jitter over 3x ratio never trips the gate") {
+    // a 0.14s query seen at 0.44s is 3.1x but only +0.3s — scheduling
+    // noise, not the multi-second outlier class (q_join_left_outer, r16)
+    val floors = Map("q_small" -> 0.14, "q_big" -> 0.5)
+    assert(BenchDrift.selectMovers(Seq("q_small" -> 0.44), floors, 3.0, 8)
+      === Nil)
+    // q_knn_quantized's real r15 outlier clears both bars
+    assert(BenchDrift.selectMovers(Seq("q_big" -> 4.43), floors, 3.0, 8)
+      === Seq("q_big" -> 4.43))
+    // same guard on the adjudication side
+    assert(BenchDrift.unresolved(Seq("q_small" -> 0.44), Map.empty,
+      floors, 3.0) === Nil)
+    assert(BenchDrift.unresolved(Seq("q_big" -> 4.43), Map.empty,
+      floors, 3.0) === Seq(("q_big", 4.43, 0.5)))
+  }
+
   test("unresolved: fresh JVM heals below ratio x floor; failure to heal stays listed") {
     val movers = Seq("q_a" -> 9.0, "q_b" -> 9.0, "q_c" -> 9.0)
     val floors = Map("q_a" -> 1.0, "q_b" -> 1.0, "q_c" -> 1.0)
