@@ -399,12 +399,21 @@ object Bench {
 private[graft] object BenchDrift {
 
   /** The flat `{"name":num,...}` object following `"key"` — first '}'
-    * closes (every map this gate reads is flat by construction).
+    * closes (every map this gate reads is flat by construction). The
+    * anchor (r17 ADVICE fix) requires the literal `"key":{` shape and
+    * takes its LAST occurrence: in the fresh-JVM envelope the `errors`
+    * object PRECEDES `queries`, and the old first-`"key"`-then-first-`{`
+    * scan could mis-anchor on an escaped error message containing the
+    * key. An escaped occurrence inside a JSON string cannot match this
+    * shape (its quotes appear as `\"` — no bare `"key"` token), and the
+    * real key occurs at most once per envelope.
     */
   def extractObj(json: String, key: String): String = {
-    val i = json.indexOf("\"" + key + "\"")
-    val s = if (i < 0) -1 else json.indexOf('{', i)
-    val e = if (s < 0) -1 else json.indexOf('}', s)
+    val re = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\\{").r
+    val ms = re.findAllMatchIn(json).toSeq
+    if (ms.isEmpty) return ""
+    val s = json.indexOf('{', ms.last.start)
+    val e = json.indexOf('}', s)
     if (e < 0) "" else json.substring(s, e + 1)
   }
 

@@ -55,7 +55,7 @@ object ClusterIndex {
     * pairs inside existing clusters — still recorded, labels unchanged).
     */
   def addPairs(spark: SparkSession, dir: String, newPairs: DataFrame,
-      aCol: String, bCol: String, epoch: Int): Long = {
+      aCol: String, bCol: String, epoch: Long): Long = {
     require(epoch > 0, "epoch 0 is the build; batches start at 1")
     val bad = unsealedEpochs(spark, dir)
     require(bad.isEmpty,
@@ -115,10 +115,10 @@ object ClusterIndex {
     n
   }
 
-  private def sealPath(dir: String, epoch: Int) =
+  private def sealPath(dir: String, epoch: Long) =
     new org.apache.hadoop.fs.Path(s"$dir/seals/epoch_$epoch")
 
-  private def seal(spark: SparkSession, dir: String, epoch: Int): Unit = {
+  private def seal(spark: SparkSession, dir: String, epoch: Long): Unit = {
     val p = sealPath(dir, epoch)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(p.getParent)
@@ -126,7 +126,7 @@ object ClusterIndex {
   }
 
   /** True iff `epoch` committed fully (pairs + labels + seal). */
-  def isSealed(spark: SparkSession, dir: String, epoch: Int): Boolean = {
+  def isSealed(spark: SparkSession, dir: String, epoch: Long): Boolean = {
     val p = sealPath(dir, epoch)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
@@ -135,13 +135,13 @@ object ClusterIndex {
     * between addPairs' write 1 and write 3. Their labels may be missing
     * or partial; [[repair]] re-derives them from the recorded pairs.
     */
-  def unsealedEpochs(spark: SparkSession, dir: String): Seq[Int] = {
+  def unsealedEpochs(spark: SparkSession, dir: String): Seq[Long] = {
     val pairsP = new org.apache.hadoop.fs.Path(s"$dir/pairs")
     val fs = pairsP.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(pairsP)) return Nil
     fs.listStatus(pairsP).toSeq
       .map(_.getPath.getName)
-      .collect { case s if s.startsWith("epoch=") => s.drop(6).toInt }
+      .collect { case s if s.startsWith("epoch=") => s.drop(6).toLong }
       .filter(e => e > 0 && !isSealed(spark, dir, e))
       .sorted
   }
@@ -151,7 +151,7 @@ object ClusterIndex {
     * PAIRS (labels are always a function of pairs), and seal. Safe to
     * run any time; a no-op on a healthy index.
     */
-  def repair(spark: SparkSession, dir: String): Seq[Int] = {
+  def repair(spark: SparkSession, dir: String): Seq[Long] = {
     val bad = unsealedEpochs(spark, dir)
     bad.foreach { e =>
       val upd = new org.apache.hadoop.fs.Path(s"$dir/label_updates/epoch=$e")
@@ -192,7 +192,7 @@ object ClusterIndex {
   }
 
   /** [[resolve]] restricted to update epochs strictly below `e`. */
-  private def resolveBelow(spark: SparkSession, dir: String, e: Int): DataFrame = {
+  private def resolveBelow(spark: SparkSession, dir: String, e: Long): DataFrame = {
     val base = spark.read.schema("member_id long, cluster_id long")
       .parquet(s"$dir/labels_base")
       .select(col("member_id"), col("cluster_id"), lit(0L).as("ep"))
@@ -219,7 +219,7 @@ object ClusterIndex {
     val upd = updatesOpt(spark, dir).map { u =>
       val visible =
         if (bad.isEmpty) u
-        else u.filter(!col("epoch").isin(bad.map(Integer.valueOf): _*))
+        else u.filter(!col("epoch").isin(bad.map(java.lang.Long.valueOf): _*))
       visible.select(col("member_id"), col("cluster_id"),
         (col("epoch").cast("long") + 1L).as("ep"))
     }
@@ -255,15 +255,26 @@ object ClusterIndex {
     * transitive keep/drop state instead (cluster-on-ingest — right when
     * survivorship wants hindsight, e.g. [[Dedup.keepBest]] choosing the
     * best member AFTER all duplicates have arrived).
+    *
+    * `epochBase` (r17 ADVICE fix) maps trigger ids into the cluster
+    * ledger: cluster epoch = epochBase + trigger epoch + 1. When batch
+    * [[addPairs]] epochs preceded streaming, pass
+    * [[maxRecordedEpoch]](clusterDir) — with the default 0 the first
+    * trigger would collide with batch epoch 1 and the mode("error")
+    * pairs write would kill the query. The base is FIXED for the
+    * stream's lifetime: on a crash-recovery restart pass the SAME value
+    * (the checkpoint resumes trigger ids, so the replayed trigger maps
+    * to its original — sealed — epoch and is skipped; recomputing the
+    * base at restart would shift the mapping and double-ingest).
     */
   def streamingIngest(spark: SparkSession, lshDir: String,
       clusterDir: String, stream: DataFrame, idCol: String,
-      textCol: String,
-      threshold: Double): org.apache.spark.sql.streaming.StreamingQuery =
+      textCol: String, threshold: Double,
+      epochBase: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val epoch = epochId.toInt + 1
+        val epoch = epochBase + epochId + 1
         // RESTART IDEMPOTENCY: a re-delivered trigger (no streaming
         // checkpointLocation, or a recovery replay) whose epoch already
         // SEALED is skipped whole — without this, the LshIndex.append
@@ -297,6 +308,19 @@ object ClusterIndex {
         ()
       }
       .start()
+
+  /** Highest epoch the pairs ledger has recorded (0 = build only; -1 =
+    * no index yet) — the `epochBase` a caller passes to
+    * [[streamingIngest]] when batch [[addPairs]] epochs precede it.
+    */
+  def maxRecordedEpoch(spark: SparkSession, dir: String): Long = {
+    val pairsP = new org.apache.hadoop.fs.Path(s"$dir/pairs")
+    val fs = pairsP.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(pairsP)) return -1L
+    val es = fs.listStatus(pairsP).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("epoch=") => s.drop(6).toLong }
+    if (es.isEmpty) -1L else es.max
+  }
 
   // explicit schemas: an empty batch writes a part-file-less dir, and
   // schema INFERENCE over it would throw — declared schemas make empty

@@ -247,13 +247,17 @@ object LshIndex {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        // RESTART IDEMPOTENCY (round-16 review): the admissions dir is
-        // the epoch SEAL — a re-delivered trigger whose seal landed is
-        // skipped whole instead of half-re-running
-        val sealP = new org.apache.hadoop.fs.Path(
-          s"$admissionsDir/epoch=$epochId")
-        val fs = sealP.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(sealP)) {
+        // RESTART IDEMPOTENCY (round-16 review, r17 ADVICE fix): the
+        // admissions EPOCH COMMIT is the seal — gated on the committer's
+        // _SUCCESS marker, not dir existence (Spark creates the dir at
+        // job setup, so a crash mid-admissions-write leaves it present;
+        // existence-gating would skip the replay whole and the ledger
+        // would stay permanently partial while the index append already
+        // happened). A crashed partial dir is cleared so the replay's
+        // mode("error") write can land.
+        val epochDir = s"$admissionsDir/epoch=$epochId"
+        if (!graft.io.EpochCommit.committed(spark, epochDir)) {
+          graft.io.EpochCommit.clearPartial(spark, epochDir)
           val b = batch.localCheckpoint() // probed, anti-joined, appended
           val m = loadMeta(spark, dir) // intra pairs use the FROZEN params
           // cross pairs vs the index + intra-batch pairs at the same bar.
@@ -281,7 +285,7 @@ object LshIndex {
           // while the ledger said admitted
           append(spark, dir, admitted, idCol, textCol)
           admitted.withColumn("epoch", lit(epochId))
-            .write.mode("error").parquet(s"$admissionsDir/epoch=$epochId")
+            .write.mode("error").parquet(epochDir)
           // per-trigger checkpoints die with the trigger, not with GC
           Seq(b, admitted).foreach(Dedup.releasePlan)
         }

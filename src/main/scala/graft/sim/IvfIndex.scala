@@ -175,12 +175,16 @@ object IvfIndex {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        // RESTART IDEMPOTENCY: the audit dir doubles as the epoch SEAL —
-        // a re-delivered trigger whose audit already landed is skipped
-        // whole, so a replay never double-appends a completed epoch
-        val sealP = new org.apache.hadoop.fs.Path(s"$auditDir/epoch=$epochId")
-        val fs = sealP.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(sealP)) {
+        // RESTART IDEMPOTENCY (r17 ADVICE fix): the audit EPOCH COMMIT
+        // is the seal — gated on the committer's _SUCCESS marker, not
+        // dir existence (Spark creates the dir at job setup; a crash
+        // mid-audit-write would leave it present, the replay would skip
+        // whole, and the count(vectors)-vs-audit-total reconciliation
+        // would be permanently broken). A crashed partial audit dir is
+        // cleared so the replay's mode("error") write can land.
+        val epochDir = s"$auditDir/epoch=$epochId"
+        if (!graft.io.EpochCommit.committed(spark, epochDir)) {
+          graft.io.EpochCommit.clearPartial(spark, epochDir)
           // one checkpoint: the append and the ledger must record the
           // SAME assignment (a lazy plan re-evaluated twice could in
           // principle differ only in row order, but pinning it is free)
@@ -197,7 +201,7 @@ object IvfIndex {
             .parquet(s"$dir/vectors")
           assigned.select(col("vec_id"), col("cell"))
             .withColumn("epoch", lit(epochId))
-            .write.mode("error").parquet(s"$auditDir/epoch=$epochId")
+            .write.mode("error").parquet(epochDir)
           // free the per-trigger checkpoint now, not at GC
           assigned.queryExecution.logical.collectFirst {
             case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd

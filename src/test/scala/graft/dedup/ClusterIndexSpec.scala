@@ -146,4 +146,41 @@ class ClusterIndexSpec extends AnyFunSuite with SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
       20L -> 1L, 21L -> 1L))
   }
+
+  test("streaming after batch epochs: epochBase = maxRecordedEpoch " +
+      "avoids the ledger collision (r17 ADVICE)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("cluster_base").toString
+    val lshDir = s"$base/lsh"
+    val clDir = s"$base/cluster"
+    val w = (1 to 10).map(i => s"w$i").mkString(" ")
+    LshIndex.build(Seq((1L, w)).toDF("doc_id", "text"),
+      "doc_id", "text", lshDir)
+    ClusterIndex.build(pairsDf(), "id_a", "id_b", clDir)
+    // batch epochs 1 and 2 land BEFORE streaming starts — with the old
+    // epochId.toInt+1 mapping the first trigger would collide with
+    // epoch 1 and the mode("error") pairs write would kill the query
+    ClusterIndex.addPairs(spark, clDir, pairsDf(100L -> 101L),
+      "id_a", "id_b", 1)
+    ClusterIndex.addPairs(spark, clDir, pairsDf(200L -> 201L),
+      "id_a", "id_b", 2)
+    assert(ClusterIndex.maxRecordedEpoch(spark, clDir) === 2L)
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = ClusterIndex.streamingIngest(spark, lshDir, clDir,
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5,
+      epochBase = ClusterIndex.maxRecordedEpoch(spark, clDir))
+    try {
+      stream.addData((10L, w + " w11"))
+      q.processAllAvailable()
+      val r = labelsOf(ClusterIndex.resolve(spark, clDir))
+      // batch labels intact, streamed pair folded in at epoch 3
+      assert(r === Map(100L -> 100L, 101L -> 100L, 200L -> 200L,
+        201L -> 200L, 1L -> 1L, 10L -> 1L), s"resolved $r")
+      assert(ClusterIndex.maxRecordedEpoch(spark, clDir) === 3L)
+      assert(ClusterIndex.unsealedEpochs(spark, clDir).isEmpty)
+    } finally q.stop()
+  }
 }

@@ -170,4 +170,44 @@ class LshIndexSpec extends AnyFunSuite with SparkSpec {
       .count(_.getName.endsWith(".parquet"))
     assert(parts >= 1)
   }
+
+  test("streaming ingest: a crashed partial admissions epoch is healed " +
+      "on replay (seal = _SUCCESS, not dir existence)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = Files.createTempDirectory("lsh_crash").toString
+    val idxDir = s"$t/idx"
+    val admDir = s"$t/adm"
+    LshIndex.build(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", idxDir)
+    // simulate a first attempt that crashed mid-admissions-write: the
+    // epoch dir exists (Spark creates it at job setup, and task output
+    // may be present) but the commit marker never landed — the r17
+    // ADVICE scenario where dir-existence gating would skip the replay
+    // whole and leave the ledger permanently wrong for this epoch
+    Seq((99L, "stale partial row")).toDF("doc_id", "text")
+      .withColumn("epoch", lit(0L)).write.parquet(s"$admDir/epoch=0")
+    assert(new java.io.File(s"$admDir/epoch=0", "_SUCCESS").delete())
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = LshIndex.streamingIngest(spark, idxDir, admDir,
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5)
+    try {
+      stream.addData((11L, "one two three four five six seven eight nine ten"))
+      q.processAllAvailable()
+      // the replayed trigger was NOT skipped: partial cleared, whole
+      // trigger re-run, epoch committed with the true admissions
+      val e0 = spark.read.parquet(s"$admDir/epoch=0")
+        .select("doc_id").as[Long].collect().toSet
+      assert(e0 === Set(11L), s"epoch 0 admissions $e0")
+      assert(new java.io.File(s"$admDir/epoch=0", "_SUCCESS").exists())
+      val ids = spark.read.parquet(s"$idxDir/docs")
+        .select("id").as[Long].collect().toSet
+      assert(ids === Set(1L, 11L))
+    } finally q.stop()
+  }
 }

@@ -200,4 +200,39 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(res(idxDir) === res(twin))
   }
+
+  test("streaming ingest: a crashed partial audit epoch is healed on " +
+      "replay (seal = _SUCCESS, not dir existence)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("ivf_crash").toString
+    val idxDir = s"$base/idx"
+    val auditDir = s"$base/audit"
+    IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", idxDir, nlist = 8, sampleSize = 500, seed = 7L)
+    // crash simulation: audit epoch dir present, no _SUCCESS — the r17
+    // ADVICE scenario where existence-gating would skip the replay and
+    // permanently break the count(vectors)-vs-audit reconciliation
+    Seq((999L, 0, 0L)).toDF("vec_id", "cell", "epoch")
+      .write.parquet(s"$auditDir/epoch=0")
+    assert(new java.io.File(s"$auditDir/epoch=0", "_SUCCESS").delete())
+
+    val v = (0 until 64).map(i => math.sin(i / 3.0 + 0.5) + 0.05 * i)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = IvfIndex.streamingIngest(spark, idxDir, auditDir,
+      stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding")
+    try {
+      stream.addData((1001L, v))
+      q.processAllAvailable()
+      // replay ran: stale partial cleared, true audit row committed
+      val e0 = spark.read.parquet(s"$auditDir/epoch=0")
+      assert(e0.select("vec_id").as[Long].collect().toSet === Set(1001L))
+      assert(new java.io.File(s"$auditDir/epoch=0", "_SUCCESS").exists())
+      // and the vector landed exactly once in the index
+      val n = spark.read.parquet(s"$idxDir/vectors")
+        .filter(col("vec_id") === 1001L).count()
+      assert(n === 1L)
+    } finally q.stop()
+  }
 }
