@@ -200,8 +200,15 @@ object Bench {
     // recurse); floors apply only at the SF they were committed at; any
     // failure in the drift machinery degrades to "drift_error", never to
     // a failed bench.
-    val DriftRatio = 3.0
-    val MaxDriftQueries = 8
+    // TWO tiers (r17): the r16 catastrophe bar (3x AND >0.75 s over
+    // floor) plus a MID-BAND bar (1.75x AND >1.0 s) — q_knn_wide's
+    // published 11.1 s against a 4.22 s floor (2.64x) was invisible to
+    // the single 3x bar by design; multi-second movers in the 1.75-3x
+    // band on the heaviest queries are exactly where real regressions
+    // hide. The published min already takes the best of both JVMs, so
+    // the only cost of the wider net is bounded retry time.
+    val DriftTiers = BenchDrift.DefaultTiers
+    val MaxDriftQueries = 12
     import BenchDrift.{extractObj, parseNumMap}
     val floorsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOORS",
       "/root/repo/BENCH_FLOORS.json")
@@ -214,14 +221,8 @@ object Bench {
           parseNumMap(extractObj(java.nio.file.Files.readString(p), "floors"))
         else Map.empty
       } catch { case _: Throwable => Map.empty }
-    // NO SILENT CAP: every over-ratio query is adjudicated in `drifted`;
-    // the cap only bounds how many get the fresh-JVM retry
-    val overRatio = BenchDrift.selectMovers(
-      resultsFull.collect { case (k, _, mn, _, None, _) => (k, mn) },
-      floors, DriftRatio, Int.MaxValue)
-    val movers = overRatio.take(MaxDriftQueries)
     var driftError = ""
-    def freshJvmMins(names: Seq[String]): Map[String, Double] = {
+    def freshJvmRun(names: Seq[String]): String = {
       def codeDir(c: Class[_]): Option[String] =
         Option(c.getProtectionDomain.getCodeSource).map(cs =>
           new java.io.File(cs.getLocation.toURI).getAbsolutePath)
@@ -264,35 +265,107 @@ object Bench {
       pb.redirectOutput(logF.toFile)
       pb.redirectErrorStream(true)
       val proc = pb.start()
-      if (!proc.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)) {
+      // subset runtime scales with the subset (warmup + reps per query):
+      // the r16 fixed 900 s was sized for <=8 heavy movers; a recovery
+      // subset can be dozens of light queries
+      val timeoutSec = math.max(900L, 120L + 20L * names.size)
+      if (!proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
         proc.destroyForcibly()
         throw new RuntimeException(s"fresh-JVM requery timed out (log: $logF)")
       }
       if (proc.exitValue() != 0)
         throw new RuntimeException(
           s"fresh-JVM requery exited ${proc.exitValue()} (log: $logF)")
-      parseNumMap(extractObj(java.nio.file.Files.readString(outF), "queries"))
+      java.nio.file.Files.readString(outF)
     }
+    def minsOf(envelope: String): Map[String, Double] =
+      parseNumMap(extractObj(envelope, "queries"))
+    // ---- CONTAMINATION RECOVERY (r17, verdict task 1): when the
+    // run-level verdict is dirty the instrument previously published the
+    // poisoned number and stopped (BENCH_r16 shipped `contaminated:
+    // true` with 9 queries 1.5-11x over floor that a judge had to
+    // re-adjudicate by hand). The recovery move: cooldown-wait until the
+    // single-thread sentinel returns under the gate (bounded tries),
+    // then re-measure ONLY the inflated subset (>1.5x floor and >0.15 s
+    // absolute excess, biggest absolute excess first) in the existing
+    // fresh-JVM subset mode, and trust it only if that JVM's own
+    // sentinels were clean. Outcome lands in the envelope: either the
+    // final artifact is clean (recovered) or it carries an explicit
+    // `contamination_unresolved` stamp — never a silently dirty number.
+    val calGate = GateRatio * CalFloorSec
+    val runContaminated = gateFailed || calMid > calGate || calPost > calGate
+    val RecoveryRatio = 1.5
+    val RecoveryAbs = 0.15
+    val RecoveryCap = 48
+    val MaxCooldownTries = 10
+    var recCooldownTries = 0
+    var recQuiet = false
+    var recClean = false
+    var recAttempted = false
+    var recError = ""
+    var recMins: Map[String, Double] = Map.empty
+    var recSubsetN = 0
+    if (runContaminated && floors.nonEmpty) {
+      recAttempted = true
+      val (calNow, tries) = BenchDrift.cooldownUntilQuiet(
+        () => calibrate(), calGate, MaxCooldownTries,
+        () => Thread.sleep(CooldownMs))
+      recCooldownTries = tries
+      recQuiet = calNow <= calGate
+      if (recQuiet) {
+        val subset = BenchDrift.recoverySubset(
+          resultsFull.collect { case (k, _, mn, _, None, _) => (k, mn) },
+          floors, RecoveryRatio, RecoveryAbs, RecoveryCap)
+        recSubsetN = subset.size
+        if (subset.isEmpty) recClean = true // nothing inflated past the bar
+        else try {
+          val env = freshJvmRun(subset)
+          recClean = BenchDrift.envelopeClean(env, calGate)
+          recMins = minsOf(env)
+        } catch { case e: Throwable =>
+          recError =
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
+        }
+      }
+    }
+    // merge recovery measurements: min over both JVMs (the min stays
+    // contamination-immune — the recovery JVM is one more rep window);
+    // the battery median keeps documenting in-battery conditions
+    val resultsRecovered = resultsFull.map {
+      case r @ (k, med, mn, c, None, rq) =>
+        recMins.get(k).filter(f => f > 0 && f < mn)
+          .map(f => (k, med, f, c, None, rq)).getOrElse(r)
+      case r => r
+    }
+    val recHealed = resultsFull.collect {
+      case (k, _, mn, _, None, _)
+        if recMins.get(k).exists(f => f > 0 && f < mn) => (k, mn, recMins(k))
+    }
+    // ---- drift gate, over the RECOVERED mins (a healed query must not
+    // waste a drift retry). NO SILENT CAP: every over-tier query is
+    // adjudicated in `drifted`; the cap only bounds the fresh-JVM retries.
+    val overRatio = BenchDrift.selectMoversTiered(
+      resultsRecovered.collect { case (k, _, mn, _, None, _) => (k, mn) },
+      floors, DriftTiers, Int.MaxValue)
+    val movers = overRatio.take(MaxDriftQueries)
     val freshMins: Map[String, Double] =
       if (movers.isEmpty) Map.empty
-      else try freshJvmMins(movers.map(_._1))
+      else try minsOf(freshJvmRun(movers.map(_._1)))
       catch { case e: Throwable =>
         driftError =
           s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
         Map.empty
       }
-    // published stats: min over both JVMs (min stays contamination-immune
-    // — the fresh JVM is one more rep window); the battery's median keeps
-    // documenting in-battery conditions
-    val publishedFull = resultsFull.map {
+    val publishedFull = resultsRecovered.map {
       case r @ (k, med, mn, c, None, rq) =>
         freshMins.get(k).filter(f => f > 0 && f < mn)
           .map(f => (k, med, f, c, None, rq)).getOrElse(r)
       case r => r
     }
-    // adjudicate the FULL over-ratio set: un-retried overflow beyond the
-    // cap lands here with its battery min (no fresh sample to heal it)
-    val drifted = BenchDrift.unresolved(overRatio, freshMins, floors, DriftRatio)
+    // adjudicate the FULL over-tier set: un-retried overflow beyond the
+    // cap lands here with its best min (no fresh sample to heal it)
+    val drifted =
+      BenchDrift.unresolvedTiered(overRatio, freshMins, floors, DriftTiers)
     // Failed queries live ONLY in the `errors` object: a -1 sentinel in the
     // per-query maps would make naive per-query sums disagree with the
     // reported totals (round-12 ADVICE).
@@ -328,8 +401,12 @@ object Bench {
     // char budget naming healed queries instead of reporting timings
     val requeriedJson =
       requeried.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
-    val contaminated = gateFailed ||
-      calMid > GateRatio * CalFloorSec || calPost > GateRatio * CalFloorSec
+    // FINAL verdict: a contaminated run that recovered (box quieted,
+    // inflated subset re-measured in a clean fresh JVM) publishes a
+    // clean artifact; one that could not recover keeps the contaminated
+    // stamp plus an explicit `contamination_unresolved`
+    val (contaminated, contaminationUnresolved) = BenchDrift.finalVerdict(
+      runContaminated, recAttempted, recQuiet, recClean)
     // drift-gate envelope: which movers were re-tried in a fresh JVM,
     // which were healed by it (orig -> published), and which remain above
     // DriftRatio x floor after the fresh JVM — the adjudication queue
@@ -341,11 +418,20 @@ object Bench {
     val driftedJson = drifted.map { case (k, mn, fl) =>
       s"""{"q":"$k","min":${cal3(mn)},"floor":${cal3(fl)}}"""
     }.mkString("[", ",", "]")
+    val tiersJson = DriftTiers
+      .map { case (r, a) => s"[$r,$a]" }.mkString("[", ",", "]")
     val driftJson =
-      s""""floors_n":${floors.size},"drift_ratio":$DriftRatio,"drift_checked":${movers.map("\"" + _._1 + "\"").mkString("[", ",", "]")},"drift_healed":$driftHealedJson,"drifted":$driftedJson""" +
+      s""""floors_n":${floors.size},"drift_tiers":$tiersJson,"drift_checked":${movers.map("\"" + _._1 + "\"").mkString("[", ",", "]")},"drift_healed":$driftHealedJson,"drifted":$driftedJson""" +
         (if (driftError.nonEmpty) s""","drift_error":"${jesc(driftError)}"""" else "")
+    // recovery envelope (only when attempted — the clean-run common case
+    // spends none of the compact line's budget on it)
+    val recHealedJson = recHealed.take(20).map { case (k, from, to) =>
+      s"""{"q":"$k","from":${cal3(from)},"to":${cal3(to)}}"""
+    }.mkString("[", ",", "]")
+    val recoveryJson = if (!recAttempted) "" else
+      s""","contamination_unresolved":$contaminationUnresolved,"contamination_recovery":{"cooldown_tries":$recCooldownTries,"quiet":$recQuiet,"subset_n":$recSubsetN,"env_clean":$recClean,"healed_n":${recHealed.size},"healed":$recHealedJson${if (recError.nonEmpty) s""","error":"${jesc(recError)}"""" else ""}}"""
     val calJson =
-      s""""calibration_sec":{"pre":${cal3(calPre)},"mid":${cal3(calMid)},"post":${cal3(calPost)}},"calibration_par_sec":{"threads":$nThreads,"pre":${cal3(calPrePar)},"mid":${cal3(calMidPar)},"post":${cal3(calPostPar)}},"cal_floor":$CalFloorSec,"cooldown_retries":$cooldownRetries,"contaminated":$contaminated,"cal_q_spread":${cal3(calSpread)},"cal_q_spread_raw":${cal3(calSpreadRaw)},"requeried_n":${requeried.size},"requeried":$requeriedJson,$driftJson"""
+      s""""calibration_sec":{"pre":${cal3(calPre)},"mid":${cal3(calMid)},"post":${cal3(calPost)}},"calibration_par_sec":{"threads":$nThreads,"pre":${cal3(calPrePar)},"mid":${cal3(calMidPar)},"post":${cal3(calPostPar)}},"cal_floor":$CalFloorSec,"cooldown_retries":$cooldownRetries,"contaminated":$contaminated$recoveryJson,"cal_q_spread":${cal3(calSpread)},"cal_q_spread_raw":${cal3(calSpreadRaw)},"requeried_n":${requeried.size},"requeried":$requeriedJson,$driftJson"""
     val fullJson =
       s"""{"metric":"total","value":$totalMin,"unit":"sec","reps":$reps,"stat":"min_of_reps",$calJson,"total_median":$totalMedian,"nq_failed":${errEntries.size},"errors":$errJson,"queries":$qsMin,"queries_median":$qsMedian,"cal_per_query":$qsCal,"sf":"$sfDir"}"""
     // Persist the full per-query set (the durable machine-readable
@@ -421,33 +507,115 @@ private[graft] object BenchDrift {
     "\"([^\"]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(obj)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
-  /** Queries whose fresh min exceeds ratio x committed floor AND sits at
-    * least `minAbs` seconds above it, worst excess first, capped — the
-    * fresh-JVM requery list. The absolute guard keeps sub-second jitter
-    * out: a 0.14 s query at 0.44 s is ±0.3 s of scheduling noise
-    * (measured r16: same query 0.14/0.25/0.44 across flat-sentinel
-    * runs), not the 9x multi-second outlier class this gate exists for —
-    * q_knn_quantized's 0.5 -> 4.4 s clears both bars. Queries without a
-    * floor (new this round) are never movers.
+  /** A (ratio, minAbs) pair trips when min > ratio x floor AND
+    * min - floor > minAbs. Two committed tiers (r16 verdict task 2):
+    * the catastrophe tier (3x, 0.75 s — the q_knn_quantized 0.5 -> 4.4 s
+    * class) and the MID-BAND tier (1.75x, 1.0 s — the q_knn_wide
+    * 11.1-s-vs-4.22-floor class that sat invisibly between jitter and
+    * catastrophe in r16). The absolute guards keep sub-second scheduling
+    * jitter out (measured r16: a 0.14 s query ranging 0.14/0.25/0.44
+    * across flat-sentinel runs).
     */
-  def selectMovers(mins: Seq[(String, Double)], floors: Map[String, Double],
-      ratio: Double, cap: Int, minAbs: Double = 0.75): Seq[(String, Double)] =
+  val DefaultTiers: Seq[(Double, Double)] = Seq((3.0, 0.75), (1.75, 1.0))
+
+  private def trips(mn: Double, floor: Double,
+      tiers: Seq[(Double, Double)]): Boolean =
+    floor > 0 && tiers.exists { case (r, a) => mn > r * floor && mn - floor > a }
+
+  /** Queries tripping ANY tier, worst ratio-excess first, capped — the
+    * fresh-JVM requery list. Queries without a floor (new this round)
+    * are never movers.
+    */
+  def selectMoversTiered(mins: Seq[(String, Double)],
+      floors: Map[String, Double], tiers: Seq[(Double, Double)],
+      cap: Int): Seq[(String, Double)] =
     mins
-      .filter { case (k, mn) =>
-        floors.get(k).exists(f => f > 0 && mn > ratio * f && mn - f > minAbs) }
+      .filter { case (k, mn) => floors.get(k).exists(trips(mn, _, tiers)) }
       .sortBy { case (k, mn) => -(mn / floors(k)) }
       .take(cap)
 
-  /** Movers the fresh JVM did NOT bring back under ratio x floor:
-    * (query, best min over both JVMs, floor) — the adjudication queue.
+  /** Single-tier form (the original r16 gate — kept as the tiered
+    * selection's one-tier special case).
     */
+  def selectMovers(mins: Seq[(String, Double)], floors: Map[String, Double],
+      ratio: Double, cap: Int, minAbs: Double = 0.75): Seq[(String, Double)] =
+    selectMoversTiered(mins, floors, Seq((ratio, minAbs)), cap)
+
+  /** Movers whose best min over both JVMs STILL trips a tier:
+    * (query, best min, floor) — the adjudication queue.
+    */
+  def unresolvedTiered(movers: Seq[(String, Double)],
+      fresh: Map[String, Double], floors: Map[String, Double],
+      tiers: Seq[(Double, Double)]): Seq[(String, Double, Double)] =
+    movers.flatMap { case (k, mn) =>
+      val best = fresh.get(k).filter(_ > 0).fold(mn)(math.min(mn, _))
+      if (trips(best, floors(k), tiers)) Some((k, best, floors(k)))
+      else None
+    }
+
   def unresolved(movers: Seq[(String, Double)], fresh: Map[String, Double],
       floors: Map[String, Double], ratio: Double,
       minAbs: Double = 0.75): Seq[(String, Double, Double)] =
-    movers.flatMap { case (k, mn) =>
-      val best = fresh.get(k).filter(_ > 0).fold(mn)(math.min(mn, _))
-      if (best > ratio * floors(k) && best - floors(k) > minAbs)
-        Some((k, best, floors(k)))
-      else None
-    }
+    unresolvedTiered(movers, fresh, floors, Seq((ratio, minAbs)))
+
+  // ---- contamination recovery (r16 verdict task 1): the instrument's
+  // move when the RUN-level verdict is dirty — previously it published
+  // the poisoned artifact and stopped (BENCH_r16 shipped contaminated).
+  // Protocol: cooldown-wait until the calibration sentinel quiets, then
+  // re-measure ONLY the inflated subset in the existing fresh-JVM subset
+  // mode, and stamp the final verdict from what actually happened. All
+  // decision logic is pure so BenchSpec can drive a poisoned box without
+  // forking JVMs. ----
+
+  /** Re-run `cal` (sleeping between tries) until it returns <= gate or
+    * maxTries sleeps are spent. Returns (last reading, sleeps used);
+    * quiet iff last reading <= gate.
+    */
+  def cooldownUntilQuiet(cal: () => Double, gate: Double, maxTries: Int,
+      sleep: () => Unit): (Double, Int) = {
+    var c = cal(); var t = 0
+    while (c > gate && t < maxTries) { sleep(); t += 1; c = cal() }
+    (c, t)
+  }
+
+  /** The inflated subset worth re-measuring on a quieted box: min >
+    * ratio x floor AND min - floor > minAbs, biggest ABSOLUTE excess
+    * first (recovery repairs total seconds, unlike the drift gate's
+    * worst-ratio order), capped.
+    */
+  def recoverySubset(mins: Seq[(String, Double)],
+      floors: Map[String, Double], ratio: Double, minAbs: Double,
+      cap: Int): Seq[String] =
+    mins
+      .filter { case (k, mn) =>
+        floors.get(k).exists(f => f > 0 && mn > ratio * f && mn - f > minAbs) }
+      .sortBy { case (k, mn) => -(mn - floors(k)) }
+      .take(cap)
+      .map(_._1)
+
+  /** True iff a fresh-JVM envelope's own run-level sentinels were quiet
+    * (all three calibration readings at or under the gate) — the
+    * recovery measurements are only trustworthy when the subset JVM
+    * itself ran on a clean box.
+    */
+  def envelopeClean(json: String, calGate: Double): Boolean = {
+    val c = parseNumMap(extractObj(json, "calibration_sec"))
+    Seq("pre", "mid", "post").forall(k =>
+      c.get(k).exists(v => v > 0 && v <= calGate))
+  }
+
+  /** The artifact's final stamp: (contaminated, unresolved).
+    * A contaminated run RECOVERS (final artifact clean) only when the
+    * box quieted AND the re-measure subset's own envelope was clean
+    * (an empty subset on a quieted box counts as clean — nothing was
+    * inflated past the recovery bar, so the battery mins already
+    * converged); anything less keeps the contaminated stamp, and an
+    * attempted-but-failed recovery adds the explicit unresolved stamp.
+    */
+  def finalVerdict(runContaminated: Boolean, attempted: Boolean,
+      quiet: Boolean, subsetClean: Boolean): (Boolean, Boolean) =
+    if (!runContaminated) (false, false)
+    else if (!attempted) (true, false)
+    else if (quiet && subsetClean) (false, false)
+    else (true, true)
 }
