@@ -50,18 +50,25 @@ object ClusterIndex {
     Dedup.releasePlan(p)
   }
 
-  /** Fold a delta pair batch into the standing clustering. Returns the
-    * number of members relabeled (0 = the batch only repeated known
-    * pairs inside existing clusters — still recorded, labels unchanged).
+  /** The delta-bounded relabel computation shared by [[addPairs]],
+    * [[addPairsWithBest]], and [[repair]]'s per-epoch replay: canonical
+    * new pairs, pre-batch labels, the touched clusters, the affected
+    * subgraph's fresh labels, and the genuine label changes. Everything
+    * checkpointed; callers release via [[releaseDelta]].
     */
-  def addPairs(spark: SparkSession, dir: String, newPairs: DataFrame,
-      aCol: String, bCol: String, epoch: Long): Long = {
-    require(epoch > 0, "epoch 0 is the build; batches start at 1")
-    val bad = unsealedEpochs(spark, dir)
-    require(bad.isEmpty,
-      s"unsealed epochs $bad (crashed addPairs) — run ClusterIndex.repair first")
+  private case class Delta(np: DataFrame, labels: DataFrame,
+      affected: DataFrame, relabeled: DataFrame, changed: DataFrame,
+      n: Long)
+
+  private def releaseDelta(d: Delta): Unit =
+    Seq(d.np, d.labels, d.affected, d.relabeled, d.changed)
+      .foreach(Dedup.releasePlan)
+
+  private def computeDelta(spark: SparkSession, newPairs: DataFrame,
+      aCol: String, bCol: String, storedPairs: DataFrame,
+      labels0: DataFrame): Delta = {
     val np = canonical(newPairs, aCol, bCol).localCheckpoint(true)
-    val labels = resolve(spark, dir).localCheckpoint(true)
+    val labels = labels0.localCheckpoint(true)
     // current cluster of every batch endpoint; an unseen vertex is its
     // own (singleton) cluster
     val eps = np.select(col("pa").as("v"))
@@ -74,7 +81,7 @@ object ClusterIndex {
     // stored pair share a label by construction, so testing pa suffices);
     // a left_semi on the tiny affected frame — untouched clusters' pairs
     // never flow further
-    val stored = readPairs(spark, dir)
+    val stored = storedPairs
       .join(labels, col("pa") === col("member_id"), "left_outer")
       .select(col("pa"), col("pb"),
         coalesce(col("cluster_id"), col("pa")).as("lbl"))
@@ -90,7 +97,21 @@ object ClusterIndex {
       .filter(col("c0").isNull || col("c0") =!= col("cluster_id"))
       .select(col("member_id"), col("cluster_id"))
       .localCheckpoint(true)
-    val n = changed.count()
+    Delta(np, labels, affected, relabeled, changed, changed.count())
+  }
+
+  /** Fold a delta pair batch into the standing clustering. Returns the
+    * number of members relabeled (0 = the batch only repeated known
+    * pairs inside existing clusters — still recorded, labels unchanged).
+    */
+  def addPairs(spark: SparkSession, dir: String, newPairs: DataFrame,
+      aCol: String, bCol: String, epoch: Long): Long = {
+    require(epoch > 0, "epoch 0 is the build; batches start at 1")
+    val bad = unsealedEpochs(spark, dir)
+    require(bad.isEmpty,
+      s"unsealed epochs $bad (crashed addPairs) — run ClusterIndex.repair first")
+    val d = computeDelta(spark, newPairs, aCol, bCol,
+      readPairs(spark, dir), resolve(spark, dir))
     // COMMIT ORDER (the DV reserve/write/seal doctrine, small form):
     //   1. pairs   — the epoch ledger AND the source of truth: every label
     //                is re-derivable from pairs, never the reverse, so the
@@ -107,12 +128,175 @@ object ClusterIndex {
     //                from the recorded pairs and seals.
     // The pairs mode("error") write is also the replay refusal: a reused
     // epoch id dies here, before any state changes.
-    np.write.mode("error").parquet(s"$dir/pairs/epoch=$epoch")
-    if (n > 0)
-      changed.write.mode("error").parquet(s"$dir/label_updates/epoch=$epoch")
+    d.np.write.mode("error").parquet(s"$dir/pairs/epoch=$epoch")
+    if (d.n > 0)
+      d.changed.write.mode("error").parquet(s"$dir/label_updates/epoch=$epoch")
     seal(spark, dir, epoch)
-    Seq(np, labels, affected, relabeled, changed).foreach(Dedup.releasePlan)
-    n
+    releaseDelta(d)
+    d.n
+  }
+
+  // ---- incremental survivorship (r16 verdict task 4): the keep/drop
+  // DECISION maintained beside the clustering. [[Dedup.keepBest]]
+  // recomputes every cluster's winner from the full resolved labels; at
+  // a standing 100 TB corpus the nightly delta touches a handful of
+  // clusters, and only THEIR winners may be recomputed. On disk, the
+  // labels layout mirrored:
+  //
+  //   dir/best_base/            (cluster_id, keep_id) from buildWithBest
+  //   dir/best_updates/epoch=N/ relabeled clusters' new winners; a
+  //                             cluster that DIED in a merge gets a
+  //                             keep_id NULL tombstone (labels are
+  //                             component minima and pairs only accrete,
+  //                             so a dead cluster id can never return —
+  //                             the tombstone is permanent-safe)
+  //
+  // Readers resolve latest-epoch-wins per cluster and drop tombstones.
+  // Contract (spec + q_dedup_keep_best_incremental oracle):
+  // resolveBest == from-scratch keepBest over the same docs and the
+  // union of all pairs, bit-for-bit, after any batch sequence.
+
+  /** True iff this index maintains the best-member view. */
+  def hasBest(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/best_base")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** [[build]] plus the initial per-cluster winners under
+    * (score desc, id asc). `docs` must cover every pair endpoint (the
+    * corpus table the pairs were detected over); winners are stored by
+    * id only — scores live in the corpus, never denormalized into the
+    * index.
+    */
+  def buildWithBest(pairs: DataFrame, aCol: String, bCol: String,
+      docs: DataFrame, idCol: String, score: org.apache.spark.sql.Column,
+      dir: String): Unit = {
+    val spark = pairs.sparkSession
+    val p = canonical(pairs, aCol, bCol).localCheckpoint(true)
+    p.write.mode("error").parquet(s"$dir/pairs/epoch=0")
+    val labels0 = Dedup.connectedComponents(p, "pa", "pb")
+      .localCheckpoint(true)
+    labels0.write.mode("error").parquet(s"$dir/labels_base")
+    winnersOf(labels0, docs, idCol, score)
+      .write.mode("error").parquet(s"$dir/best_base")
+    Seq(p, labels0).foreach(Dedup.releasePlan)
+  }
+
+  /** Per-cluster winner of the given (member, label) frame: ONE
+    * aggregate, max over struct(score, -id, id) — the
+    * [[Dedup.keepBest]] selection rule verbatim.
+    */
+  private def winnersOf(labels: DataFrame, docs: DataFrame, idCol: String,
+      score: org.apache.spark.sql.Column): DataFrame =
+    docs.select(col(idCol).cast("long").as("__id"), score.as("__score"))
+      .join(labels, col("member_id") === col("__id"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("__score"), (-col("__id")).as("__negid"),
+        col("__id"))).as("b"))
+      .select(col("cluster_id"), col("b.__id").as("keep_id"))
+
+  /** The epoch's best-updates write: fresh winners for every cluster of
+    * the affected subgraph (delta-bounded — `relabeled` holds exactly
+    * the members of touched clusters; the docs join is a semi-pruned
+    * lookup, never a corpus scan) plus tombstones for the cluster ids
+    * the batch merged away. Skipped whole when the batch changed no
+    * membership (winners can only change when membership does — scores
+    * are immutable here).
+    */
+  private def writeBestUpdates(spark: SparkSession, dir: String, d: Delta,
+      docs: DataFrame, idCol: String, score: org.apache.spark.sql.Column,
+      epoch: Long): Unit = {
+    if (d.n == 0) return
+    val winners = winnersOf(d.relabeled, docs, idCol, score)
+    val dead = d.affected.join(
+        d.relabeled.select(col("cluster_id")).distinct(),
+        col("albl") === col("cluster_id"), "left_anti")
+      .select(col("albl").as("cluster_id"),
+        lit(null).cast("long").as("keep_id"))
+    val upd = winners.unionByName(dead).localCheckpoint(true)
+    if (upd.count() > 0)
+      upd.write.mode("error").parquet(s"$dir/best_updates/epoch=$epoch")
+    Dedup.releasePlan(upd)
+  }
+
+  /** [[addPairs]] on a [[buildWithBest]] index: same ledger, same commit
+    * order, with the affected clusters' winners re-derived in the same
+    * epoch (write order pairs -> label updates -> best updates -> seal;
+    * both update faces are pure functions of pairs + docs, so
+    * [[repairWithBest]] re-derives them for any crash window). Returns
+    * members relabeled.
+    */
+  def addPairsWithBest(spark: SparkSession, dir: String,
+      newPairs: DataFrame, aCol: String, bCol: String, docs: DataFrame,
+      idCol: String, score: org.apache.spark.sql.Column,
+      epoch: Long): Long = {
+    require(epoch > 0, "epoch 0 is the build; batches start at 1")
+    require(hasBest(spark, dir),
+      "not a best-enabled index — build with buildWithBest, or use addPairs")
+    val bad = unsealedEpochs(spark, dir)
+    require(bad.isEmpty,
+      s"unsealed epochs $bad (crashed addPairs) — run repairWithBest first")
+    val d = computeDelta(spark, newPairs, aCol, bCol,
+      readPairs(spark, dir), resolve(spark, dir))
+    d.np.write.mode("error").parquet(s"$dir/pairs/epoch=$epoch")
+    if (d.n > 0)
+      d.changed.write.mode("error").parquet(s"$dir/label_updates/epoch=$epoch")
+    writeBestUpdates(spark, dir, d, docs, idCol, score, epoch)
+    seal(spark, dir, epoch)
+    releaseDelta(d)
+    d.n
+  }
+
+  /** The maintained keep set: stored winners (base overlaid with
+    * updates, latest epoch wins per cluster, tombstones dropped, sealed
+    * epochs only — the [[resolve]] doctrine) plus every doc with no
+    * cluster (unpaired docs keep themselves — no score needed, so the
+    * winners side never touches the corpus). One `keep_id` row per
+    * surviving doc; equals [[Dedup.keepBest]](docs, idCol, score,
+    * [[resolve]](dir)) bit-for-bit.
+    */
+  def resolveBest(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String): DataFrame = {
+    val winners = resolvedWinners(spark, dir)
+      .select(col("keep_id"))
+    val unpaired = docs.select(col(idCol).cast("long").as("__id"))
+      .join(resolve(spark, dir), col("__id") === col("member_id"),
+        "left_anti")
+      .select(col("__id").as("keep_id"))
+    winners.unionByName(unpaired)
+  }
+
+  /** Stored winners, merge-on-read: base overlaid with sealed update
+    * epochs, latest epoch wins per cluster (ep never ties: base is 0,
+    * epoch e writes ep = e + 1, one row per cluster per epoch),
+    * tombstones dropped. (cluster_id, keep_id) per live cluster.
+    */
+  private def resolvedWinners(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.schema("cluster_id long, keep_id long")
+      .parquet(s"$dir/best_base")
+      .select(col("cluster_id"), col("keep_id"), lit(0L).as("ep"))
+    val bad = unsealedEpochs(spark, dir)
+    val upd = bestUpdatesOpt(spark, dir).map { u =>
+      val visible =
+        if (bad.isEmpty) u
+        else u.filter(!col("epoch").isin(bad.map(java.lang.Long.valueOf): _*))
+      visible.select(col("cluster_id"), col("keep_id"),
+        (col("epoch").cast("long") + 1L).as("ep"))
+    }
+    upd.fold(base)(base.unionByName(_))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("ep"), col("keep_id"))).as("b"))
+      .select(col("cluster_id"), col("b.keep_id").as("keep_id"))
+      .filter(col("keep_id").isNotNull)
+  }
+
+  private def bestUpdatesOpt(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/best_updates")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p))
+      Some(spark.read.schema("cluster_id long, keep_id long")
+        .parquet(p.toString))
+    else None
   }
 
   private def sealPath(dir: String, epoch: Long) =
@@ -149,44 +333,52 @@ object ClusterIndex {
   /** Recover from a crashed addPairs: for each unsealed epoch, drop any
     * partial update dir, re-derive that epoch's labels FROM ITS RECORDED
     * PAIRS (labels are always a function of pairs), and seal. Safe to
-    * run any time; a no-op on a healthy index.
+    * run any time; a no-op on a healthy index. On a best-enabled index
+    * (built with [[buildWithBest]]) use [[repairWithBest]] — the best
+    * view also derives from pairs but needs the docs' scores.
     */
   def repair(spark: SparkSession, dir: String): Seq[Long] = {
+    require(!hasBest(spark, dir),
+      "best-enabled index (best_base present) — run repairWithBest so " +
+        "crashed epochs re-derive their best-member updates too")
+    repairImpl(spark, dir, None)
+  }
+
+  /** [[repair]] for a [[buildWithBest]] index: re-derives both the label
+    * updates and the best-member updates of every crashed epoch.
+    */
+  def repairWithBest(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, score: org.apache.spark.sql.Column): Seq[Long] =
+    repairImpl(spark, dir, Some((docs, idCol, score)))
+
+  private def repairImpl(spark: SparkSession, dir: String,
+      best: Option[(DataFrame, String, org.apache.spark.sql.Column)]): Seq[Long] = {
     val bad = unsealedEpochs(spark, dir)
     bad.foreach { e =>
-      val upd = new org.apache.hadoop.fs.Path(s"$dir/label_updates/epoch=$e")
-      val fs = upd.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(upd, true) // partial or absent either way
+      val conf = spark.sessionState.newHadoopConf()
+      Seq("label_updates", "best_updates").foreach { face =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$face/epoch=$e")
+        p.getFileSystem(conf).delete(p, true) // partial or absent either way
+        ()
+      }
       // replay epoch e's labeling against the state BELOW e: resolve()
       // over updates < e plus base (epochs are repaired in order, so
       // earlier repairs are already sealed when later ones replay)
       val np = spark.read.schema("pa long, pb long")
-        .parquet(s"$dir/pairs/epoch=$e").localCheckpoint(true)
-      val labels = resolveBelow(spark, dir, e).localCheckpoint(true)
-      val eps = np.select(col("pa").as("v"))
-        .union(np.select(col("pb").as("v"))).distinct()
-      val affected = eps.join(labels, col("v") === col("member_id"), "left_outer")
-        .select(coalesce(col("cluster_id"), col("v")).as("albl")).distinct()
-      val stored = spark.read.schema("pa long, pb long")
+        .parquet(s"$dir/pairs/epoch=$e")
+      val storedBelow = spark.read.schema("pa long, pb long")
         .parquet(s"$dir/pairs")
         .filter(col("epoch") < e)
         .select(col("pa"), col("pb"))
-        .join(labels, col("pa") === col("member_id"), "left_outer")
-        .select(col("pa"), col("pb"),
-          coalesce(col("cluster_id"), col("pa")).as("lbl"))
-        .join(affected, col("lbl") === col("albl"), "left_semi")
-        .select(col("pa"), col("pb"))
-      val relabeled = Dedup.connectedComponents(stored.union(np), "pa", "pb")
-      val changed = relabeled.join(labels.select(
-          col("member_id").as("m0"), col("cluster_id").as("c0")),
-          col("member_id") === col("m0"), "left_outer")
-        .filter(col("c0").isNull || col("c0") =!= col("cluster_id"))
-        .select(col("member_id"), col("cluster_id"))
-        .localCheckpoint(true)
-      if (changed.count() > 0)
-        changed.write.mode("error").parquet(s"$dir/label_updates/epoch=$e")
+      val d = computeDelta(spark, np, "pa", "pb", storedBelow,
+        resolveBelow(spark, dir, e))
+      if (d.n > 0)
+        d.changed.write.mode("error").parquet(s"$dir/label_updates/epoch=$e")
+      best.foreach { case (docs, idCol, score) =>
+        writeBestUpdates(spark, dir, d, docs, idCol, score, e)
+      }
       seal(spark, dir, e)
-      Seq(np, labels, changed).foreach(Dedup.releasePlan)
+      releaseDelta(d)
     }
     bad
   }
@@ -233,11 +425,20 @@ object ClusterIndex {
     * same resolved labels (spec-pinned).
     */
   def compact(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    if (hasBest(spark, dir)) {
+      // fold winners first: resolvedWinners reads sealed best state only,
+      // and folding best before labels keeps both reads pre-compaction
+      val fw = resolvedWinners(spark, dir).localCheckpoint(true)
+      fw.write.mode("overwrite").parquet(s"$dir/best_base")
+      val bp = new org.apache.hadoop.fs.Path(s"$dir/best_updates")
+      bp.getFileSystem(conf).delete(bp, true)
+      Dedup.releasePlan(fw)
+    }
     val folded = resolve(spark, dir).localCheckpoint(true)
     folded.write.mode("overwrite").parquet(s"$dir/labels_base")
     val p = new org.apache.hadoop.fs.Path(s"$dir/label_updates")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(p, true)
+    p.getFileSystem(conf).delete(p, true)
     Dedup.releasePlan(folded)
   }
 

@@ -145,6 +145,23 @@ object DedupQueries {
             .as("kept_len_sum"))
     }),
 
+    // INCREMENTAL survivorship (r17): the keep-best DECISION maintained
+    // beside the incremental clustering instead of recomputed from full
+    // resolved labels — the same pair graph arrives in three epochs
+    // (build + two addPairsWithBest deltas with cross-epoch merges), and
+    // only affected clusters' winners are re-derived per epoch. The
+    // resolved keep set must hash-match the from-scratch keepBest: the
+    // oracle below IS q_dedup_keep_best's SQL.
+    "q_dedup_keep_best_incremental" -> ((s, d) => {
+      val docs = documents(s, d)
+      ClusterIndex.resolveBest(s, clusterBestIndexDir(s, d), docs, "doc_id")
+        .join(docs, col("keep_id") === col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("keep_id")).cast("long").as("kept_id_sum"),
+          sum(length(col("text")).cast("long")).cast("long")
+            .as("kept_len_sum"))
+    }),
+
     // MinHash+LSH candidates -> EXACT-Jaccard verification: output equals
     // the true near-dup pair set whenever band recall holds (the data's
     // thinnest true pair has J=0.82 -> P(miss) ~ 7e-5 per pair at 16x4
@@ -782,6 +799,50 @@ object DedupQueries {
       })
     }
 
+  private val clusterBestIndexWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** [[clusterIndexDir]]'s best-enabled twin for
+    * `q_dedup_keep_best_incremental`: same three-epoch pair-graph split,
+    * built with [[ClusterIndex.buildWithBest]] / addPairsWithBest under
+    * the q_dedup_keep_best quality rule (longest text, tie -> min id) so
+    * per-epoch winner maintenance — including cross-epoch merges
+    * changing a cluster's winner — is what the oracle checks.
+    */
+  private def clusterBestIndexDir(s: SparkSession, d: String): String =
+    clusterBestIndexWritten.synchronized {
+      clusterBestIndexWritten.getOrElseUpdate(d, {
+        val src = new java.io.File(s"$d/documents.parquet")
+        val stamp = s"${src.lastModified()}_${src.length()}"
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_cluster_best_index_${math.abs(d.hashCode)}_$stamp")
+        val marker = new java.io.File(dir, "_graft_index_complete")
+        if (!marker.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          if (dir.exists()) rm(dir)
+          val docs = documents(s, d)
+          val score = length(col("text")).cast("long")
+          val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+            blockCols = Seq("lang"), n = 2, threshold = 0.1,
+            maxDocFreq = jaccardDfCap).localCheckpoint(true)
+          def part(r: Int) = pairs.filter(
+            pmod(col("id_a") + col("id_b"), lit(3L)) === r)
+          ClusterIndex.buildWithBest(part(0), "id_a", "id_b",
+            docs, "doc_id", score, dir.getAbsolutePath)
+          ClusterIndex.addPairsWithBest(s, dir.getAbsolutePath, part(1),
+            "id_a", "id_b", docs, "doc_id", score, epoch = 1)
+          ClusterIndex.addPairsWithBest(s, dir.getAbsolutePath, part(2),
+            "id_a", "id_b", docs, "doc_id", score, epoch = 2)
+          Dedup.releasePlan(pairs)
+          marker.createNewFile()
+          ()
+        }
+        dir.getAbsolutePath
+      })
+    }
+
   /** One-time (per JVM x sf dir x fixture generation) incrementally-built
     * LSH index for `q_dedup_lsh_index`: build on even doc_ids, append the
     * %4==1 batch against the frozen hash parameters (same staleness-
@@ -1310,6 +1371,27 @@ object DedupQueries {
           FROM documents WHERE doc_id NOT IN (SELECT v FROM dropset)""",
 
     "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $jaccardClusterCtes,
+          labels AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY 1),
+          best AS (
+            SELECT v FROM (
+              SELECT l.v, row_number() OVER (PARTITION BY l.cluster_id
+                ORDER BY length(d.text) DESC, l.v ASC) AS rn
+              FROM labels l JOIN documents d ON d.doc_id = l.v)
+            WHERE rn = 1),
+          kept AS (
+            SELECT v AS doc_id FROM best
+            UNION ALL
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT v FROM labels))
+          SELECT count(*) AS n_kept,
+            CAST(sum(d.doc_id) AS BIGINT) AS kept_id_sum,
+            CAST(sum(length(d.text)) AS BIGINT) AS kept_len_sum
+          FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM kept)""",
+
+    // the incrementally-maintained keep set must equal the from-scratch
+    // keepBest — same SQL as q_dedup_keep_best by design
+    "q_dedup_keep_best_incremental" ->
       s"""WITH RECURSIVE $jaccardClusterCtes,
           labels AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY 1),
           best AS (

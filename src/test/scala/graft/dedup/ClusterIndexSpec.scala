@@ -147,6 +147,108 @@ class ClusterIndexSpec extends AnyFunSuite with SparkSpec {
       20L -> 1L, 21L -> 1L))
   }
 
+  // ---- incremental survivorship (r17): the best-member view ----
+
+  // scores chosen so the cross-epoch merge CHANGES a cluster's winner
+  // (cluster {4,5}'s keep moves 4 -> 2 when it merges into {1,2,3}),
+  // plus a tie pair (20, 21: equal scores -> min id) and unpaired docs
+  private def bestDocs = Seq(
+    (1L, 5L), (2L, 9L), (3L, 1L), (4L, 7L), (5L, 2L),
+    (10L, 3L), (11L, 8L), (20L, 4L), (21L, 4L)
+  ).toDF("id", "score")
+
+  private def keepOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.as[Long].collect().toSet
+
+  private def scratchKeep(ps: (Long, Long)*): Set[Long] =
+    keepOf(Dedup.keepBest(bestDocs, "id", col("score"),
+      Dedup.connectedComponents(pairsDf(ps: _*), "id_a", "id_b")))
+
+  test("resolveBest equals from-scratch keepBest after every epoch, " +
+      "including a merge that changes a cluster's winner") {
+    val dir = Files.createTempDirectory("cluster_best").toString + "/idx"
+    val all = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def check(): Unit =
+      assert(keepOf(ClusterIndex.resolveBest(spark, dir, bestDocs, "id"))
+        === scratchKeep(all.toSeq: _*))
+
+    all ++= Seq(1L -> 2L, 4L -> 5L)
+    ClusterIndex.buildWithBest(pairsDf(all.toSeq: _*), "id_a", "id_b",
+      bestDocs, "id", col("score"), dir)
+    check() // winners 2 and 4; unpaired 3,10,11,20,21 keep themselves
+    assert(scratchKeep(all.toSeq: _*) === Set(2L, 4L, 3L, 10L, 11L, 20L, 21L))
+
+    // epoch 1: grow {1,2} by 3 — winner stays 2, doc 3 leaves unpaired
+    val b1 = Seq(2L -> 3L); all ++= b1
+    ClusterIndex.addPairsWithBest(spark, dir, pairsDf(b1: _*),
+      "id_a", "id_b", bestDocs, "id", col("score"), 1)
+    check()
+
+    // epoch 2: MERGE {1,2,3} + {4,5} — cluster 4 dies (tombstone), its
+    // old winner 4 must stop being kept; joint winner is 2
+    val b2 = Seq(3L -> 4L); all ++= b2
+    ClusterIndex.addPairsWithBest(spark, dir, pairsDf(b2: _*),
+      "id_a", "id_b", bestDocs, "id", col("score"), 2)
+    check()
+    assert(!keepOf(ClusterIndex.resolveBest(spark, dir, bestDocs, "id"))
+      .contains(4L), "the merged-away cluster's old winner must drop")
+
+    // epoch 3: two unpaired docs become a cluster (winner 11) and the
+    // tie pair lands (equal scores -> min id 20)
+    val b3 = Seq(10L -> 11L, 20L -> 21L); all ++= b3
+    ClusterIndex.addPairsWithBest(spark, dir, pairsDf(b3: _*),
+      "id_a", "id_b", bestDocs, "id", col("score"), 3)
+    check()
+    assert(scratchKeep(all.toSeq: _*) === Set(2L, 11L, 20L))
+
+    // compact folds winners + labels; resolved keep set unchanged
+    ClusterIndex.compact(spark, dir)
+    check()
+
+    // a no-op batch (known pair) records its epoch but changes nothing
+    ClusterIndex.addPairsWithBest(spark, dir, pairsDf(1L -> 2L),
+      "id_a", "id_b", bestDocs, "id", col("score"), 4)
+    check()
+  }
+
+  test("best crash recovery: unsealed epochs invisible to resolveBest; " +
+      "repairWithBest re-derives labels AND winners; repair() refuses") {
+    val dir = Files.createTempDirectory("cluster_best_crash").toString + "/idx"
+    ClusterIndex.buildWithBest(pairsDf(1L -> 2L, 4L -> 5L), "id_a", "id_b",
+      bestDocs, "id", col("score"), dir)
+    val before = keepOf(ClusterIndex.resolveBest(spark, dir, bestDocs, "id"))
+    // crash between write 1 (pairs) and the seal: the merging epoch's
+    // pairs land, label/best updates do not
+    pairsDf(3L -> 4L, 2L -> 3L).select(
+        least(col("id_a"), col("id_b")).as("pa"),
+        greatest(col("id_a"), col("id_b")).as("pb"))
+      .write.parquet(s"$dir/pairs/epoch=1")
+    assert(ClusterIndex.unsealedEpochs(spark, dir) === Seq(1))
+    // readers see committed state only — the old winners
+    assert(keepOf(ClusterIndex.resolveBest(spark, dir, bestDocs, "id"))
+      === before)
+    // writers refuse; the label-only repair refuses on a best index
+    intercept[IllegalArgumentException] {
+      ClusterIndex.addPairsWithBest(spark, dir, pairsDf(10L -> 11L),
+        "id_a", "id_b", bestDocs, "id", col("score"), 2)
+    }
+    intercept[IllegalArgumentException] {
+      ClusterIndex.repair(spark, dir)
+    }
+    assert(ClusterIndex.repairWithBest(spark, dir, bestDocs, "id",
+      col("score")) === Seq(1))
+    assert(ClusterIndex.unsealedEpochs(spark, dir) === Nil)
+    // healed state == from-scratch over all recorded pairs: the merge
+    // relabeled {4,5} into {1,2,3,4,5}, winner 2, old winner 4 dropped
+    assert(keepOf(ClusterIndex.resolveBest(spark, dir, bestDocs, "id"))
+      === scratchKeep(1L -> 2L, 4L -> 5L, 3L -> 4L, 2L -> 3L))
+    // and the index accepts best batches again
+    ClusterIndex.addPairsWithBest(spark, dir, pairsDf(10L -> 11L),
+      "id_a", "id_b", bestDocs, "id", col("score"), 2)
+    assert(keepOf(ClusterIndex.resolveBest(spark, dir, bestDocs, "id"))
+      === scratchKeep(1L -> 2L, 4L -> 5L, 3L -> 4L, 2L -> 3L, 10L -> 11L))
+  }
+
   test("streaming after batch epochs: epochBase = maxRecordedEpoch " +
       "avoids the ledger collision (r17 ADVICE)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
