@@ -41,6 +41,69 @@ import org.apache.spark.sql.functions._
   */
 object Bfs {
 
+  /** Production two-tier entry (r16 verdict task 5 — the driverComponents
+    * design): exact driver BFS at or under [[PageRank.DriverEdgeCap]]
+    * distinct edges (the catalog fixture's 2,990-edge graph ran a
+    * scheduler-bound distributed loop for a microsecond computation),
+    * [[distancesDelta]]'s frontier loop above it. Both tiers spec-pinned
+    * bit-equal; same contract as [[distancesFp]].
+    */
+  def distances(edges0: DataFrame, srcCol: String, dstCol: String,
+      seedPred: Column => Column, iterations: Int = 4,
+      driverEdgeCap: Long = PageRank.DriverEdgeCap): DataFrame = {
+    val spark = edges0.sparkSession
+    val edges = edges0
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct().persist()
+    // ONE bounded job decides the tier AND feeds the driver tier: under
+    // the cap the limited collect IS the whole edge set; over it, at
+    // most cap+1 rows ever cross to the driver
+    val capInt = math.min(driverEdgeCap, Int.MaxValue - 1L).toInt
+    val head = edges.limit(capInt + 1).collect()
+    if (head.length <= driverEdgeCap) {
+      edges.unpersist(blocking = false)
+      driverDistances(spark, head.map(r => (r.getLong(0), r.getLong(1))),
+        seedPred, iterations)
+    } else deltaStatsCore(edges, seedPred, iterations)._1
+  }
+
+  /** Exact driver BFS — layer-by-layer over an adjacency map, first
+    * assignment is final (unweighted minimality), unreached nodes carry
+    * no row: the [[distancesFp]] semantics verbatim. The seed predicate
+    * is a Column, evaluated by ONE tiny Spark filter over the ≤cap-scale
+    * node list so both tiers share predicate semantics by construction.
+    */
+  private def driverDistances(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)], seedPred: Column => Column,
+      iterations: Int): DataFrame = {
+    import spark.implicits._
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    val nodeSet = scala.collection.mutable.LongMap.empty[Unit]
+    edges.foreach { case (s, d) =>
+      adj.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += d
+      nodeSet.update(s, ()); nodeSet.update(d, ())
+    }
+    if (nodeSet.isEmpty) return Seq.empty[(Long, Long)].toDF("node", "dist")
+    val seeds = nodeSet.keys.toSeq.toDF("node")
+      .filter(seedPred(col("node"))).as[Long].collect()
+    val dist = scala.collection.mutable.LongMap.empty[Long]
+    var frontier = seeds.toSeq
+    frontier.foreach(dist.update(_, 0L))
+    var d = 1L
+    while (d <= iterations && frontier.nonEmpty) {
+      val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+      frontier.foreach { u =>
+        adj.get(u).foreach(_.foreach { v =>
+          if (!dist.contains(v)) { dist.update(v, d); next += v }
+        })
+      }
+      frontier = next.toSeq
+      d += 1L
+    }
+    dist.toSeq.toDF("node", "dist")
+  }
+
   /** Distances ≤ `iterations` hops from the seed set (`seedPred` over the
     * node column) along directed edges. Returns (node, dist).
     */
@@ -85,10 +148,18 @@ object Bfs {
     * high-diameter graph.
     */
   def distancesDeltaStats(edges0: DataFrame, srcCol: String, dstCol: String,
-      seedPred: Column => Column, iterations: Int = 4): (DataFrame, Seq[Long]) = {
-    val edges = edges0
+      seedPred: Column => Column, iterations: Int = 4): (DataFrame, Seq[Long]) =
+    deltaStatsCore(edges0
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct().persist()
+      .distinct().persist(), seedPred, iterations)
+
+  /** The frontier loop over an already-canonical PINNED edge frame
+    * (unpersisted before return) — shared by [[distancesDeltaStats]] and
+    * the two-tier [[distances]] gate so tier selection never costs a
+    * second distinct.
+    */
+  private def deltaStatsCore(edges: DataFrame,
+      seedPred: Column => Column, iterations: Int): (DataFrame, Seq[Long]) = {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
     // each round's frontier is checkpointed: the count below (needed for

@@ -60,6 +60,29 @@ class BfsSpec extends AnyFunSuite with SparkSpec {
     assert(de === fp)
   }
 
+  test("two-tier: driver BFS and the forced distributed loop agree with " +
+      "the full-frame oracle twin on every shape") {
+    for ((pred, iters) <- Seq(
+        ((n: org.apache.spark.sql.Column) => n === 0L, 4),
+        ((n: org.apache.spark.sql.Column) => n === 0L || n === 10L, 4),
+        ((n: org.apache.spark.sql.Column) => n === 999L, 3))) { // no seeds
+      val fp = asMap(Bfs.distancesFp(chain, "s", "t", pred, iters))
+      // default cap -> the driver tier
+      assert(asMap(Bfs.distances(chain, "s", "t", pred, iters)) === fp)
+      // cap 0 FORCES the distributed frontier loop through the same entry
+      assert(asMap(Bfs.distances(chain, "s", "t", pred, iters,
+        driverEdgeCap = 0L)) === fp)
+    }
+    val rnd = spark.range(0, 400).select(
+      (col("id") % 53).as("s"), ((col("id") * 17 + 3) % 59).as("t"))
+    val fp = asMap(Bfs.distancesFp(rnd, "s", "t",
+      n => n % 7L === 0L, iterations = 5))
+    assert(asMap(Bfs.distances(rnd, "s", "t",
+      n => n % 7L === 0L, iterations = 5)) === fp)
+    assert(asMap(Bfs.distances(rnd, "s", "t",
+      n => n % 7L === 0L, iterations = 5, driverEdgeCap = 0L)) === fp)
+  }
+
   test("delta-frontier wins on a high-diameter graph: probe work is " +
       "O(reached), not O(settled x rounds)") {
     // a 60-node path: the full-frame form joins ALL settled nodes every

@@ -111,6 +111,33 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("two-tier: driver power iteration bit-equals the forced " +
+      "distributed loop, uniform and personalized") {
+    // dangling node, multi-out-degree, a node that is only a destination
+    val g = edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 1L, 4L -> 1L, 2L -> 5L)
+    for (k <- 1 to 4) {
+      val dist = ranks(PageRank.pageRankFp(g, "src", "dst", iterations = k))
+      // default cap -> driver tier
+      assert(ranks(PageRank.pageRank(g, "src", "dst", iterations = k))
+        === dist, s"uniform driver tier diverged at k=$k")
+      // cap 0 forces the distributed loop through the same entry
+      assert(ranks(PageRank.pageRank(g, "src", "dst", iterations = k,
+        driverEdgeCap = 0L)) === dist)
+    }
+    val seed = (n: org.apache.spark.sql.Column) => n % 3L === 1L
+    val pDist = ranks(PageRank.personalizedPageRankFp(g, "src", "dst",
+      seed, iterations = 3))
+    assert(ranks(PageRank.personalizedPageRank(g, "src", "dst", seed,
+      iterations = 3)) === pDist)
+    assert(ranks(PageRank.personalizedPageRank(g, "src", "dst", seed,
+      iterations = 3, driverEdgeCap = 0L)) === pDist)
+    // the driver tier refuses an empty seed set like the distributed one
+    intercept[IllegalArgumentException] {
+      PageRank.personalizedPageRank(g, "src", "dst", n => n === 99L,
+        iterations = 2).collect()
+    }
+  }
+
   test("chain orders ranks by depth and matches closed-form hand iteration") {
     // 1 -> 2 -> 3 (3 a dangling sink): deeper nodes accumulate more rank
     val g = edges(1L -> 2L, 2L -> 3L)
