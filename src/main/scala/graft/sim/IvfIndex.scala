@@ -29,18 +29,78 @@ object IvfIndex {
   def build(candidates: DataFrame, idCol: String, vecCol: String,
       dir: String, nlist: Int = 16, sampleSize: Int = 2000,
       seed: Long = 42L): Seq[Array[Double]] = {
-    val spark = candidates.sparkSession
     val centroids =
       Knn.trainSphericalKmeans(candidates, vecCol, nlist, sampleSize,
         iters = 10, seed = seed)
     require(centroids.nonEmpty,
       "IvfIndex.build: no finite-norm vectors to train on")
+    buildWithCentroids(candidates, idCol, vecCol, dir, centroids.toSeq)
+    centroids
+  }
+
+  /** [[build]] with an EXPLICIT quantizer: write the given centroids and
+    * assign every candidate against them. Shared by build (freshly
+    * trained) and [[retrainAndCompact]] (retrained on the stored
+    * vectors) — and the spec's equality contract: an index after
+    * retrain IS buildWithCentroids over its surviving vectors and the
+    * retrained centroids, byte-equal searches.
+    */
+  def buildWithCentroids(candidates: DataFrame, idCol: String,
+      vecCol: String, dir: String, centroids: Seq[Array[Double]]): Unit = {
+    val spark = candidates.sparkSession
+    require(centroids.nonEmpty, "IvfIndex: empty centroid set")
     import spark.implicits._
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     writeAssigned(candidates, idCol, vecCol, dir, centroids, "overwrite")
-    centroids
+  }
+
+  /** The missing last step of the index lifecycle (r16 verdict task 6):
+    * act on the retrain signal [[cellStats]] surfaces. The frozen
+    * quantizer is right at ingest cadence, but a drifted or skewed
+    * ingest eventually concentrates vectors in few cells (probe cost)
+    * or strands a query's true neighbors across cells trained on a
+    * stale distribution (recall). When occupancy skew — max live cell
+    * count over the mean across ALL trained cells — reaches `skewBar`
+    * (or `force`, the operator's move after reading cellStats' rising
+    * `mean_dist`, the recall-side signal occupancy alone cannot see),
+    * retrain centroids on a `sampleSize`-bounded sample of the STORED
+    * live vectors and rebuild the hive layout in one pass. Tombstones
+    * fold away (the rebuild is also a [[compact]]); `nlist` 0 keeps the
+    * current cell count. Returns the new centroids, or None when the
+    * bar did not trip (the index is untouched — a no-op costs one
+    * per-cell count aggregate).
+    */
+  def retrainAndCompact(spark: SparkSession, dir: String,
+      skewBar: Double = 4.0, force: Boolean = false, nlist: Int = 0,
+      sampleSize: Int = 2000,
+      seed: Long = 42L): Option[Seq[Array[Double]]] = {
+    val k0 = loadCentroids(spark, dir).size
+    val occ = liveVectors(spark, dir).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).collect().map(_.getLong(1))
+    val total = occ.sum
+    val skew =
+      if (total == 0L || occ.isEmpty) 0.0
+      else occ.max.toDouble * k0 / total // mean counts EMPTY trained cells
+    if (!force && skew < skewBar) return None
+    val k = if (nlist > 0) nlist else k0
+    // one checkpoint: the rebuild overwrites the very directories the
+    // live frame reads (the compact doctrine)
+    val live = liveVectors(spark, dir).select(col("vec_id"), col("vec"))
+      .localCheckpoint(true)
+    val centroids =
+      Knn.trainSphericalKmeans(live, "vec", k, sampleSize, iters = 10,
+        seed = seed)
+    require(centroids.nonEmpty,
+      "IvfIndex.retrainAndCompact: no finite-norm stored vectors")
+    buildWithCentroids(live, "vec_id", "vec", dir, centroids.toSeq)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    live.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+    Some(centroids.toSeq)
   }
 
   /** Incremental maintenance — the daily-embedding-ingest path: assign

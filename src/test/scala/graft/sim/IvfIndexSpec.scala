@@ -201,6 +201,159 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(res(idxDir) === res(twin))
   }
 
+  // ---- retrainAndCompact (r17): the index lifecycle's last step ----
+
+  /** Deterministic 64-dim cluster members: a dominant one-hot dim per
+    * cluster plus small per-member jitter — within-cluster cosine high,
+    * across-cluster near zero.
+    */
+  private def member(c: Int, j: Int): Seq[Double] = {
+    val v = Array.fill(64)(0.0)
+    v(c * 9) = 1.0
+    var i = 0
+    while (i < 64) { v(i) += 0.08 * math.sin(i * 2.3 + j * 1.7 + c * 0.9); i += 1 }
+    v.toSeq
+  }
+
+  private def cosSim(a: Seq[Double], b: Seq[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / math.sqrt(na * nb)
+  }
+
+  private def bruteTop(stored: Seq[(Long, Seq[Double])], q: Seq[Double],
+      k: Int): Set[Long] =
+    stored.map { case (id, v) => (id, cosSim(v, q)) }
+      .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+
+  private def recallAt10(dir: String,
+      queries: Seq[(Long, Seq[Double])],
+      stored: Seq[(Long, Seq[Double])]): Double = {
+    import spark.implicits._
+    val got = IvfIndex.search(spark, dir,
+      queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      k = 10, nprobe = 1)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    queries.map { case (qid, qv) =>
+      val truth = bruteTop(stored, qv, 10)
+      got.getOrElse(qid, Set.empty).intersect(truth).size / 10.0
+    }.sum / queries.size
+  }
+
+  test("retrainAndCompact: occupancy-skew trigger fires only past the bar") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("ivf_retrain_trig").toString + "/idx"
+    // balanced: 4 clusters x 100 members, quantizer trained on all
+    val balanced = (0 until 4).flatMap(c =>
+      (0 until 100).map(j => (c * 1000L + j, member(c, j))))
+    IvfIndex.build(balanced.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", t, nlist = 4, sampleSize = 400, seed = 7L)
+    val before = IvfIndex.loadCentroids(spark, t).map(_.toSeq)
+    assert(IvfIndex.retrainAndCompact(spark, t, skewBar = 3.0).isEmpty,
+      "a balanced index must not retrain")
+    assert(IvfIndex.loadCentroids(spark, t).map(_.toSeq) === before,
+      "a declined retrain must leave the index untouched")
+    // skewed ingest: 900 more vectors, ALL cluster 0 -> its cell holds
+    // ~1000 of 1300 = skew ~3.1x the mean
+    IvfIndex.append(spark, t,
+      (0 until 900).map(j => (9000L + j, member(0, 100 + j)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(IvfIndex.retrainAndCompact(spark, t, skewBar = 3.0).isDefined,
+      "skew past the bar must retrain")
+  }
+
+  /** Boundary-straddling drift cluster: centered midway between trained
+    * centroids 0 and 1. The CELL decision and the RANKING signal are
+    * deliberately decoupled — the quantizer-consistency property (a
+    * query's nearest vectors assign near the query) otherwise keeps
+    * recall high no matter how a cluster scatters: each member carries a
+    * ±0.05 bias on the two hot dims drawn from a hash INDEPENDENT of
+    * its ranking phase (decides its cell), while similarity within the
+    * cluster is carried by phase noise on dims 10-63 only. A BIAS-FREE
+    * query (hot dims exactly equal) scores every member independently
+    * of its bias, so its true top-10 mixes both bias groups — but its
+    * single probed cell holds only one group: recall ~0.5 at nprobe=1,
+    * the failure occupancy stats cannot see.
+    */
+  private def emember(j: Int): Seq[Double] = {
+    val v = Array.fill(64)(0.0)
+    val bias = if (math.sin(j * 12.9898) >= 0) 0.05 else -0.05
+    v(0) = 1.0 + bias
+    v(9) = 1.0 - bias
+    var i = 10
+    while (i < 64) { v(i) = 0.03 * math.sin(i * 2.3 + j * 1.7); i += 1 }
+    v.toSeq
+  }
+
+  /** Bias-free probe into the straddling cluster. */
+  private def equery(j: Int): Seq[Double] = {
+    val v = Array.fill(64)(0.0)
+    v(0) = 1.0
+    v(9) = 1.0
+    var i = 10
+    while (i < 64) { v(i) = 0.03 * math.sin(i * 2.3 + j * 1.7); i += 1 }
+    v.toSeq
+  }
+
+  test("retrainAndCompact: drifted ingest recall degrades then recovers; " +
+      "rebuilt index == buildWithCentroids twin; tombstones folded") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("ivf_retrain").toString
+    val t = s"$base/idx"
+    // quantizer trained on clusters 0-3; the straddling cluster E then
+    // arrives and splits by parity across cells 0 and 1
+    val c0 = (0 to 3).flatMap(c =>
+      (0 until 200).map(j => (c * 1000L + j, member(c, j))))
+    IvfIndex.build(c0.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      t, nlist = 4, sampleSize = 900, seed = 7L)
+    val drift = (0 until 200).map(j => (5000L + j, emember(j)))
+    IvfIndex.append(spark, t, drift.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val queries = (501 to 506).map(j => (90000L + j, equery(j)))
+    val stored = c0 ++ drift
+    val recallBefore = recallAt10(t, queries, stored)
+    assert(recallBefore < 0.85,
+      s"drift scenario failed to degrade recall: $recallBefore")
+
+    // tombstone a few ids: the retrain is also a compact
+    IvfIndex.delete(spark, t,
+      (0L until 10L).toDF("vec_id"), "vec_id")
+    val live = stored.filterNot(_._1 < 10L)
+    // snapshot the surviving vectors BEFORE the rebuild overwrites them
+    val snap = spark.read.parquet(s"$t/vectors")
+      .join((0L until 10L).toDF("vec_id"), Seq("vec_id"), "left_anti")
+      .select("vec_id", "vec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+    // occupancy is balanced here (drift, not skew) — the operator forces
+    // after reading cellStats' rising mean_dist, the documented signal —
+    // and grows the quantizer to make room for the arrived cluster
+    val cs = IvfIndex.retrainAndCompact(spark, t, force = true, nlist = 5)
+    assert(cs.isDefined)
+    val recallAfter = recallAt10(t, queries, live)
+    assert(recallAfter >= 0.9, s"recall after retrain: $recallAfter")
+    assert(recallAfter > recallBefore + 0.2,
+      s"no recovery: $recallBefore -> $recallAfter")
+
+    // equality contract: the rebuilt index IS a fresh buildWithCentroids
+    // over the surviving vectors and the retrained quantizer
+    val twin = s"$base/twin"
+    IvfIndex.buildWithCentroids(snap.toSeq.toDF("vec_id", "vec"),
+      "vec_id", "vec", twin, cs.get)
+    def res(dir: String) = IvfIndex.search(spark, dir,
+      queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      k = 5, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(res(t) === res(twin))
+
+    // compact side: tombstoned ids gone from the store, sidecar cleared
+    assert(spark.read.parquet(s"$t/vectors")
+      .filter(col("vec_id") < 10L).count() === 0L)
+    assert(!new java.io.File(s"$t/tombstones").exists())
+  }
+
   test("streaming ingest: a crashed partial audit epoch is healed on " +
       "replay (seal = _SUCCESS, not dir existence)") {
     import spark.implicits._
