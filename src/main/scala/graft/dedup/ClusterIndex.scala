@@ -510,6 +510,80 @@ object ClusterIndex {
       }
       .start()
 
+  /** [[streamingIngest]] with the keep/drop DECISION maintained per
+    * trigger — the streaming face of [[addPairsWithBest]]. Batch best
+    * maintenance looks member scores up in the standing corpus table;
+    * a stream HAS no corpus table (the index is the corpus), so each
+    * trigger's scores (`score`, a Column over the batch, stored as
+    * double) land in a `doc_scores/epoch=N` sidecar gated by the
+    * [[graft.io.EpochCommit]] marker, and winner recomputation reads
+    * the accumulated [[docScores]]. Write order per trigger: LshIndex
+    * append → doc scores → addPairsWithBest (pairs → updates → best →
+    * seal) — scores precede pairs so a crashed epoch's winners are
+    * always re-derivable; after a crash INSIDE addPairsWithBest, run
+    * [[repairWithBest]](dir, [[docScores]](dir), "id", col("score"))
+    * before restarting the stream. `clusterDir` must be
+    * [[buildWithBest]]-built; the resolved keep set is
+    * [[resolveBest]](dir, docScores(dir), "id").
+    */
+  def streamingIngestWithBest(spark: SparkSession, lshDir: String,
+      clusterDir: String, stream: DataFrame, idCol: String,
+      textCol: String, threshold: Double,
+      score: org.apache.spark.sql.Column,
+      epochBase: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val epoch = epochBase + epochId + 1
+        if (!isSealed(spark, clusterDir, epoch)) {
+          val b = batch.localCheckpoint()
+          val m = LshIndex.loadMeta(spark, lshDir)
+          val cross = LshIndex.probe(spark, lshDir, b, idCol, textCol,
+              threshold)
+            .select(col("index_id").as("id_a"), col("probe_id").as("id_b"))
+          val intra = Dedup.minhashPairsExact(b, idCol, textCol,
+              shingleN = m.shingleN, numHashes = m.numHashes,
+              bands = m.bands, threshold = threshold, seed = m.seed)
+            .select(col("id_a"), col("id_b"))
+          val pairs = cross.unionByName(intra).localCheckpoint()
+          LshIndex.append(spark, lshDir, b, idCol, textCol)
+          // scores: caller truth like pairs, committed BEFORE them (a
+          // crashed epoch's winners must be re-derivable from recorded
+          // state); a replayed trigger skips a committed score epoch and
+          // clears a crashed partial so mode("error") can land
+          val scoresDir = s"$clusterDir/doc_scores/epoch=$epoch"
+          if (!graft.io.EpochCommit.committed(spark, scoresDir)) {
+            graft.io.EpochCommit.clearPartial(spark, scoresDir)
+            val sc = b.select(col(idCol).cast("long").as("id"),
+              score.cast("double").as("score")).localCheckpoint()
+            if (sc.count() > 0)
+              sc.write.mode("error").parquet(scoresDir)
+            Dedup.releasePlan(sc)
+          }
+          addPairsWithBest(spark, clusterDir, pairs, "id_a", "id_b",
+            docScores(spark, clusterDir), "id", col("score"), epoch)
+          Seq(b, pairs).foreach(Dedup.releasePlan)
+        }
+        ()
+      }
+      .start()
+
+  /** Every streamed doc's (id, score) accumulated by
+    * [[streamingIngestWithBest]] — the docs frame its winner lookups
+    * and [[resolveBest]] read. Empty (schema'd) when nothing streamed.
+    */
+  def docScores(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/doc_scores")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p))
+      spark.read.schema("id long, score double").parquet(p.toString)
+        .select(col("id"), col("score"))
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Double)].toDF("id", "score")
+    }
+  }
+
   /** Highest epoch the pairs ledger has recorded (0 = build only; -1 =
     * no index yet) — the `epochBase` a caller passes to
     * [[streamingIngest]] when batch [[addPairs]] epochs precede it.

@@ -249,6 +249,65 @@ class ClusterIndexSpec extends AnyFunSuite with SparkSpec {
       === scratchKeep(1L -> 2L, 4L -> 5L, 3L -> 4L, 2L -> 3L, 10L -> 11L))
   }
 
+  test("streaming ingest with best: the keep set is maintained per " +
+      "trigger and equals from-scratch keepBest over the streamed docs") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("cluster_stream_best").toString
+    val lshDir = s"$base/lsh"
+    val clDir = s"$base/cluster"
+    val w = (1 to 10).map(i => s"w$i").mkString(" ")
+    // seed doc never pairs with anything streamed — every scored doc
+    // flows through the stream (streamed docs are the scored corpus)
+    LshIndex.build(Seq((1L, "zz yy xx ww vv uu tt ss rr qq"))
+      .toDF("doc_id", "text"), "doc_id", "text", lshDir)
+    ClusterIndex.buildWithBest(pairsDf(), "id_a", "id_b",
+      Seq.empty[(Long, Double)].toDF("id", "score"), "id", col("score"),
+      clDir)
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = ClusterIndex.streamingIngestWithBest(spark, lshDir, clDir,
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5, score = length(col("text")).cast("double"))
+    def kept(): Set[Long] =
+      ClusterIndex.resolveBest(spark, clDir,
+        ClusterIndex.docScores(spark, clDir), "id")
+        .as[Long].collect().toSet
+    try {
+      // trigger 1: two unrelated docs — no pairs, both keep themselves
+      stream.addData((10L, w), (11L, "uno due tre quattro cinque sei"))
+      q.processAllAvailable()
+      assert(kept() === Set(10L, 11L))
+
+      // trigger 2: a LONGER near-dup of doc 10 (cross pair through the
+      // index) — the cluster winner moves to the longer text
+      stream.addData((20L, w + " w11"))
+      q.processAllAvailable()
+      assert(kept() === Set(20L, 11L))
+
+      // trigger 3: a still-longer member joins the same cluster AND an
+      // intra-trigger near-dup pair of fresh docs (50 longer than 51)
+      stream.addData((30L, w + " w11 w12"),
+        (50L, "red orange yellow green blue indigo violet extra"),
+        (51L, "red orange yellow green blue indigo violet"))
+      q.processAllAvailable()
+      assert(kept() === Set(30L, 11L, 50L))
+
+      // the maintained view == from-scratch keepBest over exactly the
+      // streamed docs and the recorded pair graph
+      val scratch = Dedup.keepBest(
+        ClusterIndex.docScores(spark, clDir), "id", col("score"),
+        Dedup.connectedComponents(
+          spark.read.schema("pa long, pb long")
+            .parquet(s"$clDir/pairs").select(col("pa"), col("pb")),
+          "pa", "pb"))
+        .as[Long].collect().toSet
+      assert(kept() === scratch)
+      assert(ClusterIndex.unsealedEpochs(spark, clDir).isEmpty)
+      assert(ClusterIndex.maxRecordedEpoch(spark, clDir) === 3L)
+    } finally q.stop()
+  }
+
   test("streaming after batch epochs: epochBase = maxRecordedEpoch " +
       "avoids the ledger collision (r17 ADVICE)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
