@@ -578,20 +578,27 @@ private[graft] object BenchDrift {
     (c, t)
   }
 
-  /** The inflated subset worth re-measuring on a quieted box: min >
-    * ratio x floor AND min - floor > minAbs, biggest ABSOLUTE excess
-    * first (recovery repairs total seconds, unlike the drift gate's
-    * worst-ratio order), capped.
+  /** The subset worth re-measuring on a quieted box: every FLOORLESS
+    * query first (a query new this round has no committed floor, so
+    * nothing can prove its contaminated measurement sane — skipping it
+    * would publish a clean-stamped inflated min that gen_floors then
+    * bakes in as the committed floor; r17 self-review), then queries
+    * with min > ratio x floor AND min - floor > minAbs, biggest
+    * ABSOLUTE excess first (recovery repairs total seconds, unlike the
+    * drift gate's worst-ratio order). Capped.
     */
   def recoverySubset(mins: Seq[(String, Double)],
       floors: Map[String, Double], ratio: Double, minAbs: Double,
-      cap: Int): Seq[String] =
-    mins
+      cap: Int): Seq[String] = {
+    val floorless = mins.collect {
+      case (k, _) if !floors.get(k).exists(_ > 0) => k }
+    val inflated = mins
       .filter { case (k, mn) =>
         floors.get(k).exists(f => f > 0 && mn > ratio * f && mn - f > minAbs) }
       .sortBy { case (k, mn) => -(mn - floors(k)) }
-      .take(cap)
       .map(_._1)
+    (floorless ++ inflated).take(cap)
+  }
 
   /** True iff a fresh-JVM envelope's own run-level sentinels were quiet
     * (all three calibration readings at or under the gate) — the

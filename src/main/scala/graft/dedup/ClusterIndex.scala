@@ -107,6 +107,14 @@ object ClusterIndex {
   def addPairs(spark: SparkSession, dir: String, newPairs: DataFrame,
       aCol: String, bCol: String, epoch: Long): Long = {
     require(epoch > 0, "epoch 0 is the build; batches start at 1")
+    // guard symmetry with repair() (r17 self-review): a plain-addPairs
+    // epoch on a best-enabled index would seal labels WITHOUT
+    // recomputing winners or tombstoning merged-away clusters —
+    // silently breaking the resolveBest == keepBest contract with no
+    // repair path (the epoch is sealed)
+    require(!hasBest(spark, dir),
+      "best-enabled index (best_base present) — use addPairsWithBest so " +
+        "the maintained winners stay consistent with the labels")
     val bad = unsealedEpochs(spark, dir)
     require(bad.isEmpty,
       s"unsealed epochs $bad (crashed addPairs) — run ClusterIndex.repair first")
@@ -348,8 +356,11 @@ object ClusterIndex {
     * updates and the best-member updates of every crashed epoch.
     */
   def repairWithBest(spark: SparkSession, dir: String, docs: DataFrame,
-      idCol: String, score: org.apache.spark.sql.Column): Seq[Long] =
+      idCol: String, score: org.apache.spark.sql.Column): Seq[Long] = {
+    require(hasBest(spark, dir),
+      "not a best-enabled index — use repair (best updates here would be orphans)")
     repairImpl(spark, dir, Some((docs, idCol, score)))
+  }
 
   private def repairImpl(spark: SparkSession, dir: String,
       best: Option[(DataFrame, String, org.apache.spark.sql.Column)]): Seq[Long] = {
@@ -471,7 +482,10 @@ object ClusterIndex {
   def streamingIngest(spark: SparkSession, lshDir: String,
       clusterDir: String, stream: DataFrame, idCol: String,
       textCol: String, threshold: Double,
-      epochBase: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
+      epochBase: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(!hasBest(spark, clusterDir),
+      "best-enabled index — use streamingIngestWithBest so the " +
+        "maintained winners stay consistent with the labels")
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
@@ -479,36 +493,69 @@ object ClusterIndex {
         // RESTART IDEMPOTENCY: a re-delivered trigger (no streaming
         // checkpointLocation, or a recovery replay) whose epoch already
         // SEALED is skipped whole — without this, the LshIndex.append
-        // below would re-run before addPairs' ledger could refuse,
-        // duplicating the batch's docs in the detection index
-        if (!isSealed(spark, clusterDir, epoch)) {
-          val b = batch.localCheckpoint()
-          val m = LshIndex.loadMeta(spark, lshDir)
-          val cross = LshIndex.probe(spark, lshDir, b, idCol, textCol,
-              threshold)
-            .select(col("index_id").as("id_a"), col("probe_id").as("id_b"))
-          val intra = Dedup.minhashPairsExact(b, idCol, textCol,
-              shingleN = m.shingleN, numHashes = m.numHashes,
-              bands = m.bands, threshold = threshold, seed = m.seed)
-            .select(col("id_a"), col("id_b"))
-          // pair detection BEFORE the append (a doc must not pair with
-          // itself through the index). A crash AFTER the append but
-          // before the seal re-runs the whole trigger: the re-append
-          // duplicates doc rows in the LSH store — pair CORRECTNESS is
-          // unaffected (candidates and pairs are distinct-ed, addPairs
-          // canonicalizes), only doc counts inflate until an
-          // LshIndex.compact folds them
-          val pairs = cross.unionByName(intra).localCheckpoint()
-          LshIndex.append(spark, lshDir, b, idCol, textCol)
-          addPairs(spark, clusterDir, pairs, "id_a", "id_b", epoch)
-          // per-trigger checkpoints die with the trigger, not with GC
-          // (the freeCheckpoint doctrine — a standing query must not
-          // accumulate batch-scale blocks across triggers)
-          Seq(b, pairs).foreach(Dedup.releasePlan)
-        }
+        // inside the trigger would re-run before addPairs' ledger could
+        // refuse, duplicating the batch's docs in the detection index
+        if (!isSealed(spark, clusterDir, epoch))
+          ingestTrigger(spark, lshDir, clusterDir, batch, epoch, idCol,
+            textCol, threshold, None)
         ()
       }
       .start()
+  }
+
+  /** The shared per-trigger protocol of both streaming faces (r17
+    * self-review: one body, not two drifting copies): pair detection
+    * BEFORE the append (a doc must not pair with itself through the
+    * index), then LshIndex append, then — best face only — the batch's
+    * scores, then the clustering fold. A crash AFTER the append but
+    * before the epoch seal re-runs the whole trigger: the re-append
+    * duplicates doc rows in the LSH store — pair CORRECTNESS is
+    * unaffected (candidates and pairs are distinct-ed, addPairs
+    * canonicalizes), only doc counts inflate until an LshIndex.compact
+    * folds them. Per-trigger checkpoints die with the trigger, not with
+    * GC (the freeCheckpoint doctrine — a standing query must not
+    * accumulate batch-scale blocks across triggers).
+    */
+  private def ingestTrigger(spark: SparkSession, lshDir: String,
+      clusterDir: String, batch: DataFrame, epoch: Long, idCol: String,
+      textCol: String, threshold: Double,
+      best: Option[org.apache.spark.sql.Column]): Unit = {
+    val b = batch.localCheckpoint()
+    val m = LshIndex.loadMeta(spark, lshDir)
+    val cross = LshIndex.probe(spark, lshDir, b, idCol, textCol,
+        threshold)
+      .select(col("index_id").as("id_a"), col("probe_id").as("id_b"))
+    val intra = Dedup.minhashPairsExact(b, idCol, textCol,
+        shingleN = m.shingleN, numHashes = m.numHashes,
+        bands = m.bands, threshold = threshold, seed = m.seed)
+      .select(col("id_a"), col("id_b"))
+    val pairs = cross.unionByName(intra).localCheckpoint()
+    LshIndex.append(spark, lshDir, b, idCol, textCol)
+    best match {
+      case None =>
+        addPairs(spark, clusterDir, pairs, "id_a", "id_b", epoch)
+      case Some(score) =>
+        // scores: caller truth like pairs, committed BEFORE them (a
+        // crashed epoch's winners must be re-derivable from recorded
+        // state); a replayed trigger skips a committed score epoch and
+        // clears a crashed partial so mode("error") can land
+        val scoresDir = s"$clusterDir/doc_scores/epoch=$epoch"
+        if (!graft.io.EpochCommit.committed(spark, scoresDir)) {
+          graft.io.EpochCommit.clearPartial(spark, scoresDir)
+          val sc = b.select(col(idCol).cast("long").as("id"),
+            score.cast("double").as("score")).localCheckpoint()
+          if (sc.count() > 0) {
+            sc.write.mode("error").parquet(scoresDir)
+            graft.io.EpochCommit.seal(spark, scoresDir)
+          }
+          Dedup.releasePlan(sc)
+        }
+        addPairsWithBest(spark, clusterDir, pairs, "id_a", "id_b",
+          docScores(spark, clusterDir), "id", col("score"), epoch)
+        ()
+    }
+    Seq(b, pairs).foreach(Dedup.releasePlan)
+  }
 
   /** [[streamingIngest]] with the keep/drop DECISION maintained per
     * trigger — the streaming face of [[addPairsWithBest]]. Batch best
@@ -530,57 +577,44 @@ object ClusterIndex {
       clusterDir: String, stream: DataFrame, idCol: String,
       textCol: String, threshold: Double,
       score: org.apache.spark.sql.Column,
-      epochBase: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
+      epochBase: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(hasBest(spark, clusterDir),
+      "not a best-enabled index — build with buildWithBest, or use streamingIngest")
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val epoch = epochBase + epochId + 1
-        if (!isSealed(spark, clusterDir, epoch)) {
-          val b = batch.localCheckpoint()
-          val m = LshIndex.loadMeta(spark, lshDir)
-          val cross = LshIndex.probe(spark, lshDir, b, idCol, textCol,
-              threshold)
-            .select(col("index_id").as("id_a"), col("probe_id").as("id_b"))
-          val intra = Dedup.minhashPairsExact(b, idCol, textCol,
-              shingleN = m.shingleN, numHashes = m.numHashes,
-              bands = m.bands, threshold = threshold, seed = m.seed)
-            .select(col("id_a"), col("id_b"))
-          val pairs = cross.unionByName(intra).localCheckpoint()
-          LshIndex.append(spark, lshDir, b, idCol, textCol)
-          // scores: caller truth like pairs, committed BEFORE them (a
-          // crashed epoch's winners must be re-derivable from recorded
-          // state); a replayed trigger skips a committed score epoch and
-          // clears a crashed partial so mode("error") can land
-          val scoresDir = s"$clusterDir/doc_scores/epoch=$epoch"
-          if (!graft.io.EpochCommit.committed(spark, scoresDir)) {
-            graft.io.EpochCommit.clearPartial(spark, scoresDir)
-            val sc = b.select(col(idCol).cast("long").as("id"),
-              score.cast("double").as("score")).localCheckpoint()
-            if (sc.count() > 0)
-              sc.write.mode("error").parquet(scoresDir)
-            Dedup.releasePlan(sc)
-          }
-          addPairsWithBest(spark, clusterDir, pairs, "id_a", "id_b",
-            docScores(spark, clusterDir), "id", col("score"), epoch)
-          Seq(b, pairs).foreach(Dedup.releasePlan)
-        }
+        if (!isSealed(spark, clusterDir, epoch))
+          ingestTrigger(spark, lshDir, clusterDir, batch, epoch, idCol,
+            textCol, threshold, Some(score))
         ()
       }
       .start()
+  }
 
   /** Every streamed doc's (id, score) accumulated by
     * [[streamingIngestWithBest]] — the docs frame its winner lookups
-    * and [[resolveBest]] read. Empty (schema'd) when nothing streamed.
+    * and [[resolveBest]] read. COMMITTED epochs only (r17 self-review):
+    * a crash mid-scores-write leaves a partial epoch dir that must
+    * never feed a reader — torn files or a row subset would surface as
+    * spurious keep rows matching no committed state. Empty (schema'd)
+    * when nothing committed.
     */
   def docScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double)].toDF("id", "score")
     val p = new org.apache.hadoop.fs.Path(s"$dir/doc_scores")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p))
-      spark.read.schema("id long, score double").parquet(p.toString)
-        .select(col("id"), col("score"))
+    if (!fs.exists(p)) empty
     else {
-      import spark.implicits._
-      Seq.empty[(Long, Double)].toDF("id", "score")
+      val committedDirs = fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+        .map(_.getPath.toString)
+        .filter(graft.io.EpochCommit.committed(spark, _))
+      if (committedDirs.isEmpty) empty
+      else spark.read.schema("id long, score double")
+        .parquet(committedDirs: _*)
+        .select(col("id"), col("score"))
     }
   }
 

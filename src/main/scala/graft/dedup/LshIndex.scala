@@ -286,6 +286,7 @@ object LshIndex {
           append(spark, dir, admitted, idCol, textCol)
           admitted.withColumn("epoch", lit(epochId))
             .write.mode("error").parquet(epochDir)
+          graft.io.EpochCommit.seal(spark, epochDir)
           // per-trigger checkpoints die with the trigger, not with GC
           Seq(b, admitted).foreach(Dedup.releasePlan)
         }

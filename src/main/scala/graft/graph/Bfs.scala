@@ -50,22 +50,12 @@ object Bfs {
     */
   def distances(edges0: DataFrame, srcCol: String, dstCol: String,
       seedPred: Column => Column, iterations: Int = 4,
-      driverEdgeCap: Long = PageRank.DriverEdgeCap): DataFrame = {
-    val spark = edges0.sparkSession
-    val edges = edges0
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct().persist()
-    // ONE bounded job decides the tier AND feeds the driver tier: under
-    // the cap the limited collect IS the whole edge set; over it, at
-    // most cap+1 rows ever cross to the driver
-    val capInt = math.min(driverEdgeCap, Int.MaxValue - 1L).toInt
-    val head = edges.limit(capInt + 1).collect()
-    if (head.length <= driverEdgeCap) {
-      edges.unpersist(blocking = false)
-      driverDistances(spark, head.map(r => (r.getLong(0), r.getLong(1))),
-        seedPred, iterations)
-    } else deltaStatsCore(edges, seedPred, iterations)._1
-  }
+      driverEdgeCap: Long = PageRank.DriverEdgeCap): DataFrame =
+    PageRank.edgesUnderCap(edges0, srcCol, dstCol, driverEdgeCap) match {
+      case Left(es) =>
+        driverDistances(edges0.sparkSession, es, seedPred, iterations)
+      case Right(edges) => deltaStatsCore(edges, seedPred, iterations)._1
+    }
 
   /** Exact driver BFS — layer-by-layer over an adjacency map, first
     * assignment is final (unweighted minimality), unreached nodes carry

@@ -79,29 +79,40 @@ object PageRank {
       iterations: Int = 3, driverEdgeCap: Long = DriverEdgeCap): DataFrame =
     twoTier(edges0, srcCol, dstCol, Some(seedPred), iterations, driverEdgeCap)
 
-  private def twoTier(edges0: DataFrame, srcCol: String, dstCol: String,
-      seedPred: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column],
-      iterations: Int, driverEdgeCap: Long): DataFrame = {
-    val spark = edges0.sparkSession
-    // ONE canonical distinct frame decides the tier AND feeds whichever
-    // tier runs (the distributed loop pins exactly this frame anyway, so
-    // the gate costs one count over the cache, never a second distinct)
+  /** Shared two-tier gate (used by this object and [[Bfs.distances]] —
+    * one body, not two drifting copies): ONE canonical distinct
+    * (src, dst) frame is pinned and ONE bounded cap+1 limit-collect
+    * decides the tier AND feeds it — under the cap the limited collect
+    * IS the whole edge set (frame already unpersisted); over it, at
+    * most cap+1 rows ever crossed to the driver and the callee receives
+    * the pinned canonical frame (and owns its unpersist). cap <= 0
+    * forces the distributed tier on any non-empty graph; the empty
+    * graph takes the driver tier, where both tiers return identically
+    * empty results.
+    */
+  private[graph] def edgesUnderCap(edges0: DataFrame, srcCol: String,
+      dstCol: String, cap: Long): Either[Array[(Long, Long)], DataFrame] = {
     val canon = edges0
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct().persist()
-    // ONE bounded job decides the tier AND feeds the driver tier: under
-    // the cap the limited collect IS the whole edge set; over it, at
-    // most cap+1 rows ever cross to the driver
-    val capInt = math.min(driverEdgeCap, Int.MaxValue - 1L).toInt
+    val capInt = math.max(0L, math.min(cap, Int.MaxValue - 1L)).toInt
     val head = canon.limit(capInt + 1).collect()
-    if (head.length <= driverEdgeCap) {
+    if (head.length <= cap || head.isEmpty) {
       canon.unpersist(blocking = false)
-      driverPageRank(spark, head.map(r => (r.getLong(0), r.getLong(1))),
-        seedPred, iterations)
-    } else
-      pageRankImpl(canon, "src", "dst", seedPred, iterations, eager = true,
-        canonPinned = Some(canon))
+      Left(head.map(r => (r.getLong(0), r.getLong(1))))
+    } else Right(canon)
   }
+
+  private def twoTier(edges0: DataFrame, srcCol: String, dstCol: String,
+      seedPred: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column],
+      iterations: Int, driverEdgeCap: Long): DataFrame =
+    edgesUnderCap(edges0, srcCol, dstCol, driverEdgeCap) match {
+      case Left(es) =>
+        driverPageRank(edges0.sparkSession, es, seedPred, iterations)
+      case Right(canon) =>
+        pageRankImpl(canon, "src", "dst", seedPred, iterations,
+          eager = true, canonPinned = Some(canon))
+    }
 
   /** Exact driver power iteration — the [[pageRankFpInner]] arithmetic
     * verbatim on arrays: same fixed-point init (Scale div ns on seeds),

@@ -3,30 +3,51 @@ package graft.io
 import org.apache.spark.sql.SparkSession
 
 /** Commit-atomic epoch seals for streaming-ingest ledgers (round-17
-  * ADVICE fix). Directory EXISTENCE is not a commit marker: Spark
-  * creates the output directory (with `_temporary/`) at job setup, so a
-  * crash mid-write leaves the dir present and a replayed trigger gated
-  * on `fs.exists(dir)` is skipped whole — the ledger stays permanently
-  * empty/partial for that epoch while the index append already landed.
-  * The atomic marker is the `_SUCCESS` file the Hadoop committer writes
-  * AFTER every task output is moved into place: present => the epoch's
-  * parquet committed fully; absent-with-dir-present => a crashed
-  * attempt, which the replay must CLEAR before re-running (the ledger
-  * writes use mode("error"), so a leftover partial dir would otherwise
-  * kill the replayed trigger instead of healing it).
+  * ADVICE fix, hardened by the r17 self-review). Directory EXISTENCE is
+  * not a commit marker: Spark creates the output directory (with
+  * `_temporary/`) at job setup, so a crash mid-write leaves the dir
+  * present and a replayed trigger gated on `fs.exists(dir)` is skipped
+  * whole — the ledger stays permanently empty/partial for that epoch
+  * while the index append already landed.
+  *
+  * The seal is graft's OWN `_graft_commit` marker, written by [[seal]]
+  * strictly after the parquet write returns — not the committer's
+  * `_SUCCESS`, which is configuration-dependent
+  * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false` and most
+  * cloud committers omit it; gating on it would make [[clearPartial]]
+  * DELETE fully-committed epochs on those configs). `_SUCCESS` is still
+  * ACCEPTED as proof of commit when present — it is only ever written
+  * at job commit, and honoring it closes the crash window between the
+  * parquet write and [[seal]] on configs that do produce it. A dir with
+  * neither marker is a crashed attempt, which the replay must CLEAR
+  * before re-running (the ledger writes use mode("error"), so a
+  * leftover partial dir would otherwise kill the replayed trigger
+  * instead of healing it).
   */
 object EpochCommit {
+
+  private val Marker = "_graft_commit"
 
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** True iff the parquet write at `dir` committed fully — the
-    * committer's `_SUCCESS` marker is present (dir existence alone is a
-    * crashed-attempt false positive).
+  /** Stamp `dir` committed — call strictly AFTER the epoch's parquet
+    * write returns. Idempotent.
+    */
+  def seal(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, Marker)
+    val f = fs(spark, p)
+    if (!f.exists(p)) f.create(p, false).close()
+  }
+
+  /** True iff the epoch write at `dir` committed fully — graft's own
+    * marker, or the committer's `_SUCCESS` where the config writes one.
     */
   def committed(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-    fs(spark, p).exists(p)
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, d)
+    f.exists(new org.apache.hadoop.fs.Path(dir, Marker)) ||
+      f.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
   }
 
   /** Remove a crashed (present but uncommitted) epoch dir so the

@@ -49,11 +49,56 @@ object IvfIndex {
       vecCol: String, dir: String, centroids: Seq[Array[Double]]): Unit = {
     val spark = candidates.sparkSession
     require(centroids.nonEmpty, "IvfIndex: empty centroid set")
+    writeCentroids(spark, s"$dir/centroids", centroids)
+    writeAssigned(candidates, idCol, vecCol, dir, centroids, "overwrite")
+  }
+
+  private def writeCentroids(spark: SparkSession, path: String,
+      centroids: Seq[Array[Double]]): Unit = {
     import spark.implicits._
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    writeAssigned(candidates, idCol, vecCol, dir, centroids, "overwrite")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  private def stagingDir(dir: String) = s"$dir/_retrain_staging"
+
+  /** Heal a crashed [[retrainAndCompact]] (r17 self-review — the
+    * reserve/write/seal doctrine applied to the quantizer swap):
+    * staging WITHOUT the ready marker is a pre-commit crash, rolled
+    * back whole (the live index was never touched); staging WITH the
+    * marker is a mid-swap crash, and the swap COMPLETES idempotently
+    * (each face renames only if still staged). Without this, a crash
+    * between the centroid and vector overwrites would leave vectors
+    * assigned under the old quantizer but searched under the new one —
+    * silently wrong cells. Returns "none" | "rolled_back" | "completed";
+    * called automatically by retrainAndCompact, exposed for an operator
+    * healing an index before serving reads.
+    */
+  def recoverRetrain(spark: SparkSession, dir: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val st = new org.apache.hadoop.fs.Path(stagingDir(dir))
+    val fs = st.getFileSystem(conf)
+    if (!fs.exists(st)) "none"
+    else if (!fs.exists(new org.apache.hadoop.fs.Path(st, "_ready"))) {
+      fs.delete(st, true)
+      "rolled_back"
+    } else {
+      Seq("centroids", "vectors").foreach { face =>
+        val staged = new org.apache.hadoop.fs.Path(st, face)
+        if (fs.exists(staged)) {
+          val live = new org.apache.hadoop.fs.Path(s"$dir/$face")
+          fs.delete(live, true)
+          fs.rename(staged, live)
+          ()
+        }
+      }
+      // the staged vectors were assigned from the LIVE (post-tombstone)
+      // set, so the swap is also the compact — clear the folded sidecar
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+      fs.delete(st, true)
+      "completed"
+    }
   }
 
   /** The missing last step of the index lifecycle (r16 verdict task 6):
@@ -76,6 +121,7 @@ object IvfIndex {
       skewBar: Double = 4.0, force: Boolean = false, nlist: Int = 0,
       sampleSize: Int = 2000,
       seed: Long = 42L): Option[Seq[Array[Double]]] = {
+    recoverRetrain(spark, dir) // heal any prior crashed swap first
     val k0 = loadCentroids(spark, dir).size
     val occ = liveVectors(spark, dir).groupBy(col("cell"))
       .agg(count(lit(1)).as("n")).collect().map(_.getLong(1))
@@ -85,8 +131,8 @@ object IvfIndex {
       else occ.max.toDouble * k0 / total // mean counts EMPTY trained cells
     if (!force && skew < skewBar) return None
     val k = if (nlist > 0) nlist else k0
-    // one checkpoint: the rebuild overwrites the very directories the
-    // live frame reads (the compact doctrine)
+    // one checkpoint: the staged rebuild replaces the very directories
+    // the live frame reads (the compact doctrine)
     val live = liveVectors(spark, dir).select(col("vec_id"), col("vec"))
       .localCheckpoint(true)
     val centroids =
@@ -94,9 +140,21 @@ object IvfIndex {
         seed = seed)
     require(centroids.nonEmpty,
       "IvfIndex.retrainAndCompact: no finite-norm stored vectors")
-    buildWithCentroids(live, "vec_id", "vec", dir, centroids.toSeq)
-    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    // CRASH-CONSISTENT SWAP: both new faces land in staging, the ready
+    // marker commits, and the swap executes through the same
+    // [[recoverRetrain]] path a restart would take — a crash before the
+    // marker rolls back whole, after it the completion is idempotent
+    val conf = spark.sessionState.newHadoopConf()
+    val st = new org.apache.hadoop.fs.Path(stagingDir(dir))
+    val fs = st.getFileSystem(conf)
+    fs.delete(st, true)
+    writeCentroids(spark, s"${stagingDir(dir)}/centroids", centroids.toSeq)
+    assignCells(live, "vec_id", "vec", centroids.toSeq)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${stagingDir(dir)}/vectors")
+    fs.create(new org.apache.hadoop.fs.Path(st, "_ready"), false).close()
+    val done = recoverRetrain(spark, dir)
+    assert(done == "completed", s"retrain swap state: $done")
     live.queryExecution.logical.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))
@@ -262,6 +320,7 @@ object IvfIndex {
           assigned.select(col("vec_id"), col("cell"))
             .withColumn("epoch", lit(epochId))
             .write.mode("error").parquet(epochDir)
+          graft.io.EpochCommit.seal(spark, epochDir)
           // free the per-trigger checkpoint now, not at GC
           assigned.queryExecution.logical.collectFirst {
             case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd

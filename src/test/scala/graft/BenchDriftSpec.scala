@@ -120,19 +120,25 @@ class BenchDriftSpec extends AnyFunSuite {
       Map("q_knn_wide" -> 4.23), floors, tiers) === Nil)
   }
 
-  test("recovery subset: >1.5x floor and >0.15s excess, biggest absolute " +
-      "excess first, capped") {
+  test("recovery subset: floorless queries always re-measure; then " +
+      ">1.5x floor and >0.15s excess, biggest absolute excess first, capped") {
     val floors = Map("q_a" -> 1.0, "q_b" -> 0.2, "q_c" -> 2.0, "q_d" -> 0.1)
     val mins = Seq(
       "q_a" -> 1.4,  // 1.4x — under ratio, out
       "q_b" -> 0.32, // 1.6x but +0.12s — under the absolute bar, out
       "q_c" -> 7.0,  // 3.5x, +5.0s — in, biggest excess
       "q_d" -> 0.5,  // 5x, +0.4s — in
-      "q_new" -> 9.0) // no floor — out
+      "q_new" -> 9.0) // NO floor — nothing can prove its contaminated
+                      // reading sane, so it re-measures unconditionally
+                      // (else the clean stamp publishes it and gen_floors
+                      // bakes the poisoned number in as its floor)
     assert(BenchDrift.recoverySubset(mins, floors, 1.5, 0.15, 48) ===
-      Seq("q_c", "q_d"))
-    assert(BenchDrift.recoverySubset(mins, floors, 1.5, 0.15, 1) ===
-      Seq("q_c"))
+      Seq("q_new", "q_c", "q_d"))
+    assert(BenchDrift.recoverySubset(mins, floors, 1.5, 0.15, 2) ===
+      Seq("q_new", "q_c"))
+    // a zero/negative floor counts as floorless (corrupt floors guard)
+    assert(BenchDrift.recoverySubset(Seq("q_z" -> 0.3),
+      Map("q_z" -> 0.0), 1.5, 0.15, 48) === Seq("q_z"))
   }
 
   test("cooldown: waits out transient load, bounded tries, reports sleeps") {

@@ -249,6 +249,37 @@ class ClusterIndexSpec extends AnyFunSuite with SparkSpec {
       === scratchKeep(1L -> 2L, 4L -> 5L, 3L -> 4L, 2L -> 3L, 10L -> 11L))
   }
 
+  test("face guards: plain addPairs/streamingIngest refuse a best index " +
+      "(silent winner corruption), repairWithBest refuses a plain one") {
+    val dir = Files.createTempDirectory("cluster_guard").toString + "/idx"
+    ClusterIndex.buildWithBest(pairsDf(1L -> 2L, 4L -> 5L), "id_a", "id_b",
+      bestDocs, "id", col("score"), dir)
+    // a plain-addPairs epoch would seal labels WITHOUT recomputing
+    // winners or tombstoning merged-away clusters — resolveBest would
+    // silently diverge from keepBest with no repair path
+    intercept[IllegalArgumentException] {
+      ClusterIndex.addPairs(spark, dir, pairsDf(2L -> 4L), "id_a", "id_b", 1)
+    }
+    // nothing was recorded by the refusal
+    assert(ClusterIndex.maxRecordedEpoch(spark, dir) === 0L)
+    assert(keepOf(ClusterIndex.resolveBest(spark, dir, bestDocs, "id"))
+      === scratchKeep(1L -> 2L, 4L -> 5L))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    intercept[IllegalArgumentException] {
+      ClusterIndex.streamingIngest(spark, dir, dir,
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text", 0.5)
+    }
+    // and the mirror: repairWithBest on a plain index would write
+    // orphan best updates
+    val plain = Files.createTempDirectory("cluster_guard2").toString + "/idx"
+    ClusterIndex.build(pairsDf(1L -> 2L), "id_a", "id_b", plain)
+    intercept[IllegalArgumentException] {
+      ClusterIndex.repairWithBest(spark, plain, bestDocs, "id", col("score"))
+    }
+  }
+
   test("streaming ingest with best: the keep set is maintained per " +
       "trigger and equals from-scratch keepBest over the streamed docs") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -28,6 +28,24 @@ class EpochCommitSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(d).count() === 1L)
   }
 
+  test("seal() commits independently of _SUCCESS — safe on committers " +
+      "that write no marker (marksuccessfuljobs=false / cloud committers)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("epoch_commit").toString + "/epoch=0"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(d)
+    // simulate a no-marker committer config: the job commits fully but
+    // writes no _SUCCESS — without graft's own seal, clearPartial would
+    // DELETE this fully-committed ledger epoch on replay
+    assert(new java.io.File(d, "_SUCCESS").delete())
+    assert(!EpochCommit.committed(spark, d))
+    EpochCommit.seal(spark, d)
+    assert(EpochCommit.committed(spark, d))
+    assert(!EpochCommit.clearPartial(spark, d))
+    assert(spark.read.parquet(d).count() === 1L)
+    EpochCommit.seal(spark, d) // idempotent
+    assert(EpochCommit.committed(spark, d))
+  }
+
   test("crashed partial (dir present, no _SUCCESS): detected and cleared") {
     import spark.implicits._
     val d = Files.createTempDirectory("epoch_commit").toString + "/epoch=0"

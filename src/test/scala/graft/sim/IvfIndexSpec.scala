@@ -354,6 +354,54 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(!new java.io.File(s"$t/tombstones").exists())
   }
 
+  test("recoverRetrain: pre-commit crash rolls back whole; post-commit " +
+      "crash completes idempotently — never a mixed quantizer") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("ivf_swap").toString + "/idx"
+    val data = (0 until 4).flatMap(c =>
+      (0 until 50).map(j => (c * 1000L + j, member(c, j))))
+    IvfIndex.build(data.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", t, nlist = 4, sampleSize = 200, seed = 7L)
+    val qs = (0 until 4).map(c => (90000L + c, member(c, 500)))
+    def res() = IvfIndex.search(spark, t, qs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 3, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = res()
+    assert(IvfIndex.recoverRetrain(spark, t) === "none")
+
+    // PRE-COMMIT crash: staging exists, no ready marker -> rolled back
+    // whole, live index untouched
+    Seq((0, Seq(1.0))).toDF("cell", "centroid")
+      .write.parquet(s"$t/_retrain_staging/centroids")
+    assert(IvfIndex.recoverRetrain(spark, t) === "rolled_back")
+    assert(!new java.io.File(s"$t/_retrain_staging").exists())
+    assert(res() === before)
+
+    // POST-COMMIT crash: both faces staged and the marker written, then
+    // the process dies — even half-swapped (centroids already renamed),
+    // recovery completes and the index serves consistently
+    val cs = IvfIndex.loadCentroids(spark, t)
+    val snap = spark.read.parquet(s"$t/vectors")
+      .select("vec_id", "vec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    IvfIndex.buildWithCentroids(snap.toSeq.toDF("vec_id", "vec"),
+      "vec_id", "vec", s"$t/_retrain_staging", cs)
+    assert(new java.io.File(s"$t/_retrain_staging/_ready").createNewFile())
+    // simulate the mid-swap crash: centroids face already swapped
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$t/centroids"))
+    assert(new java.io.File(s"$t/_retrain_staging/centroids")
+      .renameTo(new java.io.File(s"$t/centroids")))
+    assert(IvfIndex.recoverRetrain(spark, t) === "completed")
+    assert(!new java.io.File(s"$t/_retrain_staging").exists())
+    // same centroids + same vectors staged -> identical searches
+    assert(res() === before)
+    assert(IvfIndex.recoverRetrain(spark, t) === "none")
+  }
+
   test("streaming ingest: a crashed partial audit epoch is healed on " +
       "replay (seal = _SUCCESS, not dir existence)") {
     import spark.implicits._
