@@ -28,6 +28,19 @@ object EpochCommit {
 
   private val Marker = "_graft_commit"
 
+  // A commit is PERMANENT, so positive answers cache for the JVM's life
+  // (second-review finding: readers like ClusterIndex.docScores probe
+  // every historical epoch per streaming trigger — on object stores
+  // each exists() is a HEAD request, O(epochs) RPCs per trigger without
+  // this). Only `true` is ever cached; `false` re-probes.
+  private val committedCache =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Migration caveat: epoch dirs written by PRE-marker code on a
+    * committer config that also writes no `_SUCCESS` carry neither
+    * proof — stamp them once via [[seal]] before resuming replay-gated
+    * streams over them, or [[clearPartial]] will treat them as crashed.
+    */
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -45,9 +58,12 @@ object EpochCommit {
     */
   def committed(spark: SparkSession, dir: String): Boolean = {
     val d = new org.apache.hadoop.fs.Path(dir)
+    if (committedCache.contains(d.toString)) return true
     val f = fs(spark, d)
-    f.exists(new org.apache.hadoop.fs.Path(dir, Marker)) ||
+    val ok = f.exists(new org.apache.hadoop.fs.Path(dir, Marker)) ||
       f.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+    if (ok) committedCache.update(d.toString, ())
+    ok
   }
 
   /** Remove a crashed (present but uncommitted) epoch dir so the

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.eval.{Evaluation, Metrics}
+import graft.eval.{Evaluation, Metrics, Plots}
 import graft.global.GlobalTrainer
 import graft.io.Ingestion
 import graft.local.LocalTrainer
@@ -42,7 +42,11 @@ final case class SweepConfig(
     // leak jittered replicas of one source row across the boundary
     testDataPath: Option[String] = None,
     modelsDir: Option[String] = None,
-    reportsDir: Option[String] = None)
+    reportsDir: Option[String] = None,
+    // when set, both E9 figures (eval/Plots) render per iteration under
+    // <plotsDir>/<kind>_<iteration>/ — the post-evaluation artifacts the
+    // reference's controller imports its visualization module for
+    plotsDir: Option[String] = None)
 
 /** The experiment sweep (reference: code/src/controller_loop.py:109-412):
   * for each iteration i (= partition count), run
@@ -121,8 +125,10 @@ object Controller {
     }
     val perf = timer.time("evaluation")(
       Evaluation.performance(pred, cfg.labelCol, "prediction"))
-    val (_, _, classWise) = Evaluation.classWise(pred, cfg.labelCol, "prediction")
+    val (labels, cm, classWise) = Evaluation.classWise(pred, cfg.labelCol, "prediction")
     pred.unpersist()
+    cfg.plotsDir.foreach(dir =>
+      Plots.writeAll(labels, cm, classWise, s"$dir/local_$iteration"))
     cfg.modelsDir.foreach { dir =>
       new java.io.File(dir).mkdirs()
       ModelJson.saveForest(forest, s"$dir/local_forest_$iteration.json")
@@ -149,8 +155,10 @@ object Controller {
     }
     val perf = timer.time("evaluation")(
       Evaluation.performance(pred, cfg.labelCol, "prediction"))
-    val (_, _, classWise) = Evaluation.classWise(pred, cfg.labelCol, "prediction")
+    val (labels, cm, classWise) = Evaluation.classWise(pred, cfg.labelCol, "prediction")
     pred.unpersist()
+    cfg.plotsDir.foreach(dir =>
+      Plots.writeAll(labels, cm, classWise, s"$dir/global_$iteration"))
     cfg.modelsDir.foreach { dir =>
       new java.io.File(dir).mkdirs()
       ModelJson.saveTree(tree, s"$dir/global_tree_$iteration.json")

@@ -84,19 +84,31 @@ object IvfIndex {
       fs.delete(st, true)
       "rolled_back"
     } else {
+      // Hadoop FileSystem signals failure by RETURNING FALSE, not
+      // throwing (second-review finding): an unchecked failed rename
+      // followed by the staging delete would destroy the only copy of a
+      // face while reporting success. Every step is checked; on failure
+      // the staging (and its _ready marker) is left INTACT so the swap
+      // stays re-runnable.
+      def must(ok: Boolean, what: String): Unit =
+        if (!ok) throw new java.io.IOException(
+          s"retrain swap: $what failed — staging left intact, re-run recoverRetrain")
       Seq("centroids", "vectors").foreach { face =>
         val staged = new org.apache.hadoop.fs.Path(st, face)
         if (fs.exists(staged)) {
           val live = new org.apache.hadoop.fs.Path(s"$dir/$face")
-          fs.delete(live, true)
-          fs.rename(staged, live)
-          ()
+          if (fs.exists(live)) must(fs.delete(live, true), s"delete live $face")
+          must(fs.rename(staged, live), s"rename staged $face")
         }
       }
-      // the staged vectors were assigned from the LIVE (post-tombstone)
-      // set, so the swap is also the compact — clear the folded sidecar
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
-      fs.delete(st, true)
+      // The TOMBSTONE SIDECAR IS LEFT UNTOUCHED here (second-review
+      // finding): deletes recorded AFTER the staging snapshot but before
+      // this recovery are NOT folded into the staged vectors — wiping
+      // the sidecar would resurrect them. Stale (already-folded)
+      // tombstone rows are harmless: liveVectors' anti-join simply
+      // misses. retrainAndCompact's in-call path clears the sidecar
+      // itself, where single-writer sequencing makes it provably safe.
+      must(fs.delete(st, true), "clear staging")
       "completed"
     }
   }
@@ -155,6 +167,11 @@ object IvfIndex {
     fs.create(new org.apache.hadoop.fs.Path(st, "_ready"), false).close()
     val done = recoverRetrain(spark, dir)
     assert(done == "completed", s"retrain swap state: $done")
+    // sidecar clear is safe HERE and only here: the staged vectors were
+    // assigned from this call's own live snapshot, and the single-writer
+    // maintenance contract means no delete() interleaved since — unlike
+    // the crash-recovery path, which must leave the sidecar alone
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
     live.queryExecution.logical.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))

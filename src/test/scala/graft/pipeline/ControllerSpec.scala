@@ -23,7 +23,8 @@ class ControllerSpec extends AnyFunSuite with SparkSpec {
       maxDepth = 6,
       poolNames = Seq("euclidean"),
       reportsDir = Some(out),
-      modelsDir = Some(out))
+      modelsDir = Some(out),
+      plotsDir = Some(out))
     val results = Controller.run(spark, cfg)
     assert(results.map(_.modelKind).distinct.sorted === Seq("global", "local"))
     // ECG5000 is ~58% majority class; a working distance tree should clear it
@@ -40,5 +41,14 @@ class ControllerSpec extends AnyFunSuite with SparkSpec {
     assert(node.get("2").get("performance").get("accuracy").asDouble() > 0.6)
     assert(new java.io.File(s"$out/local_forest_2.json").exists())
     assert(new java.io.File(s"$out/global_tree_2.json").exists())
+    // E9: both figures rendered per iteration, and they parse as XML
+    Seq("local_2", "global_2").foreach { it =>
+      Seq("confusion_matrix.svg", "class_metrics.svg").foreach { f =>
+        val svg = new java.io.File(s"$out/$it/$f")
+        assert(svg.exists() && svg.length() > 200, s"missing plot $it/$f")
+        javax.xml.parsers.DocumentBuilderFactory.newInstance()
+          .newDocumentBuilder().parse(svg)
+      }
+    }
   }
 }
