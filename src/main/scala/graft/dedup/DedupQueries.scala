@@ -444,6 +444,23 @@ object DedupQueries {
         Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
     }),
 
+    // Binary (sign) quantization + Hamming shortlist + exact refine — the
+    // 32x memory tier below SQ8 (256 sign bits = 32 bytes/vector,
+    // dim-independent): first pass ranks by XOR+popcount over packed longs
+    // (no floats touched), a constant-size shortlist re-ranks on true
+    // floats. Same in-plan recall contract vs the float brute twin as the
+    // other ANN variants (measured 1.0 here — shortlist 100 over this
+    // corpus; the bit budget and shortlist both scale independently of
+    // corpus size, and the recall-vs-bits curve is pinned in KnnBinarySpec).
+    "q_knn_binary" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      annRecallSummary(
+        Knn.binaryTopK(q, emb, "vec_id", "embedding", k = 5,
+          numBits = 256, shortlist = 100),
+        Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
+    }),
+
     // Benchmark decontamination — the pretraining hygiene op: flag every
     // train document sharing ANY word 5-gram with the eval set (here:
     // every 50th doc stands in for the benchmark). Shape: explode grams to
@@ -1862,7 +1879,8 @@ object DedupQueries {
     "q_knn_quantized" -> annSummarySql,
     "q_knn_ivf_quantized" -> annSummarySql,
     "q_knn_pq" -> annSummarySql,
-    "q_knn_wide" -> annSummarySql
+    "q_knn_wide" -> annSummarySql,
+    "q_knn_binary" -> annSummarySql
   )
 
   private lazy val annSummarySql =

@@ -572,6 +572,106 @@ object Knn extends Serializable {
         round(col("sim"), 6).as("cosine_sim"))
   }
 
+  /** Binary (sign) quantization ANN with exact refine — the 32×
+    * memory tier below SQ8: each candidate rides as `numBits` sign bits of
+    * seeded random projections, packed into ⌈numBits/64⌉ longs (32 bytes at
+    * 256 bits vs 256 float bytes for dim 64 — and the cut GROWS with dim,
+    * since the code width is dim-independent). The first pass ranks by
+    * Hamming distance (XOR + popcount — the cheapest distance a CPU can
+    * compute, and the scan is pure longs, no floats touched); only the
+    * per-query `shortlist` survivors fetch their float vectors by id for
+    * exact cosine re-ranking, exactly [[pqTopK]]'s refine shape.
+    *
+    * Why it works: for unit vectors, P[sign(r·a) ≠ sign(r·b)] = θ(a,b)/π
+    * per Gaussian plane (the SRP collision bound — same math as
+    * [[srpBucket]], used here as a DISTANCE instead of a bucket id), so
+    * Hamming/numBits is an unbiased angle estimate with std
+    * ~sqrt(p(1-p)/numBits); 256 bits resolves angles to a few degrees,
+    * and the exact refine restores any order the estimate scrambles
+    * inside the shortlist. Recall vs the float brute twin is pinned
+    * in-plan by q_knn_binary's invariant.
+    *
+    * Scale shape: the code relation is NARROW (id, 4 longs) — at
+    * production scale THIS is what you persist and scan; the Hamming pass
+    * never carries a float vector, the query set broadcasts both passes,
+    * and the refine join touches O(queries × shortlist) float rows no
+    * matter how big the corpus. `shortlist` is a constant, not
+    * corpus-proportional.
+    */
+  def binaryTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numBits: Int = 256,
+      shortlist: Int = 100,
+      seed: Long = 42L): DataFrame = {
+    require(numBits > 0, s"numBits must be > 0, got $numBits")
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val spark = candidates.sparkSession
+    // dim probe follows lshTopK: the plane matrix needs the embedding
+    // width up front (an empty corpus has no ANN question to answer)
+    val dim = candidates.select(size(col(vecCol))).head().getInt(0)
+    val planes = randomHyperplanes(numBits, dim, seed)
+    val bcPlanes = spark.sparkContext.broadcast(planes.map(_.toArray).toArray)
+    val nWords = (numBits + 63) / 64
+    // sign-bit packing; ragged rows fold their common prefix with each
+    // plane (the kmeansCentroids doctrine — no AIOOBE, deterministic).
+    // >= 0 matches srpBucket so the two SRP faces agree on the boundary.
+    val pack = udf((v: Seq[Double]) => {
+      val arr = v.toArray
+      val ps = bcPlanes.value
+      val out = new Array[Long](nWords)
+      var b = 0
+      while (b < ps.length) {
+        val p = ps(b)
+        var dot = 0.0; var i = 0
+        val n = math.min(p.length, arr.length)
+        while (i < n) { dot += p(i) * arr(i); i += 1 }
+        if (dot >= 0) out(b >>> 6) |= (1L << (b & 63))
+        b += 1
+      }
+      out.toSeq
+    })
+    val hamming = udf((a: Seq[Long], b: Seq[Long]) => {
+      var h = 0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { h += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
+      h
+    })
+    val base = graft.prep.Preprocessing.spread(candidates)
+      .select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("fv"))
+      .withColumn("fn", norm(col("fv")))
+      .filter(finiteNorm("fn"))
+    val coded = base.select(col("neighbor_id"), pack(col("fv")).as("cbits"))
+    val q = queries.select(col(idCol).as("query_id"),
+        toDoubleArray(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .filter(finiteNorm("qn"))
+    val qBits = q.select(col("query_id"), pack(col("qv")).as("qbits"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(asc("ham"), asc("neighbor_id"))
+    val short = coded.join(broadcast(qBits), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        hamming(col("qbits"), col("cbits")).as("ham"))
+      .withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact refine: floats join back by id — queries broadcast (bounded),
+    // candidates equi on neighbor_id (the pqTopK refine shape)
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    short.join(base, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromNorms(col("qv"), col("fv"), col("qn"), col("fn")).as("sim"))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("cosine_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
     * Exact within blocking: when `numPlanes` > 0, SRP-LSH blocking with an
     * OR-construction over `numTables` independent hash tables — a pair is a

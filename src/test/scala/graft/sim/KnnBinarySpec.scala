@@ -1,0 +1,106 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Binary (sign) quantization ANN semantics: the SRP angle-estimate math,
+  * the exact-refine contract, and the recall invariant the catalog query
+  * (q_knn_binary) pins in-plan at every SF.
+  */
+class KnnBinarySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = graft.ops.Tables.embeddings(spark, dir)
+
+  test("refined output reports EXACT cosines: every emitted sim matches the brute twin") {
+    // the refine stage re-scores shortlist survivors on true floats, so
+    // any (query, neighbor) pair the binary path emits must carry the same
+    // sim the brute-force path computes for that pair
+    val q = emb.filter(col("vec_id") < 5)
+    val bin = Knn.binaryTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
+    val brute = Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 1000)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine_sim").as("true_sim"))
+    val joined = bin.join(brute, Seq("query_id", "neighbor_id"), "left_outer")
+      .select(col("cosine_sim"), col("true_sim"))
+      .as[(Double, Option[Double])].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (s, t) =>
+      assert(t.contains(s), s"binary-refined sim $s != exact sim $t")
+    }
+  }
+
+  test("recall@5 vs the float brute twin clears the 0.85 contract") {
+    val q = emb.filter(col("vec_id") < 10)
+    val bin = Knn.binaryTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val brute = Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = bin.intersect(brute).count().toDouble
+    val total = brute.count().toDouble
+    assert(total === 50.0)
+    assert(hits / total >= 0.85, s"recall ${hits / total} below contract")
+  }
+
+  test("recall-vs-bits curve: more sign bits means a sharper angle estimate") {
+    // P[bit flip] = theta/pi per plane, std ~ sqrt(p(1-p)/numBits): the
+    // Hamming estimate tightens with the bit budget, so shortlist recall
+    // at a STARVED shortlist (no refine slack) must not decrease when the
+    // bit budget quadruples. At shortlist=k the refine stage cannot repair
+    // a shortlist miss — this isolates the estimator's quality.
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def recallAt(bits: Int): Double = {
+      val bin = Knn.binaryTopK(q, emb, "vec_id", "embedding", k = 5,
+        numBits = bits, shortlist = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      bin.intersect(brute).count().toDouble / 50.0
+    }
+    val coarse = recallAt(64)
+    val fine = recallAt(256)
+    assert(fine >= coarse,
+      s"recall should not degrade with more bits: 64->$coarse 256->$fine")
+    // absolute floor: far above chance (a random 5-of-499 shortlist gives
+    // ~0.01), far below the refined contract (this corpus has near-uniform
+    // similarity — tiny angular gaps are exactly the estimator's worst
+    // case, which is why the CATALOG query carries shortlist=100).
+    // Measured 0.38 at 256 bits / shortlist 5 on this fixture.
+    assert(fine >= 0.2, s"256-bit starved-shortlist recall $fine implausibly low")
+  }
+
+  test("packing is deterministic and dim-independent in width") {
+    // same seed -> same codes; the code width is ceil(numBits/64) longs
+    // regardless of embedding dim (the 32x-at-any-dim memory story)
+    val a = Knn.binaryTopK(emb.filter(col("vec_id") < 3), emb,
+      "vec_id", "embedding", k = 3).collect()
+    val b = Knn.binaryTopK(emb.filter(col("vec_id") < 3), emb,
+      "vec_id", "embedding", k = 3).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("misconfiguration fails loudly") {
+    intercept[IllegalArgumentException] {
+      Knn.binaryTopK(emb, emb, "vec_id", "embedding", k = 10, shortlist = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Knn.binaryTopK(emb, emb, "vec_id", "embedding", k = 1, numBits = 0)
+    }
+  }
+
+  test("non-finite vectors are dropped, not propagated") {
+    val poisoned = emb.select(col("vec_id"),
+      when(col("vec_id") === 11,
+        array((0 until 64).map(_ => lit(Double.NaN)): _*))
+        .otherwise(graft.sim.Vectors.toDoubleArray(col("embedding")))
+        .as("embedding"))
+    val out = Knn.binaryTopK(poisoned.filter(col("vec_id") < 10), poisoned,
+      "vec_id", "embedding", k = 5)
+    assert(out.filter(col("neighbor_id") === 11).count() === 0)
+    assert(out.count() === 50)
+  }
+}
