@@ -328,15 +328,20 @@ object Bench {
         }
       }
     }
-    // merge recovery measurements: min over both JVMs (the min stays
-    // contamination-immune — the recovery JVM is one more rep window);
-    // the battery median keeps documenting in-battery conditions
-    val resultsRecovered = resultsFull.map {
+    // merge of fresh-JVM measurements: min over both JVMs (the min stays
+    // contamination-immune — the fresh JVM is one more rep window); the
+    // battery median keeps documenting in-battery conditions. ONE merge
+    // rule shared by the contamination recovery and the drift gate
+    // (second-review dedup: two verbatim copies would drift).
+    def mergeFreshMins(
+        rs: Seq[(String, Double, Double, Double, Option[String], Boolean)],
+        mins: Map[String, Double]) = rs.map {
       case r @ (k, med, mn, c, None, rq) =>
-        recMins.get(k).filter(f => f > 0 && f < mn)
+        mins.get(k).filter(f => f > 0 && f < mn)
           .map(f => (k, med, f, c, None, rq)).getOrElse(r)
       case r => r
     }
+    val resultsRecovered = mergeFreshMins(resultsFull, recMins)
     val recHealed = resultsFull.collect {
       case (k, _, mn, _, None, _)
         if recMins.get(k).exists(f => f > 0 && f < mn) => (k, mn, recMins(k))
@@ -356,12 +361,7 @@ object Bench {
           s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
         Map.empty
       }
-    val publishedFull = resultsRecovered.map {
-      case r @ (k, med, mn, c, None, rq) =>
-        freshMins.get(k).filter(f => f > 0 && f < mn)
-          .map(f => (k, med, f, c, None, rq)).getOrElse(r)
-      case r => r
-    }
+    val publishedFull = mergeFreshMins(resultsRecovered, freshMins)
     // adjudicate the FULL over-tier set: un-retried overflow beyond the
     // cap lands here with its best min (no fresh sample to heal it)
     val drifted =
@@ -396,11 +396,17 @@ object Bench {
     val calSpread = spreadOf(publishedFull.map(_._4))
     val calSpreadRaw = spreadOf(firstPass.map(_._4))
     val requeried = publishedFull.collect { case (k, _, _, _, _, true) => k }
-    // inline list capped (requeried_n always has the true count): a badly
-    // contaminated run could otherwise spend the compact line's whole
-    // char budget naming healed queries instead of reporting timings
-    val requeriedJson =
-      requeried.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // inline lists capped (every list rides beside its true `_n` count):
+    // a badly contaminated run could otherwise spend the compact line's
+    // whole char budget naming healed queries instead of reporting
+    // timings — or worse, blow the head itself past the harness's
+    // ~2000-char tail window (second-review finding: the head's envelope
+    // lists were unbounded, so a mass-drift run front-truncated the
+    // compact line, the exact failure it exists to prevent). The FULL
+    // artifact (the file) keeps today's caps; the compact stdout line
+    // caps every list at CompactListCap, bounding the head statically.
+    def requeriedJsonAt(cap: Int) =
+      requeried.take(cap).map("\"" + _ + "\"").mkString("[", ",", "]")
     // FINAL verdict: a contaminated run that recovered (box quieted,
     // inflated subset re-measured in a clean fresh JVM) publishes a
     // clean artifact; one that could not recover keeps the contaminated
@@ -412,26 +418,28 @@ object Bench {
     // DriftRatio x floor after the fresh JVM — the adjudication queue
     val driftHealed = movers.flatMap { case (k, mn) =>
       freshMins.get(k).filter(f => f > 0 && f < mn).map(f => (k, mn, f)) }
-    val driftHealedJson = driftHealed.map { case (k, from, to) =>
-      s"""{"q":"$k","from":${cal3(from)},"to":${cal3(to)}}"""
-    }.mkString("[", ",", "]")
-    val driftedJson = drifted.map { case (k, mn, fl) =>
+    def healedEntries(hs: Seq[(String, Double, Double)], cap: Int) =
+      hs.take(cap).map { case (k, from, to) =>
+        s"""{"q":"$k","from":${cal3(from)},"to":${cal3(to)}}"""
+      }.mkString("[", ",", "]")
+    def driftedJsonAt(cap: Int) = drifted.take(cap).map { case (k, mn, fl) =>
       s"""{"q":"$k","min":${cal3(mn)},"floor":${cal3(fl)}}"""
     }.mkString("[", ",", "]")
     val tiersJson = DriftTiers
       .map { case (r, a) => s"[$r,$a]" }.mkString("[", ",", "]")
-    val driftJson =
-      s""""floors_n":${floors.size},"drift_tiers":$tiersJson,"drift_checked":${movers.map("\"" + _._1 + "\"").mkString("[", ",", "]")},"drift_healed":$driftHealedJson,"drifted":$driftedJson""" +
+    def driftJsonAt(cap: Int) =
+      s""""floors_n":${floors.size},"drift_tiers":$tiersJson,"drift_checked_n":${movers.size},"drift_checked":${movers.take(cap).map("\"" + _._1 + "\"").mkString("[", ",", "]")},"drift_healed_n":${driftHealed.size},"drift_healed":${healedEntries(driftHealed, cap)},"drifted_n":${drifted.size},"drifted":${driftedJsonAt(cap)}""" +
         (if (driftError.nonEmpty) s""","drift_error":"${jesc(driftError)}"""" else "")
     // recovery envelope (only when attempted — the clean-run common case
     // spends none of the compact line's budget on it)
-    val recHealedJson = recHealed.take(20).map { case (k, from, to) =>
-      s"""{"q":"$k","from":${cal3(from)},"to":${cal3(to)}}"""
-    }.mkString("[", ",", "]")
-    val recoveryJson = if (!recAttempted) "" else
-      s""","contamination_unresolved":$contaminationUnresolved,"contamination_recovery":{"cooldown_tries":$recCooldownTries,"quiet":$recQuiet,"subset_n":$recSubsetN,"env_clean":$recClean,"healed_n":${recHealed.size},"healed":$recHealedJson${if (recError.nonEmpty) s""","error":"${jesc(recError)}"""" else ""}}"""
-    val calJson =
-      s""""calibration_sec":{"pre":${cal3(calPre)},"mid":${cal3(calMid)},"post":${cal3(calPost)}},"calibration_par_sec":{"threads":$nThreads,"pre":${cal3(calPrePar)},"mid":${cal3(calMidPar)},"post":${cal3(calPostPar)}},"cal_floor":$CalFloorSec,"cooldown_retries":$cooldownRetries,"contaminated":$contaminated$recoveryJson,"cal_q_spread":${cal3(calSpread)},"cal_q_spread_raw":${cal3(calSpreadRaw)},"requeried_n":${requeried.size},"requeried":$requeriedJson,$driftJson"""
+    def recoveryJsonAt(cap: Int) = if (!recAttempted) "" else
+      s""","contamination_unresolved":$contaminationUnresolved,"contamination_recovery":{"cooldown_tries":$recCooldownTries,"quiet":$recQuiet,"subset_n":$recSubsetN,"env_clean":$recClean,"healed_n":${recHealed.size},"healed":${healedEntries(recHealed, cap)}${if (recError.nonEmpty) s""","error":"${jesc(recError)}"""" else ""}}"""
+    def calJsonAt(listCap: Int) =
+      s""""calibration_sec":{"pre":${cal3(calPre)},"mid":${cal3(calMid)},"post":${cal3(calPost)}},"calibration_par_sec":{"threads":$nThreads,"pre":${cal3(calPrePar)},"mid":${cal3(calMidPar)},"post":${cal3(calPostPar)}},"cal_floor":$CalFloorSec,"cooldown_retries":$cooldownRetries,"contaminated":$contaminated${recoveryJsonAt(listCap)},"cal_q_spread":${cal3(calSpread)},"cal_q_spread_raw":${cal3(calSpreadRaw)},"requeried_n":${requeried.size},"requeried":${requeriedJsonAt(listCap)},${driftJsonAt(listCap)}"""
+    // full artifact keeps the historical 20-entry caps; the compact
+    // stdout line's 6 bounds its worst-case head to ~1.6 KB (fixed ~600
+    // + 6 entries x ~45 chars x up to 4 struct lists), under the budget
+    val calJson = calJsonAt(20)
     val fullJson =
       s"""{"metric":"total","value":$totalMin,"unit":"sec","reps":$reps,"stat":"min_of_reps",$calJson,"total_median":$totalMedian,"nq_failed":${errEntries.size},"errors":$errJson,"queries":$qsMin,"queries_median":$qsMedian,"cal_per_query":$qsCal,"sf":"$sfDir"}"""
     // Persist the full per-query set (the durable machine-readable
@@ -459,7 +467,7 @@ object Bench {
     // queries under the char budget.
     val byTime = okForMaps.map { case (k, _, mn, _, _, _) => (k, mn) }.sortBy(-_._2)
     val budget = 1800
-    val head = s"""{"metric":"total","value":$totalMin,"unit":"sec","reps":$reps,"stat":"min_of_reps",$calJson,"total_median":$totalMedian,"nq":${publishedFull.size},"nq_failed":${errEntries.size},"detail":"BENCH_LOCAL.json","sf":"$sfDir","omitted":NNN,"queries":{"""
+    val head = s"""{"metric":"total","value":$totalMin,"unit":"sec","reps":$reps,"stat":"min_of_reps",${calJsonAt(6)},"total_median":$totalMedian,"nq":${publishedFull.size},"nq_failed":${errEntries.size},"detail":"BENCH_LOCAL.json","sf":"$sfDir","omitted":NNN,"queries":{"""
     val tail0 = "}}"
     var used = head.length + tail0.length
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -107,6 +107,7 @@ object ClusterIndex {
   def addPairs(spark: SparkSession, dir: String, newPairs: DataFrame,
       aCol: String, bCol: String, epoch: Long): Long = {
     require(epoch > 0, "epoch 0 is the build; batches start at 1")
+    requireNoCompactStaging(spark, dir)
     // guard symmetry with repair() (r17 self-review): a plain-addPairs
     // epoch on a best-enabled index would seal labels WITHOUT
     // recomputing winners or tombstoning merged-away clusters —
@@ -239,6 +240,7 @@ object ClusterIndex {
       idCol: String, score: org.apache.spark.sql.Column,
       epoch: Long): Long = {
     require(epoch > 0, "epoch 0 is the build; batches start at 1")
+    requireNoCompactStaging(spark, dir)
     require(hasBest(spark, dir),
       "not a best-enabled index — build with buildWithBest, or use addPairs")
     val bad = unsealedEpochs(spark, dir)
@@ -298,14 +300,8 @@ object ClusterIndex {
       .filter(col("keep_id").isNotNull)
   }
 
-  private def bestUpdatesOpt(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/best_updates")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p))
-      Some(spark.read.schema("cluster_id long, keep_id long")
-        .parquet(p.toString))
-    else None
-  }
+  private def bestUpdatesOpt(spark: SparkSession, dir: String): Option[DataFrame] =
+    updatesFace(spark, dir, "best_updates", "cluster_id long, keep_id long")
 
   private def sealPath(dir: String, epoch: Long) =
     new org.apache.hadoop.fs.Path(s"$dir/seals/epoch_$epoch")
@@ -327,15 +323,23 @@ object ClusterIndex {
     * between addPairs' write 1 and write 3. Their labels may be missing
     * or partial; [[repair]] re-derives them from the recorded pairs.
     */
-  def unsealedEpochs(spark: SparkSession, dir: String): Seq[Long] = {
-    val pairsP = new org.apache.hadoop.fs.Path(s"$dir/pairs")
-    val fs = pairsP.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(pairsP)) return Nil
-    fs.listStatus(pairsP).toSeq
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("epoch=") => s.drop(6).toLong }
+  def unsealedEpochs(spark: SparkSession, dir: String): Seq[Long] =
+    epochsOf(spark, dir, "pairs")
       .filter(e => e > 0 && !isSealed(spark, dir, e))
       .sorted
+
+  /** Epoch ids recorded under `dir/face/epoch=N` — the one listing
+    * idiom shared by [[unsealedEpochs]], [[maxRecordedEpoch]], and
+    * [[compact]]'s score-fold probe (second-review: three hand-rolled
+    * copies of the same listStatus parse drift independently).
+    */
+  private def epochsOf(spark: SparkSession, dir: String,
+      face: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$face")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("epoch=") => s.drop(6).toLong }
   }
 
   /** Recover from a crashed addPairs: for each unsealed epoch, drop any
@@ -364,6 +368,7 @@ object ClusterIndex {
 
   private def repairImpl(spark: SparkSession, dir: String,
       best: Option[(DataFrame, String, org.apache.spark.sql.Column)]): Seq[Long] = {
+    requireNoCompactStaging(spark, dir)
     val bad = unsealedEpochs(spark, dir)
     bad.foreach { e =>
       val conf = spark.sessionState.newHadoopConf()
@@ -436,21 +441,112 @@ object ClusterIndex {
     * same resolved labels (spec-pinned).
     */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    if (hasBest(spark, dir)) {
-      // fold winners first: resolvedWinners reads sealed best state only,
-      // and folding best before labels keeps both reads pre-compaction
-      val fw = resolvedWinners(spark, dir).localCheckpoint(true)
-      fw.write.mode("overwrite").parquet(s"$dir/best_base")
-      val bp = new org.apache.hadoop.fs.Path(s"$dir/best_updates")
-      bp.getFileSystem(conf).delete(bp, true)
-      Dedup.releasePlan(fw)
+    // CRASH-SAFE (second-review fix): the old in-place mode("overwrite")
+    // of best_base/labels_base was delete-then-write — a crash mid-write
+    // destroyed the only copy of the winners with no recovery path
+    // (repair replays unsealed EPOCHS, never the base). Now every folded
+    // face is STAGED, a _ready marker commits the intent, and
+    // [[finishCompact]] swaps with checked renames — a crash leaves
+    // either the old state intact (no _ready: [[recoverCompact]] rolls
+    // back) or a completable swap (recoverCompact finishes it).
+    requireNoCompactStaging(spark, dir)
+    val bad = unsealedEpochs(spark, dir)
+    require(bad.isEmpty,
+      s"unsealed epochs $bad (crashed addPairs) — repair before compacting")
+    val st = stagingPath(dir)
+    val fs = st.getFileSystem(spark.sessionState.newHadoopConf())
+    // staged writes READ pre-compaction state and WRITE a different path,
+    // so the old read-then-overwrite localCheckpoint pin is not needed
+    resolve(spark, dir).write.mode("error").parquet(s"$st/labels_base")
+    if (hasBest(spark, dir))
+      resolvedWinners(spark, dir).write.mode("error").parquet(s"$st/best_base")
+    // fold the streamed score epochs too (second-review finding: a
+    // long-lived stream's winner joins otherwise re-scan one parquet dir
+    // per historical trigger) — docScores reads committed epochs only,
+    // and single-writer means no trigger lands between this snapshot and
+    // the swap
+    if (epochsOf(spark, dir, "doc_scores").nonEmpty)
+      docScores(spark, dir).write.mode("error").parquet(s"$st/doc_scores_folded")
+    fs.create(new org.apache.hadoop.fs.Path(st, "_ready"), false).close()
+    val done = finishCompact(spark, dir)
+    assert(done == "completed", s"compact swap state: $done")
+  }
+
+  /** Crash recovery for [[compact]] (the staged-swap doctrine): staging
+    * without the _ready marker is an abandoned fold — rolled back, live
+    * state untouched; with the marker the swap completes idempotently.
+    * Single-writer like compact itself: must not run concurrently with
+    * writers or readers of this index. Returns "no_staging",
+    * "rolled_back", or "completed".
+    */
+  def recoverCompact(spark: SparkSession, dir: String): String = {
+    val st = stagingPath(dir)
+    val fs = st.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(st)) "no_staging"
+    else if (!fs.exists(new org.apache.hadoop.fs.Path(st, "_ready"))) {
+      fs.delete(st, true)
+      "rolled_back"
+    } else finishCompact(spark, dir)
+  }
+
+  private def stagingPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/_compact_staging")
+
+  /** A crashed compact left a staging dir; every WRITER refuses until
+    * [[recoverCompact]] adjudicates it — a write landing between the
+    * _ready marker and the swap would be folded away (its update epoch
+    * is deleted by the swap but absent from the staged base).
+    */
+  private def requireNoCompactStaging(spark: SparkSession, dir: String): Unit = {
+    val st = stagingPath(dir)
+    require(!st.getFileSystem(spark.sessionState.newHadoopConf()).exists(st),
+      "compact staging present (crashed compact) — run " +
+        "ClusterIndex.recoverCompact first")
+  }
+
+  /** The committed half of the compact swap. Hadoop FileSystem signals
+    * failure by RETURNING FALSE (the IvfIndex.recoverRetrain doctrine):
+    * every step is checked; on failure the staging and its _ready marker
+    * stay intact and the swap stays re-runnable.
+    */
+  private def finishCompact(spark: SparkSession, dir: String): String = {
+    val st = stagingPath(dir)
+    val fs = st.getFileSystem(spark.sessionState.newHadoopConf())
+    def must(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"compact swap: $what failed — staging left intact, re-run recoverCompact")
+    Seq("labels_base", "best_base").foreach { face =>
+      val staged = new org.apache.hadoop.fs.Path(st, face)
+      if (fs.exists(staged)) {
+        val live = new org.apache.hadoop.fs.Path(s"$dir/$face")
+        if (fs.exists(live)) must(fs.delete(live, true), s"delete live $face")
+        must(fs.rename(staged, live), s"rename staged $face")
+      }
     }
-    val folded = resolve(spark, dir).localCheckpoint(true)
-    folded.write.mode("overwrite").parquet(s"$dir/labels_base")
-    val p = new org.apache.hadoop.fs.Path(s"$dir/label_updates")
-    p.getFileSystem(conf).delete(p, true)
-    Dedup.releasePlan(folded)
+    val stagedScores = new org.apache.hadoop.fs.Path(st, "doc_scores_folded")
+    if (fs.exists(stagedScores)) {
+      // the staged fold snapshotted EVERY committed score epoch (single-
+      // writer: no trigger runs during compact), so clearing the live
+      // epoch dirs before the rename loses nothing; the folded dir
+      // carries its own _SUCCESS, so EpochCommit sees epoch=0 committed
+      val live = new org.apache.hadoop.fs.Path(s"$dir/doc_scores")
+      if (fs.exists(live)) must(fs.delete(live, true), "clear doc_scores")
+      must(fs.mkdirs(live), "recreate doc_scores")
+      must(fs.rename(stagedScores,
+        new org.apache.hadoop.fs.Path(live, "epoch=0")),
+        "rename folded doc_scores")
+    }
+    // stale update epochs surviving a crash here are harmless: they
+    // re-assert exactly the rows the folded base already carries
+    // (latest-epoch-wins re-applies identical labels/winners; a dead
+    // cluster's null tombstone re-drops it), so deleting them after the
+    // base swap is safe in any crash window
+    Seq("label_updates", "best_updates").foreach { face =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$face")
+      if (fs.exists(p)) must(fs.delete(p, true), s"clear $face")
+    }
+    must(fs.delete(st, true), "clear staging")
+    "completed"
   }
 
   /** Streaming face closing the whole near-dup loop: per trigger the
@@ -571,7 +667,10 @@ object ClusterIndex {
     * [[repairWithBest]](dir, [[docScores]](dir), "id", col("score"))
     * before restarting the stream. `clusterDir` must be
     * [[buildWithBest]]-built; the resolved keep set is
-    * [[resolveBest]](dir, docScores(dir), "id").
+    * [[resolveBest]](dir, docScores(dir), "id"). If the detection index
+    * holds PRE-STREAM docs (a built corpus), their scores must be seeded
+    * via [[seedScores]] first — setup refuses otherwise (an unscored
+    * member would silently drop out of a merged cluster's winner max).
     */
   def streamingIngestWithBest(spark: SparkSession, lshDir: String,
       clusterDir: String, stream: DataFrame, idCol: String,
@@ -580,6 +679,21 @@ object ClusterIndex {
       epochBase: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery = {
     require(hasBest(spark, clusterDir),
       "not a best-enabled index — build with buildWithBest, or use streamingIngest")
+    // SCORE COVERAGE (second-review finding): winner recomputation reads
+    // ONLY the accumulated docScores, so every doc already probe-able in
+    // the detection index must have a stored score BEFORE a streamed
+    // near-dup can merge with it — an unscored member silently drops out
+    // of the struct-max and the wrong doc survives. One bounded setup
+    // job; the per-trigger sides are covered by construction (each
+    // batch's scores commit before its addPairsWithBest).
+    val unscored = LshIndex.liveIds(spark, lshDir)
+      .join(docScores(spark, clusterDir), Seq("id"), "left_anti")
+      .limit(1).count()
+    require(unscored == 0L,
+      "detection-index docs lack doc_scores coverage — the pre-stream " +
+        "corpus's scores are not in this cluster index; call " +
+        "ClusterIndex.seedScores(clusterDir, corpusDocs, idCol, score) " +
+        "before streaming (winner recomputation reads docScores only)")
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
@@ -600,6 +714,29 @@ object ClusterIndex {
     * spurious keep rows matching no committed state. Empty (schema'd)
     * when nothing committed.
     */
+  /** One-time corpus-score seeding for [[streamingIngestWithBest]] over
+    * an index whose pre-stream corpus is non-empty (a [[buildWithBest]]
+    * corpus, or docs already in the detection LshIndex): the stream's
+    * winner recomputation reads ONLY the accumulated [[docScores]], so
+    * every doc a probe can pair against must have its score stored
+    * before streaming starts. Writes the corpus (id, score) as
+    * doc_scores/epoch=0 — trigger epochs start at 1, so the slot is
+    * reserved for the seed (and for [[compact]]'s fold). Idempotent: a
+    * committed seed is left alone; a crashed partial is cleared and
+    * rewritten (the ingestTrigger scores discipline).
+    */
+  def seedScores(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, score: org.apache.spark.sql.Column): Unit = {
+    requireNoCompactStaging(spark, dir)
+    val scoresDir = s"$dir/doc_scores/epoch=0"
+    if (graft.io.EpochCommit.committed(spark, scoresDir)) return
+    graft.io.EpochCommit.clearPartial(spark, scoresDir)
+    docs.select(col(idCol).cast("long").as("id"),
+        score.cast("double").as("score"))
+      .write.mode("error").parquet(scoresDir)
+    graft.io.EpochCommit.seal(spark, scoresDir)
+  }
+
   def docScores(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val empty = Seq.empty[(Long, Double)].toDF("id", "score")
@@ -623,11 +760,7 @@ object ClusterIndex {
     * [[streamingIngest]] when batch [[addPairs]] epochs precede it.
     */
   def maxRecordedEpoch(spark: SparkSession, dir: String): Long = {
-    val pairsP = new org.apache.hadoop.fs.Path(s"$dir/pairs")
-    val fs = pairsP.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(pairsP)) return -1L
-    val es = fs.listStatus(pairsP).toSeq.map(_.getPath.getName)
-      .collect { case s if s.startsWith("epoch=") => s.drop(6).toLong }
+    val es = epochsOf(spark, dir, "pairs")
     if (es.isEmpty) -1L else es.max
   }
 
@@ -638,12 +771,18 @@ object ClusterIndex {
     spark.read.schema("pa long, pb long").parquet(s"$dir/pairs")
       .select(col("pa"), col("pb"))
 
-  private def updatesOpt(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/label_updates")
+  private def updatesOpt(spark: SparkSession, dir: String): Option[DataFrame] =
+    updatesFace(spark, dir, "label_updates", "member_id long, cluster_id long")
+
+  /** The optional merge-on-read updates face (one reader for both the
+    * label and the best views — second-review dedup): explicit schema so
+    * an absent-part-file epoch dir never trips inference.
+    */
+  private def updatesFace(spark: SparkSession, dir: String, face: String,
+      schema: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$face")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p))
-      Some(spark.read.schema("member_id long, cluster_id long")
-        .parquet(p.toString))
+    if (fs.exists(p)) Some(spark.read.schema(schema).parquet(p.toString))
     else None
   }
 

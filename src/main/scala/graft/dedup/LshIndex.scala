@@ -153,6 +153,13 @@ object LshIndex {
     else None
   }
 
+  /** Ids of live (non-tombstoned) stored docs — the doc set a [[probe]]
+    * can pair against; [[ClusterIndex.streamingIngestWithBest]]'s
+    * score-coverage guard reads it at stream setup.
+    */
+  def liveIds(spark: SparkSession, dir: String): DataFrame =
+    liveDocs(spark, dir).select(col("id"))
+
   private def liveDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/docs")
     tombstones(spark, dir).fold(docs)(t => docs.join(t, Seq("id"), "left_anti"))

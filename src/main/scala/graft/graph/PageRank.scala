@@ -94,6 +94,11 @@ object PageRank {
       dstCol: String, cap: Long): Either[Array[(Long, Long)], DataFrame] = {
     val canon = edges0
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      // a null endpoint (null input or a failed cast) is not an edge:
+      // without this the driver tier NPEs on getLong while the
+      // distributed tier would thread a phantom null node through its
+      // joins — behavior diverging by GRAPH SIZE. Dropped for both tiers.
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().persist()
     val capInt = math.max(0L, math.min(cap, Int.MaxValue - 1L)).toInt
     val head = canon.limit(capInt + 1).collect()

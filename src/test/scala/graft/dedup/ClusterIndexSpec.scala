@@ -287,13 +287,18 @@ class ClusterIndexSpec extends AnyFunSuite with SparkSpec {
     val lshDir = s"$base/lsh"
     val clDir = s"$base/cluster"
     val w = (1 to 10).map(i => s"w$i").mkString(" ")
-    // seed doc never pairs with anything streamed — every scored doc
-    // flows through the stream (streamed docs are the scored corpus)
-    LshIndex.build(Seq((1L, "zz yy xx ww vv uu tt ss rr qq"))
-      .toDF("doc_id", "text"), "doc_id", "text", lshDir)
+    // the pre-stream corpus: one doc already in the detection index. Its
+    // score must be SEEDED (setup refuses otherwise — see the coverage
+    // guard test): winner recomputation reads docScores only, and this
+    // doc can pair with streamed arrivals
+    val seedCorpus = Seq((1L, "zz yy xx ww vv uu tt ss rr qq"))
+      .toDF("doc_id", "text")
+    LshIndex.build(seedCorpus, "doc_id", "text", lshDir)
     ClusterIndex.buildWithBest(pairsDf(), "id_a", "id_b",
       Seq.empty[(Long, Double)].toDF("id", "score"), "id", col("score"),
       clDir)
+    ClusterIndex.seedScores(spark, clDir, seedCorpus, "doc_id",
+      length(col("text")).cast("double"))
 
     val stream = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
@@ -306,15 +311,16 @@ class ClusterIndexSpec extends AnyFunSuite with SparkSpec {
         .as[Long].collect().toSet
     try {
       // trigger 1: two unrelated docs — no pairs, both keep themselves
+      // (and the seeded corpus doc keeps itself: unpaired)
       stream.addData((10L, w), (11L, "uno due tre quattro cinque sei"))
       q.processAllAvailable()
-      assert(kept() === Set(10L, 11L))
+      assert(kept() === Set(1L, 10L, 11L))
 
       // trigger 2: a LONGER near-dup of doc 10 (cross pair through the
       // index) — the cluster winner moves to the longer text
       stream.addData((20L, w + " w11"))
       q.processAllAvailable()
-      assert(kept() === Set(20L, 11L))
+      assert(kept() === Set(1L, 20L, 11L))
 
       // trigger 3: a still-longer member joins the same cluster AND an
       // intra-trigger near-dup pair of fresh docs (50 longer than 51)
@@ -322,7 +328,7 @@ class ClusterIndexSpec extends AnyFunSuite with SparkSpec {
         (50L, "red orange yellow green blue indigo violet extra"),
         (51L, "red orange yellow green blue indigo violet"))
       q.processAllAvailable()
-      assert(kept() === Set(30L, 11L, 50L))
+      assert(kept() === Set(1L, 30L, 11L, 50L))
 
       // the maintained view == from-scratch keepBest over exactly the
       // streamed docs and the recorded pair graph
@@ -337,6 +343,121 @@ class ClusterIndexSpec extends AnyFunSuite with SparkSpec {
       assert(ClusterIndex.unsealedEpochs(spark, clDir).isEmpty)
       assert(ClusterIndex.maxRecordedEpoch(spark, clDir) === 3L)
     } finally q.stop()
+
+    // compact folds the streamed score epochs into ONE (a long-lived
+    // stream's winner joins otherwise re-scan a parquet dir per
+    // historical trigger) alongside labels and winners — resolved keep
+    // set unchanged, ledger intact
+    ClusterIndex.compact(spark, clDir)
+    assert(kept() === Set(1L, 30L, 11L, 50L))
+    val scoreEpochs = new java.io.File(s"$clDir/doc_scores").listFiles()
+      .map(_.getName).filter(_.startsWith("epoch=")).toSet
+    assert(scoreEpochs === Set("epoch=0"), s"folded score epochs: $scoreEpochs")
+    assert(ClusterIndex.maxRecordedEpoch(spark, clDir) === 3L)
+  }
+
+  test("streaming best over a PRE-STREAM corpus: setup refuses unseeded " +
+      "scores; seeded, a corpus-stream merge keeps the corpus winner") {
+    // THE silent-corruption scenario the coverage guard exists for:
+    // corpus docs A(long) -- pair -- B(short); stream doc C (mid length)
+    // that near-dups B. Winner recomputation reads docScores ONLY — with
+    // A and B unscored they'd drop out of the merged cluster's max and C
+    // would silently be crowned over the true winner A.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("cluster_seed").toString
+    val lshDir = s"$base/lsh"
+    val clDir = s"$base/cluster"
+    val bText = (1 to 10).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, (1 to 18).map(i => s"a$i").mkString(" ")), // A: longest
+      (2L, bText)                                      // B: shortest
+    ).toDF("doc_id", "text")
+    val scoreCol = length(col("text")).cast("double")
+    LshIndex.build(corpus, "doc_id", "text", lshDir)
+    ClusterIndex.buildWithBest(pairsDf(1L -> 2L), "id_a", "id_b",
+      corpus, "doc_id", scoreCol, clDir)
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // unseeded: the detection index holds unscored docs — refuse at setup
+    intercept[IllegalArgumentException] {
+      ClusterIndex.streamingIngestWithBest(spark, lshDir, clDir,
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        threshold = 0.5, score = scoreCol)
+    }
+    ClusterIndex.seedScores(spark, clDir, corpus, "doc_id", scoreCol)
+    // seeding is idempotent — a second call leaves the committed seed
+    ClusterIndex.seedScores(spark, clDir, corpus, "doc_id", scoreCol)
+    val q = ClusterIndex.streamingIngestWithBest(spark, lshDir, clDir,
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5, score = scoreCol)
+    try {
+      // C near-dups B through the index -> pair (2,3) merges C into the
+      // corpus cluster {A,B}; A (longest) must stay the winner
+      stream.addData((3L, bText + " b11"))
+      q.processAllAvailable()
+      val kept = ClusterIndex.resolveBest(spark, clDir,
+        ClusterIndex.docScores(spark, clDir), "id")
+        .as[Long].collect().toSet
+      assert(kept === Set(1L), s"corpus winner must survive the merge: $kept")
+      // equals from-scratch keepBest over the seeded+streamed docs and
+      // the full recorded pair graph
+      val scratch = Dedup.keepBest(
+        ClusterIndex.docScores(spark, clDir), "id", col("score"),
+        Dedup.connectedComponents(
+          spark.read.schema("pa long, pb long")
+            .parquet(s"$clDir/pairs").select(col("pa"), col("pb")),
+          "pa", "pb"))
+        .as[Long].collect().toSet
+      assert(kept === scratch)
+    } finally q.stop()
+  }
+
+  test("compact is crash-safe: no _ready rolls back, _ready completes, " +
+      "writers refuse a crashed staging") {
+    val dir = Files.createTempDirectory("cluster_cswap").toString + "/idx"
+    ClusterIndex.buildWithBest(pairsDf(1L -> 2L, 4L -> 5L), "id_a", "id_b",
+      bestDocs, "id", col("score"), dir)
+    ClusterIndex.addPairsWithBest(spark, dir, pairsDf(2L -> 3L),
+      "id_a", "id_b", bestDocs, "id", col("score"), 1)
+    val want = keepOf(ClusterIndex.resolveBest(spark, dir, bestDocs, "id"))
+
+    // crash BEFORE the _ready marker: a half-written staging. Every
+    // writer refuses (a write landing now would be folded away by the
+    // later swap); recovery rolls back and live state is untouched.
+    val st = new java.io.File(s"$dir/_compact_staging/labels_base")
+    assert(st.mkdirs())
+    intercept[IllegalArgumentException] {
+      ClusterIndex.addPairsWithBest(spark, dir, pairsDf(10L -> 11L),
+        "id_a", "id_b", bestDocs, "id", col("score"), 2)
+    }
+    intercept[IllegalArgumentException] { ClusterIndex.compact(spark, dir) }
+    intercept[IllegalArgumentException] {
+      ClusterIndex.seedScores(spark, dir, bestDocs, "id", col("score"))
+    }
+    assert(ClusterIndex.recoverCompact(spark, dir) === "rolled_back")
+    assert(ClusterIndex.recoverCompact(spark, dir) === "no_staging")
+    assert(keepOf(ClusterIndex.resolveBest(spark, dir, bestDocs, "id"))
+      === want)
+    assert(new java.io.File(s"$dir/best_updates").exists(),
+      "rollback must leave the un-folded update log intact")
+
+    // crash AFTER _ready (on a plain index so the staged fold is
+    // constructible from public reads): recovery completes the swap
+    val dir2 = Files.createTempDirectory("cluster_cswap2").toString + "/idx"
+    ClusterIndex.build(pairsDf(1L -> 2L), "id_a", "id_b", dir2)
+    ClusterIndex.addPairs(spark, dir2, pairsDf(2L -> 3L), "id_a", "id_b", 1)
+    val wantLabels = labelsOf(ClusterIndex.resolve(spark, dir2))
+    ClusterIndex.resolve(spark, dir2)
+      .write.parquet(s"$dir2/_compact_staging/labels_base")
+    assert(new java.io.File(s"$dir2/_compact_staging/_ready").createNewFile())
+    assert(ClusterIndex.recoverCompact(spark, dir2) === "completed")
+    assert(labelsOf(ClusterIndex.resolve(spark, dir2)) === wantLabels)
+    assert(!new java.io.File(s"$dir2/label_updates").exists())
+    assert(!new java.io.File(s"$dir2/_compact_staging").exists())
+    // and the index accepts batches again
+    ClusterIndex.addPairs(spark, dir2, pairsDf(3L -> 4L), "id_a", "id_b", 2)
+    assert(labelsOf(ClusterIndex.resolve(spark, dir2))(4L) === 1L)
   }
 
   test("streaming after batch epochs: epochBase = maxRecordedEpoch " +

@@ -103,6 +103,31 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert(r(1L) > Scale * 15 / 100, s"seed keeps at least the restart term: $r")
   }
 
+  test("a null edge endpoint is dropped, not an NPE — and both tiers agree") {
+    // a null src/dst (null input, or a cast that yields null) is not an
+    // edge; before the fix the driver tier NPE'd on getLong while the
+    // distributed tier threaded a phantom null node — behavior diverging
+    // by graph SIZE
+    import spark.implicits._
+    val g = Seq((Some(1L), Some(2L)), (Some(2L), Option.empty[Long]),
+      (Option.empty[Long], Some(3L)), (Some(2L), Some(3L)))
+      .toDF("src", "dst")
+    val clean = edges(1L -> 2L, 2L -> 3L)
+    val want = ranks(PageRank.pageRank(clean, "src", "dst", iterations = 3))
+    assert(ranks(PageRank.pageRank(g, "src", "dst", iterations = 3)) === want,
+      "driver tier must drop null-endpoint edges")
+    assert(ranks(PageRank.pageRank(g, "src", "dst", iterations = 3,
+      driverEdgeCap = 0L)) === want,
+      "distributed tier must drop null-endpoint edges")
+    // BFS shares edgesUnderCap — same contract
+    val seed = (n: org.apache.spark.sql.Column) => n === 1L
+    val dWant = Bfs.distances(clean, "src", "dst", seed).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dGot = Bfs.distances(g, "src", "dst", seed).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dGot === dWant)
+  }
+
   test("personalized: empty seed set refuses loudly") {
     val g = edges(1L -> 2L)
     intercept[IllegalArgumentException] {
