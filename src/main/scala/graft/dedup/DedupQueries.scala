@@ -15,6 +15,11 @@ import graft.sim.{Knn, SemanticDedup}
   */
 object DedupQueries {
 
+  // declared BEFORE the strict `queries`/`oracles` vals: object vals
+  // initialize in declaration order, and the oracles map forces the
+  // (lazy) kcenterSql during init — a later declaration would read 0
+  private val kcenterK = 4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup groups on canonical fingerprint
     "q_dedup_exact" -> ((s, d) =>
@@ -460,6 +465,16 @@ object DedupQueries {
           numBits = 256, shortlist = 100),
         Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
     }),
+
+    // Diversity-aware selection (Coreset.kCenterGreedy): the 4 vectors
+    // that COVER the embedding space — k-1 passes, each ONE global
+    // struct-max aggregate (no shuffle, no window, centers ride as
+    // literals). Deterministic (min-id anchor, lower-id ties), so the
+    // DuckDB oracle replays the greedy loop exactly as k unrolled CTEs
+    // ranking on the same left-fold doubles.
+    "q_select_kcenter" -> ((s, d) =>
+      graft.sim.Coreset.kCenterGreedy(embeddings(s, d), "vec_id",
+        "embedding", k = kcenterK)),
 
     // Benchmark decontamination — the pretraining hygiene op: flag every
     // train document sharing ANY word 5-gram with the eval set (here:
@@ -1263,7 +1278,11 @@ object DedupQueries {
     "q_dedup_lsh_index" -> ((s, d) =>
       LshIndex.probe(s, lshIndexDir(s, d),
         documents(s, d).filter(col("doc_id") % 4 === 3),
-        "doc_id", "text", threshold = 0.3, materialize = false)))
+        "doc_id", "text", threshold = 0.3, materialize = false)),
+    // kCenterGreedy returns a driver-built k-row frame — the screened
+    // plan is the per-pass global struct-max aggregate itself
+    "q_select_kcenter" -> ((s, d) =>
+      graft.sim.Coreset.lintPass(embeddings(s, d), "vec_id", "embedding")))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -1880,8 +1899,46 @@ object DedupQueries {
     "q_knn_ivf_quantized" -> annSummarySql,
     "q_knn_pq" -> annSummarySql,
     "q_knn_wide" -> annSummarySql,
-    "q_knn_binary" -> annSummarySql
+    "q_knn_binary" -> annSummarySql,
+    "q_select_kcenter" -> kcenterSql
   )
+
+  /** The k-center greedy loop unrolled to `kcenterK` CTE levels: level i
+    * ranks every unselected row by its min cosine distance to the i-1
+    * prior centers and takes the max (d desc, id asc) — the exact
+    * iteration Coreset.kCenterGreedy runs as Spark aggregates. Raw-double
+    * ranking is replayable because both engines compute the dot product
+    * as the same left fold (the q_knn_brute precedent); norms are
+    * recomputed per level with the same sqrt(fold) arithmetic the
+    * operator carries from its prep projection.
+    */
+  private lazy val kcenterSql: String = {
+    val vcast = "CAST(embedding AS DOUBLE[])"
+    val nrm = s"sqrt(list_dot_product($vcast, $vcast))"
+    val eCte =
+      s"""e AS (SELECT vec_id AS id, $vcast AS v, $nrm AS nrm
+          FROM embeddings WHERE isfinite($nrm) AND $nrm > 0)"""
+    val c1 =
+      "c1 AS (SELECT id, v, nrm, CAST(0.0 AS DOUBLE) AS d FROM e ORDER BY id LIMIT 1)"
+    def distTo(ci: String) =
+      s"(1 - list_dot_product(e.v, (SELECT v FROM $ci)) / (e.nrm * (SELECT nrm FROM $ci)))"
+    val rest = (2 to kcenterK).map { i =>
+      val prev = (1 until i).map(j => s"c$j")
+      val dExpr =
+        if (prev.size == 1) distTo(prev.head)
+        else "least(" + prev.map(distTo).mkString(", ") + ")"
+      val notIn = prev.map(p => s"SELECT id FROM $p").mkString(" UNION ALL ")
+      s"""c$i AS (SELECT id, v, nrm, d FROM (
+          SELECT e.id, e.v, e.nrm, $dExpr AS d
+          FROM e WHERE e.id NOT IN ($notIn))
+          ORDER BY d DESC, id ASC LIMIT 1)"""
+    }
+    val selects = (1 to kcenterK).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS sel_rank, (SELECT id FROM c$i) AS id,
+          round((SELECT d FROM c$i), 6) AS sel_dist""")
+    s"WITH ${(Seq(eCte, c1) ++ rest).mkString(", ")} " +
+      selects.mkString(" UNION ALL ")
+  }
 
   private lazy val annSummarySql =
     """SELECT CAST(count(*) AS BIGINT) AS n_queries,
