@@ -1,0 +1,118 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-plan logistic regression — the trainable face of the quality
+  * family (q_text_quality scores by hand-tuned ratios; this learns the
+  * weights from weak labels, the fastText-style quality-classifier
+  * recipe every large corpus pipeline ends up needing).
+  *
+  * Training is batch gradient descent where each iteration is ONE
+  * global aggregate over the feature frame: per-row gradient
+  * contributions (σ(w·x) − y)·x_j are rounded to 12 decimals and summed
+  * as DECIMAL(38,12) — the repo's exact-aggregation doctrine
+  * (QualityQueries: "integer-exact or decimal-summed"), which makes the
+  * sum independent of partition combine order and therefore replayable
+  * bit-for-bit by the DuckDB oracle's unrolled-CTE twin. Weights update
+  * on the driver in plain double arithmetic (w_j − lr·(g_j/n)), the
+  * same ops the oracle's CTE chain runs.
+  *
+  * Scale shape: `iters` passes over a persisted narrow projection, each
+  * pass one map-side-combined aggregate with a (d+1)-element buffer —
+  * the KMeans/Pca loop shape: no shuffle of data rows, no window, no
+  * join, weights ride as literals.
+  */
+object LogReg {
+
+  /** Trained weights, features first, bias LAST. Deterministic: zero
+    * init, fixed iteration count, decimal-exact gradient sums.
+    */
+  def train(df: DataFrame, features: Seq[Column], label: Column,
+      iters: Int, lr: Double): Array[Double] = {
+    require(features.nonEmpty, "at least one feature")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lr > 0, s"learning rate must be > 0, got $lr")
+    val d = features.size
+    val cols = features.zipWithIndex.map { case (f, i) =>
+      f.cast("double").as(s"x$i")
+    } :+ label.cast("double").as("y")
+    val base = df.select(cols: _*).persist()
+    try {
+      var w = Array.fill(d + 1)(0.0)
+      for (_ <- 1 to iters) {
+        val r = gradientPass(base, d, w).collect()(0)
+        val n = r.getLong(d + 1)
+        require(n > 0, "no training rows after the feature projection")
+        w = w.zipWithIndex.map { case (wj, j) =>
+          wj - lr * (r.getDecimal(j).doubleValue / n)
+        }
+      }
+      w
+    } finally {
+      base.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** One gradient pass as an UN-collected plan over the projected
+    * (x0..x_{d-1}, y) frame: z and p as pure codegen'd expressions (no
+    * UDF; z associates left-to-right, the order the oracle's SQL
+    * replays), per-row contributions decimal-summed. Package-visible so
+    * the catalog lint can screen the per-pass shape the driver-built
+    * readout hides ([[lintPass]]).
+    */
+  private[graft] def gradientPass(projected: DataFrame, d: Int,
+      w: Array[Double]): DataFrame = {
+    val z = (0 until d).map(i => col(s"x$i") * lit(w(i)))
+      .reduceLeft(_ + _) + lit(w(d))
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val g = p - col("y")
+    val aggs = ((0 until d).map(i =>
+      sum(round(g * col(s"x$i"), 12).cast("decimal(38,12)")).as(s"g$i"))
+      :+ sum(round(g * lit(1.0), 12).cast("decimal(38,12)")).as("gb")
+      :+ count(lit(1)).as("n"))
+    projected.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The lint twin: the gradient-pass plan at zero weights (shape is
+    * weight-independent; never executed by the lint).
+    */
+  private[graft] def lintPass(df: DataFrame, features: Seq[Column],
+      label: Column): DataFrame = {
+    val d = features.size
+    val cols = features.zipWithIndex.map { case (f, i) =>
+      f.cast("double").as(s"x$i")
+    } :+ label.cast("double").as("y")
+    gradientPass(df.select(cols: _*), d, Array.fill(d + 1)(0.0))
+  }
+
+  /** [[train]] as a catalog-shaped readout: one (term, weight) row per
+    * feature plus the bias, weights rounded to 6 (the cross-engine
+    * publication precision every float-emitting oracle uses).
+    */
+  def trainReadout(df: DataFrame, features: Seq[Column],
+      names: Seq[String], label: Column, iters: Int,
+      lr: Double): DataFrame = {
+    require(names.size == features.size, "one name per feature")
+    val w = train(df, features, label, iters, lr)
+    val spark = df.sparkSession
+    import spark.implicits._
+    (names :+ "bias").zip(w).toSeq.toDF("term", "weight")
+      .select(col("term"), round(col("weight"), 6).as("weight"))
+  }
+
+  /** The trained model as a scoring expression: σ(w·x) over the same
+    * feature columns — apply with `.withColumn("quality", score(...))`
+    * and threshold downstream. Pure expression, broadcast-free (weights
+    * are literals), codegen'd.
+    */
+  def score(features: Seq[Column], weights: Array[Double]): Column = {
+    require(weights.length == features.size + 1,
+      "weights = features + bias (train() output)")
+    val z = features.zipWithIndex
+      .map { case (f, i) => f.cast("double") * lit(weights(i)) }
+      .reduceLeft(_ + _) + lit(weights.last)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+}

@@ -12,6 +12,21 @@ import graft.ops.Tables
 object QualityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // In-plan logistic regression (LogReg.train): learn a quality/langid
+    // classifier from weak labels — iters passes, each ONE decimal-summed
+    // global aggregate (the KMeans loop shape; no shuffle, no UDF).
+    // Features mirror the oracle's SQL text exactly; the unrolled-CTE
+    // twin replays every gradient step bit-for-bit.
+    "q_quality_lr" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val f0 = length(col("text")).cast("double") / lit(100.0)
+      val f1 = (length(col("text")) -
+        length(expr("replace(text, ' ', '')"))).cast("double") / lit(10.0)
+      graft.ml.LogReg.trainReadout(docs, Seq(f0, f1),
+        Seq("w_chars", "w_spaces"),
+        (col("lang") <=> "en").cast("int"), iters = lrIters,
+        lr = lrRate.toDouble)
+    }),
     // Mergeable fixed-bin histogram quantiles (HistQuantiles.scala) — the
     // quantile face of the incremental-stats family: fence frozen by the
     // init batch (l_orderkey%4==0), four per-batch 32-bin histograms
@@ -466,7 +481,68 @@ object QualityQueries {
       })
     }
 
+  /** Eager-query lint twins (the CatalogPlanLintSpec doctrine): the
+    * trainReadout result is a driver-built 3-row frame, so the screened
+    * plan is one gradient pass itself.
+    */
+  val lintVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_lr" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val f0 = length(col("text")).cast("double") / lit(100.0)
+      val f1 = (length(col("text")) -
+        length(expr("replace(text, ' ', '')"))).cast("double") / lit(10.0)
+      graft.ml.LogReg.lintPass(docs, Seq(f0, f1),
+        (col("lang") <=> "en").cast("int"))
+    }))
+
+  // q_quality_lr hyperparameters, shared by the operator call and the
+  // generated oracle (declared before the strict maps force lrSql)
+  private val lrIters = 3
+  private val lrRate = "0.5" // exact double literal in both engines
+
+  /** The gradient-descent loop unrolled to `lrIters` CTE levels: each
+    * level recomputes per-row σ(w·x)−y contributions with the PREVIOUS
+    * level's weights (scalar subqueries), sums them as DECIMAL(38,12)
+    * of round(·,12) — the exact-aggregation doctrine, combine-order
+    * independent — and applies w − lr·(g/n) in doubles, the same ops
+    * LogReg.train runs on the driver. Weights publish rounded to 6.
+    */
+  private lazy val qualityLrSql: String = {
+    val x0 = "CAST(length(text) AS DOUBLE)/100.0"
+    val x1 = "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)/10.0"
+    val e =
+      s"""e AS (SELECT $x0 AS x0, $x1 AS x1,
+          CASE WHEN lang IS NOT DISTINCT FROM 'en'
+            THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+          FROM documents WHERE text IS NOT NULL)"""
+    val w0 =
+      """w0c AS (SELECT CAST(0.0 AS DOUBLE) AS w0,
+          CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS wb)"""
+    def gsum(expr: String, alias: String) =
+      s"CAST(SUM(CAST(round($expr, 12) AS DECIMAL(38,12))) AS DOUBLE) AS $alias"
+    val iters = (1 to lrIters).flatMap { i =>
+      val pw = s"w${i - 1}c"
+      val z = s"(x0*(SELECT w0 FROM $pw) + x1*(SELECT w1 FROM $pw) + (SELECT wb FROM $pw))"
+      val g = s"(1.0/(1.0 + exp(-$z)) - y)"
+      Seq(
+        s"""g${i}c AS (SELECT ${gsum(s"$g * x0", "g0")},
+            ${gsum(s"$g * x1", "g1")}, ${gsum(s"$g * 1.0", "gb")},
+            COUNT(*) AS n FROM e)""",
+        s"""w${i}c AS (SELECT
+            (SELECT w0 FROM $pw) - $lrRate * (g0/n) AS w0,
+            (SELECT w1 FROM $pw) - $lrRate * (g1/n) AS w1,
+            (SELECT wb FROM $pw) - $lrRate * (gb/n) AS wb FROM g${i}c)""")
+    }
+    val last = s"w${lrIters}c"
+    s"WITH ${(Seq(e, w0) ++ iters).mkString(", ")} " +
+      s"SELECT 'w_chars' AS term, round((SELECT w0 FROM $last), 6) AS weight " +
+      s"UNION ALL SELECT 'w_spaces', round((SELECT w1 FROM $last), 6) " +
+      s"UNION ALL SELECT 'bias', round((SELECT wb FROM $last), 6)"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_quality_lr" -> qualityLrSql,
+
     // one-shot whole-table replay of the frozen-fence binning: hash
     // equality against the four-batch folded path proves the merge exact
     "q_quantile_hist" ->

@@ -1,0 +1,75 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** In-plan logistic regression semantics: gradient direction on
+  * separable data, monotone training loss, determinism, and the loud
+  * guards — the catalog query (q_quality_lr) pins the cross-engine
+  * gradient replay itself.
+  */
+class LogRegSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // linearly separable in one feature: x > 0 <=> label 1
+  private lazy val separable = (1 to 40).map { i =>
+    val x = if (i % 2 == 0) 1.0 + (i % 5) * 0.1 else -1.0 - (i % 5) * 0.1
+    (x, if (x > 0) 1 else 0)
+  }.toDF("x", "label")
+
+  test("separable data: the learned weight points the right way and separates") {
+    val w = LogReg.train(separable, Seq(col("x")), col("label"),
+      iters = 50, lr = 1.0)
+    assert(w(0) > 0, s"feature weight should be positive: ${w.toSeq}")
+    val scored = separable.withColumn("p",
+      LogReg.score(Seq(col("x")), w))
+    val wrong = scored.filter(
+      (col("p") >= 0.5) =!= (col("label") === 1)).count()
+    assert(wrong === 0, "separable data must separate at 50 iterations")
+  }
+
+  test("training loss is non-increasing in iteration count") {
+    def logLoss(w: Array[Double]): Double = {
+      val p = LogReg.score(Seq(col("x")), w)
+      separable.select(avg(
+        when(col("label") === 1, -log(p)).otherwise(-log(lit(1.0) - p)))
+        .as("ll")).head().getDouble(0)
+    }
+    val losses = Seq(1, 3, 10, 30).map(k =>
+      logLoss(LogReg.train(separable, Seq(col("x")), col("label"),
+        iters = k, lr = 1.0)))
+    assert(losses.zip(losses.tail).forall { case (a, b) => b <= a + 1e-12 },
+      s"log-loss must not increase with more iterations: $losses")
+  }
+
+  test("training is deterministic across runs and partitionings") {
+    val a = LogReg.train(separable, Seq(col("x")), col("label"), 5, 0.5)
+    val b = LogReg.train(separable.repartition(7), Seq(col("x")),
+      col("label"), 5, 0.5)
+    // decimal gradient sums are combine-order independent, so a
+    // different partitioning must yield BIT-identical weights
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("readout shape and guards") {
+    val out = LogReg.trainReadout(separable, Seq(col("x")), Seq("w_x"),
+      col("label"), iters = 2, lr = 0.5)
+    assert(out.columns.toSeq === Seq("term", "weight"))
+    assert(out.select("term").as[String].collect().toSet ===
+      Set("w_x", "bias"))
+    intercept[IllegalArgumentException] {
+      LogReg.train(separable, Seq.empty, col("label"), 1, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      LogReg.train(separable, Seq(col("x")), col("label"), 0, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      LogReg.train(separable.limit(0), Seq(col("x")), col("label"), 1, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      LogReg.score(Seq(col("x")), Array(1.0)) // bias missing
+    }
+  }
+}

@@ -24,7 +24,8 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     * fails if a twin goes stale or a new eager query ships without one.
     */
   private val lintVariants: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    graft.dedup.DedupQueries.lintVariants ++ graft.text.TextQueries.lintVariants
+    graft.dedup.DedupQueries.lintVariants ++ graft.text.TextQueries.lintVariants ++
+      graft.quality.QualityQueries.lintVariants
 
   /** The screened catalog: every driver-contract query, with the eager
     * ones swapped for their declarative twins.
