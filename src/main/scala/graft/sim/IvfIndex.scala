@@ -383,6 +383,66 @@ object IvfIndex {
         round(col("sim"), 6).as("cosine_sim"))
   }
 
+  /** The recall-side health signal completing the maintenance loop:
+    * [[cellStats]] sees occupancy skew (the capacity signal), this
+    * measures what skew actually COSTS — search quality. Samples
+    * `sampleN` stored live vectors as self-queries (seeded rand + sort,
+    * the trainSphericalKmeans sampling doctrine — no full count, no
+    * first-file bias), runs the real [[search]] at `nprobe`, and
+    * compares against the exact cosine truth over the stored live set.
+    * One summary row: (n_queries, k, nprobe, hits, expected, recall) —
+    * recall dropping across probes while cellStats skew rises is the
+    * [[retrainAndCompact]] trigger; a post-retrain probe confirms
+    * recovery (the IvfIndexSpec drift scenario, now a first-class op).
+    *
+    * Cost: the probe is sample-bounded — the brute twin scans the index
+    * once against `sampleN` broadcast queries; schedule it like any
+    * other maintenance op, not per query.
+    */
+  def recallProbe(spark: SparkSession, dir: String, sampleN: Int = 50,
+      k: Int = 10, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
+    require(sampleN > 0 && k > 0 && nprobe > 0,
+      s"positive sampleN/k/nprobe required, got $sampleN/$k/$nprobe")
+    val live = liveVectors(spark, dir)
+    // the sampled query frame feeds BOTH arms — pin it so they see the
+    // same sample (rand is per-partition-seeded; two evaluations over a
+    // shifting scan could disagree)
+    val q = live.select(col("vec_id"), col("vec"))
+      .withColumn("_r", rand(seed)).orderBy(col("_r")).limit(sampleN)
+      .select(col("vec_id"), col("vec")).localCheckpoint()
+    try {
+      val ann = search(spark, dir, q, "vec_id", "vec", k, nprobe)
+        .select(col("query_id"), col("neighbor_id"))
+      val brute = graft.sim.Knn.bruteForceTopK(q,
+          live.select(col("vec_id"), col("vec")), "vec_id", "vec", k)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(1).as("is_true"))
+      // evaluated HERE (one summary row): the checkpointed sample must
+      // not outlive the call, and a lazily returned plan would still
+      // reference it after the release below
+      val r = ann.join(brute, Seq("query_id", "neighbor_id"), "left_outer")
+        .agg(
+          countDistinct(col("query_id")).cast("long").as("n_queries"),
+          lit(k.toLong).as("k"),
+          lit(nprobe.toLong).as("nprobe"),
+          coalesce(sum(coalesce(col("is_true"), lit(0))), lit(0L))
+            .cast("long").as("hits"),
+          count(lit(1)).cast("long").as("expected"),
+          // empty index -> 0 queries, recall reported 0.0 (expected=0
+          // disambiguates the vacuous case; null would NPE the readout)
+          round(when(count(lit(1)) > 0,
+            sum(coalesce(col("is_true"), lit(0))).cast("double") /
+              count(lit(1))).otherwise(lit(0.0)), 4).as("recall"))
+        .collect()(0)
+      import spark.implicits._
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+        .toDF("n_queries", "k", "nprobe", "hits", "expected", "recall")
+    } finally {
+      graft.dedup.Dedup.releasePlan(q)
+    }
+  }
+
   private def nearestCell(cs: Seq[Array[Double]], v: Seq[Double]): Int = {
     val ds = cellDistances(cs, v)
     var best = 0; var c = 1

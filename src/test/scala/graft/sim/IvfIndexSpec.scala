@@ -33,6 +33,27 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(IvfIndex.loadCentroids(spark, dir).size === 8)
   }
 
+  test("recallProbe: all-cells probe is exact, fewer probes can only " +
+      "lose recall, and the probe is deterministic") {
+    // probing every cell IS brute force (the cell filter admits the
+    // whole index), so recall must be exactly 1.0 — the probe's own
+    // correctness contract, no tolerance
+    val full = IvfIndex.recallProbe(spark, dir, sampleN = 20, k = 5,
+      nprobe = 8).collect()(0)
+    assert(full.getLong(0) === 20, "20 sampled queries")
+    assert(full.getDouble(5) === 1.0,
+      s"nprobe=nlist must be exact: ${full.getDouble(5)}")
+    assert(full.getLong(3) === full.getLong(4), "hits == expected at full probe")
+    // a 1-cell probe measures the real quality signal: bounded by the
+    // exact probe, and deterministic (seeded sample + seeded quantizer)
+    val narrow = IvfIndex.recallProbe(spark, dir, sampleN = 20, k = 5,
+      nprobe = 1).collect()(0)
+    assert(narrow.getDouble(5) <= 1.0 && narrow.getDouble(5) >= 0.0)
+    val narrow2 = IvfIndex.recallProbe(spark, dir, sampleN = 20, k = 5,
+      nprobe = 1).collect()(0)
+    assert(narrow.toSeq === narrow2.toSeq, "probe must be deterministic")
+  }
+
   test("search from the stored index equals inline ivfTopK") {
     val fromIndex = IvfIndex.search(spark, dir, queries,
       "vec_id", "embedding", k = 3, nprobe = 2)
