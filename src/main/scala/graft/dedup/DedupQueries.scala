@@ -1936,8 +1936,12 @@ object DedupQueries {
     val selects = (1 to kcenterK).map(i =>
       s"""SELECT CAST($i AS BIGINT) AS sel_rank, (SELECT id FROM c$i) AS id,
           round((SELECT d FROM c$i), 6) AS sel_dist""")
+    // survivor parity (review fix): the operator returns EVERY survivor
+    // when k exceeds them; an exhausted CTE level yields NULL scalar
+    // subqueries here, which must drop rather than pad the oracle to k
     s"WITH ${(Seq(eCte, c1) ++ rest).mkString(", ")} " +
-      selects.mkString(" UNION ALL ")
+      s"SELECT * FROM (${selects.mkString(" UNION ALL ")}) t " +
+      "WHERE id IS NOT NULL"
   }
 
   private lazy val annSummarySql =

@@ -34,16 +34,19 @@ object LogReg {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(lr > 0, s"learning rate must be > 0, got $lr")
     val d = features.size
-    val cols = features.zipWithIndex.map { case (f, i) =>
-      f.cast("double").as(s"x$i")
-    } :+ label.cast("double").as("y")
-    val base = df.select(cols: _*).persist()
+    val base = projection(df, features, label).persist()
     try {
       var w = Array.fill(d + 1)(0.0)
       for (_ <- 1 to iters) {
         val r = gradientPass(base, d, w).collect()(0)
         val n = r.getLong(d + 1)
         require(n > 0, "no training rows after the feature projection")
+        // loud, not biased (review fix): sum() skips NULL contributions
+        // while n counts the row — a nullable feature/label would
+        // silently damp every step by the null fraction
+        require(r.getLong(d + 2) == n,
+          s"${n - r.getLong(d + 2)} rows have a null feature or label — " +
+            "filter them before training")
         w = w.zipWithIndex.map { case (wj, j) =>
           wj - lr * (r.getDecimal(j).doubleValue / n)
         }
@@ -64,28 +67,43 @@ object LogReg {
     */
   private[graft] def gradientPass(projected: DataFrame, d: Int,
       w: Array[Double]): DataFrame = {
-    val z = (0 until d).map(i => col(s"x$i") * lit(w(i)))
-      .reduceLeft(_ + _) + lit(w(d))
-    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val p = sigmoid((0 until d).map(i => col(s"x$i")), w)
     val g = p - col("y")
     val aggs = ((0 until d).map(i =>
       sum(round(g * col(s"x$i"), 12).cast("decimal(38,12)")).as(s"g$i"))
       :+ sum(round(g * lit(1.0), 12).cast("decimal(38,12)")).as("gb")
-      :+ count(lit(1)).as("n"))
+      :+ count(lit(1)).as("n")
+      :+ count(g).as("n_ok")) // g is null iff any feature or y is null
     projected.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** σ(w·x) — ONE definition shared by training ([[gradientPass]]) and
+    * serving ([[score]]); z associates left-to-right, the order the
+    * oracle's SQL replays.
+    */
+  private def sigmoid(features: Seq[Column], weights: Array[Double]): Column = {
+    val z = features.zipWithIndex
+      .map { case (f, i) => f * lit(weights(i)) }
+      .reduceLeft(_ + _) + lit(weights.last)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** The training projection — ONE definition shared by [[train]] and
+    * the lint twin so the screened plan cannot drift from the real one.
+    */
+  private def projection(df: DataFrame, features: Seq[Column],
+      label: Column): DataFrame =
+    df.select(features.zipWithIndex.map { case (f, i) =>
+      f.cast("double").as(s"x$i")
+    } :+ label.cast("double").as("y"): _*)
 
   /** The lint twin: the gradient-pass plan at zero weights (shape is
     * weight-independent; never executed by the lint).
     */
   private[graft] def lintPass(df: DataFrame, features: Seq[Column],
-      label: Column): DataFrame = {
-    val d = features.size
-    val cols = features.zipWithIndex.map { case (f, i) =>
-      f.cast("double").as(s"x$i")
-    } :+ label.cast("double").as("y")
-    gradientPass(df.select(cols: _*), d, Array.fill(d + 1)(0.0))
-  }
+      label: Column): DataFrame =
+    gradientPass(projection(df, features, label), features.size,
+      Array.fill(features.size + 1)(0.0))
 
   /** [[train]] as a catalog-shaped readout: one (term, weight) row per
     * feature plus the bias, weights rounded to 6 (the cross-engine
@@ -110,9 +128,6 @@ object LogReg {
   def score(features: Seq[Column], weights: Array[Double]): Column = {
     require(weights.length == features.size + 1,
       "weights = features + bias (train() output)")
-    val z = features.zipWithIndex
-      .map { case (f, i) => f.cast("double") * lit(weights(i)) }
-      .reduceLeft(_ + _) + lit(weights.last)
-    lit(1.0) / (lit(1.0) + exp(-z))
+    sigmoid(features.map(_.cast("double")), weights)
   }
 }

@@ -18,13 +18,9 @@ object QualityQueries {
     // Features mirror the oracle's SQL text exactly; the unrolled-CTE
     // twin replays every gradient step bit-for-bit.
     "q_quality_lr" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-      val f0 = length(col("text")).cast("double") / lit(100.0)
-      val f1 = (length(col("text")) -
-        length(expr("replace(text, ' ', '')"))).cast("double") / lit(10.0)
-      graft.ml.LogReg.trainReadout(docs, Seq(f0, f1),
-        Seq("w_chars", "w_spaces"),
-        (col("lang") <=> "en").cast("int"), iters = lrIters,
+      val (docs, feats, label) = lrInputs(s, d)
+      graft.ml.LogReg.trainReadout(docs, feats,
+        Seq("w_chars", "w_spaces"), label, iters = lrIters,
         lr = lrRate.toDouble)
     }),
     // Mergeable fixed-bin histogram quantiles (HistQuantiles.scala) — the
@@ -487,13 +483,23 @@ object QualityQueries {
     */
   val lintVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_lr" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-      val f0 = length(col("text")).cast("double") / lit(100.0)
-      val f1 = (length(col("text")) -
-        length(expr("replace(text, ' ', '')"))).cast("double") / lit(10.0)
-      graft.ml.LogReg.lintPass(docs, Seq(f0, f1),
-        (col("lang") <=> "en").cast("int"))
+      val (docs, feats, label) = lrInputs(s, d)
+      graft.ml.LogReg.lintPass(docs, feats, label)
     }))
+
+  /** q_quality_lr's frame/features/label — ONE definition for the query
+    * and its lint twin (review fix: copy-pasted features let the
+    * screened plan drift from the real one, the drift class the lint
+    * exists to catch). The expression TEXT mirrors qualityLrSql's SQL.
+    */
+  private def lrInputs(s: SparkSession, d: String)
+      : (DataFrame, Seq[org.apache.spark.sql.Column], org.apache.spark.sql.Column) = {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val f0 = length(col("text")).cast("double") / lit(100.0)
+    val f1 = (length(col("text")) -
+      length(expr("replace(text, ' ', '')"))).cast("double") / lit(10.0)
+    (docs, Seq(f0, f1), (col("lang") <=> "en").cast("int"))
+  }
 
   // q_quality_lr hyperparameters, shared by the operator call and the
   // generated oracle (declared before the strict maps force lrSql)

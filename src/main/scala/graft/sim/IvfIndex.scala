@@ -412,26 +412,30 @@ object IvfIndex {
       .select(col("vec_id"), col("vec")).localCheckpoint()
     try {
       val ann = search(spark, dir, q, "vec_id", "vec", k, nprobe)
-        .select(col("query_id"), col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("is_hit"))
       val brute = graft.sim.Knn.bruteForceTopK(q,
           live.select(col("vec_id"), col("vec")), "vec_id", "vec", k)
-        .select(col("query_id"), col("neighbor_id"),
-          lit(1).as("is_true"))
-      // evaluated HERE (one summary row): the checkpointed sample must
+        .select(col("query_id"), col("neighbor_id"))
+      // the join is ROOTED AT THE TRUTH SIDE (review fix): rooting at
+      // ann would divide hits by the rows the probe happened to RETURN
+      // — precision, which reads ~1.0 exactly when a starved cell
+      // returns 2 good rows out of k and quality has collapsed. Recall
+      // = found / should-have-found, denominated by brute rows.
+      // Evaluated HERE (one summary row): the checkpointed sample must
       // not outlive the call, and a lazily returned plan would still
-      // reference it after the release below
-      val r = ann.join(brute, Seq("query_id", "neighbor_id"), "left_outer")
+      // reference it after the release below.
+      val r = brute.join(ann, Seq("query_id", "neighbor_id"), "left_outer")
         .agg(
           countDistinct(col("query_id")).cast("long").as("n_queries"),
           lit(k.toLong).as("k"),
           lit(nprobe.toLong).as("nprobe"),
-          coalesce(sum(coalesce(col("is_true"), lit(0))), lit(0L))
+          coalesce(sum(coalesce(col("is_hit"), lit(0))), lit(0L))
             .cast("long").as("hits"),
           count(lit(1)).cast("long").as("expected"),
           // empty index -> 0 queries, recall reported 0.0 (expected=0
           // disambiguates the vacuous case; null would NPE the readout)
           round(when(count(lit(1)) > 0,
-            sum(coalesce(col("is_true"), lit(0))).cast("double") /
+            sum(coalesce(col("is_hit"), lit(0))).cast("double") /
               count(lit(1))).otherwise(lit(0.0)), 4).as("recall"))
         .collect()(0)
       import spark.implicits._

@@ -72,4 +72,15 @@ class LogRegSpec extends AnyFunSuite with SparkSpec {
       LogReg.score(Seq(col("x")), Array(1.0)) // bias missing
     }
   }
+
+  test("null features or labels refuse loudly instead of damping the gradient") {
+    // sum() skips null contributions while the row count doesn't — an
+    // unguarded nullable column would silently bias every step
+    val withNulls = separable.withColumn("x",
+      when(col("label") === 1, col("x"))) // nulls on one class
+    val e = intercept[IllegalArgumentException] {
+      LogReg.train(withNulls, Seq(col("x")), col("label"), 2, 0.5)
+    }
+    assert(e.getMessage.contains("null feature or label"))
+  }
 }

@@ -54,6 +54,23 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(narrow.toSeq === narrow2.toSeq, "probe must be deterministic")
   }
 
+  test("recallProbe denominates by the brute TRUTH, not by returned rows") {
+    // tiny cells: 20 vectors over 8 cells -> a 1-cell probe can return
+    // far fewer than k rows. Rooting the metric at the ANN side would
+    // score those few rows ~1.0 (precision) exactly when quality has
+    // collapsed; recall must count the misses
+    val t = Files.createTempDirectory("ivf_tiny").toString + "/idx"
+    IvfIndex.build(emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      t, nlist = 8, sampleSize = 500, seed = 7L)
+    val r = IvfIndex.recallProbe(spark, t, sampleN = 10, k = 10,
+      nprobe = 1).collect()(0)
+    assert(r.getLong(4) === r.getLong(0) * 10,
+      "expected = n_queries x k rows of brute truth")
+    assert(r.getDouble(5) < 0.6,
+      s"1-cell probe over ~2-member cells cannot reach ${r.getDouble(5)}")
+    assert(r.getDouble(5) > 0.0)
+  }
+
   test("search from the stored index equals inline ivfTopK") {
     val fromIndex = IvfIndex.search(spark, dir, queries,
       "vec_id", "embedding", k = 3, nprobe = 2)
