@@ -466,6 +466,26 @@ object DedupQueries {
         Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
     }),
 
+    // The composed billion-scale serving stack (Knn.ivfBinaryTopK):
+    // IVF cells bound per-query work to nprobe/nlist of the corpus AND
+    // candidates ride as 256 sign bits inside the probed cells
+    // (XOR+popcount scan, 32 bytes/vector), with the constant-size
+    // shortlist refined on true floats. Same recall contract vs the
+    // float brute twin — the invariant prices cells, codes, and refine
+    // together. nprobe 7/8 is SIZED FOR THE FIXTURE (near-uniform
+    // similarity, tiny nlist — the q_dedup_cosine doctrine): measured
+    // 0.94 at sf0.1 vs 0.82-0.86 at 5-6/8, where unprobed-cell misses
+    // dominate; at production nlist (thousands) the same ratio argument
+    // runs in reverse and nprobe/nlist shrinks with corpus size.
+    "q_knn_ivf_binary" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      annRecallSummary(
+        Knn.ivfBinaryTopK(q, emb, "vec_id", "embedding", k = 5,
+          nlist = 8, nprobe = 7, numBits = 256, shortlist = 150),
+        Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
+    }),
+
     // Diversity-aware selection (Coreset.kCenterGreedy): the 4 vectors
     // that COVER the embedding space — k-1 passes, each ONE global
     // struct-max aggregate (no shuffle, no window, centers ride as
@@ -1900,6 +1920,7 @@ object DedupQueries {
     "q_knn_pq" -> annSummarySql,
     "q_knn_wide" -> annSummarySql,
     "q_knn_binary" -> annSummarySql,
+    "q_knn_ivf_binary" -> annSummarySql,
     "q_select_kcenter" -> kcenterSql
   )
 

@@ -308,32 +308,7 @@ object Knn extends Serializable {
           lit(0L).as("rank"), lit(0.0).as("cosine_sim")).limit(0)
     }
     val bc = spark.sparkContext.broadcast(centroids)
-
-    def cellDistances(v: Seq[Double]): Array[Double] = {
-      val u = unit(v.toArray)
-      val cs = bc.value
-      val out = new Array[Double](cs.length)
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var i = 0
-        while (i < cs(c).length && i < u.length) {
-          val x = u(i) - cs(c)(i); d += x * x; i += 1
-        }
-        out(c) = d
-        c += 1
-      }
-      out
-    }
-    val cellOf = udf((v: Seq[Double]) => {
-      val ds = cellDistances(v)
-      var best = 0; var c = 1
-      while (c < ds.length) { if (ds(c) < ds(best)) best = c; c += 1 }
-      best
-    })
-    val probeCells = udf((v: Seq[Double]) => {
-      val ds = cellDistances(v)
-      ds.zipWithIndex.sortBy(_._1).take(nprobe).map(_._2).toSeq
-    })
+    val (cellOf, probeCells) = cellUdfs(bc, nprobe)
 
     // `quantized` = the FAISS IVF+SQ8 stack: candidates ride as int8
     // codes (4x scan cut) and both cell assignment and scoring run on the
@@ -615,31 +590,8 @@ object Knn extends Serializable {
     val dim = candidates.select(size(col(vecCol))).head().getInt(0)
     val planes = randomHyperplanes(numBits, dim, seed)
     val bcPlanes = spark.sparkContext.broadcast(planes.map(_.toArray).toArray)
-    val nWords = (numBits + 63) / 64
-    // sign-bit packing; ragged rows fold their common prefix with each
-    // plane (the kmeansCentroids doctrine — no AIOOBE, deterministic).
-    // >= 0 matches srpBucket so the two SRP faces agree on the boundary.
-    val pack = udf((v: Seq[Double]) => {
-      val arr = v.toArray
-      val ps = bcPlanes.value
-      val out = new Array[Long](nWords)
-      var b = 0
-      while (b < ps.length) {
-        val p = ps(b)
-        var dot = 0.0; var i = 0
-        val n = math.min(p.length, arr.length)
-        while (i < n) { dot += p(i) * arr(i); i += 1 }
-        if (dot >= 0) out(b >>> 6) |= (1L << (b & 63))
-        b += 1
-      }
-      out.toSeq
-    })
-    val hamming = udf((a: Seq[Long], b: Seq[Long]) => {
-      var h = 0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { h += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
-      h
-    })
+    val pack = packUdf(bcPlanes, numBits)
+    val hamming = hammingUdf
     val base = graft.prep.Preprocessing.spread(candidates)
       .select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("fv"))
       .withColumn("fn", norm(col("fv")))
@@ -660,6 +612,154 @@ object Knn extends Serializable {
       .select(col("query_id"), col("neighbor_id"))
     // exact refine: floats join back by id — queries broadcast (bounded),
     // candidates equi on neighbor_id (the pqTopK refine shape)
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    short.join(base, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromNorms(col("qv"), col("fv"), col("qn"), col("fn")).as("sim"))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("cosine_sim"))
+  }
+
+  /** Sign-bit packing into ⌈numBits/64⌉ longs; ragged rows fold their
+    * common prefix with each plane (the kmeansCentroids doctrine — no
+    * AIOOBE, deterministic). >= 0 matches [[srpBucket]] so the two SRP
+    * faces agree on the boundary. Shared by [[binaryTopK]] and
+    * [[ivfBinaryTopK]].
+    */
+  private def packUdf(
+      bcPlanes: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      numBits: Int) = {
+    val nWords = (numBits + 63) / 64
+    udf((v: Seq[Double]) => {
+      val arr = v.toArray
+      val ps = bcPlanes.value
+      val out = new Array[Long](nWords)
+      var b = 0
+      while (b < ps.length) {
+        val p = ps(b)
+        var dot = 0.0; var i = 0
+        val n = math.min(p.length, arr.length)
+        while (i < n) { dot += p(i) * arr(i); i += 1 }
+        if (dot >= 0) out(b >>> 6) |= (1L << (b & 63))
+        b += 1
+      }
+      out.toSeq
+    })
+  }
+
+  private def hammingUdf = udf((a: Seq[Long], b: Seq[Long]) => {
+    var h = 0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { h += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
+    h
+  })
+
+  /** Frozen-quantizer cell assignment/probing UDFs — ONE definition
+    * shared by [[ivfTopK]] and [[ivfBinaryTopK]] (spherical geometry:
+    * unit-normalize, L2 to unit centroids; ragged rows fold the common
+    * prefix).
+    */
+  private def cellUdfs(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      nprobe: Int) = {
+    def cellDistances(v: Seq[Double]): Array[Double] = {
+      val u = unit(v.toArray)
+      val cs = bc.value
+      val out = new Array[Double](cs.length)
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < cs(c).length && i < u.length) {
+          val x = u(i) - cs(c)(i); d += x * x; i += 1
+        }
+        out(c) = d
+        c += 1
+      }
+      out
+    }
+    val cellOf = udf((v: Seq[Double]) => {
+      val ds = cellDistances(v)
+      var best = 0; var c = 1
+      while (c < ds.length) { if (ds(c) < ds(best)) best = c; c += 1 }
+      best
+    })
+    val probeCells = udf((v: Seq[Double]) => {
+      val ds = cellDistances(v)
+      ds.zipWithIndex.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    })
+    (cellOf, probeCells)
+  }
+
+  /** IVF cells × binary codes × exact refine — the composed
+    * billion-scale serving stack: the coarse quantizer bounds per-query
+    * work to nprobe/nlist of the corpus (the [[ivfTopK]] layout), the
+    * Hamming pass inside the probed cells scans 32-bytes-per-vector sign
+    * codes instead of floats (the [[binaryTopK]] tier), and only the
+    * constant-size shortlist fetches float vectors by id for exact
+    * cosine re-ranking. At production scale the persisted relation is
+    * (cell, id, 4 longs) — cell-partitioned code files; the float
+    * corpus is touched O(queries × shortlist) rows per batch no matter
+    * the corpus size. Same degrade contract as [[ivfTopK]] (empty on a
+    * fully-poisoned corpus); recall vs the float brute twin pinned
+    * in-plan by q_knn_ivf_binary.
+    */
+  def ivfBinaryTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 2,
+      numBits: Int = 256,
+      shortlist: Int = 100,
+      sampleSize: Int = 2000,
+      seed: Long = 42L): DataFrame = {
+    require(numBits > 0, s"numBits must be > 0, got $numBits")
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val spark = candidates.sparkSession
+    val centroids = trainSphericalKmeans(candidates, vecCol, nlist,
+      sampleSize, iters = 10, seed = seed)
+    if (centroids.isEmpty) {
+      return queries.select(col(idCol).as("query_id"))
+        .crossJoin(candidates.select(col(idCol).as("neighbor_id")))
+        .select(col("query_id"), col("neighbor_id"),
+          lit(0L).as("rank"), lit(0.0).as("cosine_sim")).limit(0)
+    }
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val (cellOf, probeCells) = cellUdfs(bcC, nprobe)
+    val dim = candidates.select(size(col(vecCol))).head().getInt(0)
+    val bcPlanes = spark.sparkContext.broadcast(
+      randomHyperplanes(numBits, dim, seed).map(_.toArray).toArray)
+    val pack = packUdf(bcPlanes, numBits)
+    val hamming = hammingUdf
+    val base = graft.prep.Preprocessing.spread(candidates)
+      .select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("fv"))
+      .withColumn("fn", norm(col("fv")))
+      .filter(finiteNorm("fn"))
+    // the persisted relation at scale: (cell, id, codes) — scanned under
+    // the cell equi-join, floats never ride the Hamming pass
+    val coded = base.select(col("neighbor_id"),
+      cellOf(col("fv")).as("cell"), pack(col("fv")).as("cbits"))
+    val q = queries.select(col(idCol).as("query_id"),
+        toDoubleArray(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .filter(finiteNorm("qn"))
+    val qProbe = q.select(col("query_id"), pack(col("qv")).as("qbits"),
+      explode(probeCells(col("qv"))).as("cell"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(asc("ham"), asc("neighbor_id"))
+    val short = coded.join(broadcast(qProbe), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        hamming(col("qbits"), col("cbits")).as("ham"))
+      .withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
     val wK = Window.partitionBy(col("query_id"))
       .orderBy(desc("sim"), asc("neighbor_id"))
     short.join(base, Seq("neighbor_id"))

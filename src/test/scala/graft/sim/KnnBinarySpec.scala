@@ -83,6 +83,27 @@ class KnnBinarySpec extends AnyFunSuite with SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("IVF+binary composition: exact refine contract and recall vs brute") {
+    val q = emb.filter(col("vec_id") < 10)
+    val stack = Knn.ivfBinaryTopK(q, emb, "vec_id", "embedding", k = 5,
+      nlist = 8, nprobe = 5)
+    // every emitted sim is the exact cosine (refine on true floats)
+    val brute = Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 1000)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine_sim").as("true_sim"))
+    val joined = stack.join(brute, Seq("query_id", "neighbor_id"), "left_outer")
+      .select(col("cosine_sim"), col("true_sim"))
+      .as[(Double, Option[Double])].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (s, t) => assert(t.contains(s)) }
+    // recall@5 against the brute top-5 clears the catalog contract
+    val top5 = Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = stack.select(col("query_id"), col("neighbor_id"))
+      .intersect(top5).count().toDouble
+    assert(hits / 50.0 >= 0.85, s"IVF+binary recall ${hits / 50.0}")
+  }
+
   test("misconfiguration fails loudly") {
     intercept[IllegalArgumentException] {
       Knn.binaryTopK(emb, emb, "vec_id", "embedding", k = 10, shortlist = 5)
