@@ -291,6 +291,8 @@ object Knn extends Serializable {
       seed: Long = 42L,
       quantized: Boolean = false,
       dim: Option[Int] = None): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe (0 would " +
+      "silently return no neighbors for every query)")
     require(!quantized || dim.nonEmpty,
       "quantized IVF needs the embedding dim for the int8 codes")
     val spark = candidates.sparkSession
@@ -592,26 +594,56 @@ object Knn extends Serializable {
     val bcPlanes = spark.sparkContext.broadcast(planes.map(_.toArray).toArray)
     val pack = packUdf(bcPlanes, numBits)
     val hamming = hammingUdf
-    val base = graft.prep.Preprocessing.spread(candidates)
+    val base = candPrep(candidates, idCol, vecCol)
+    val coded = base.select(col("neighbor_id"), pack(col("fv")).as("cbits"))
+    val q = queryPrep(queries, idCol, vecCol)
+    val qBits = q.select(col("query_id"), pack(col("qv")).as("qbits"))
+    val short = hammingShortlist(
+      coded.join(broadcast(qBits), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          hamming(col("qbits"), col("cbits")).as("ham")),
+      shortlist)
+    exactRefine(short, base, q, k)
+  }
+
+  /** The narrow candidate projection (neighbor_id, fv, fn) every
+    * code-then-refine variant scans — one definition, not three.
+    */
+  private def candPrep(candidates: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    graft.prep.Preprocessing.spread(candidates)
       .select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("fv"))
       .withColumn("fn", norm(col("fv")))
       .filter(finiteNorm("fn"))
-    val coded = base.select(col("neighbor_id"), pack(col("fv")).as("cbits"))
-    val q = queries.select(col(idCol).as("query_id"),
+
+  /** The query projection (query_id, qv, qn), norm-guarded. */
+  private def queryPrep(queries: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"),
         toDoubleArray(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .filter(finiteNorm("qn"))
-    val qBits = q.select(col("query_id"), pack(col("qv")).as("qbits"))
+
+  /** Per-query Hamming top-`shortlist` over (query_id, neighbor_id, ham)
+    * — ties to the lower id; shared by [[binaryTopK]] and
+    * [[ivfBinaryTopK]].
+    */
+  private def hammingShortlist(scored: DataFrame, shortlist: Int): DataFrame = {
     val wS = Window.partitionBy(col("query_id"))
       .orderBy(asc("ham"), asc("neighbor_id"))
-    val short = coded.join(broadcast(qBits), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        hamming(col("qbits"), col("cbits")).as("ham"))
-      .withColumn("srank", row_number().over(wS))
+    scored.withColumn("srank", row_number().over(wS))
       .filter(col("srank") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    // exact refine: floats join back by id — queries broadcast (bounded),
-    // candidates equi on neighbor_id (the pqTopK refine shape)
+  }
+
+  /** Exact cosine re-rank of a (query_id, neighbor_id) shortlist: floats
+    * join back by id — queries broadcast (bounded), candidates equi on
+    * neighbor_id (the pqTopK refine shape). ONE definition of the refine
+    * contract (tie-break, rounding, output schema) for every binary
+    * variant.
+    */
+  private def exactRefine(short: DataFrame, base: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
     val wK = Window.partitionBy(col("query_id"))
       .orderBy(desc("sim"), asc("neighbor_id"))
     short.join(base, Seq("neighbor_id"))
@@ -721,6 +753,8 @@ object Knn extends Serializable {
       seed: Long = 42L): DataFrame = {
     require(numBits > 0, s"numBits must be > 0, got $numBits")
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe (0 would " +
+      "silently return no neighbors for every query)")
     val spark = candidates.sparkSession
     val centroids = trainSphericalKmeans(candidates, vecCol, nlist,
       sampleSize, iters = 10, seed = seed)
@@ -732,44 +766,29 @@ object Knn extends Serializable {
     }
     val bcC = spark.sparkContext.broadcast(centroids)
     val (cellOf, probeCells) = cellUdfs(bcC, nprobe)
-    val dim = candidates.select(size(col(vecCol))).head().getInt(0)
+    // plane width from the trained centroids (the sample's max length) —
+    // no extra corpus job, and robust to a ragged SHORT first row, which
+    // a head()-probed dim would let silently truncate every sign code
+    val dim = centroids(0).length
     val bcPlanes = spark.sparkContext.broadcast(
       randomHyperplanes(numBits, dim, seed).map(_.toArray).toArray)
     val pack = packUdf(bcPlanes, numBits)
     val hamming = hammingUdf
-    val base = graft.prep.Preprocessing.spread(candidates)
-      .select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("fv"))
-      .withColumn("fn", norm(col("fv")))
-      .filter(finiteNorm("fn"))
+    val base = candPrep(candidates, idCol, vecCol)
     // the persisted relation at scale: (cell, id, codes) — scanned under
     // the cell equi-join, floats never ride the Hamming pass
     val coded = base.select(col("neighbor_id"),
       cellOf(col("fv")).as("cell"), pack(col("fv")).as("cbits"))
-    val q = queries.select(col(idCol).as("query_id"),
-        toDoubleArray(col(vecCol)).as("qv"))
-      .withColumn("qn", norm(col("qv")))
-      .filter(finiteNorm("qn"))
+    val q = queryPrep(queries, idCol, vecCol)
     val qProbe = q.select(col("query_id"), pack(col("qv")).as("qbits"),
       explode(probeCells(col("qv"))).as("cell"))
-    val wS = Window.partitionBy(col("query_id"))
-      .orderBy(asc("ham"), asc("neighbor_id"))
-    val short = coded.join(broadcast(qProbe), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        hamming(col("qbits"), col("cbits")).as("ham"))
-      .withColumn("srank", row_number().over(wS))
-      .filter(col("srank") <= shortlist)
-      .select(col("query_id"), col("neighbor_id"))
-    val wK = Window.partitionBy(col("query_id"))
-      .orderBy(desc("sim"), asc("neighbor_id"))
-    short.join(base, Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosineFromNorms(col("qv"), col("fv"), col("qn"), col("fn")).as("sim"))
-      .withColumn("rank", row_number().over(wK).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("sim"), 6).as("cosine_sim"))
+    val short = hammingShortlist(
+      coded.join(broadcast(qProbe), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          hamming(col("qbits"), col("cbits")).as("ham")),
+      shortlist)
+    exactRefine(short, base, q, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
