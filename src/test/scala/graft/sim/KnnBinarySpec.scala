@@ -111,6 +111,13 @@ class KnnBinarySpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       Knn.binaryTopK(emb, emb, "vec_id", "embedding", k = 1, numBits = 0)
     }
+    // nprobe 0 would silently return zero neighbors for every query
+    intercept[IllegalArgumentException] {
+      Knn.ivfBinaryTopK(emb, emb, "vec_id", "embedding", k = 1, nprobe = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Knn.ivfTopK(emb, emb, "vec_id", "embedding", k = 1, nprobe = 0)
+    }
   }
 
   test("non-finite vectors are dropped, not propagated") {
