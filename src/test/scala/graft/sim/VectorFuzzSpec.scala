@@ -111,6 +111,31 @@ class VectorFuzzSpec extends AnyFunSuite with SparkSpec {
     assert(shape(degraded) === shape(normal))
   }
 
+  test("binary ANN over a hostile corpus: poison rows dropped, honest neighbors kept") {
+    val got = Knn.binaryTopK(hostile.filter(col("vec_id") === 0), hostile,
+        "vec_id", "embedding", k = 3, shortlist = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!got.exists(Set(1L, 6L, 7L)), s"poisoned neighbor in $got")
+    assert(got.contains(8L), "honest neighbors still returned")
+  }
+
+  test("a fully-poisoned corpus degrades ivfBinaryTopK to an empty typed result") {
+    // centroid-empty early return fires BEFORE any dim/plane derivation
+    // (the dim now comes from the trained centroids), so the binary
+    // composition shares ivfTopK's exact degrade contract
+    val poison = hostile.filter(col("vec_id").isin(1L, 6L, 7L))
+    val degraded = Knn.ivfBinaryTopK(
+      queries = hostile.filter(col("vec_id") === 0),
+      candidates = poison, "vec_id", "embedding", k = 3)
+    assert(degraded.count() === 0)
+    val normal = Knn.ivfBinaryTopK(
+      queries = hostile.filter(col("vec_id") === 0),
+      candidates = hostile, "vec_id", "embedding", k = 3, shortlist = 5)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(degraded) === shape(normal))
+  }
+
   test("quantizer misconfiguration still fails loudly, only true poison degrades") {
     // the degrade path is reserved for a genuinely-empty finite sample; a
     // caller passing a non-positive k/sampleSize is a bug and must throw
