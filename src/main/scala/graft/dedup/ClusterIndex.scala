@@ -464,9 +464,25 @@ object ClusterIndex {
     // long-lived stream's winner joins otherwise re-scan one parquet dir
     // per historical trigger) — docScores reads committed epochs only,
     // and single-writer means no trigger lands between this snapshot and
-    // the swap
-    if (epochsOf(spark, dir, "doc_scores").nonEmpty)
-      docScores(spark, dir).write.mode("error").parquet(s"$st/doc_scores_folded")
+    // the swap. Gate on a COMMITTED epoch existing, not on epochsOf
+    // listing any dir (r17 ADVICE): doc_scores holding only a crashed
+    // uncommitted epoch (e.g. a dead seedScores) would otherwise fold an
+    // EMPTY committed epoch=0 — seedScores then early-returns on its
+    // committed check forever while the streaming coverage guard keeps
+    // failing, with no in-API recovery. Left unfolded, the crashed
+    // partial heals through seedScores' own clearPartial path.
+    if (hasCommittedScores(spark, dir)) {
+      val folded = s"$st/doc_scores_folded"
+      docScores(spark, dir).write.mode("error").parquet(folded)
+      // seal the STAGED fold before _ready so the finishCompact rename
+      // carries the _graft_commit marker atomically (r17 ADVICE): relying
+      // on the committer's _SUCCESS is configuration-dependent — on
+      // configs that omit it, the swap would delete every live committed
+      // score epoch and install an epoch=0 that docScores refuses to
+      // read, silently losing all winners. Sealing after the rename
+      // would leave a crash window recoverCompact cannot re-enter.
+      graft.io.EpochCommit.seal(spark, folded)
+    }
     fs.create(new org.apache.hadoop.fs.Path(st, "_ready"), false).close()
     val done = finishCompact(spark, dir)
     assert(done == "completed", s"compact swap state: $done")
@@ -527,8 +543,10 @@ object ClusterIndex {
     if (fs.exists(stagedScores)) {
       // the staged fold snapshotted EVERY committed score epoch (single-
       // writer: no trigger runs during compact), so clearing the live
-      // epoch dirs before the rename loses nothing; the folded dir
-      // carries its own _SUCCESS, so EpochCommit sees epoch=0 committed
+      // epoch dirs before the rename loses nothing; the staged dir was
+      // SEALED (_graft_commit) before _ready, so the rename delivers a
+      // committed epoch=0 on every committer config — _SUCCESS alone is
+      // configuration-dependent (r17 ADVICE)
       val live = new org.apache.hadoop.fs.Path(s"$dir/doc_scores")
       if (fs.exists(live)) must(fs.delete(live, true), "clear doc_scores")
       must(fs.mkdirs(live), "recreate doc_scores")
@@ -735,6 +753,18 @@ object ClusterIndex {
         score.cast("double").as("score"))
       .write.mode("error").parquet(scoresDir)
     graft.io.EpochCommit.seal(spark, scoresDir)
+  }
+
+  /** True iff at least one doc_scores epoch carries a commit proof —
+    * the [[compact]] fold gate (a merely-EXISTING epoch dir may be a
+    * crashed partial that must heal in place, not be folded away).
+    */
+  private def hasCommittedScores(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/doc_scores")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("epoch=") &&
+        graft.io.EpochCommit.committed(spark, s.getPath.toString))
   }
 
   def docScores(spark: SparkSession, dir: String): DataFrame = {

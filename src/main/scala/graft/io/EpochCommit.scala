@@ -66,6 +66,18 @@ object EpochCommit {
     ok
   }
 
+  /** Test hook: forget cached positives for `dir` so a spec that
+    * mutates commit proofs on disk re-probes honestly. Production code
+    * never needs this — commits are permanent there. Matches by URI
+    * path so raw and scheme-qualified forms of the same dir both drop.
+    */
+  private[graft] def dropCacheForTest(dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    committedCache.keySet.toSeq
+      .filter(k => new org.apache.hadoop.fs.Path(k).toUri.getPath == p)
+      .foreach(committedCache.remove)
+  }
+
   /** Remove a crashed (present but uncommitted) epoch dir so the
     * replayed trigger's mode("error") write can land. No-op when the
     * dir is absent or committed. Returns true iff a partial was cleared.

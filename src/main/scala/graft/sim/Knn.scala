@@ -135,7 +135,7 @@ object Knn extends Serializable {
       seed: Long = 42L,
       multiprobe: Int = 1): DataFrame = {
     require(multiprobe >= 0 && multiprobe <= 2, "multiprobe of 0..2 bits supported")
-    val dim = candidates.select(size(col(vecCol))).head().getInt(0)
+    val dim = probeDim(candidates, vecCol)
     val planes = randomHyperplanes(numPlanes, dim, seed)
     val probes: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       home => {
@@ -587,9 +587,10 @@ object Knn extends Serializable {
     require(numBits > 0, s"numBits must be > 0, got $numBits")
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val spark = candidates.sparkSession
-    // dim probe follows lshTopK: the plane matrix needs the embedding
-    // width up front (an empty corpus has no ANN question to answer)
-    val dim = candidates.select(size(col(vecCol))).head().getInt(0)
+    // plane width from a global max(size) aggregate (the probeDim
+    // doctrine) — the r17 ADVICE hazard was a ragged short or null FIRST
+    // row silently truncating every sign code
+    val dim = probeDim(candidates, vecCol)
     val planes = randomHyperplanes(numBits, dim, seed)
     val bcPlanes = spark.sparkContext.broadcast(planes.map(_.toArray).toArray)
     val pack = packUdf(bcPlanes, numBits)
@@ -604,6 +605,22 @@ object Knn extends Serializable {
           hamming(col("qbits"), col("cbits")).as("ham")),
       shortlist)
     exactRefine(short, base, q, k)
+  }
+
+  /** Embedding width probed as a GLOBAL max(size) aggregate, never a
+    * head()-probed first row (r17 ADVICE): a ragged SHORT first row
+    * would silently truncate every derived hyperplane — recall degrades
+    * with no error — and a null first vector NPEs. max skips nulls; an
+    * all-null/empty corpus refuses loudly (there is no ANN question to
+    * answer). Cost is one narrow single-column scan, paid once per call
+    * before any plane matrix is built. ONE definition for every
+    * dim-deriving variant ([[lshTopK]], [[binaryTopK]], [[cosinePairs]]).
+    */
+  private[sim] def probeDim(df: DataFrame, vecCol: String): Int = {
+    val r = df.agg(max(size(col(vecCol)))).head()
+    require(!r.isNullAt(0) && r.getInt(0) > 0,
+      s"cannot derive embedding dim from '$vecCol': no non-empty vectors")
+    r.getInt(0)
   }
 
   /** The narrow candidate projection (neighbor_id, fv, fn) every
@@ -819,7 +836,7 @@ object Knn extends Serializable {
       .filter(finiteNorm("nrm"))
     if (numPlanes > 0) {
       // LSH blocking — the scale path
-      val dim = df.select(size(col(vecCol))).head().getInt(0)
+      val dim = probeDim(df, vecCol)
       // a caller pinning hyperplanes externally (e.g. an oracle that inlines
       // them as literals) MUST fail loudly if the data's dim drifts —
       // silently hashing with different planes would only surface as an

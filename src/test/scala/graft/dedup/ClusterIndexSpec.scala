@@ -460,6 +460,52 @@ class ClusterIndexSpec extends AnyFunSuite with SparkSpec {
     assert(labelsOf(ClusterIndex.resolve(spark, dir2))(4L) === 1L)
   }
 
+  test("compact's folded scores carry graft's own seal — survive a " +
+      "committer that writes no _SUCCESS (r18 ADVICE)") {
+    val dir = Files.createTempDirectory("cluster_seal").toString + "/idx"
+    ClusterIndex.buildWithBest(pairsDf(1L -> 2L), "id_a", "id_b",
+      bestDocs, "id", col("score"), dir)
+    ClusterIndex.seedScores(spark, dir, bestDocs, "id", col("score"))
+    val want = ClusterIndex.docScores(spark, dir)
+      .as[(Long, Double)].collect().toMap
+    ClusterIndex.compact(spark, dir)
+    val folded = s"$dir/doc_scores/epoch=0"
+    assert(new java.io.File(folded, "_graft_commit").exists(),
+      "the staged fold's seal must ride the swap rename")
+    // simulate marksuccessfuljobs=false / a cloud committer: strip every
+    // _SUCCESS — before the fix, docScores would see epoch=0 uncommitted
+    // and ALL winners' scores would silently vanish
+    new java.io.File(folded).listFiles()
+      .filter(_.getName == "_SUCCESS").foreach(f => assert(f.delete()))
+    graft.io.EpochCommit.dropCacheForTest(folded)
+    val got = ClusterIndex.docScores(spark, dir)
+      .as[(Long, Double)].collect().toMap
+    assert(got === want, "folded scores must stay readable without _SUCCESS")
+  }
+
+  test("compact refuses to fold a doc_scores face holding ONLY a crashed " +
+      "uncommitted epoch — seedScores still heals after (r18 ADVICE)") {
+    val dir = Files.createTempDirectory("cluster_fold").toString + "/idx"
+    ClusterIndex.buildWithBest(pairsDf(1L -> 2L), "id_a", "id_b",
+      bestDocs, "id", col("score"), dir)
+    // simulate a crashed seedScores: the epoch=0 dir exists with data
+    // files but carries no commit proof
+    val partial = s"$dir/doc_scores/epoch=0"
+    bestDocs.select(col("id"), col("score").cast("double").as("score"))
+      .write.parquet(partial)
+    assert(new java.io.File(partial, "_SUCCESS").delete())
+    graft.io.EpochCommit.dropCacheForTest(partial)
+    ClusterIndex.compact(spark, dir)
+    // before the fix: compact folded a committed EMPTY epoch=0, so
+    // seedScores early-returned forever while the streaming coverage
+    // guard kept failing — the index was stuck with no in-API recovery
+    assert(ClusterIndex.docScores(spark, dir).count() === 0L,
+      "an uncommitted partial must never feed readers")
+    ClusterIndex.seedScores(spark, dir, bestDocs, "id", col("score"))
+    assert(ClusterIndex.docScores(spark, dir).count() === bestDocs.count(),
+      "seedScores must clear the preserved partial and land the seed")
+  }
+
   test("streaming after batch epochs: epochBase = maxRecordedEpoch " +
       "avoids the ledger collision (r17 ADVICE)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
