@@ -134,15 +134,9 @@ object IvfIndex {
       sampleSize: Int = 2000,
       seed: Long = 42L): Option[Seq[Array[Double]]] = {
     recoverRetrain(spark, dir) // heal any prior crashed swap first
-    val k0 = loadCentroids(spark, dir).size
-    val occ = liveVectors(spark, dir).groupBy(col("cell"))
-      .agg(count(lit(1)).as("n")).collect().map(_.getLong(1))
-    val total = occ.sum
-    val skew =
-      if (total == 0L || occ.isEmpty) 0.0
-      else occ.max.toDouble * k0 / total // mean counts EMPTY trained cells
+    val skew = occupancySkew(spark, dir)
     if (!force && skew < skewBar) return None
-    val k = if (nlist > 0) nlist else k0
+    val k = if (nlist > 0) nlist else loadCentroids(spark, dir).size
     // one checkpoint: the staged rebuild replaces the very directories
     // the live frame reads (the compact doctrine)
     val live = liveVectors(spark, dir).select(col("vec_id"), col("vec"))
@@ -176,6 +170,21 @@ object IvfIndex {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))
     Some(centroids.toSeq)
+  }
+
+  /** Occupancy skew of the stored live vectors: max cell count over the
+    * mean across ALL trained cells (empty trained cells count toward
+    * the mean — concentration IS the signal). 0.0 on an empty index.
+    * One per-cell count aggregate; shared by [[retrainAndCompact]]'s
+    * bar and [[maintain]]'s signal read.
+    */
+  def occupancySkew(spark: SparkSession, dir: String): Double = {
+    val k0 = loadCentroids(spark, dir).size
+    val occ = liveVectors(spark, dir).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).collect().map(_.getLong(1))
+    val total = occ.sum
+    if (total == 0L || occ.isEmpty) 0.0
+    else occ.max.toDouble * k0 / total
   }
 
   /** Incremental maintenance — the daily-embedding-ingest path: assign
@@ -445,6 +454,126 @@ object IvfIndex {
     } finally {
       graft.dedup.Dedup.releasePlan(q)
     }
+  }
+
+  /** Thresholds for [[maintain]] — the operator's runbook as data.
+    *
+    * `skewBar` / `recallFloor`: an observation is UNHEALTHY when
+    * occupancy skew is at/above the bar or probe recall is below the
+    * floor. `badToAct`: consecutive unhealthy observations (this one
+    * included) before maintain retrains — the hysteresis that keeps one
+    * noisy probe (recallProbe samples `probeN` queries; its estimate
+    * has sampling variance) from triggering a full index rebuild.
+    * `probeN`/`probeK`/`probeNprobe` size the recall probe;
+    * `sampleSize`/`seed` feed the retrain itself.
+    */
+  case class MaintenancePolicy(
+      skewBar: Double = 4.0,
+      recallFloor: Double = 0.85,
+      badToAct: Int = 2,
+      probeN: Int = 50,
+      probeK: Int = 10,
+      probeNprobe: Int = 2,
+      sampleSize: Int = 2000,
+      seed: Long = 42L) {
+    require(badToAct >= 1, s"badToAct must be >= 1, got $badToAct")
+    require(recallFloor >= 0.0 && recallFloor <= 1.0,
+      s"recallFloor must be in [0,1], got $recallFloor")
+  }
+
+  /** The closed maintenance loop (r17 verdict task 1): the three
+    * lifecycle primitives — [[cellStats]]/[[occupancySkew]] (capacity),
+    * [[recallProbe]] (quality), [[retrainAndCompact]] (the move) —
+    * composed into the policy a 100 TB index actually runs on a
+    * schedule, instead of an operator reading two signals and firing
+    * the move by hand with thresholds living in scaladoc.
+    *
+    * Each call: heal any crashed swap, read BOTH signals, decide with
+    * HYSTERESIS (retrain only on the `badToAct`-th consecutive
+    * unhealthy observation — one noisy probe must not trigger a
+    * corpus-scale rebuild), act, post-probe to confirm recovery, and
+    * append ONE auditable decision row to the `dir/maintenance/`
+    * ledger:
+    *
+    *   (seq, skew, recall, skew_bar, recall_floor, unhealthy,
+    *    consecutive_bad, action, post_recall, healed)
+    *
+    * `action` ∈ none | retrain; `post_recall` is null unless it
+    * retrained; `healed` is [[recoverRetrain]]'s verdict for the heal
+    * step. `seq` is the ledger row count — deterministic, so the spec
+    * pins rows exactly. Hysteresis state IS the ledger: consecutive_bad
+    * counts the unhealthy streak ending at this row, and an action
+    * resets it (the rows after a retrain start their streak at the
+    * post-retrain health). The ledger read is bounded — only the last
+    * `badToAct - 1` rows are consulted, however long the index lives.
+    *
+    * Single-writer like every other maintenance op. Returns the
+    * decision row (also persisted).
+    */
+  def maintain(spark: SparkSession, dir: String,
+      policy: MaintenancePolicy = MaintenancePolicy()): DataFrame = {
+    import spark.implicits._
+    val healed = recoverRetrain(spark, dir)
+    val skew = occupancySkew(spark, dir)
+    val recall = recallProbe(spark, dir, policy.probeN, policy.probeK,
+      policy.probeNprobe, policy.seed)
+      .select(col("recall")).head().getDouble(0)
+    val unhealthy = skew >= policy.skewBar || recall < policy.recallFloor
+    val ledgerPath = s"$dir/maintenance"
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val prior: Seq[(Long, Boolean, String)] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(ledgerPath))) Seq.empty
+      else spark.read.schema(
+          "seq long, unhealthy boolean, action string")
+        .parquet(ledgerPath)
+        .select(col("seq"), col("unhealthy"), col("action"))
+        .orderBy(desc("seq")).limit(math.max(policy.badToAct - 1, 1))
+        .as[(Long, Boolean, String)].collect().toSeq
+    val seq = prior.headOption.map(_._1 + 1L).getOrElse(0L)
+    // the streak ending HERE: this observation, plus trailing prior rows
+    // that were unhealthy AND did not act (an action row closes its
+    // streak — post-retrain health starts over)
+    val consecutiveBad =
+      if (!unhealthy) 0L
+      else 1L + prior.takeWhile { case (_, bad, act) =>
+        bad && act == "none" }.length.toLong
+    val act = unhealthy && consecutiveBad >= policy.badToAct
+    val postRecall: Option[Double] =
+      if (!act) None
+      else {
+        val r = retrainAndCompact(spark, dir, force = true,
+          sampleSize = policy.sampleSize, seed = policy.seed)
+        assert(r.nonEmpty, "forced retrain must act")
+        Some(recallProbe(spark, dir, policy.probeN, policy.probeK,
+          policy.probeNprobe, policy.seed)
+          .select(col("recall")).head().getDouble(0))
+      }
+    val row = Seq((seq, round6(skew), recall, policy.skewBar,
+        policy.recallFloor, unhealthy, consecutiveBad,
+        if (act) "retrain" else "none", postRecall, healed))
+      .toDF("seq", "skew", "recall", "skew_bar", "recall_floor",
+        "unhealthy", "consecutive_bad", "action", "post_recall", "healed")
+    row.write.mode("append").parquet(ledgerPath)
+    row
+  }
+
+  private def round6(d: Double): Double =
+    math.rint(d * 1e6) / 1e6
+
+  /** The full maintenance ledger, seq-ordered — the audit trail of
+    * every [[maintain]] decision (what was read, against which
+    * thresholds, what was done, what it recovered to).
+    */
+  def maintenanceLog(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/maintenance")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val schema = "seq long, skew double, recall double, skew_bar double, " +
+      "recall_floor double, unhealthy boolean, consecutive_bad long, " +
+      "action string, post_recall double, healed string"
+    if (!fs.exists(p))
+      spark.read.schema(schema).parquet() // empty, schema'd
+    else spark.read.schema(schema).parquet(p.toString).orderBy("seq")
   }
 
   private def nearestCell(cs: Seq[Array[Double]], v: Seq[Double]): Int = {

@@ -392,6 +392,88 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(!new java.io.File(s"$t/tombstones").exists())
   }
 
+  test("maintain: the drift scenario end-to-end by policy alone — " +
+      "healthy no-op, hysteresis holds one bad probe, second bad probe " +
+      "retrains, post-probe recovers, ledger audits it all (r18)") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("ivf_maintain").toString + "/idx"
+    assert(IvfIndex.maintenanceLog(spark, t).count() === 0L,
+      "an absent ledger must read as an empty, schema'd frame")
+    val c0 = (0 to 3).flatMap(c =>
+      (0 until 200).map(j => (c * 1000L + j, member(c, j))))
+    IvfIndex.build(c0.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      t, nlist = 4, sampleSize = 900, seed = 7L)
+    val policy = IvfIndex.MaintenancePolicy(recallFloor = 0.92,
+      badToAct = 2, probeN = 50, probeK = 10, probeNprobe = 1,
+      sampleSize = 1300)
+    def decision() = IvfIndex.maintain(spark, t, policy).collect()(0)
+    def centroids() = IvfIndex.loadCentroids(spark, t).map(_.toSeq)
+
+    // 1. healthy index: a no-op observation — nothing touched
+    val cs0 = centroids()
+    val d0 = decision()
+    assert(!d0.getBoolean(5) && d0.getString(7) === "none",
+      s"healthy index must no-op: $d0")
+    assert(d0.getLong(6) === 0L, "healthy observation resets the streak")
+    assert(centroids() === cs0, "a none decision must not touch the quantizer")
+
+    // 2. drifted ingest: a cluster centered ON the cell-0/1 Voronoi
+    // boundary of the FROZEN quantizer — a ±1e-6 hairline on dim 0
+    // (independent of the ranking phase) decides each member's cell
+    // while being invisible to cosine ranking, so a self-query's true
+    // top-10 scatter across both cells: the frozen-quantizer failure
+    // recallProbe exists to catch, and occupancy stats cannot see
+    def bmember(j: Int): Seq[Double] = {
+      val v = Array.fill(64)(0.0)
+      // antisymmetric hair: cell decision sees 2h along c0-c1 (~0.06,
+      // dominating trained-centroid residual coupling ~0.003) while the
+      // RANKING gap between hair groups cancels to 2*h_q*h_n (~0.002,
+      // below the near-top phase spacing) — neighbors scatter by cell
+      val h = if (math.sin(j * 12.9898) >= 0) 0.02 else -0.02
+      v(0) = 1.0 + h
+      v(9) = 1.0 - h
+      var i = 10
+      while (i < 64) { v(i) = 0.2 * math.sin(i * 2.3 + j * 1.7); i += 1 }
+      v.toSeq
+    }
+    IvfIndex.append(spark, t,
+      (0 until 400).map(j => (5000L + j, bmember(j)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val d1 = decision()
+    assert(d1.getBoolean(5), s"drift must read unhealthy: $d1")
+    assert(d1.getDouble(2) < policy.recallFloor,
+      s"recall signal must be below floor: ${d1.getDouble(2)}")
+    assert(d1.getString(7) === "none" && d1.getLong(6) === 1L,
+      s"hysteresis must hold the FIRST bad probe: $d1")
+    assert(centroids() === cs0, "held probe must not touch the quantizer")
+
+    // 3. second consecutive bad probe: act, and confirm recovery in-row
+    val d2 = decision()
+    assert(d2.getString(7) === "retrain" && d2.getLong(6) === 2L,
+      s"second bad probe must retrain: $d2")
+    assert(!d2.isNullAt(8), "a retrain row must carry its post-probe")
+    assert(d2.getDouble(8) > d2.getDouble(2) + 0.02,
+      s"post-retrain recall must recover: ${d2.getDouble(2)} -> ${d2.getDouble(8)}")
+    assert(centroids() !== cs0, "retrain must install a new quantizer")
+
+    // 4. the next observation starts a fresh streak on the rebuilt index
+    val d3 = decision()
+    assert(d3.getString(7) === "none" && d3.getLong(6) === 0L,
+      s"post-retrain index must read healthy: $d3")
+    assert(!d3.getBoolean(5))
+
+    // the ledger is the audit trail: four rows, exact decisions
+    val log = IvfIndex.maintenanceLog(spark, t)
+      .select("seq", "unhealthy", "consecutive_bad", "action")
+      .as[(Long, Boolean, Long, String)].collect().toSeq
+    assert(log === Seq((0L, false, 0L, "none"), (1L, true, 1L, "none"),
+      (2L, true, 2L, "retrain"), (3L, false, 0L, "none")), s"ledger: $log")
+    // post_recall is null exactly on the non-acting rows
+    assert(IvfIndex.maintenanceLog(spark, t)
+      .filter(col("post_recall").isNotNull)
+      .select("seq").as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("recoverRetrain: pre-commit crash rolls back whole; post-commit " +
       "crash completes idempotently — never a mixed quantizer") {
     import spark.implicits._
