@@ -19,6 +19,7 @@ object DedupQueries {
   // initialize in declaration order, and the oracles map forces the
   // (lazy) kcenterSql during init — a later declaration would read 0
   private val kcenterK = 4
+  private val kcenterCellsK = 3 // per-cell budget for q_select_kcenter_cells
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup groups on canonical fingerprint
@@ -495,6 +496,19 @@ object DedupQueries {
     "q_select_kcenter" -> ((s, d) =>
       graft.sim.Coreset.kCenterGreedy(embeddings(s, d), "vec_id",
         "embedding", k = kcenterK)),
+
+    // The large-k composition (r17 verdict task 3): assign to the frozen
+    // SemDeDup quantizer, advance the greedy selection in EVERY cell
+    // simultaneously — kPerCell-1 passes, each one groupBy(cell)
+    // struct-max (map-side combine, no data shuffle), selecting
+    // 32 x kcenterCellsK centers for the arithmetic a flat greedy would
+    // spend on ~3 (the nCells² saving). Deterministic per-cell anchors
+    // let the oracle replay assignment + every level as unrolled CTEs.
+    "q_select_kcenter_cells" -> ((s, d) =>
+      graft.sim.Coreset.kCenterPerCell(embeddings(s, d), "vec_id",
+        "embedding", kPerCell = kcenterCellsK,
+        centroids = semanticCentroidFrame(s), cidCol = "cid",
+        centroidVecCol = "embedding")),
 
     // Benchmark decontamination — the pretraining hygiene op: flag every
     // train document sharing ANY word 5-gram with the eval set (here:
@@ -1302,7 +1316,12 @@ object DedupQueries {
     // kCenterGreedy returns a driver-built k-row frame — the screened
     // plan is the per-pass global struct-max aggregate itself
     "q_select_kcenter" -> ((s, d) =>
-      graft.sim.Coreset.lintPass(embeddings(s, d), "vec_id", "embedding")))
+      graft.sim.Coreset.lintPass(embeddings(s, d), "vec_id", "embedding")),
+    // same doctrine for the per-cell composition: screen the
+    // assignment + one per-cell pass
+    "q_select_kcenter_cells" -> ((s, d) =>
+      graft.sim.Coreset.lintPerCellPass(embeddings(s, d), "vec_id",
+        "embedding", semanticCentroidFrame(s), "cid", "embedding")))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -1921,8 +1940,62 @@ object DedupQueries {
     "q_knn_wide" -> annSummarySql,
     "q_knn_binary" -> annSummarySql,
     "q_knn_ivf_binary" -> annSummarySql,
-    "q_select_kcenter" -> kcenterSql
+    "q_select_kcenter" -> kcenterSql,
+    "q_select_kcenter_cells" -> kcenterCellsSql
   )
+
+  /** The per-cell greedy unrolled to `kcenterCellsK` levels over the
+    * frozen-quantizer assignment: `a` replays the argmax-cosine window
+    * (sim DESC, cid ASC — [[graft.sim.Coreset.assignedCells]]), s1 takes
+    * every cell's min-id anchor in ONE windowed pass, and level i joins
+    * the unselected members against their own cell's prior centers,
+    * min-aggregates the distance, and takes each cell's (d DESC, id ASC)
+    * max — all cells advance per level, exactly the Spark pass. Raw
+    * doubles replay because both engines fold dot products left-to-right
+    * and divide by the same precomputed-norm product.
+    */
+  private lazy val kcenterCellsSql: String = {
+    val vcast = "CAST(embedding AS DOUBLE[])"
+    val nrm = s"sqrt(list_dot_product($vcast, $vcast))"
+    val eCte =
+      s"""e AS (SELECT vec_id AS id, $vcast AS v, $nrm AS nrm
+          FROM embeddings WHERE isfinite($nrm) AND $nrm > 0)"""
+    val cCte =
+      s"""c AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn
+          FROM (VALUES
+             $semanticCentroidsSql) t(cid, cv))"""
+    val aCte =
+      """a AS (SELECT id, v, nrm, cell FROM (
+          SELECT e.id, e.v, e.nrm, c.cid AS cell,
+            row_number() OVER (PARTITION BY e.id ORDER BY
+              CASE WHEN e.nrm * c.cn > 0
+                THEN list_dot_product(e.v, c.cv) / (e.nrm * c.cn)
+                ELSE 0.0 END DESC, c.cid ASC) AS rn
+          FROM e, c) r WHERE rn = 1)"""
+    val s1 =
+      """s1 AS (SELECT cell, id, v, nrm, CAST(0.0 AS DOUBLE) AS d FROM (
+          SELECT a.*, row_number() OVER (PARTITION BY cell ORDER BY id) AS rn
+          FROM a) r WHERE rn = 1)"""
+    val rest = (2 to kcenterCellsK).map { i =>
+      val prev = (1 until i).map(j => s"SELECT * FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""s$i AS (SELECT cell, id, v, nrm, d FROM (
+          SELECT t.*, row_number() OVER (PARTITION BY t.cell
+            ORDER BY t.d DESC, t.id ASC) AS rn
+          FROM (
+            SELECT m.cell, m.id, m.v, m.nrm,
+              min(1 - list_dot_product(m.v, s.v) / (m.nrm * s.nrm)) AS d
+            FROM a m JOIN ($prev) s ON m.cell = s.cell
+            WHERE m.id NOT IN (SELECT id FROM ($prev) p)
+            GROUP BY m.cell, m.id, m.v, m.nrm) t) r
+          WHERE rn = 1)"""
+    }
+    val selects = (1 to kcenterCellsK).map(i =>
+      s"""SELECT cell, CAST($i AS BIGINT) AS sel_rank, id,
+          round(d, 6) AS sel_dist FROM s$i""")
+    s"WITH ${(Seq(eCte, cCte, aCte, s1) ++ rest).mkString(", ")} " +
+      selects.mkString(" UNION ALL ")
+  }
 
   /** The k-center greedy loop unrolled to `kcenterK` CTE levels: level i
     * ranks every unselected row by its min cosine distance to the i-1

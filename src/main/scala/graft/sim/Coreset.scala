@@ -102,6 +102,157 @@ object Coreset {
       .select(col("b.id"), col("b.v"), col("b.n"), col("b.d"))
   }
 
+  /** [[kCenterGreedy]] at large k — the documented IVF-cell composition
+    * (r17 verdict task 3), now implemented: assign every vector to its
+    * nearest centroid of a FROZEN broadcast-sized quantizer (argmax
+    * cosine, centroid-id-ascending ties — the [[SemanticDedup]]
+    * assignment shape), then advance the greedy selection inside EVERY
+    * cell simultaneously with a per-cell budget, and union the centers.
+    * Output: (cell, sel_rank, id, sel_dist), sel_rank/sel_dist the
+    * within-cell Gonzalez sequence (per-cell min-id anchor at rank 1).
+    *
+    * Scale shape: kPerCell-1 passes, each ONE aggregate over the
+    * persisted assigned frame grouped by cell (map-side combine down to
+    * nCells rows — no shuffle of data rows, no data-scale window, no
+    * join); every cell advances one center per pass, so selecting
+    * nCells × kPerCell total centers costs O(n · kPerCell²) distance
+    * arithmetic where the flat loop's O(n · k²) at the same total k
+    * would be nCells² times more — the turn from a driver loop into
+    * cell-parallel work. Chosen centers ride into the next pass as a
+    * broadcast map (nCells × kPerCell × dim doubles — tiny).
+    *
+    * Deterministic end to end (frozen centroids, min-id anchors,
+    * lower-id ties), so the DuckDB oracle (q_select_kcenter_cells)
+    * replays the assignment AND every greedy level bit-for-bit. Cells
+    * with fewer members than the budget exhaust gracefully; non-finite
+    * and zero-norm vectors drop at prep.
+    */
+  def kCenterPerCell(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kPerCell: Int,
+      centroids: DataFrame,
+      cidCol: String,
+      centroidVecCol: String): DataFrame = {
+    require(kPerCell >= 1, s"kPerCell must be >= 1, got $kPerCell")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = assignedCells(df, idCol, vecCol, centroids, cidCol,
+      centroidVecCol).persist()
+    try {
+      // per-cell anchor: the min-id member (struct-min — id leads; the
+      // trailing fields only carry the vector/norm forward)
+      var sel: Map[Long, Vector[(Long, Seq[Double], Double, Double)]] =
+        base.groupBy(col("cell"))
+          .agg(min(struct(col("id"), col("v"), col("n"))).as("a"))
+          .select(col("cell"), col("a.id"), col("a.v"), col("a.n"))
+          .collect()
+          .map(r => r.getLong(0) ->
+            Vector((r.getLong(1), r.getSeq[Double](2), r.getDouble(3), 0.0)))
+          .toMap
+      var pass = 1
+      var advanced = sel.nonEmpty
+      while (advanced && pass < kPerCell) {
+        val picked = perCellPass(base, sel).collect()
+        advanced = picked.nonEmpty
+        picked.foreach { r =>
+          val cell = r.getLong(0)
+          sel += cell -> (sel(cell) :+
+            ((r.getLong(1), r.getSeq[Double](2), r.getDouble(3),
+              r.getDouble(4))))
+        }
+        pass += 1
+      }
+      sel.toSeq.flatMap { case (cell, centers) =>
+        centers.zipWithIndex.map { case ((id, _, _, d), i) =>
+          (cell, i + 1L, id, d)
+        }
+      }.toDF("cell", "sel_rank", "id", "sel_dist")
+        .select(col("cell"), col("sel_rank"), col("id"),
+          round(col("sel_dist"), 6).as("sel_dist"))
+    } finally {
+      base.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** The frozen-quantizer assignment: argmax cosine over the broadcast
+    * centroid set, ties to the ascending centroid id — the
+    * [[SemanticDedup.keepFlags]] stage-1 shape, replayed by the oracle
+    * as the same windowed argmax over interpolated centroid literals.
+    * The window partitions by VECTOR id (k rows per partition — no skew
+    * at any corpus size).
+    */
+  private[graft] def assignedCells(df: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, cidCol: String,
+      centroidVecCol: String): DataFrame = {
+    val c = centroids
+      .select(col(cidCol).cast("long").as("__cid"),
+        toDoubleArray(col(centroidVecCol)).as("__c"))
+      .withColumn("__nc", norm(col("__c")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__sim").desc, col("__cid").asc)
+    prepared(df, idCol, vecCol)
+      .crossJoin(broadcast(c))
+      .select(col("id"), col("v"), col("n"), col("__cid"),
+        cosineFromNorms(col("v"), col("__c"), col("n"), col("__nc"))
+          .as("__sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("v"), col("n"), col("__cid").as("cell"))
+  }
+
+  /** One simultaneous per-cell greedy pass: min cosine distance to the
+    * cell's OWN chosen centers (broadcast map; same left-fold dot /
+    * precomputed-norm arithmetic as [[Vectors.cosineFromNorms]], so the
+    * oracle's min-aggregate over joined center rows sees identical
+    * doubles), then ONE groupBy(cell) struct-max — d DESC, id ASC ties,
+    * exactly the flat [[selectionPass]] contract per cell.
+    */
+  private[graft] def perCellPass(base: DataFrame,
+      sel: Map[Long, Vector[(Long, Seq[Double], Double, Double)]]): DataFrame = {
+    val spark = base.sparkSession
+    val bc = spark.sparkContext.broadcast(sel.map { case (cell, cs) =>
+      cell -> cs.map { case (_, cv, cn, _) => (cv.toArray, cn) }.toArray
+    })
+    val chosen = sel.valuesIterator.flatMap(_.map(_._1)).toSeq
+    val minDist = udf((cell: Long, v: Seq[Double], n: Double) => {
+      val cs = bc.value.getOrElse(cell, Array.empty[(Array[Double], Double)])
+      var best = Double.PositiveInfinity
+      var ci = 0
+      while (ci < cs.length) {
+        val (cv, cn) = cs(ci)
+        var dot = 0.0
+        var i = 0
+        val m = math.min(cv.length, v.length)
+        while (i < m) { dot += cv(i) * v(i); i += 1 }
+        val d = 1.0 - (if (n * cn > 0) dot / (n * cn) else 0.0)
+        if (d < best) best = d
+        ci += 1
+      }
+      best
+    })
+    base.filter(!col("id").isInCollection(chosen))
+      .select(col("cell"), col("id"), col("v"), col("n"),
+        minDist(col("cell"), col("v"), col("n")).as("d"))
+      .groupBy(col("cell"))
+      .agg(max(struct(col("d"), (-col("id")).as("ni"), col("id"),
+        col("v"), col("n"))).as("b"))
+      .select(col("cell"), col("b.id"), col("b.v"), col("b.n"), col("b.d"))
+  }
+
+  /** The lint twin for q_select_kcenter_cells: the returned frame is
+    * driver-built, so the screened plan is the per-pass shape itself —
+    * assignment + one placeholder-center pass (never executed).
+    */
+  private[graft] def lintPerCellPass(df: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, cidCol: String,
+      centroidVecCol: String): DataFrame =
+    perCellPass(
+      assignedCells(df, idCol, vecCol, centroids, cidCol, centroidVecCol),
+      Map(0L -> Vector((-1L, Seq.fill(8)(0.5), 1.0, 0.0))))
+
   /** The lint twin for q_select_kcenter: [[kCenterGreedy]] returns a
     * driver-built k-row frame, so the screened plan must be the per-pass
     * aggregate itself — here with two placeholder centers (the plan

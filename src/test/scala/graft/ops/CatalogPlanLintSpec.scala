@@ -62,6 +62,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_knn_ivf_binary" -> "recall invariant joins the IVF+binary stack vs brute twin; Hamming pass is equi on cell with the 10-query probe set broadcast; refine join is equi on neighbor_id",
     "q_knn_wide" -> "recall invariant joins wide-dim IVF+SQ8 vs brute twin; query side bounded to 10 vectors; stats cross join is a broadcast 1-row aggregate",
     "q_dedup_semantic" -> "centroid-assignment cross join against the frozen 32-row trained-centroid local relation",
+    "q_select_kcenter_cells" -> "the q_dedup_semantic centroid-assignment cross join (frozen 32-row quantizer); the per-cell pass itself is one groupBy(cell) aggregate",
     "q_dedup_cosine_recall" -> "recall query joins the LSH path against the documented exact twin",
     "q_dq_outliers" -> "cross join against the broadcast 1-row mean/sigma stats aggregate",
     "q_skew_profile" -> "cross join of the broadcast 1-row total/nkeys aggregate onto the 20-row TakeOrdered result",
