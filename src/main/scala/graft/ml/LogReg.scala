@@ -130,4 +130,127 @@ object LogReg {
       "weights = features + bias (train() output)")
     sigmoid(features.map(_.cast("double")), weights)
   }
+
+  /** One-vs-rest multiclass (r17 verdict task 4) — the k-way face real
+    * quality/langid corpus filters need: per class an independent
+    * binary regression against `label == class`, with ALL k gradient
+    * vectors computed in ONE map-side-combined aggregate per iteration
+    * (k·(d+1) decimal sums in a single buffer — one corpus scan per
+    * step regardless of k, still zero shuffle of data rows). Each
+    * class's steps are bit-identical to [[train]] on the same binary
+    * target (spec-pinned), so the per-class unrolled-CTE oracle carries
+    * over unchanged. Returns (class, weights) in the given class order;
+    * weights features-first, bias last. A null label or feature refuses
+    * loudly (the [[train]] guard — equality null-propagates, never
+    * coerces to "not this class").
+    */
+  def trainMulti(df: DataFrame, features: Seq[Column], label: Column,
+      classes: Seq[String], iters: Int,
+      lr: Double): Seq[(String, Array[Double])] = {
+    require(features.nonEmpty, "at least one feature")
+    require(classes.nonEmpty && classes.distinct.size == classes.size,
+      s"classes must be non-empty and distinct, got $classes")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lr > 0, s"learning rate must be > 0, got $lr")
+    val d = features.size
+    val k = classes.size
+    val base = projectionMulti(df, features, label).persist()
+    try {
+      var ws = Array.fill(k)(Array.fill(d + 1)(0.0))
+      for (_ <- 1 to iters) {
+        val r = gradientPassMulti(base, d, classes, ws.toSeq).collect()(0)
+        val n = r.getLong(k * (d + 1))
+        require(n > 0, "no training rows after the feature projection")
+        require(r.getLong(k * (d + 1) + 1) == n,
+          s"${n - r.getLong(k * (d + 1) + 1)} rows have a null feature " +
+            "or label — filter them before training")
+        ws = ws.zipWithIndex.map { case (w, c) =>
+          w.zipWithIndex.map { case (wj, j) =>
+            wj - lr * (r.getDecimal(c * (d + 1) + j).doubleValue / n)
+          }
+        }
+      }
+      classes.zip(ws.map(w => w: Array[Double])).toSeq
+    } finally {
+      base.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** One multiclass gradient pass as an UN-collected plan: k sigmoids
+    * over the shared projection, k·(d+1) decimal sums + the row/null
+    * counters in ONE aggregate. The binary target is
+    * `(y == class) cast double` — null label → null target → null
+    * contribution, caught by the n_ok guard (count over the first
+    * class's contribution; nullness is class-independent).
+    */
+  private[graft] def gradientPassMulti(projected: DataFrame, d: Int,
+      classes: Seq[String], ws: Seq[Array[Double]]): DataFrame = {
+    val xs = (0 until d).map(i => col(s"x$i"))
+    def gOf(cls: String, w: Array[Double]): Column =
+      sigmoid(xs, w) - (col("y") === lit(cls)).cast("double")
+    val perClass = classes.zip(ws).flatMap { case (cls, w) =>
+      val g = gOf(cls, w)
+      (0 until d).map(i =>
+        sum(round(g * xs(i), 12).cast("decimal(38,12)"))) :+
+        sum(round(g * lit(1.0), 12).cast("decimal(38,12)"))
+    }
+    val aggs = perClass :+ count(lit(1)).as("n") :+
+      count(gOf(classes.head, ws.head)).as("n_ok")
+    projected.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The multiclass training projection: features plus the label AS A
+    * STRING (per-class binary targets are derived inside the pass, so
+    * one projection serves all k classes).
+    */
+  private def projectionMulti(df: DataFrame, features: Seq[Column],
+      label: Column): DataFrame =
+    df.select(features.zipWithIndex.map { case (f, i) =>
+      f.cast("double").as(s"x$i")
+    } :+ label.cast("string").as("y"): _*)
+
+  /** The multiclass lint twin (gradient-pass plan at zero weights). */
+  private[graft] def lintPassMulti(df: DataFrame, features: Seq[Column],
+      label: Column, classes: Seq[String]): DataFrame =
+    gradientPassMulti(projectionMulti(df, features, label), features.size,
+      classes, classes.map(_ => Array.fill(features.size + 1)(0.0)))
+
+  /** [[trainMulti]] as a catalog-shaped readout: one (class, term,
+    * weight) row per class × (feature | bias), weights rounded to 6.
+    */
+  def trainMultiReadout(df: DataFrame, features: Seq[Column],
+      names: Seq[String], label: Column, classes: Seq[String],
+      iters: Int, lr: Double): DataFrame = {
+    require(names.size == features.size, "one name per feature")
+    val models = trainMulti(df, features, label, classes, iters, lr)
+    val spark = df.sparkSession
+    import spark.implicits._
+    models.flatMap { case (cls, w) =>
+      (names :+ "bias").zip(w).map { case (t, wt) => (cls, t, wt) }
+    }.toDF("class", "term", "weight")
+      .select(col("class"), col("term"), round(col("weight"), 6).as("weight"))
+  }
+
+  /** The multiclass serving expression: argmax over the k one-vs-rest
+    * σ(w·x) scores — greatest over (p, −index, class) structs, ties to
+    * the LOWER class index, deterministic. Shares the ONE [[sigmoid]]
+    * definition with training; pure codegen'd expression, weights as
+    * literals.
+    */
+  def classify(features: Seq[Column],
+      models: Seq[(String, Array[Double])]): Column = {
+    require(models.nonEmpty, "at least one class model")
+    models.foreach { case (cls, w) =>
+      require(w.length == features.size + 1,
+        s"class $cls: weights = features + bias (trainMulti output)")
+    }
+    val fs = features.map(_.cast("double"))
+    val structs = models.zipWithIndex.map { case ((cls, w), i) =>
+      struct(sigmoid(fs, w).as("p"), lit(-i).as("ni"), lit(cls).as("cls"))
+    }
+    val best =
+      if (structs.size == 1) structs.head else greatest(structs: _*)
+    best.getField("cls")
+  }
 }

@@ -23,6 +23,20 @@ object QualityQueries {
         Seq("w_chars", "w_spaces"), label, iters = lrIters,
         lr = lrRate.toDouble)
     }),
+    // The k-way corpus-filter shape (r17 verdict task 4): one-vs-rest
+    // langid over IN-PLAN STANDARDIZED features — the stats pass is one
+    // decimal-summed aggregate (mean and raw second moment, combine-
+    // order independent), standardization rides as expressions over the
+    // broadcast 1-row stats, and every class's gradient vector lands in
+    // ONE aggregate per iteration (k·(d+1) decimal sums, zero shuffle).
+    // The oracle replays stats, standardize, and all k unrolled GD
+    // chains bit-for-bit.
+    "q_quality_lr_multi" -> ((s, d) => {
+      val (docs, feats, label) = lrMultiInputs(s, d)
+      graft.ml.LogReg.trainMultiReadout(docs, feats,
+        Seq("w_chars", "w_spaces"), label, classes = lrMultiClasses,
+        iters = lrIters, lr = lrRate.toDouble)
+    }),
     // Mergeable fixed-bin histogram quantiles (HistQuantiles.scala) — the
     // quantile face of the incremental-stats family: fence frozen by the
     // init batch (l_orderkey%4==0), four per-batch 32-bin histograms
@@ -485,6 +499,10 @@ object QualityQueries {
     "q_quality_lr" -> ((s, d) => {
       val (docs, feats, label) = lrInputs(s, d)
       graft.ml.LogReg.lintPass(docs, feats, label)
+    }),
+    "q_quality_lr_multi" -> ((s, d) => {
+      val (docs, feats, label) = lrMultiInputs(s, d)
+      graft.ml.LogReg.lintPassMulti(docs, feats, label, lrMultiClasses)
     }))
 
   /** q_quality_lr's frame/features/label — ONE definition for the query
@@ -505,6 +523,35 @@ object QualityQueries {
   // generated oracle (declared before the strict maps force lrSql)
   private val lrIters = 3
   private val lrRate = "0.5" // exact double literal in both engines
+  // one-vs-rest target languages for q_quality_lr_multi ('zh'/'de' are
+  // rest-only — a class set need not cover the label domain)
+  private val lrMultiClasses = Seq("en", "fr", "es")
+
+  /** q_quality_lr_multi's frame/features/label — the [[lrInputs]]
+    * doctrine (ONE definition for query + lint twin) with the in-plan
+    * standardize step composed in: raw features → one decimal-summed
+    * stats aggregate (mean + raw second moment per feature — combine-
+    * order independent, so cross-engine exact) broadcast as a 1-row
+    * cross join → (f−m)/s expressions with the zero-variance guard.
+    * The expression TEXT mirrors qualityLrMultiSql's CTEs exactly.
+    */
+  private def lrMultiInputs(s: SparkSession, d: String)
+      : (DataFrame, Seq[org.apache.spark.sql.Column], org.apache.spark.sql.Column) = {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val f0 = length(col("text")).cast("double") / lit(100.0)
+    val f1 = (length(col("text")) -
+      length(expr("replace(text, ' ', '')"))).cast("double") / lit(10.0)
+    def m(f: org.apache.spark.sql.Column) =
+      sum(round(f, 12).cast("decimal(38,12)")).cast("double") / count(lit(1))
+    val stats = docs.agg(m(f0).as("m0"), m(f0 * f0).as("q0"),
+      m(f1).as("m1"), m(f1 * f1).as("q1"))
+    val ds = docs.crossJoin(broadcast(stats))
+    def std(f: org.apache.spark.sql.Column, mc: String, qc: String) = {
+      val v = col(qc) - col(mc) * col(mc)
+      (f - col(mc)) / when(v > 0, sqrt(v)).otherwise(lit(1.0))
+    }
+    (ds, Seq(std(f0, "m0", "q0"), std(f1, "m1", "q1")), col("lang"))
+  }
 
   /** The gradient-descent loop unrolled to `lrIters` CTE levels: each
     * level recomputes per-row σ(w·x)−y contributions with the PREVIOUS
@@ -546,8 +593,67 @@ object QualityQueries {
       s"UNION ALL SELECT 'bias', round((SELECT wb FROM $last), 6)"
   }
 
+  /** The multiclass GD unrolled per class: shared e0 (raw features) →
+    * st (decimal-summed mean/second-moment, 1 row) → e (standardized
+    * features, the cross-join replay of the broadcast stats) → per
+    * class an independent w/g CTE chain — the [[qualityLrSql]] steps
+    * verbatim with the class's own binary target. 3 classes × 3 iters
+    * × (d+1) sums, the same arithmetic the single Spark-side aggregate
+    * per iteration computes.
+    */
+  private lazy val qualityLrMultiSql: String = {
+    val x0 = "CAST(length(text) AS DOUBLE)/100.0"
+    val x1 = "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)/10.0"
+    def dsum(e: String) =
+      s"CAST(SUM(CAST(round($e, 12) AS DECIMAL(38,12))) AS DOUBLE)"
+    val e0 =
+      s"""e0 AS (SELECT $x0 AS r0, $x1 AS r1, lang AS y
+          FROM documents WHERE text IS NOT NULL)"""
+    val st =
+      s"""st AS (SELECT ${dsum("r0")}/COUNT(*) AS m0,
+          ${dsum("r0*r0")}/COUNT(*) AS q0,
+          ${dsum("r1")}/COUNT(*) AS m1,
+          ${dsum("r1*r1")}/COUNT(*) AS q1 FROM e0)"""
+    def stdSql(r: String, mc: String, qc: String) =
+      s"($r - $mc) / (CASE WHEN $qc - $mc*$mc > 0 " +
+        s"THEN sqrt($qc - $mc*$mc) ELSE 1.0 END)"
+    val e =
+      s"""e AS (SELECT ${stdSql("r0", "m0", "q0")} AS x0,
+          ${stdSql("r1", "m1", "q1")} AS x1, y FROM e0, st)"""
+    def gsum(expr: String, alias: String) =
+      s"CAST(SUM(CAST(round($expr, 12) AS DECIMAL(38,12))) AS DOUBLE) AS $alias"
+    val w0s = lrMultiClasses.indices.map(ci =>
+      s"""w0c$ci AS (SELECT CAST(0.0 AS DOUBLE) AS w0,
+          CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS wb)""")
+    val iters = (1 to lrIters).flatMap { i =>
+      lrMultiClasses.zipWithIndex.flatMap { case (cls, ci) =>
+        val pw = s"w${i - 1}c$ci"
+        val z = s"(x0*(SELECT w0 FROM $pw) + x1*(SELECT w1 FROM $pw) + (SELECT wb FROM $pw))"
+        val g = s"(1.0/(1.0 + exp(-$z)) - CASE WHEN y = '$cls' THEN 1.0 ELSE 0.0 END)"
+        Seq(
+          s"""g${i}c$ci AS (SELECT ${gsum(s"$g * x0", "g0")},
+              ${gsum(s"$g * x1", "g1")}, ${gsum(s"$g * 1.0", "gb")},
+              COUNT(*) AS n FROM e)""",
+          s"""w${i}c$ci AS (SELECT
+              (SELECT w0 FROM $pw) - $lrRate * (g0/n) AS w0,
+              (SELECT w1 FROM $pw) - $lrRate * (g1/n) AS w1,
+              (SELECT wb FROM $pw) - $lrRate * (gb/n) AS wb FROM g${i}c$ci)""")
+      }
+    }
+    val selects = lrMultiClasses.zipWithIndex.flatMap { case (cls, ci) =>
+      val last = s"w${lrIters}c$ci"
+      Seq(
+        s"SELECT '$cls' AS class, 'w_chars' AS term, round((SELECT w0 FROM $last), 6) AS weight",
+        s"SELECT '$cls', 'w_spaces', round((SELECT w1 FROM $last), 6)",
+        s"SELECT '$cls', 'bias', round((SELECT wb FROM $last), 6)")
+    }
+    s"WITH ${(Seq(e0, st, e) ++ w0s ++ iters).mkString(", ")} " +
+      selects.mkString(" UNION ALL ")
+  }
+
   val oracles: Map[String, String] = Map(
     "q_quality_lr" -> qualityLrSql,
+    "q_quality_lr_multi" -> qualityLrMultiSql,
 
     // one-shot whole-table replay of the frozen-fence binning: hash
     // equality against the four-batch folded path proves the merge exact

@@ -73,6 +73,83 @@ class LogRegSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // three-class planted data, separable on two features
+  private lazy val multi = (1 to 60).map { i =>
+    val cls = i % 3
+    val (x0, x1) = cls match {
+      case 0 => (1.0 + (i % 5) * 0.1, -1.0)
+      case 1 => (-1.0 - (i % 5) * 0.1, -1.0)
+      case _ => (0.0, 1.0 + (i % 5) * 0.1)
+    }
+    (x0, x1, Seq("a", "b", "c")(cls))
+  }.toDF("x0", "x1", "lang")
+
+  test("trainMulti with one class is bit-identical to binary train (r18)") {
+    val fs = Seq(col("x0"), col("x1"))
+    val m = LogReg.trainMulti(multi, fs, col("lang"), Seq("a"), 5, 0.5)
+    val b = LogReg.train(multi, fs,
+      (col("lang") === "a").cast("double"), 5, 0.5)
+    assert(m.size === 1 && m.head._1 === "a")
+    assert(m.head._2.toSeq === b.toSeq,
+      "each OVR chain must replay the binary steps exactly")
+  }
+
+  test("trainMulti is deterministic across partitionings (decimal sums)") {
+    val fs = Seq(col("x0"), col("x1"))
+    val cs = Seq("a", "b", "c")
+    val a = LogReg.trainMulti(multi, fs, col("lang"), cs, 4, 0.5)
+    val b = LogReg.trainMulti(multi.repartition(7), fs, col("lang"),
+      cs, 4, 0.5)
+    assert(a.map { case (c, w) => (c, w.toSeq) } ===
+      b.map { case (c, w) => (c, w.toSeq) })
+  }
+
+  test("classify: argmax serving separates the planted classes; ties " +
+      "break to the lower class index") {
+    val fs = Seq(col("x0"), col("x1"))
+    val models = LogReg.trainMulti(multi, fs, col("lang"),
+      Seq("a", "b", "c"), iters = 50, lr = 1.0)
+    val wrong = multi.withColumn("pred", LogReg.classify(fs, models))
+      .filter(col("pred") =!= col("lang")).count()
+    assert(wrong === 0, "separable 3-class data must classify exactly")
+    // exact tie (identical models) → the first class listed wins
+    val w = Array(0.0, 0.0, 0.0)
+    val tie = multi.withColumn("pred",
+      LogReg.classify(fs, Seq("z" -> w, "a" -> w))).select("pred")
+      .distinct().as[String].collect().toSeq
+    assert(tie === Seq("z"), "ties must break to the lower class index")
+  }
+
+  test("trainMulti guards: duplicate classes, empty classes, null labels") {
+    val fs = Seq(col("x0"), col("x1"))
+    intercept[IllegalArgumentException] {
+      LogReg.trainMulti(multi, fs, col("lang"), Seq("a", "a"), 1, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      LogReg.trainMulti(multi, fs, col("lang"), Seq.empty, 1, 0.5)
+    }
+    val withNullLabel = multi.withColumn("lang",
+      when(col("x1") > 0, col("lang"))) // nulls on one class
+    val e = intercept[IllegalArgumentException] {
+      LogReg.trainMulti(withNullLabel, fs, col("lang"),
+        Seq("a", "b"), 1, 0.5)
+    }
+    assert(e.getMessage.contains("null feature or label"),
+      "a null label must refuse, not silently read as 'not this class'")
+    intercept[IllegalArgumentException] {
+      LogReg.classify(fs, Seq("a" -> Array(1.0))) // bias missing
+    }
+  }
+
+  test("trainMultiReadout shape: one row per class x (feature | bias)") {
+    val out = LogReg.trainMultiReadout(multi, Seq(col("x0"), col("x1")),
+      Seq("w0", "w1"), col("lang"), Seq("a", "b"), iters = 2, lr = 0.5)
+    assert(out.columns.toSeq === Seq("class", "term", "weight"))
+    assert(out.count() === 6)
+    assert(out.select("class").distinct().as[String].collect().toSet
+      === Set("a", "b"))
+  }
+
   test("null features or labels refuse loudly instead of damping the gradient") {
     // sum() skips null contributions while the row count doesn't — an
     // unguarded nullable column would silently bias every step
