@@ -467,6 +467,29 @@ object DedupQueries {
         Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
     }),
 
+    // Asymmetric-distance binary ANN (Knn.binaryAdcTopK, r17 verdict
+    // task 6): corpus stays 256 sign bits, the query keeps its floats —
+    // distance-to-code instead of code-to-code, the SDC→ADC upgrade at
+    // IDENTICAL memory and scan bytes. Two in-plan contracts: the
+    // saturated-shortlist recall_ge_085 every ANN variant carries, AND
+    // adc_ge_sym_starved — at a starved shortlist (20, where the refine
+    // cannot repair estimator misses) the asymmetric estimator's recall
+    // must match-or-beat the symmetric Hamming one (measured 0.78 vs
+    // 0.68 at sf0.001; expectation backed by a 20-seed study in
+    // KnnBinarySpec: ADC wins 18-19/20 with mean +0.07..+0.11).
+    "q_knn_binary_adc" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      annAdcSummary(
+        Knn.binaryAdcTopK(q, emb, "vec_id", "embedding", k = 5,
+          numBits = 256, shortlist = 100),
+        Knn.binaryAdcTopK(q, emb, "vec_id", "embedding", k = 5,
+          numBits = 256, shortlist = 20),
+        Knn.binaryTopK(q, emb, "vec_id", "embedding", k = 5,
+          numBits = 256, shortlist = 20),
+        Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
+    }),
+
     // The composed billion-scale serving stack (Knn.ivfBinaryTopK):
     // IVF cells bound per-query work to nprobe/nlist of the corpus AND
     // candidates ride as 256 sign bits inside the probed cells
@@ -956,6 +979,32 @@ object DedupQueries {
         lit(5L).as("k"),
         (sum(coalesce(col("is_true"), lit(0))).cast("double") / count(lit(1))
           >= 0.85).cast("long").as("recall_ge_085"))
+  }
+
+  /** The q_knn_binary_adc readout: the standard saturated-shortlist
+    * recall contract PLUS the asymmetric-vs-symmetric starved-shortlist
+    * comparison, all in one plan (three 1-row recall aggregates crossed
+    * — each a bounded scalar).
+    */
+  private def annAdcSummary(full: DataFrame, adcStarved: DataFrame,
+      symStarved: DataFrame, brute: DataFrame): DataFrame = {
+    val b = brute.select(col("query_id"), col("neighbor_id"))
+      .withColumn("is_true", lit(1))
+    def stats(ann: DataFrame) =
+      ann.select(col("query_id"), col("neighbor_id"))
+        .join(b, Seq("query_id", "neighbor_id"), "left_outer")
+        .agg(countDistinct(col("query_id")).cast("long").as("nq"),
+          count(lit(1)).cast("long").as("nr"),
+          (sum(coalesce(col("is_true"), lit(0))).cast("double") /
+            count(lit(1))).as("r"))
+    stats(full)
+      .select(col("nq").as("n_queries"), col("nr").as("n_result_rows"),
+        lit(5L).as("k"), (col("r") >= 0.85).cast("long").as("recall_ge_085"))
+      .crossJoin(stats(adcStarved).select(col("r").as("ra")))
+      .crossJoin(stats(symStarved).select(col("r").as("rs")))
+      .select(col("n_queries"), col("n_result_rows"), col("k"),
+        col("recall_ge_085"),
+        (col("ra") >= col("rs")).cast("long").as("adc_ge_sym_starved"))
   }
 
   private val shinglesSql =
@@ -1939,6 +1988,13 @@ object DedupQueries {
     "q_knn_pq" -> annSummarySql,
     "q_knn_wide" -> annSummarySql,
     "q_knn_binary" -> annSummarySql,
+    "q_knn_binary_adc" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(5 * count(*) AS BIGINT) AS n_result_rows,
+         CAST(5 AS BIGINT) AS k,
+         CAST(1 AS BIGINT) AS recall_ge_085,
+         CAST(1 AS BIGINT) AS adc_ge_sym_starved
+         FROM embeddings WHERE vec_id < 10""",
     "q_knn_ivf_binary" -> annSummarySql,
     "q_select_kcenter" -> kcenterSql,
     "q_select_kcenter_cells" -> kcenterCellsSql

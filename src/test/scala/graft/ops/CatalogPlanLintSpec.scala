@@ -59,6 +59,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_knn_ivf_quantized" -> "recall invariant joins quantized IVF vs brute twin; query side bounded to 10 vectors; stats cross join is a broadcast 1-row aggregate",
     "q_knn_pq" -> "recall invariant joins PQ+refine vs brute twin; ADC pass and brute side both bounded to 10 query vectors; refine join is equi on neighbor_id",
     "q_knn_binary" -> "recall invariant joins binary+refine vs brute twin; Hamming pass and brute side both bounded to 10 query vectors; refine join is equi on neighbor_id (the q_knn_pq shape)",
+    "q_knn_binary_adc" -> "the q_knn_binary shape three times (saturated ADC, starved ADC, starved symmetric) vs one brute twin, all query-bounded; the three 1-row recall scalars cross-join for the invariant readout",
     "q_knn_ivf_binary" -> "recall invariant joins the IVF+binary stack vs brute twin; Hamming pass is equi on cell with the 10-query probe set broadcast; refine join is equi on neighbor_id",
     "q_knn_wide" -> "recall invariant joins wide-dim IVF+SQ8 vs brute twin; query side bounded to 10 vectors; stats cross join is a broadcast 1-row aggregate",
     "q_dedup_semantic" -> "centroid-assignment cross join against the frozen 32-row trained-centroid local relation",
@@ -139,6 +140,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_knn_ivf_quantized" -> "broadcast sides are the 10-vector query set, k centroids, and the 1-row stats aggregate",
     "q_knn_pq" -> "broadcast side is the query set, bounded to 10 vectors by the pushed filter (codebooks ride the closure, not a join)",
     "q_knn_binary" -> "broadcast sides are the 10-vector query set's bit codes (Hamming pass) and float vectors (refine) — both query-bounded; planes ride the closure, not a join",
+    "q_knn_binary_adc" -> "the q_knn_binary broadcast sides three times over (saturated ADC, starved ADC, starved symmetric) — query projections/bit codes and refine floats, all bounded to the 10-vector query set",
     "q_knn_ivf_binary" -> "broadcast sides are the 10-vector query probe set (bit codes + probed cells) and float vectors (refine) — query-bounded; centroids and planes ride the closure",
     "q_knn_wide" -> "broadcast sides are the 10-vector query set, k centroids, and the 1-row stats aggregate (q_knn_ivf_quantized at dim 1536)",
     "q_text_bm25_rel" -> "broadcast side is the per-term df aggregate — rows bounded by the query term count",
