@@ -854,7 +854,8 @@ object Knn extends Serializable {
       numBits: Int = 256,
       shortlist: Int = 100,
       sampleSize: Int = 2000,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      adc: Boolean = false): DataFrame = {
     require(numBits > 0, s"numBits must be > 0, got $numBits")
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe (0 would " +
@@ -884,14 +885,34 @@ object Knn extends Serializable {
     val coded = base.select(col("neighbor_id"),
       cellOf(col("fv")).as("cell"), pack(col("fv")).as("cbits"))
     val q = queryPrep(queries, idCol, vecCol)
-    val qProbe = q.select(col("query_id"), pack(col("qv")).as("qbits"),
-      explode(probeCells(col("qv"))).as("cell"))
-    val short = hammingShortlist(
-      coded.join(broadcast(qProbe), Seq("cell"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          hamming(col("qbits"), col("cbits")).as("ham")),
-      shortlist)
+    // `adc` upgrades the in-cell ranking to the asymmetric estimator
+    // ([[binaryAdcTopK]]): the probe set carries float projections
+    // instead of packed bits — same 32-byte corpus codes scanned, same
+    // probed cells, strictly more query-side information per bit
+    val short =
+      if (adc) {
+        val proj = projUdf(bcPlanes)
+        val qProbe = q.select(col("query_id"), proj(col("qv")).as("qproj"),
+          explode(probeCells(col("qv"))).as("cell"))
+        val wS = Window.partitionBy(col("query_id"))
+          .orderBy(desc("score"), asc("neighbor_id"))
+        coded.join(broadcast(qProbe), Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            adcUdf(numBits)(col("qproj"), col("cbits")).as("score"))
+          .withColumn("srank", row_number().over(wS))
+          .filter(col("srank") <= shortlist)
+          .select(col("query_id"), col("neighbor_id"))
+      } else {
+        val qProbe = q.select(col("query_id"), pack(col("qv")).as("qbits"),
+          explode(probeCells(col("qv"))).as("cell"))
+        hammingShortlist(
+          coded.join(broadcast(qProbe), Seq("cell"))
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .select(col("query_id"), col("neighbor_id"),
+              hamming(col("qbits"), col("cbits")).as("ham")),
+          shortlist)
+      }
     exactRefine(short, base, q, k)
   }
 

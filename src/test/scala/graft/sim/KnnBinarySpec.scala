@@ -150,6 +150,34 @@ class KnnBinarySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("IVF+binary ADC flag: exact refine holds; starved-shortlist " +
+      "recall matches-or-beats the symmetric in-cell ranking (r18)") {
+    val q = emb.filter(col("vec_id") < 10)
+    val brute5 = Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def recallOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"))
+        .intersect(brute5).count().toDouble / 50.0
+    def stack(adc: Boolean, sl: Int) =
+      Knn.ivfBinaryTopK(q, emb, "vec_id", "embedding", k = 5,
+        nlist = 8, nprobe = 7, shortlist = sl, adc = adc)
+    val sym = recallOf(stack(adc = false, sl = 20))
+    val asym = recallOf(stack(adc = true, sl = 20))
+    info(s"IVF in-cell ranking at shortlist 20: symmetric=$sym adc=$asym")
+    assert(asym >= sym,
+      s"composed ADC recall $asym below symmetric $sym")
+    // the ADC variant still reports exact cosines through the shared refine
+    val bruteAll = Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 1000)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine_sim").as("true_sim"))
+    val joined = stack(adc = true, sl = 100)
+      .join(bruteAll, Seq("query_id", "neighbor_id"), "left_outer")
+      .select(col("cosine_sim"), col("true_sim"))
+      .as[(Double, Option[Double])].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (s, t) => assert(t.contains(s)) }
+  }
+
   test("misconfiguration fails loudly") {
     intercept[IllegalArgumentException] {
       Knn.binaryTopK(emb, emb, "vec_id", "embedding", k = 10, shortlist = 5)
