@@ -196,6 +196,22 @@ object DedupQueries {
         "doc_id", "text", threshold = 0.3)
     }),
 
+    // The CLOSED maintenance loop on the near-dup index (the
+    // q_text_index_maintain protocol on LshIndex.maintain — exact-counter
+    // signals, no hysteresis by design): build the full index, tombstone
+    // %11 (dead ratio under the 0.2 bar — "none"), tombstone %7 as well
+    // (over the bar — compacts the union away). The LSH spine holds only
+    // docs with >= 1 shingle (>= 2 tokens at shingleN 2), so the oracle's
+    // dead-ratio numerator/denominator and survivors count are
+    // spine-conditioned, while folded counts every sidecar id — exactly
+    // the implementation's semantics, all recomputed from the raw corpus.
+    "q_lsh_index_maintain" -> ((s, d) => {
+      val dir = lshIndexMntDir(s, d)
+      LshIndex.maintenanceLog(s, dir)
+        .select(col("seq"), col("dead_ratio"), col("action"),
+          col("survivors"), col("folded"))
+    }),
+
     // SimHash near-dup pairs within Hamming distance 3. md5 token hashing
     // so DuckDB can rebuild the exact 64-bit simhash; slice blocking is
     // recall-complete by pigeonhole, so the oracle is exact.
@@ -963,6 +979,42 @@ object DedupQueries {
       })
     }
 
+  private val lshIndexMntWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-time maintenance-loop fixture for `q_lsh_index_maintain`:
+    * full-corpus build, tombstone %11 → maintain (no-op), tombstone %7
+    * as well → maintain (compacts). Same staleness-stamped dir +
+    * completion-marker protocol as the other index fixtures.
+    */
+  private def lshIndexMntDir(s: SparkSession, d: String): String =
+    lshIndexMntWritten.synchronized {
+      lshIndexMntWritten.getOrElseUpdate(d, {
+        val src = new java.io.File(s"$d/documents.parquet")
+        val stamp = s"${src.lastModified()}_${src.length()}"
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_lsh_index_mnt_${math.abs(d.hashCode)}_$stamp")
+        val marker = new java.io.File(dir, "_graft_index_complete")
+        if (!marker.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          if (dir.exists()) rm(dir)
+          val doc = documents(s, d)
+          LshIndex.build(doc, "doc_id", "text", dir.getAbsolutePath)
+          LshIndex.delete(s, dir.getAbsolutePath,
+            doc.filter(col("doc_id") % 11 === 0).select("doc_id"), "doc_id")
+          LshIndex.maintain(s, dir.getAbsolutePath)
+          LshIndex.delete(s, dir.getAbsolutePath,
+            doc.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
+          LshIndex.maintain(s, dir.getAbsolutePath)
+          marker.createNewFile()
+          ()
+        }
+        dir.getAbsolutePath
+      })
+    }
+
   /** One-row recall@k summary of an ANN result vs the brute-force truth:
     * (n_queries, n_result_rows, k, recall_ge_085). Everything but the
     * recall bound is data-derived, so the DuckDB oracle can reproduce it;
@@ -1569,6 +1621,31 @@ object DedupQueries {
             SELECT index_id, probe_id,
               round(CAST(inter AS DOUBLE) / (sza + szb - inter), 6) AS jaccard
             FROM co) WHERE jaccard >= 0.3""",
+
+    // both maintenance decisions recomputed from the raw corpus. The
+    // spine holds only docs with >= 2 tokens (shingleN 2), so dead
+    // ratio and survivors condition on it; folded counts every
+    // tombstoned id (the sidecar count compact returns), spine or not.
+    "q_lsh_index_maintain" ->
+      s"""WITH sp AS (SELECT doc_id
+            FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+            WHERE len(toks) >= 2),
+          n AS (SELECT count(*) AS c FROM sp),
+          t1 AS (SELECT count(*) AS c FROM sp WHERE doc_id % 11 = 0),
+          t2 AS (SELECT count(*) AS c FROM sp
+                 WHERE doc_id % 11 = 0 OR doc_id % 7 = 0),
+          u2 AS (SELECT count(*) AS c FROM documents
+                 WHERE doc_id % 11 = 0 OR doc_id % 7 = 0)
+          SELECT CAST(0 AS BIGINT) AS seq,
+            round(t1.c * 1.0 / n.c, 6) AS dead_ratio,
+            'none' AS action,
+            CAST(NULL AS BIGINT) AS survivors,
+            CAST(NULL AS BIGINT) AS folded
+          FROM n, t1
+          UNION ALL
+          SELECT CAST(1 AS BIGINT), round(t2.c * 1.0 / n.c, 6), 'compact',
+            n.c - t2.c, u2.c
+          FROM n, t2, u2""",
 
     // Full 64-bit SimHash rebuilt from scratch: md5 token hash -> per-bit
     // +/-1 vote -> sign bit -> all-pairs Hamming. Verifies the Spark

@@ -1,0 +1,95 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-shaped data selection — importance resampling over hashed
+  * n-gram features (the Xie et al. 2023 "Data Selection for Language
+  * Models via Importance Resampling" recipe): pick raw-pool documents
+  * whose n-gram distribution looks like a curated TARGET set, the move
+  * a pre-training pipeline runs between dedup and mixing when it has a
+  * small high-quality seed corpus and a vast raw crawl.
+  *
+  * Features are unigrams + space-joined bigrams of the lowercased
+  * whitespace tokens ([[graft.text.TextFunctions.safeLowerTokens]]),
+  * hashed into `buckets` bins by the md5 bucket function the codebook
+  * encoder uses ([[graft.prep.Codebook.hashEncode]] — the same
+  * DuckDB-mirrorable hash as q_feature_hash/q_cms_freq). Both
+  * distributions get add-`alpha` smoothing, so every bucket has defined
+  * mass; a raw doc's importance weight is
+  *
+  *   score(doc) = Σ_{gram ∈ doc} [ ln p̂_target(bucket(gram))
+  *                                − ln p̂_raw(bucket(gram)) ]
+  *
+  * — the log likelihood ratio of the doc under the two hashed-unigram/
+  * bigram models, summed per OCCURRENCE (a doc repeating target-like
+  * phrasing scores higher, the DSIR bag-of-ngrams semantics).
+  *
+  * Plan shape at 100 TB: one explode pass feeds ONE map-side-combined
+  * groupBy(bucket) that computes BOTH distributions (≤ `buckets` rows —
+  * the bounded-stats boundary every trainer here respects); the ratio
+  * table broadcasts back onto the raw gram stream; scoring is one
+  * map-side-combined groupBy(doc). No corpus-sized shuffle anywhere —
+  * gram rows move only into combiners. Per-gram log-ratios are
+  * round(12) → DECIMAL(38,12)-summed (the LogReg doctrine), so scores
+  * are bit-identical under repartitioning and the DuckDB oracle replays
+  * them exactly.
+  *
+  * Docs with zero grams (null/empty text) have no distribution evidence
+  * and are unscorable — they simply don't appear (callers wanting a
+  * total ranking can left-join the corpus spine).
+  */
+object Dsir {
+
+  /** (id, score) for every non-target doc with ≥ 1 gram; `isTarget`
+    * marks the curated seed rows INSIDE `docs` (the usual shape: one
+    * corpus, a small labeled slice).
+    */
+  def importanceScores(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 256,
+      alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val toks = graft.text.TextFunctions.safeLowerTokens(col(textCol))
+    // unigrams + adjacent bigrams, one array per doc, then exploded
+    val nBi = greatest(size(col("__toks")) - 1, lit(0))
+    val grams0 = docs
+      .select(col(idCol).as("id"), isTarget.as("is_target"),
+        toks.as("__toks"))
+      .select(col("id"), col("is_target"),
+        explode(concat(col("__toks"),
+          zip_with(slice(col("__toks"), lit(1), nBi),
+            slice(col("__toks"), lit(2), nBi),
+            (a, b) => concat(a, lit(" "), b)))).as("gram"))
+    val grams = graft.prep.Codebook
+      .hashEncode(grams0, "gram", "bucket", buckets)
+      .select(col("id"), col("is_target"), col("bucket"))
+    // both distributions in ONE bounded aggregate
+    val counts = grams.groupBy(col("bucket")).agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("t"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).as("r"))
+    val totals = counts.agg(sum(col("t")).as("bigT"), sum(col("r")).as("bigR"))
+    val ratio = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("t") + lit(alpha)) /
+            (col("bigT") + lit(alpha * buckets))) -
+          log((col("r") + lit(alpha)) /
+            (col("bigR") + lit(alpha * buckets)))).as("logratio"))
+    grams.filter(!col("is_target"))
+      .join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(round(sum(round(col("logratio"), 12).cast("decimal(38,12)"))
+        .cast("double"), 6).as("score"))
+  }
+
+  /** The k most target-like raw docs — deterministic (score desc, id)
+    * TakeOrdered; no global sort materializes.
+    */
+  def selectTopK(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, k: Int, buckets: Int = 256,
+      alpha: Double = 0.5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    importanceScores(docs, idCol, textCol, isTarget, buckets, alpha)
+      .orderBy(desc("score"), asc("id")).limit(k)
+  }
+}

@@ -23,6 +23,20 @@ object QualityQueries {
         Seq("w_chars", "w_spaces"), label, iters = lrIters,
         lr = lrRate.toDouble)
     }),
+
+    // DSIR-shaped importance resampling (Dsir.selectTopK): the %10 docs
+    // play the curated target seed, the rest are the raw pool; each raw
+    // doc scores the summed hashed-ngram log-likelihood-ratio between
+    // the two smoothed distributions, and the 100 most target-like are
+    // selected. Buckets use the q_feature_hash md5 function, per-gram
+    // ratios decimal-sum (the LogReg doctrine), so distributions,
+    // smoothing arithmetic, scores, and the final ranking are ALL
+    // value-oracled bit-for-bit.
+    "q_select_importance" -> ((s, d) =>
+      Dsir.selectTopK(Tables.documents(s, d), "doc_id", "text",
+        isTarget = col("doc_id") % 10 === 0, k = 100,
+        buckets = dsirBuckets, alpha = dsirAlpha)
+        .withColumnRenamed("id", "doc_id")),
     // The k-way corpus-filter shape (r17 verdict task 4): one-vs-rest
     // langid over IN-PLAN STANDARDIZED features — the stats pass is one
     // decimal-summed aggregate (mean and raw second moment, combine-
@@ -527,6 +541,11 @@ object QualityQueries {
   // rest-only — a class set need not cover the label domain)
   private val lrMultiClasses = Seq("en", "fr", "es")
 
+  // q_select_importance knobs, shared by the operator call and the
+  // interpolated oracle (the jaccardDfCap must-move-together pattern)
+  private val dsirBuckets = 256
+  private val dsirAlpha = 0.5
+
   /** q_quality_lr_multi's frame/features/label — the [[lrInputs]]
     * doctrine (ONE definition for query + lint twin) with the in-plan
     * standardize step composed in: raw features → one decimal-summed
@@ -654,6 +673,36 @@ object QualityQueries {
   val oracles: Map[String, String] = Map(
     "q_quality_lr" -> qualityLrSql,
     "q_quality_lr_multi" -> qualityLrMultiSql,
+
+    // full DSIR replay: same tokenization, same unigram+bigram set, the
+    // q_feature_hash md5 bucket, both smoothed distributions, per-gram
+    // ln-ratio round(12) decimal-summed per doc, (score desc, id) top-100
+    "q_select_importance" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % 10 = 0 AS is_target,
+            list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents),
+          g AS (SELECT doc_id, is_target,
+            unnest(list_concat(toks,
+              list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+          FROM t),
+          b AS (SELECT doc_id, is_target,
+            CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % $dsirBuckets AS bucket
+          FROM g),
+          c AS (SELECT bucket,
+            sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc,
+            sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS rc
+          FROM b GROUP BY 1),
+          tot AS (SELECT sum(tc) AS bt, sum(rc) AS br FROM c),
+          ratio AS (SELECT bucket,
+            ln((tc + $dsirAlpha) / (bt + $dsirAlpha * $dsirBuckets)) -
+            ln((rc + $dsirAlpha) / (br + $dsirAlpha * $dsirBuckets)) AS logratio
+          FROM c, tot),
+          s AS (SELECT b.doc_id,
+            round(CAST(sum(CAST(round(r.logratio, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+          FROM b JOIN ratio r USING (bucket) WHERE NOT is_target
+          GROUP BY 1)
+          SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 100""",
 
     // one-shot whole-table replay of the frozen-fence binning: hash
     // equality against the four-batch folded path proves the merge exact

@@ -150,6 +150,91 @@ object TextIndex {
     scoreAll(spark, dir, terms, termCol)
       .orderBy(desc("bm25"), asc("id")).limit(k)
 
+  /** Compaction policy for [[maintain]]. `deadRatioBar` bounds the
+    * tombstoned fraction of the stored spine (read amplification: every
+    * score subtracts the sidecar twice — postings AND spine — and the
+    * corpus statistics recompute over survivors); `filesBar` bounds the
+    * postings data-file count (append fragments the range layout one
+    * generation per batch, and term-probe row-group pruning degrades
+    * with overlapping generations). Defaults: 20% dead, 3 generations
+    * at 32 shuffle partitions.
+    */
+  case class MaintenancePolicy(
+      deadRatioBar: Double = 0.2,
+      filesBar: Int = 96) {
+    require(deadRatioBar > 0.0 && deadRatioBar <= 1.0,
+      s"deadRatioBar must be in (0,1], got $deadRatioBar")
+    require(filesBar >= 1, s"filesBar must be >= 1, got $filesBar")
+  }
+
+  /** The closed maintenance loop — [[graft.sim.IvfIndex.maintain]]'s
+    * policy-driven doctrine applied to the lexical index: read the
+    * health signals, decide against the policy, act, append ONE
+    * auditable decision row to the `dir/maintenance/` ledger:
+    *
+    *   (seq, dead_ratio, postings_files, dead_ratio_bar, files_bar,
+    *    unhealthy, action, survivors, folded, post_files)
+    *
+    * Design delta vs the IVF loop, and why: no hysteresis. IvfIndex's
+    * recall probe is a SAMPLED signal — one noisy observation must not
+    * trigger a corpus-scale rebuild, so it retrains only on a streak.
+    * Here both signals are EXACT counters (tombstone∩spine count, FS
+    * file listing): a single observation IS the population truth, and
+    * acting resets both signals to their floor (dead_ratio 0, files =
+    * one generation), so the loop cannot oscillate and a bad probe
+    * cannot exist. Signal cost is metadata-scale — two counts and a
+    * listing, no corpus scan; [[compact]] is the only corpus-scale move
+    * and fires only when read amplification justifies it.
+    *
+    * `action` ∈ none | compact; `survivors`/`folded` are [[compact]]'s
+    * returns, null on a no-op. Single-writer like every maintenance op.
+    * Returns the decision row (also persisted).
+    */
+  def maintain(spark: SparkSession, dir: String,
+      policy: MaintenancePolicy = MaintenancePolicy()): DataFrame = {
+    import spark.implicits._
+    val spine = spark.read.parquet(s"$dir/docs")
+    val nDocs = spine.count()
+    // dead = tombstoned ids actually present in the spine: the precise
+    // read-amplification numerator (a delete of an unknown id costs
+    // nothing at read time and must not count)
+    val nDead = tombstones(spark, dir).map(t =>
+      spine.join(t, Seq("id"), "left_semi").count()).getOrElse(0L)
+    val deadRatio = if (nDocs == 0L) 0.0 else nDead.toDouble / nDocs.toDouble
+    val files = graft.io.IndexHealth.dataFileCount(spark, s"$dir/postings")
+    val unhealthy = deadRatio >= policy.deadRatioBar || files > policy.filesBar
+    val acted: Option[(Long, Long)] =
+      if (unhealthy) Some(compact(spark, dir)) else None
+    val postFiles =
+      if (unhealthy) graft.io.IndexHealth.dataFileCount(spark, s"$dir/postings")
+      else files
+    val seq = graft.io.IndexHealth.nextSeq(spark, s"$dir/maintenance")
+    val row = Seq((seq, round6(deadRatio), files, policy.deadRatioBar,
+        policy.filesBar, unhealthy,
+        if (unhealthy) "compact" else "none",
+        acted.map(_._1), acted.map(_._2), postFiles))
+      .toDF("seq", "dead_ratio", "postings_files", "dead_ratio_bar",
+        "files_bar", "unhealthy", "action", "survivors", "folded",
+        "post_files")
+    row.write.mode("append").parquet(s"$dir/maintenance")
+    row
+  }
+
+  private def round6(d: Double): Double = math.rint(d * 1e6) / 1e6
+
+  /** The full maintenance ledger, seq-ordered — the audit trail of every
+    * [[maintain]] decision.
+    */
+  def maintenanceLog(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/maintenance")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val schema = "seq long, dead_ratio double, postings_files int, " +
+      "dead_ratio_bar double, files_bar int, unhealthy boolean, " +
+      "action string, survivors long, folded long, post_files int"
+    if (!fs.exists(p)) spark.read.schema(schema).parquet()
+    else spark.read.schema(schema).parquet(p.toString).orderBy("seq")
+  }
+
   private def writeEntries(docs: DataFrame, idCol: String, textCol: String,
       dir: String, mode: String): Unit = {
     val base = graft.prep.Preprocessing.spread(docs)

@@ -34,6 +34,31 @@ object TextQueries {
           size(col("__bpe")).cast("long").as("n_bpe_tokens"),
           concat_ws(" ", col("__bpe")).as("bpe_text"))),
 
+    // BPE TRAINING on the live corpus (vs q_text_bpe's frozen offline
+    // merges): the corpus-scale work is ONE word-frequency aggregate,
+    // the merge loop runs over the bounded top-V vocabulary on the
+    // driver (Bpe.trainMerges — the bounded-stats boundary every
+    // trainer here respects; at 100 TB the vocab aggregate is the only
+    // scan). Strictly-alnum words only (the BpeMerges generation
+    // contract — keeps the wrapped-replace representation sound). The
+    // oracle replays TRAINING itself: every level's weighted pair count,
+    // the (count desc, pair asc) argmax, and the wrapped-replace merge
+    // application, unrolled as CTEs — so the learned merge table, not
+    // just its application, is value-checked.
+    "q_text_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      val vocab = documents(s, d)
+        .select(explode(TextFunctions.safeLowerTokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .orderBy(desc("f"), asc("w")).limit(bpeTrainVocab)
+        .as[(String, Long)].collect().toSeq
+      val merges = Bpe.trainMerges(vocab, bpeTrainMerges)
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("step", "merge_left", "merge_right")
+    }),
+
     // quality signals + composite score
     "q_text_quality" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
@@ -356,6 +381,23 @@ object TextQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // The CLOSED maintenance loop on the lexical index (IvfIndex.maintain's
+    // policy doctrine applied to TextIndex — exact-counter signals, so no
+    // hysteresis by design; see TextIndex.maintain's scaladoc): the
+    // fixture builds the index, tombstones the %11 docs (dead ratio
+    // ~0.091, under the 0.2 bar — maintain records "none" and touches
+    // nothing), then tombstones the %7 docs as well (~0.221 — maintain
+    // compacts, folding the union). The query returns the SQL-derivable
+    // slice of the audit ledger; the oracle recomputes BOTH decisions —
+    // ratios, bar crossings, survivors, folded — from the raw corpus, so
+    // the decision logic itself is value-checked, not just the moves.
+    "q_text_index_maintain" -> ((s, d) => {
+      val dir = textIndexMntDir(s, d)
+      TextIndex.maintenanceLog(s, dir)
+        .select(col("seq"), col("dead_ratio"), col("action"),
+          col("survivors"), col("folded"))
+    }),
+
     // STABLE token codebook maintained across three ingest days
     // (prep/Codebook — the vocabulary/feature-id contract: once a token
     // has an id it never moves, new tokens extend the id space
@@ -504,6 +546,43 @@ object TextQueries {
       })
     }
 
+  private val textIndexMntWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-time maintenance-loop fixture for `q_text_index_maintain`:
+    * build on the full corpus, tombstone %11 → maintain (healthy, no-op),
+    * tombstone %7 as well → maintain (dead ratio over the bar, compacts).
+    * Same staleness-stamped dir + completion-marker protocol as the
+    * other index fixtures.
+    */
+  private def textIndexMntDir(s: SparkSession, d: String): String =
+    textIndexMntWritten.synchronized {
+      textIndexMntWritten.getOrElseUpdate(d, {
+        val src = new java.io.File(s"$d/documents.parquet")
+        val stamp = s"${src.lastModified()}_${src.length()}"
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_text_index_mnt_${math.abs(d.hashCode)}_$stamp")
+        val marker = new java.io.File(dir, "_graft_index_complete")
+        if (!marker.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          if (dir.exists()) rm(dir)
+          val doc = documents(s, d)
+          TextIndex.build(doc, "doc_id", "text", dir.getAbsolutePath)
+          TextIndex.delete(s, dir.getAbsolutePath,
+            doc.filter(col("doc_id") % 11 === 0).select("doc_id"), "doc_id")
+          TextIndex.maintain(s, dir.getAbsolutePath)
+          TextIndex.delete(s, dir.getAbsolutePath,
+            doc.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
+          TextIndex.maintain(s, dir.getAbsolutePath)
+          marker.createNewFile()
+          ()
+        }
+        dir.getAbsolutePath
+      })
+    }
+
   private val textIndexWritten = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** One-time (per JVM x sf dir x fixture generation) incrementally-built
@@ -554,6 +633,56 @@ object TextQueries {
   private[graft] val boilerplateN = 2
   private[graft] val boilerplateDfCap = 40
   private[graft] val boilerplateDfFraction = 0.06
+
+  // q_text_bpe_train knobs, shared by the operator call and the
+  // generated oracle (the jaccardDfCap must-move-together pattern)
+  private val bpeTrainVocab = 30
+  private val bpeTrainMerges = 6
+
+  /** Unrolled-CTE replay of BPE TRAINING (q_text_bpe_train): level i
+    * derives weighted pair counts from level i-1's wrapped forms (split
+    * back to symbol lists), takes the (count desc, pair asc) argmax,
+    * and applies the merge via the same wrapped-replace both engines
+    * use for application (see [[Bpe]]'s object doc — replace restarts
+    * after each replacement, so overlap handling agrees bit-for-bit
+    * with the trainer's explicit left-to-right scan).
+    *
+    * Every CTE is MATERIALIZED: each level references the previous one
+    * through several scalar subqueries, and DuckDB inlines plain CTEs —
+    * without the hint the replay re-evaluates the whole chain per
+    * reference and goes exponential in the level count (measured: 6
+    * levels inlined never finish; materialized, 0.7 s at sf0.001).
+    */
+  private lazy val bpeTrainSql: String = {
+    val v0 =
+      s"""v0 AS MATERIALIZED (SELECT w, f, regexp_replace(w, '(.)', '<\\1>', 'g') AS wr
+          FROM (SELECT w, count(*) AS f
+            FROM (SELECT unnest($toksSql) AS w FROM documents)
+            WHERE regexp_matches(w, '^[a-z0-9]+$$')
+            GROUP BY 1 ORDER BY f DESC, w LIMIT $bpeTrainVocab))"""
+    val levels = (1 to bpeTrainMerges).flatMap { i =>
+      val prev = s"v${i - 1}"
+      Seq(
+        s"""p$i AS MATERIALIZED (SELECT syms[j] AS a, syms[j + 1] AS b, sum(f) AS c
+            FROM (SELECT f, string_split(
+                replace(replace(replace(wr, '><', '|'), '<', ''), '>', ''),
+                '|') AS syms
+              FROM $prev),
+              LATERAL unnest(range(1, len(syms))) AS u(j)
+            GROUP BY 1, 2)""",
+        s"m$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY c DESC, a, b LIMIT 1)",
+        s"""v$i AS MATERIALIZED (SELECT w, f, replace(wr,
+            '<' || (SELECT a FROM m$i) || '><' || (SELECT b FROM m$i) || '>',
+            '<' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || '>') AS wr
+            FROM $prev)""")
+    }
+    val selects = (1 to bpeTrainMerges).map { i =>
+      s"SELECT CAST(${i - 1} AS BIGINT) AS step, " +
+        s"(SELECT a FROM m$i) AS merge_left, " +
+        s"(SELECT b FROM m$i) AS merge_right"
+    }
+    s"WITH ${(v0 +: levels).mkString(", ")} ${selects.mkString(" UNION ALL ")}"
+  }
 
   // sparse-cosine knobs, shared with the SQL twin (the jaccardDfCap
   // must-move-together pattern)
@@ -736,6 +865,10 @@ object TextQueries {
             coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
             coalesce(a.bpe_text, '') AS bpe_text
           FROM base b LEFT JOIN a USING (doc_id)""",
+
+    // TRAINING replayed, not just application: weighted pair counts,
+    // argmax, and merge application unrolled per level (bpeTrainSql)
+    "q_text_bpe_train" -> bpeTrainSql,
 
     "q_text_quality" ->
       s"""WITH t AS (SELECT doc_id, text,
@@ -975,6 +1108,28 @@ object TextQueries {
     // tombstoned docs never existed as far as scoring goes: same replay
     // over the surviving corpus (N, avgdl, df all shift)
     "q_text_bm25_mutable" -> bm25MutableSql,
+
+    // both maintenance decisions recomputed from the raw corpus: the
+    // %11 tombstone round stays under the 0.2 dead-ratio bar (action
+    // "none", no survivors/folded), the %11∪%7 round crosses it
+    // (action "compact", survivors = corpus minus the union, folded =
+    // the union). TextIndex spines every doc, so dead∩spine = the
+    // filter counts directly.
+    "q_text_index_maintain" ->
+      """WITH n AS (SELECT count(*) AS c FROM documents),
+        |d1 AS (SELECT count(*) AS c FROM documents WHERE doc_id % 11 = 0),
+        |d2 AS (SELECT count(*) AS c FROM documents
+        |       WHERE doc_id % 11 = 0 OR doc_id % 7 = 0)
+        |SELECT CAST(0 AS BIGINT) AS seq,
+        |  round(d1.c * 1.0 / n.c, 6) AS dead_ratio,
+        |  'none' AS action,
+        |  CAST(NULL AS BIGINT) AS survivors,
+        |  CAST(NULL AS BIGINT) AS folded
+        |FROM n, d1
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), round(d2.c * 1.0 / n.c, 6), 'compact',
+        |  n.c - d2.c, d2.c
+        |FROM n, d2""".stripMargin,
 
     // the 4x256 counter grid rebuilt exactly: counter (r, b) = the number
     // of token occurrences hashing to bucket b under row r's md5; the

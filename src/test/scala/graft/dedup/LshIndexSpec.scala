@@ -159,6 +159,45 @@ class LshIndexSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === after)
   }
 
+  test("maintain: spine-conditioned dead ratio; acts over the bar; " +
+      "unknown-id deletes don't count") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("lsh_mnt").toString + "/idx"
+    LshIndex.build(docs, "doc_id", "text", t)
+    val spineN = spark.read.parquet(s"$t/docs").count()
+
+    // delete a set of ids that do NOT exist in the index: the dead
+    // ratio must stay 0 (a tombstone nobody stores costs nothing at
+    // probe time), even though the sidecar is non-empty
+    LshIndex.delete(spark, t, (1000000L to 1000050L).toSeq.toDF("doc_id"), "doc_id")
+    val r0 = LshIndex.maintain(spark, t).collect()(0)
+    assert(r0.getAs[Double]("dead_ratio") === 0.0)
+    assert(r0.getAs[String]("action") === "none")
+
+    // tombstone enough real docs to cross the bar; folded counts the
+    // whole sidecar (including the unknown ids), survivors the spine
+    val dead = docs.filter(col("doc_id") % 11 === 0 || col("doc_id") % 7 === 0)
+      .select("doc_id")
+    LshIndex.delete(spark, t, dead, "doc_id")
+    val deadInSpine = spark.read.parquet(s"$t/docs")
+      .join(dead.withColumnRenamed("doc_id", "id"), Seq("id"), "left_semi")
+      .count()
+    val r1 = LshIndex.maintain(spark, t).collect()(0)
+    assert(r1.getAs[String]("action") === "compact")
+    assert(r1.getAs[Double]("dead_ratio") ===
+      math.rint(deadInSpine.toDouble / spineN * 1e6) / 1e6)
+    assert(r1.getAs[Long]("survivors") === spineN - deadInSpine)
+    assert(r1.getAs[Long]("folded") === dead.count() + 51L)
+    assert(!new java.io.File(s"$t/tombstones").exists())
+
+    // ledger: two seq-ordered rows; a third call observes the floor
+    val r2 = LshIndex.maintain(spark, t).collect()(0)
+    assert(r2.getAs[String]("action") === "none")
+    assert(LshIndex.maintenanceLog(spark, t).collect()
+      .map(r => (r.getAs[Long]("seq"), r.getAs[String]("action"))).toSeq ===
+      Seq((0L, "none"), (1L, "compact"), (2L, "none")))
+  }
+
   test("band stats report covers every band; postings range-laid-out") {
     val stats = LshIndex.bandStats(spark, dir).collect()
     assert(stats.map(_.getInt(0)).toSet === (0 until 16).toSet)

@@ -66,6 +66,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_select_kcenter_cells" -> "the q_dedup_semantic centroid-assignment cross join (frozen 32-row quantizer); the per-cell pass itself is one groupBy(cell) aggregate",
     "q_dedup_cosine_recall" -> "recall query joins the LSH path against the documented exact twin",
     "q_dq_outliers" -> "cross join against the broadcast 1-row mean/sigma stats aggregate",
+    "q_select_importance" -> "ratio table crosses the broadcast 1-row gram-total aggregate; scoring join is equi on bucket against the broadcast <=256-row ratio table",
     "q_quality_lr_multi" -> "cross join against the broadcast 1-row decimal-summed standardization-stats aggregate feeding the feature expressions",
     "q_skew_profile" -> "cross join of the broadcast 1-row total/nkeys aggregate onto the 20-row TakeOrdered result",
     "q_domain_stats" -> "cross join against the broadcast 1-row corpus-total aggregate for per-domain share",

@@ -100,6 +100,71 @@ class TextIndexSpec extends AnyFunSuite with SparkSpec {
     assert(scores(TextIndex.scoreAll(spark, t, terms)) === got)
   }
 
+  test("maintain: no-op under the bars, compacts over them, ledger audits both") {
+    val t = Files.createTempDirectory("text_mnt").toString + "/idx"
+    TextIndex.build(docs, "doc_id", "text", t)
+    val n = docs.count()
+
+    // round 1: %11 tombstoned — dead ratio ~0.091, under the 0.2 bar
+    TextIndex.delete(spark, t,
+      docs.filter(col("doc_id") % 11 === 0).select("doc_id"), "doc_id")
+    val r1 = TextIndex.maintain(spark, t).collect()(0)
+    assert(r1.getAs[String]("action") === "none")
+    assert(!r1.getAs[Boolean]("unhealthy"))
+    assert(r1.getAs[Double]("dead_ratio") < 0.2)
+    assert(r1.isNullAt(r1.fieldIndex("survivors")))
+    // a no-op maintain touched nothing: the sidecar survives
+    assert(new java.io.File(s"$t/tombstones").exists())
+
+    // round 2: %7 added — the union crosses the bar, maintain compacts
+    TextIndex.delete(spark, t,
+      docs.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
+    val r2 = TextIndex.maintain(spark, t).collect()(0)
+    assert(r2.getAs[String]("action") === "compact")
+    assert(r2.getAs[Double]("dead_ratio") >= 0.2)
+    val dead = docs.filter(col("doc_id") % 11 === 0 || col("doc_id") % 7 === 0)
+      .count()
+    assert(r2.getAs[Long]("survivors") === n - dead)
+    assert(r2.getAs[Long]("folded") === dead)
+    assert(!new java.io.File(s"$t/tombstones").exists())
+    // acting resets the signals to their floor: a third call is a no-op
+    val r3 = TextIndex.maintain(spark, t).collect()(0)
+    assert(r3.getAs[String]("action") === "none")
+    assert(r3.getAs[Double]("dead_ratio") === 0.0)
+
+    // the ledger is the audit trail: three seq-ordered rows
+    val log = TextIndex.maintenanceLog(spark, t).collect()
+    assert(log.map(_.getAs[Long]("seq")).toSeq === Seq(0L, 1L, 2L))
+    assert(log.map(_.getAs[String]("action")).toSeq ===
+      Seq("none", "compact", "none"))
+
+    // post-compact the index still scores exactly (the move preserved
+    // the survivors)
+    val truth = Files.createTempDirectory("text_mnt_truth").toString + "/idx"
+    TextIndex.build(docs.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 7 =!= 0),
+      "doc_id", "text", truth)
+    assert(scores(TextIndex.scoreAll(spark, t, terms)) ===
+      scores(TextIndex.scoreAll(spark, truth, terms)))
+  }
+
+  test("maintain: the file-fragmentation signal alone triggers a compact") {
+    val t = Files.createTempDirectory("text_frag").toString + "/idx"
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    TextIndex.build(half, "doc_id", "text", t)
+    TextIndex.append(spark, t, docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text")
+    def files() = graft.io.IndexHealth.dataFileCount(spark, s"$t/postings")
+    val before = files()
+    // bar below the current count: no tombstones at all, still compacts
+    val r = TextIndex.maintain(spark, t,
+      TextIndex.MaintenancePolicy(filesBar = before - 1)).collect()(0)
+    assert(r.getAs[String]("action") === "compact")
+    assert(r.getAs[Double]("dead_ratio") === 0.0)
+    assert(r.getAs[Int]("postings_files") === before)
+    assert(r.getAs[Int]("post_files") < before,
+      s"compact must re-pack: $before -> ${r.getAs[Int]("post_files")}")
+  }
+
   test("topK returns the k best with deterministic tie order") {
     val top = TextIndex.topK(spark, dir, terms, 5).collect()
     assert(top.length === 5)
