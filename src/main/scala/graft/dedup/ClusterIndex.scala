@@ -505,6 +505,70 @@ object ClusterIndex {
     } else finishCompact(spark, dir)
   }
 
+  /** Compaction policy for [[maintain]]: `epochsBar` bounds the sealed
+    * update-epoch count AND the streamed score-epoch count —
+    * [[resolve]]/[[resolveBest]] merge-on-read one parquet dir per
+    * update epoch, and a best-enabled stream's winner joins scan one
+    * dir per historical score epoch, so read amplification is linear
+    * in epochs since the last fold on both faces.
+    */
+  case class MaintenancePolicy(epochsBar: Int = 8) {
+    require(epochsBar >= 1, s"epochsBar must be >= 1, got $epochsBar")
+  }
+
+  /** The closed maintenance loop on the clustering index — the
+    * [[graft.sim.IvfIndex.maintain]] policy doctrine, completing the
+    * persistent-structure family (IVF, text, LSH, now clusters). Each
+    * call: HEAL any crashed compact ([[recoverCompact]] — rollback or
+    * idempotent completion, both safe), read the signals, decide, act,
+    * append ONE auditable row to `dir/maintenance/`:
+    *
+    *   (seq, healed, unsealed_epochs, update_epochs, score_epochs,
+    *    epochs_bar, action)
+    *
+    * `action` ∈ none | compact | needs_repair. Signals are exact
+    * counters, so no hysteresis (the [[graft.text.TextIndex.maintain]]
+    * doctrine — acting resets them to the floor). `needs_repair` is a
+    * REPORT, not a move: re-deriving a crashed epoch's winners on a
+    * best-enabled index needs the corpus' scores, which maintain must
+    * not invent — the same refusal-to-guess the streaming coverage
+    * guard applies; run [[repair]]/[[repairWithBest]] and call again.
+    * Single-writer like every other maintenance op.
+    */
+  def maintain(spark: SparkSession, dir: String,
+      policy: MaintenancePolicy = MaintenancePolicy()): DataFrame = {
+    import spark.implicits._
+    val healed = recoverCompact(spark, dir)
+    val bad = unsealedEpochs(spark, dir).size
+    val updEpochs = epochsOf(spark, dir, "label_updates").size
+    // epoch=0 is the folded base slot; only trigger epochs beyond it
+    // amplify the winner joins
+    val scoreEpochs = epochsOf(spark, dir, "doc_scores").count(_ > 0L)
+    val action =
+      if (bad > 0) "needs_repair"
+      else if (updEpochs >= policy.epochsBar ||
+          scoreEpochs >= policy.epochsBar) {
+        compact(spark, dir); "compact"
+      } else "none"
+    val seq = graft.io.IndexHealth.nextSeq(spark, s"$dir/maintenance")
+    val row = Seq((seq, healed, bad, updEpochs, scoreEpochs,
+        policy.epochsBar, action))
+      .toDF("seq", "healed", "unsealed_epochs", "update_epochs",
+        "score_epochs", "epochs_bar", "action")
+    row.write.mode("append").parquet(s"$dir/maintenance")
+    row
+  }
+
+  /** The full maintenance ledger, seq-ordered. */
+  def maintenanceLog(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/maintenance")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val schema = "seq long, healed string, unsealed_epochs int, " +
+      "update_epochs int, score_epochs int, epochs_bar int, action string"
+    if (!fs.exists(p)) spark.read.schema(schema).parquet()
+    else spark.read.schema(schema).parquet(p.toString).orderBy("seq")
+  }
+
   private def stagingPath(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir/_compact_staging")
 

@@ -338,6 +338,28 @@ object TextQueries {
       LanguageModel.bigramLogProbScores(documents(s, d), "doc_id", "text",
         k = 0.5)),
 
+    // CCNet's band cut COMPLETED (q_text_lm_score only scores; a
+    // curation pipeline then SELECTS): exact p10/p90 fences over the
+    // scored docs (the q_winsorize percentile idiom — one broadcast
+    // 1-row aggregate), keep the inclusive middle band. Gibberish sits
+    // in the low tail, templated boilerplate in the high tail; both are
+    // cut in the same plan that scored them. Docs without bigrams have
+    // no LM evidence and can't band. Fences ride the output so the
+    // selection is auditable; everything value-oracled.
+    "q_select_lm_band" -> ((s, d) => {
+      val scores = LanguageModel.bigramLogProbScores(documents(s, d),
+        "doc_id", "text", k = 0.5)
+        .filter(col("n_bigrams") > 0)
+      val fences = scores.agg(
+        expr("percentile(avg_logprob, array(0.1D, 0.9D))").as("__p"))
+      val lo = round(element_at(col("__p"), 1), 6)
+      val hi = round(element_at(col("__p"), 2), 6)
+      scores.crossJoin(broadcast(fences))
+        .filter(col("avg_logprob") >= lo && col("avg_logprob") <= hi)
+        .select(col("doc_id"), col("avg_logprob"),
+          lo.as("fence_lo"), hi.as("fence_hi"))
+    }),
+
     // BM25 in the search-engine shape: the SAME terms as q_text_bm25 but
     // fed as a relation — per-term df from one aggregation over the
     // posting join, any query runnable without re-planning. Scores equal
@@ -638,6 +660,27 @@ object TextQueries {
   // generated oracle (the jaccardDfCap must-move-together pattern)
   private val bpeTrainVocab = 30
   private val bpeTrainMerges = 6
+
+  /** Bigram-LM scoring CTE chain, ending in `sc(doc_id, n_bigrams,
+    * avg_lp)` with `t` still in scope — ONE definition shared by the
+    * q_text_lm_score oracle and the q_select_lm_band oracle (the
+    * boilerplateCtes pattern: the band query must cut the identical
+    * scoring or it validates a different corpus).
+    */
+  private val lmScoreCtes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        bgp AS (SELECT doc_id, toks[i] AS w1,
+            toks[i] || ' ' || toks[i+1] AS bg
+          FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                FROM t WHERE len(toks) >= 2)),
+        cbg AS (SELECT w1, bg, count(*) AS cbg FROM bgp GROUP BY 1, 2),
+        cw1 AS (SELECT w1, count(*) AS cw1 FROM bgp GROUP BY 1),
+        v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+          FROM (SELECT unnest(toks) AS tok FROM t)),
+        sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            sum(ln((cbg + 0.5) / (cw1 + 0.5 * v.v))) / count(*) AS avg_lp
+          FROM bgp JOIN cbg USING (w1, bg) JOIN cw1 USING (w1), v
+          GROUP BY doc_id)"""
 
   /** Unrolled-CTE replay of BPE TRAINING (q_text_bpe_train): level i
     * derives weighted pair counts from level i-1's wrapped forms (split
@@ -1078,23 +1121,23 @@ object TextQueries {
     // smoothing formula, sum/count (not avg()) so both engines divide
     // the same way
     "q_text_lm_score" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          bgp AS (SELECT doc_id, toks[i] AS w1,
-              toks[i] || ' ' || toks[i+1] AS bg
-            FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
-                  FROM t WHERE len(toks) >= 2)),
-          cbg AS (SELECT w1, bg, count(*) AS cbg FROM bgp GROUP BY 1, 2),
-          cw1 AS (SELECT w1, count(*) AS cw1 FROM bgp GROUP BY 1),
-          v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
-            FROM (SELECT unnest(toks) AS tok FROM t)),
-          sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-              sum(ln((cbg + 0.5) / (cw1 + 0.5 * v.v))) / count(*) AS avg_lp
-            FROM bgp JOIN cbg USING (w1, bg) JOIN cw1 USING (w1), v
-            GROUP BY doc_id)
+      s"""WITH $lmScoreCtes
           SELECT t.doc_id,
             coalesce(sc.n_bigrams, 0) AS n_bigrams,
             round(coalesce(sc.avg_lp, 0.0), 6) AS avg_logprob
           FROM t LEFT JOIN sc USING (doc_id)""",
+
+    // the same LM replay, then the band cut: rounded scores, p10/p90
+    // quantile_cont fences rounded to the same 6 dp (the q_winsorize
+    // fence idiom), inclusive keep
+    "q_select_lm_band" ->
+      s"""WITH $lmScoreCtes,
+          s AS (SELECT doc_id, round(avg_lp, 6) AS avg_logprob FROM sc),
+          f AS (SELECT round(quantile_cont(avg_logprob, 0.1), 6) AS lo,
+                       round(quantile_cont(avg_logprob, 0.9), 6) AS hi
+                FROM s)
+          SELECT doc_id, avg_logprob, lo AS fence_lo, hi AS fence_hi
+          FROM s, f WHERE avg_logprob >= lo AND avg_logprob <= hi""",
 
     // the relational BM25 replayed relationally: posting join against the
     // VALUES term set, tf/df aggregates, per-doc sum, score-0 docs

@@ -135,6 +135,48 @@ class ClusterIndexSpec extends AnyFunSuite with SparkSpec {
         pairsDf(1L -> 2L, 2L -> 3L, 3L -> 4L), "id_a", "id_b")))
   }
 
+  test("maintain: heals, reports needs_repair, compacts on the epoch bar") {
+    val dir = Files.createTempDirectory("cluster_mnt").toString + "/idx"
+    ClusterIndex.build(pairsDf(1L -> 2L), "id_a", "id_b", dir)
+    // below the bar: no-op, nothing healed
+    ClusterIndex.addPairs(spark, dir, pairsDf(2L -> 3L), "id_a", "id_b", 1)
+    val r0 = ClusterIndex.maintain(spark, dir).collect()(0)
+    assert(r0.getAs[String]("action") === "none")
+    assert(r0.getAs[String]("healed") === "no_staging")
+    assert(r0.getAs[Int]("update_epochs") === 1)
+
+    // crashed addPairs: maintain REPORTS (it must not invent scores on a
+    // best-enabled index, so repair stays the operator's move) and
+    // touches nothing
+    pairsDf(3L -> 4L).select(
+        least(col("id_a"), col("id_b")).as("pa"),
+        greatest(col("id_a"), col("id_b")).as("pb"))
+      .write.parquet(s"$dir/pairs/epoch=2")
+    val r1 = ClusterIndex.maintain(spark, dir).collect()(0)
+    assert(r1.getAs[String]("action") === "needs_repair")
+    assert(ClusterIndex.unsealedEpochs(spark, dir) === Seq(2),
+      "maintain must not repair")
+    ClusterIndex.repair(spark, dir)
+
+    // two sealed update epochs >= a bar of 2: maintain compacts
+    val r2 = ClusterIndex.maintain(spark, dir,
+      ClusterIndex.MaintenancePolicy(epochsBar = 2)).collect()(0)
+    assert(r2.getAs[String]("action") === "compact")
+    assert(!new java.io.File(s"$dir/label_updates").exists())
+    assert(labelsOf(ClusterIndex.resolve(spark, dir)) ===
+      labelsOf(Dedup.connectedComponents(
+        pairsDf(1L -> 2L, 2L -> 3L, 3L -> 4L), "id_a", "id_b")))
+
+    // acting reset the signal to its floor; the ledger audits every
+    // decision in order
+    val r3 = ClusterIndex.maintain(spark, dir).collect()(0)
+    assert(r3.getAs[String]("action") === "none")
+    assert(r3.getAs[Int]("update_epochs") === 0)
+    assert(ClusterIndex.maintenanceLog(spark, dir).collect()
+      .map(r => (r.getAs[Long]("seq"), r.getAs[String]("action"))).toSeq ===
+      Seq((0L, "none"), (1L, "needs_repair"), (2L, "compact"), (3L, "none")))
+  }
+
   test("a delta that bridges EVERY standing cluster still resolves exactly") {
     val dir = Files.createTempDirectory("cluster_idx2").toString + "/idx"
     val b0 = pairsDf(1L -> 2L, 10L -> 11L, 20L -> 21L)
