@@ -51,9 +51,12 @@ object Dsir {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(alpha > 0.0, s"alpha must be positive, got $alpha")
     val toks = graft.text.TextFunctions.safeLowerTokens(col(textCol))
-    // unigrams + adjacent bigrams, one array per doc, then exploded
+    // unigrams + adjacent bigrams, one array per doc, then exploded.
+    // spread BEFORE the explode (the LanguageModel/TextIndex idiom): a
+    // small-file corpus scan is one partition, and without it both gram
+    // passes serialize on a single task
     val nBi = greatest(size(col("__toks")) - 1, lit(0))
-    val grams0 = docs
+    val grams0 = graft.prep.Preprocessing.spread(docs)
       .select(col(idCol).as("id"), isTarget.as("is_target"),
         toks.as("__toks"))
       .select(col("id"), col("is_target"),
