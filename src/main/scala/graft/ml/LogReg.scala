@@ -246,11 +246,152 @@ object LogReg {
         s"class $cls: weights = features + bias (trainMulti output)")
     }
     val fs = features.map(_.cast("double"))
-    val structs = models.zipWithIndex.map { case ((cls, w), i) =>
-      struct(sigmoid(fs, w).as("p"), lit(-i).as("ni"), lit(cls).as("cls"))
+    argmaxClass(models.map { case (_, w) => sigmoid(fs, w) },
+      models.map(_._1))
+  }
+
+  /** Argmax with deterministic low-index tie-break — ONE definition
+    * shared by [[classify]] (OVR) and [[classifySoftmax]].
+    */
+  private def argmaxClass(ps: Seq[Column], classes: Seq[String]): Column = {
+    val structs = ps.zip(classes).zipWithIndex.map { case ((p, cls), i) =>
+      struct(p.as("p"), lit(-i).as("ni"), lit(cls).as("cls"))
     }
-    val best =
-      if (structs.size == 1) structs.head else greatest(structs: _*)
-    best.getField("cls")
+    (if (structs.size == 1) structs.head else greatest(structs: _*))
+      .getField("cls")
+  }
+
+  /** TRUE softmax multinomial — the proper coupled posterior beside
+    * [[trainMulti]]'s k independent one-vs-rest fits: p_c = exp(z_c) /
+    * Σ_j exp(z_j), gradient (p_c − 1{y=c})·x_j. Identical plan shape:
+    * `iters` passes over the persisted projection, each ONE
+    * map-side-combined aggregate carrying all k·(d+1) decimal sums —
+    * zero shuffle of data rows, weights as literals.
+    *
+    * Unlike OVR the softmax likelihood has NO "rest" bucket: `classes`
+    * must cover the observed label domain, and an uncovered non-null
+    * label refuses loudly IN the same pass (it would otherwise push
+    * every class toward "not it" with no class absorbing the mass — a
+    * silently mis-normalized model). exp(z) is evaluated bare, no
+    * max-shift: corpus-filter features are standardized and z stays
+    * small, and the bare form is what the oracle's SQL replays exactly
+    * (documented trade, the no-UDF doctrine).
+    *
+    * Returns (class, weights) in the given class order; weights
+    * features-first, bias last. Deterministic: zero init, fixed
+    * iteration count, decimal-exact gradient sums (repartition-
+    * invariant, spec-pinned).
+    */
+  def trainSoftmax(df: DataFrame, features: Seq[Column], label: Column,
+      classes: Seq[String], iters: Int,
+      lr: Double): Seq[(String, Array[Double])] = {
+    require(features.nonEmpty, "at least one feature")
+    require(classes.size >= 2 && classes.distinct.size == classes.size,
+      s"softmax needs >= 2 distinct classes, got $classes")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lr > 0, s"learning rate must be > 0, got $lr")
+    val d = features.size
+    val k = classes.size
+    val base = projectionMulti(df, features, label).persist()
+    try {
+      var ws = Array.fill(k)(Array.fill(d + 1)(0.0))
+      for (_ <- 1 to iters) {
+        val r = gradientPassSoftmax(base, d, classes, ws.toSeq).collect()(0)
+        val n = r.getLong(k * (d + 1))
+        require(n > 0, "no training rows after the feature projection")
+        require(r.getLong(k * (d + 1) + 1) == n,
+          s"${n - r.getLong(k * (d + 1) + 1)} rows have a null feature " +
+            "or label — filter them before training")
+        require(r.getLong(k * (d + 1) + 2) == 0L,
+          s"${r.getLong(k * (d + 1) + 2)} rows carry labels outside " +
+            s"$classes — softmax needs total label coverage (OVR " +
+            "tolerates a rest bucket; this likelihood does not)")
+        ws = ws.zipWithIndex.map { case (w, c) =>
+          w.zipWithIndex.map { case (wj, j) =>
+            wj - lr * (r.getDecimal(c * (d + 1) + j).doubleValue / n)
+          }
+        }
+      }
+      classes.zip(ws.map(w => w: Array[Double])).toSeq
+    } finally {
+      base.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** One softmax gradient pass as an UN-collected plan: the k coupled
+    * probabilities over the shared projection, k·(d+1) decimal sums
+    * plus the row / null / uncovered-label counters in ONE aggregate.
+    */
+  private[graft] def gradientPassSoftmax(projected: DataFrame, d: Int,
+      classes: Seq[String], ws: Seq[Array[Double]]): DataFrame = {
+    val xs = (0 until d).map(i => col(s"x$i"))
+    val ps = softmaxProbs(xs, ws)
+    def gOf(cls: String, p: Column): Column =
+      p - (col("y") === lit(cls)).cast("double")
+    val perClass = classes.zip(ps).flatMap { case (cls, p) =>
+      val g = gOf(cls, p)
+      (0 until d).map(i =>
+        sum(round(g * xs(i), 12).cast("decimal(38,12)"))) :+
+        sum(round(g * lit(1.0), 12).cast("decimal(38,12)"))
+    }
+    val aggs = perClass :+ count(lit(1)).as("n") :+
+      count(gOf(classes.head, ps.head)).as("n_ok") :+
+      // non-null labels outside the class set (null labels are n_ok's)
+      count(when(!col("y").isin(classes: _*), lit(1))).as("n_uncovered")
+    projected.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** exp(z_c) / Σ_j exp(z_j) with z and the normalizer both associating
+    * left-to-right in class order — ONE definition shared by training
+    * ([[gradientPassSoftmax]]) and serving ([[classifySoftmax]]), the
+    * order the oracle's SQL replays.
+    */
+  private def softmaxProbs(features: Seq[Column],
+      ws: Seq[Array[Double]]): Seq[Column] = {
+    val es = ws.map { w =>
+      exp(features.zipWithIndex
+        .map { case (f, i) => f * lit(w(i)) }
+        .reduceLeft(_ + _) + lit(w.last))
+    }
+    val denom = es.reduceLeft(_ + _)
+    es.map(_ / denom)
+  }
+
+  /** The softmax lint twin (gradient-pass plan at zero weights). */
+  private[graft] def lintPassSoftmax(df: DataFrame, features: Seq[Column],
+      label: Column, classes: Seq[String]): DataFrame =
+    gradientPassSoftmax(projectionMulti(df, features, label), features.size,
+      classes, classes.map(_ => Array.fill(features.size + 1)(0.0)))
+
+  /** [[trainSoftmax]] as a catalog-shaped readout: one (class, term,
+    * weight) row per class × (feature | bias), weights rounded to 6.
+    */
+  def trainSoftmaxReadout(df: DataFrame, features: Seq[Column],
+      names: Seq[String], label: Column, classes: Seq[String],
+      iters: Int, lr: Double): DataFrame = {
+    require(names.size == features.size, "one name per feature")
+    val models = trainSoftmax(df, features, label, classes, iters, lr)
+    val spark = df.sparkSession
+    import spark.implicits._
+    models.flatMap { case (cls, w) =>
+      (names :+ "bias").zip(w).map { case (t, wt) => (cls, t, wt) }
+    }.toDF("class", "term", "weight")
+      .select(col("class"), col("term"), round(col("weight"), 6).as("weight"))
+  }
+
+  /** The softmax serving expression: argmax over the k coupled
+    * probabilities (shares [[softmaxProbs]] with training and the
+    * [[argmaxClass]] tie-break with OVR [[classify]]).
+    */
+  def classifySoftmax(features: Seq[Column],
+      models: Seq[(String, Array[Double])]): Column = {
+    require(models.size >= 2, "softmax serving needs >= 2 class models")
+    models.foreach { case (cls, w) =>
+      require(w.length == features.size + 1,
+        s"class $cls: weights = features + bias (trainSoftmax output)")
+    }
+    val fs = features.map(_.cast("double"))
+    argmaxClass(softmaxProbs(fs, models.map(_._2)), models.map(_._1))
   }
 }

@@ -51,6 +51,20 @@ object QualityQueries {
         Seq("w_chars", "w_spaces"), label, classes = lrMultiClasses,
         iters = lrIters, lr = lrRate.toDouble)
     }),
+    // TRUE softmax multinomial beside the OVR twin (LogReg.trainSoftmax):
+    // the coupled posterior p_c = exp(z_c)/Σ exp(z_j) over the SAME
+    // standardized features, all 5 corpus languages (softmax needs total
+    // label coverage — no rest bucket — and refuses uncovered labels in
+    // the gradient pass). Still k·(d+1) decimal sums in ONE aggregate
+    // per iteration, zero data shuffle; the oracle replays stats,
+    // standardize, and every coupled gradient step as MATERIALIZED
+    // unrolled CTEs.
+    "q_quality_lr_softmax" -> ((s, d) => {
+      val (docs, feats, label) = lrMultiInputs(s, d)
+      graft.ml.LogReg.trainSoftmaxReadout(docs, feats,
+        Seq("w_chars", "w_spaces"), label, classes = lrSoftmaxClasses,
+        iters = lrIters, lr = lrRate.toDouble)
+    }),
     // Mergeable fixed-bin histogram quantiles (HistQuantiles.scala) — the
     // quantile face of the incremental-stats family: fence frozen by the
     // init batch (l_orderkey%4==0), four per-batch 32-bin histograms
@@ -546,6 +560,76 @@ object QualityQueries {
   private val dsirBuckets = 256
   private val dsirAlpha = 0.5
 
+  // softmax classes = the FULL observed label domain (the likelihood
+  // has no rest bucket; trainSoftmax refuses uncovered labels)
+  private val lrSoftmaxClasses = Seq("de", "en", "es", "fr", "zh")
+
+  /** The softmax GD loop unrolled: same stats/standardize CTEs as the
+    * OVR twin, then per iteration ONE gradient CTE per class computing
+    * (exp(z_c)/Σ_j exp(z_j) − 1{y=c})·x decimal sums with the PREVIOUS
+    * level's k weight CTEs as scalar subqueries, and a weight CTE
+    * applying w − lr·(g/n) in doubles. Every CTE is MATERIALIZED — the
+    * coupled normalizer makes each gradient reference all k prior
+    * weight CTEs, and inlined replay goes exponential in the iteration
+    * count (the bpeTrainSql lesson).
+    */
+  private lazy val qualityLrSoftmaxSql: String = {
+    val x0 = "CAST(length(text) AS DOUBLE)/100.0"
+    val x1 = "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)/10.0"
+    def dsum(e: String) =
+      s"CAST(SUM(CAST(round($e, 12) AS DECIMAL(38,12))) AS DOUBLE)"
+    val e0 =
+      s"""e0 AS MATERIALIZED (SELECT $x0 AS r0, $x1 AS r1, lang AS y
+          FROM documents WHERE text IS NOT NULL)"""
+    val st =
+      s"""st AS MATERIALIZED (SELECT ${dsum("r0")}/COUNT(*) AS m0,
+          ${dsum("r0*r0")}/COUNT(*) AS q0,
+          ${dsum("r1")}/COUNT(*) AS m1,
+          ${dsum("r1*r1")}/COUNT(*) AS q1 FROM e0)"""
+    def stdSql(r: String, mc: String, qc: String) =
+      s"($r - $mc) / (CASE WHEN $qc - $mc*$mc > 0 " +
+        s"THEN sqrt($qc - $mc*$mc) ELSE 1.0 END)"
+    val e =
+      s"""e AS MATERIALIZED (SELECT ${stdSql("r0", "m0", "q0")} AS x0,
+          ${stdSql("r1", "m1", "q1")} AS x1, y FROM e0, st)"""
+    def gsum(expr: String, alias: String) =
+      s"CAST(SUM(CAST(round($expr, 12) AS DECIMAL(38,12))) AS DOUBLE) AS $alias"
+    val ks = lrSoftmaxClasses.indices
+    val w0s = ks.map(ci =>
+      s"""w0c$ci AS MATERIALIZED (SELECT CAST(0.0 AS DOUBLE) AS w0,
+          CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS wb)""")
+    def zOf(i: Int, ci: Int) =
+      s"(x0*(SELECT w0 FROM w${i - 1}c$ci) + " +
+        s"x1*(SELECT w1 FROM w${i - 1}c$ci) + (SELECT wb FROM w${i - 1}c$ci))"
+    val iters = (1 to lrIters).flatMap { i =>
+      // the shared normalizer: exp(z_j) summed left-to-right in class
+      // order, exactly LogReg.softmaxProbs' reduceLeft
+      val denom = ks.map(cj => s"exp(${zOf(i, cj)})").mkString("(", " + ", ")")
+      lrSoftmaxClasses.zipWithIndex.flatMap { case (cls, ci) =>
+        val g = s"(exp(${zOf(i, ci)}) / $denom - " +
+          s"CASE WHEN y = '$cls' THEN 1.0 ELSE 0.0 END)"
+        Seq(
+          s"""g${i}c$ci AS MATERIALIZED (SELECT ${gsum(s"$g * x0", "g0")},
+              ${gsum(s"$g * x1", "g1")}, ${gsum(s"$g * 1.0", "gb")},
+              COUNT(*) AS n FROM e)""",
+          s"""w${i}c$ci AS MATERIALIZED (SELECT
+              (SELECT w0 FROM w${i - 1}c$ci) - $lrRate * (g0/n) AS w0,
+              (SELECT w1 FROM w${i - 1}c$ci) - $lrRate * (g1/n) AS w1,
+              (SELECT wb FROM w${i - 1}c$ci) - $lrRate * (gb/n) AS wb
+              FROM g${i}c$ci)""")
+      }
+    }
+    val selects = lrSoftmaxClasses.zipWithIndex.flatMap { case (cls, ci) =>
+      val last = s"w${lrIters}c$ci"
+      Seq(
+        s"SELECT '$cls' AS class, 'w_chars' AS term, round((SELECT w0 FROM $last), 6) AS weight",
+        s"SELECT '$cls', 'w_spaces', round((SELECT w1 FROM $last), 6)",
+        s"SELECT '$cls', 'bias', round((SELECT wb FROM $last), 6)")
+    }
+    s"WITH ${(Seq(e0, st, e) ++ w0s ++ iters).mkString(", ")} " +
+      selects.mkString(" UNION ALL ")
+  }
+
   /** q_quality_lr_multi's frame/features/label — the [[lrInputs]]
     * doctrine (ONE definition for query + lint twin) with the in-plan
     * standardize step composed in: raw features → one decimal-summed
@@ -673,6 +757,7 @@ object QualityQueries {
   val oracles: Map[String, String] = Map(
     "q_quality_lr" -> qualityLrSql,
     "q_quality_lr_multi" -> qualityLrMultiSql,
+    "q_quality_lr_softmax" -> qualityLrSoftmaxSql,
 
     // full DSIR replay: same tokenization, same unigram+bigram set, the
     // q_feature_hash md5 bucket, both smoothed distributions, per-gram

@@ -150,6 +150,55 @@ class LogRegSpec extends AnyFunSuite with SparkSpec {
       === Set("a", "b"))
   }
 
+  test("softmax: separates planted classes; probabilities are a proper " +
+      "posterior (sum to 1)") {
+    val fs = Seq(col("x0"), col("x1"))
+    val models = LogReg.trainSoftmax(multi, fs, col("lang"),
+      Seq("a", "b", "c"), iters = 50, lr = 1.0)
+    val wrong = multi.withColumn("pred", LogReg.classifySoftmax(fs, models))
+      .filter(col("pred") =!= col("lang")).count()
+    assert(wrong === 0, "separable 3-class data must classify exactly")
+    // gradient mass balance: at every step Σ_c g_c(row) = Σ_c p_c − 1 = 0,
+    // so the learned per-term weights sum to ~0 across classes (exact 0
+    // up to the round(12) gradient quantization × iters)
+    Seq(0, 1, 2).foreach { j =>
+      val s = models.map(_._2(j)).sum
+      assert(math.abs(s) < 1e-9,
+        s"softmax weight column $j should balance across classes: $s")
+    }
+  }
+
+  test("softmax is deterministic across partitionings (decimal sums)") {
+    val fs = Seq(col("x0"), col("x1"))
+    val cs = Seq("a", "b", "c")
+    val a = LogReg.trainSoftmax(multi, fs, col("lang"), cs, 4, 0.5)
+    val b = LogReg.trainSoftmax(multi.repartition(7), fs, col("lang"),
+      cs, 4, 0.5)
+    assert(a.map { case (c, w) => (c, w.toSeq) } ===
+      b.map { case (c, w) => (c, w.toSeq) })
+  }
+
+  test("softmax guards: uncovered labels refuse (no rest bucket); " +
+      "fewer than 2 classes refuse") {
+    val fs = Seq(col("x0"), col("x1"))
+    val e = intercept[IllegalArgumentException] {
+      LogReg.trainSoftmax(multi, fs, col("lang"), Seq("a", "b"), 1, 0.5)
+    }
+    assert(e.getMessage.contains("total label coverage"),
+      s"an uncovered label must refuse loudly: ${e.getMessage}")
+    intercept[IllegalArgumentException] {
+      LogReg.trainSoftmax(multi, fs, col("lang"), Seq("a"), 1, 0.5)
+    }
+    // null labels hit the n_ok guard, same as OVR
+    val withNullLabel = multi.withColumn("lang",
+      when(col("lang") =!= "c", col("lang")))
+    val e2 = intercept[IllegalArgumentException] {
+      LogReg.trainSoftmax(withNullLabel, fs, col("lang"),
+        Seq("a", "b", "c"), 1, 0.5)
+    }
+    assert(e2.getMessage.contains("null feature or label"))
+  }
+
   test("null features or labels refuse loudly instead of damping the gradient") {
     // sum() skips null contributions while the row count doesn't — an
     // unguarded nullable column would silently bias every step

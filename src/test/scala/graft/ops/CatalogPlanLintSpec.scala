@@ -69,6 +69,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_select_importance" -> "ratio table crosses the broadcast 1-row gram-total aggregate; scoring join is equi on bucket against the broadcast <=256-row ratio table",
     "q_select_lm_band" -> "band cut crosses the broadcast 1-row p10/p90 percentile aggregate (the q_winsorize fence idiom); LM scoring itself is the q_text_lm_score equi-join shape",
     "q_quality_lr_multi" -> "cross join against the broadcast 1-row decimal-summed standardization-stats aggregate feeding the feature expressions",
+    "q_quality_lr_softmax" -> "the q_quality_lr_multi standardization shape (broadcast 1-row stats cross join); the coupled gradient pass itself is one aggregate",
     "q_skew_profile" -> "cross join of the broadcast 1-row total/nkeys aggregate onto the 20-row TakeOrdered result",
     "q_domain_stats" -> "cross join against the broadcast 1-row corpus-total aggregate for per-domain share",
     "q_ndv_incremental" -> "cross join of two broadcast 1-row sketch/exact aggregates for the invariant row",
