@@ -531,6 +531,10 @@ object QualityQueries {
     "q_quality_lr_multi" -> ((s, d) => {
       val (docs, feats, label) = lrMultiInputs(s, d)
       graft.ml.LogReg.lintPassMulti(docs, feats, label, lrMultiClasses)
+    }),
+    "q_quality_lr_softmax" -> ((s, d) => {
+      val (docs, feats, label) = lrMultiInputs(s, d)
+      graft.ml.LogReg.lintPassSoftmax(docs, feats, label, lrSoftmaxClasses)
     }))
 
   /** q_quality_lr's frame/features/label — ONE definition for the query

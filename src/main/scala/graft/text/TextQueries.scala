@@ -804,7 +804,17 @@ object TextQueries {
   val lintVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_heavy_hitters" -> ((s, d) => heavyHitters(s, d,
       Some(org.apache.spark.util.sketch.CountMinSketch.create(
-        0.001, 0.99, 42)))))
+        0.001, 0.99, 42)))),
+    // q_text_bpe_train's distributed half: the runtime query collects
+    // the bounded vocab and returns a local relation (which would screen
+    // trivially), so the twin screens the plan that actually touches the
+    // corpus — the word-frequency aggregate feeding the driver loop
+    "q_text_bpe_train" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(TextFunctions.safeLowerTokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .orderBy(desc("f"), asc("w")).limit(bpeTrainVocab)))
 
   val oracles: Map[String, String] = Map(
     // the NB model replayed: identical smoothing ratios under ln, the

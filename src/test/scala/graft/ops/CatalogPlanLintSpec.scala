@@ -156,6 +156,9 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
       "the broadcast-hash join is what carries the dynamicpruning subquery into the fact scan"),
     "q_group_standardize" -> ("broadcast side is the per-flag moments aggregate — " +
       "rows bounded by return-flag cardinality (3), not by data size"),
+    "q_select_importance" -> ("broadcast side is the bucket log-ratio table — a " +
+      "groupBy(bucket) aggregate bounded to dsirBuckets (256) rows by the hash " +
+      "modulus, not by data size (plus the 1-row gram-totals scalar)"),
     "q_merge_on_read" -> ("applyDv GATES the hint on the DV mask's estimated size " +
       "(256 MB cap, the enrichStream doctrine) — a fold-starved sidecar degrades to " +
       "a keyed shuffle join; in production the mask is deltas-since-last-fold, " +
