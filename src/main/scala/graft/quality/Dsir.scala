@@ -95,4 +95,30 @@ object Dsir {
     importanceScores(docs, idCol, textCol, isTarget, buckets, alpha)
       .orderBy(desc("score"), asc("id")).limit(k)
   }
+
+  /** Seeded Gumbel-top-k — the actual DSIR RESAMPLER beside
+    * [[selectTopK]]'s deterministic head: adding Gumbel(0,1) noise to
+    * each log-weight and taking the top k samples WITHOUT REPLACEMENT
+    * with probability ∝ exp(score), i.e. ∝ the raw likelihood ratio
+    * p̂_target/p̂_raw (the Gumbel-max trick; a pure head over-selects
+    * one template, the resample keeps diversity). Noise is
+    * hash-derived — md5(seed:id) → 52-bit uniform u = (v + 0.5)/2^52
+    * (strictly inside (0,1), exactly representable) → −ln(−ln u) —
+    * so the draw is deterministic given the seed and exactly
+    * replayable by the DuckDB oracle: the seeded-hash randomness
+    * doctrine every sampler in this repo uses. Still a pure
+    * TakeOrdered over the scored frame; no extra pass.
+    */
+  def selectGumbel(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, k: Int, seed: Long = 42L, buckets: Int = 256,
+      alpha: Double = 0.5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val v = conv(substring(md5(concat(lit(s"$seed:"),
+      col("id").cast("string"))), 1, 13), 16, 10).cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val key = col("score") + (-log(-log(u)))
+    importanceScores(docs, idCol, textCol, isTarget, buckets, alpha)
+      .select(col("id"), col("score"), round(key, 6).as("key"))
+      .orderBy(desc("key"), asc("id")).limit(k)
+  }
 }

@@ -37,6 +37,15 @@ object QualityQueries {
         isTarget = col("doc_id") % 10 === 0, k = 100,
         buckets = dsirBuckets, alpha = dsirAlpha)
         .withColumnRenamed("id", "doc_id")),
+    // The RESAMPLED face of the same selection (Dsir.selectGumbel):
+    // Gumbel-max top-k samples without replacement ∝ exp(score) — the
+    // actual DSIR draw, with seeded md5-derived noise so the oracle
+    // replays scores, uniforms, −ln(−ln u), and the final draw exactly.
+    "q_select_gumbel" -> ((s, d) =>
+      Dsir.selectGumbel(Tables.documents(s, d), "doc_id", "text",
+        isTarget = col("doc_id") % 10 === 0, k = 100, seed = dsirSeed,
+        buckets = dsirBuckets, alpha = dsirAlpha)
+        .withColumnRenamed("id", "doc_id")),
     // The k-way corpus-filter shape (r17 verdict task 4): one-vs-rest
     // langid over IN-PLAN STANDARDIZED features — the stats pass is one
     // decimal-summed aggregate (mean and raw second moment, combine-
@@ -563,6 +572,38 @@ object QualityQueries {
   // interpolated oracle (the jaccardDfCap must-move-together pattern)
   private val dsirBuckets = 256
   private val dsirAlpha = 0.5
+  private val dsirSeed = 42L
+
+  /** DSIR scoring CTE chain, ending in `s(doc_id, score)` — ONE
+    * definition shared by the q_select_importance and q_select_gumbel
+    * oracles (the boilerplateCtes pattern: the resampler must draw from
+    * the identical scored frame or it validates a different selection).
+    */
+  private lazy val dsirCtes: String =
+    s"""t AS (SELECT doc_id, doc_id % 10 = 0 AS is_target,
+          list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents),
+        g AS (SELECT doc_id, is_target,
+          unnest(list_concat(toks,
+            list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+        FROM t),
+        b AS (SELECT doc_id, is_target,
+          CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % $dsirBuckets AS bucket
+        FROM g),
+        c AS (SELECT bucket,
+          sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc,
+          sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS rc
+        FROM b GROUP BY 1),
+        tot AS (SELECT sum(tc) AS bt, sum(rc) AS br FROM c),
+        ratio AS (SELECT bucket,
+          ln((tc + $dsirAlpha) / (bt + $dsirAlpha * $dsirBuckets)) -
+          ln((rc + $dsirAlpha) / (br + $dsirAlpha * $dsirBuckets)) AS logratio
+        FROM c, tot),
+        s AS (SELECT b.doc_id,
+          round(CAST(sum(CAST(round(r.logratio, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+        FROM b JOIN ratio r USING (bucket) WHERE NOT is_target
+        GROUP BY 1)"""
 
   // softmax classes = the FULL observed label domain (the likelihood
   // has no rest bucket; trainSoftmax refuses uncovered labels)
@@ -767,31 +808,19 @@ object QualityQueries {
     // q_feature_hash md5 bucket, both smoothed distributions, per-gram
     // ln-ratio round(12) decimal-summed per doc, (score desc, id) top-100
     "q_select_importance" ->
-      s"""WITH t AS (SELECT doc_id, doc_id % 10 = 0 AS is_target,
-            list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
-          FROM documents),
-          g AS (SELECT doc_id, is_target,
-            unnest(list_concat(toks,
-              list_transform(range(1, len(toks)),
-                i -> toks[i] || ' ' || toks[i + 1]))) AS gram
-          FROM t),
-          b AS (SELECT doc_id, is_target,
-            CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % $dsirBuckets AS bucket
-          FROM g),
-          c AS (SELECT bucket,
-            sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc,
-            sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS rc
-          FROM b GROUP BY 1),
-          tot AS (SELECT sum(tc) AS bt, sum(rc) AS br FROM c),
-          ratio AS (SELECT bucket,
-            ln((tc + $dsirAlpha) / (bt + $dsirAlpha * $dsirBuckets)) -
-            ln((rc + $dsirAlpha) / (br + $dsirAlpha * $dsirBuckets)) AS logratio
-          FROM c, tot),
-          s AS (SELECT b.doc_id,
-            round(CAST(sum(CAST(round(r.logratio, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
-          FROM b JOIN ratio r USING (bucket) WHERE NOT is_target
-          GROUP BY 1)
+      s"""WITH $dsirCtes
           SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 100""",
+
+    // the same scored frame, then the Gumbel-max draw replayed: seeded
+    // md5 uniform u = (v + 0.5)/2^52, key = score + (−ln(−ln u)),
+    // (key desc, id) top-100
+    "q_select_gumbel" ->
+      s"""WITH $dsirCtes
+          SELECT doc_id, score,
+            round(score + (-ln(-ln(
+              (CAST('0x' || substr(md5($dsirSeed || ':' || doc_id), 1, 13) AS BIGINT)
+                + 0.5) / 4503599627370496.0))), 6) AS key
+          FROM s ORDER BY key DESC, doc_id LIMIT 100""",
 
     // one-shot whole-table replay of the frozen-fence binning: hash
     // equality against the four-batch folded path proves the merge exact

@@ -67,6 +67,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_dedup_cosine_recall" -> "recall query joins the LSH path against the documented exact twin",
     "q_dq_outliers" -> "cross join against the broadcast 1-row mean/sigma stats aggregate",
     "q_select_importance" -> "ratio table crosses the broadcast 1-row gram-total aggregate; scoring join is equi on bucket against the broadcast <=256-row ratio table",
+    "q_select_gumbel" -> "the q_select_importance shape (broadcast 1-row gram-total cross; equi bucket join); the Gumbel draw is a pure projection over the scored frame",
     "q_select_lm_band" -> "band cut crosses the broadcast 1-row p10/p90 percentile aggregate (the q_winsorize fence idiom); LM scoring itself is the q_text_lm_score equi-join shape",
     "q_quality_lr_multi" -> "cross join against the broadcast 1-row decimal-summed standardization-stats aggregate feeding the feature expressions",
     "q_quality_lr_softmax" -> "the q_quality_lr_multi standardization shape (broadcast 1-row stats cross join); the coupled gradient pass itself is one aggregate",
@@ -159,6 +160,8 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_select_importance" -> ("broadcast side is the bucket log-ratio table — a " +
       "groupBy(bucket) aggregate bounded to dsirBuckets (256) rows by the hash " +
       "modulus, not by data size (plus the 1-row gram-totals scalar)"),
+    "q_select_gumbel" -> ("the q_select_importance hinted sides (256-row bucket " +
+      "ratio table + 1-row gram totals); the Gumbel key adds no join"),
     "q_merge_on_read" -> ("applyDv GATES the hint on the DV mask's estimated size " +
       "(256 MB cap, the enrichStream doctrine) — a fold-starved sidecar degrades to " +
       "a keyed shuffle join; in production the mask is deltas-since-last-fold, " +

@@ -62,6 +62,25 @@ class DsirSpec extends AnyFunSuite with SparkSpec {
     assert(!scored.contains(300L) && !scored.contains(301L))
   }
 
+  test("gumbel resampling: deterministic given the seed, noise-shifted " +
+      "keys, different seeds draw differently") {
+    val a = Dsir.selectGumbel(planted, "id", "text", isTarget, k = 15,
+      seed = 42L, buckets = 64).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val b = Dsir.selectGumbel(planted.repartition(9), "id", "text",
+      isTarget, k = 15, seed = 42L, buckets = 64).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(a.toSeq === b.toSeq, "same seed + corpus => identical draw")
+    assert(a.length === 15)
+    // key = score + Gumbel noise: never equal to the raw score
+    assert(a.forall { case (_, s, key) => key != s })
+    val c = Dsir.selectGumbel(planted, "id", "text", isTarget, k = 15,
+      seed = 7L, buckets = 64).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(c.map(_._2).toSet !== a.map(_._3).toSet,
+      "a different seed must draw different keys")
+  }
+
   test("repeating target phrasing raises the score (per-occurrence sums)") {
     val docs = ((0L until 20L).map(i => (i, "alpha beta")) ++
       Seq((100L, "alpha beta"), (101L, "alpha beta alpha beta")))
