@@ -316,10 +316,24 @@ object LshIndex {
     * land at `admissionsDir` (one parquet dir per epoch, with the
     * admitted flag), the audit trail a curation pipeline keeps. Returns
     * the StreamingQuery; callers own its lifecycle.
+    *
+    * `maintainEvery` > 0 closes the loop IN the stream: after every
+    * N-th trigger seals, [[maintain]] runs against the index the stream
+    * itself fragments (each append adds a postings generation; upstream
+    * deletes accumulate tombstones the probe anti-joins) — the stream
+    * maintains its own state instead of waiting for a nightly job.
+    * Safe by construction: foreachBatch is the index's single writer,
+    * so the maintenance op runs under the same writer discipline; it
+    * executes AFTER the epoch seal, so a crashed trigger's replay
+    * (which skips committed epochs whole) can never double-run it —
+    * a skipped maintenance beat is fine because the signals are
+    * ratchets the next beat reads cumulatively.
     */
   def streamingIngest(spark: SparkSession, dir: String, admissionsDir: String,
       stream: DataFrame, idCol: String, textCol: String,
-      threshold: Double): org.apache.spark.sql.streaming.StreamingQuery =
+      threshold: Double, maintainEvery: Int = 0,
+      policy: MaintenancePolicy = MaintenancePolicy())
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
@@ -363,6 +377,11 @@ object LshIndex {
           admitted.withColumn("epoch", lit(epochId))
             .write.mode("error").parquet(epochDir)
           graft.io.EpochCommit.seal(spark, epochDir)
+          // in-stream maintenance beat (after the seal — see scaladoc)
+          if (maintainEvery > 0 && (epochId + 1) % maintainEvery == 0) {
+            maintain(spark, dir, policy)
+            ()
+          }
           // per-trigger checkpoints die with the trigger, not with GC
           Seq(b, admitted).foreach(Dedup.releasePlan)
         }

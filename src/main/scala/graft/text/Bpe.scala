@@ -138,6 +138,35 @@ object Bpe {
     f(text)
   }
 
+  /** [[tokenize]] under an EXPLICIT merge table (the frozen-table path
+    * keeps its global memo; this one memoizes per call, because a memo
+    * shared across different merge tables would serve stale splits).
+    * The train→apply composition: pass [[trainMerges]]' output to
+    * tokenize the same corpus the merges were learned from.
+    */
+  def tokenizeWith(text: Column,
+      merges: Seq[(String, String)]): Column = {
+    val local =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    val f = udf((t: String) => {
+      if (t == null) Array.empty[String]
+      else {
+        val words = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        words.foreach { w =>
+          var toks = local.get(w)
+          if (toks == null) {
+            toks = tokenizeWord(w, merges)
+            if (local.size < MemoCap) local.put(w, toks)
+          }
+          out ++= toks
+        }
+        out.toArray
+      }
+    })
+    f(text)
+  }
+
   /** DuckDB expression string: the wrapped replace chain over `wordExpr`,
     * interpolated from the SAME frozen table as [[tokenize]] — the
     * shared-constant doctrine (a regenerated merge table cannot

@@ -47,16 +47,24 @@ object TextQueries {
     // just its application, is value-checked.
     "q_text_bpe_train" -> ((s, d) => {
       import s.implicits._
-      val vocab = documents(s, d)
-        .select(explode(TextFunctions.safeLowerTokens(col("text"))).as("w"))
-        .filter(col("w").rlike("^[a-z0-9]+$"))
-        .groupBy(col("w")).agg(count(lit(1)).as("f"))
-        .orderBy(desc("f"), asc("w")).limit(bpeTrainVocab)
-        .as[(String, Long)].collect().toSeq
-      val merges = Bpe.trainMerges(vocab, bpeTrainMerges)
-      merges.zipWithIndex
+      learnedMerges(s, d).zipWithIndex
         .map { case ((a, b), i) => (i.toLong, a, b) }
         .toDF("step", "merge_left", "merge_right")
+    }),
+
+    // The train→apply COMPOSITION: token accounting under the merges
+    // learned from THIS corpus (vs q_text_bpe's frozen offline table) —
+    // what a budget pass actually runs when the tokenizer is trained on
+    // the data it will budget. One corpus-trained merge definition
+    // (learnedMerges) serves both queries; the oracle re-learns the
+    // merges (the q_text_bpe_train MATERIALIZED chain) and applies the
+    // identical wrapped-replace chain to every corpus word.
+    "q_text_bpe_learned" -> ((s, d) => {
+      val merges = learnedMerges(s, d)
+      documents(s, d).select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        size(Bpe.tokenizeWith(col("text"), merges)).cast("long")
+          .as("n_bpe_tokens"))
     }),
 
     // quality signals + composite score
@@ -661,6 +669,23 @@ object TextQueries {
   private val bpeTrainVocab = 30
   private val bpeTrainMerges = 6
 
+  /** Corpus-trained merges — ONE definition serving q_text_bpe_train
+    * (publishes them) and q_text_bpe_learned (applies them): top-V
+    * strictly-alnum words by (freq desc, word asc) — the bounded-
+    * vocabulary boundary, the only corpus-scale work — then
+    * [[Bpe.trainMerges]]' driver loop over the V rows.
+    */
+  private def learnedMerges(s: SparkSession, d: String): Seq[(String, String)] = {
+    import s.implicits._
+    val vocab = documents(s, d)
+      .select(explode(TextFunctions.safeLowerTokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(desc("f"), asc("w")).limit(bpeTrainVocab)
+      .as[(String, Long)].collect().toSeq
+    Bpe.trainMerges(vocab, bpeTrainMerges)
+  }
+
   /** Bigram-LM scoring CTE chain, ending in `sc(doc_id, n_bigrams,
     * avg_lp)` with `t` still in scope — ONE definition shared by the
     * q_text_lm_score oracle and the q_select_lm_band oracle (the
@@ -696,7 +721,7 @@ object TextQueries {
     * reference and goes exponential in the level count (measured: 6
     * levels inlined never finish; materialized, 0.7 s at sf0.001).
     */
-  private lazy val bpeTrainSql: String = {
+  private lazy val bpeTrainCtes: String = {
     val v0 =
       s"""v0 AS MATERIALIZED (SELECT w, f, regexp_replace(w, '(.)', '<\\1>', 'g') AS wr
           FROM (SELECT w, count(*) AS f
@@ -719,12 +744,41 @@ object TextQueries {
             '<' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || '>') AS wr
             FROM $prev)""")
     }
+    (v0 +: levels).mkString(", ")
+  }
+
+  private lazy val bpeTrainSql: String = {
     val selects = (1 to bpeTrainMerges).map { i =>
       s"SELECT CAST(${i - 1} AS BIGINT) AS step, " +
         s"(SELECT a FROM m$i) AS merge_left, " +
         s"(SELECT b FROM m$i) AS merge_right"
     }
-    s"WITH ${(v0 +: levels).mkString(", ")} ${selects.mkString(" UNION ALL ")}"
+    s"WITH $bpeTrainCtes ${selects.mkString(" UNION ALL ")}"
+  }
+
+  /** The train→apply oracle: re-learn the merges (the [[bpeTrainCtes]]
+    * chain), then apply the identical wrapped-replace chain — each
+    * learned pair as scalar subqueries from its m-CTE, in training
+    * order — to every corpus word, counting symbols as '<' occurrences
+    * (the q_text_bpe accounting idiom).
+    */
+  private lazy val bpeLearnedSql: String = {
+    val applied = (1 to bpeTrainMerges).foldLeft(
+      "regexp_replace(ws[i], '(.)', '<\\1>', 'g')") { (acc, i) =>
+      s"replace($acc, '<' || (SELECT a FROM m$i) || '><' || (SELECT b FROM m$i) || '>', " +
+        s"'<' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || '>')"
+    }
+    s"""WITH $bpeTrainCtes,
+        base AS (SELECT doc_id, $toksSql AS ws FROM documents),
+        w AS (SELECT doc_id, i, $applied AS wr
+          FROM base, LATERAL unnest(range(1, len(ws) + 1)) AS u(i)),
+        a AS (SELECT doc_id,
+            CAST(sum(len(wr) - len(replace(wr, '<', ''))) AS BIGINT) AS n_bpe_tokens
+          FROM w GROUP BY 1)
+        SELECT b.doc_id,
+          CAST(len(b.ws) AS BIGINT) AS n_tokens,
+          coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens
+        FROM base b LEFT JOIN a USING (doc_id)"""
   }
 
   // sparse-cosine knobs, shared with the SQL twin (the jaccardDfCap
@@ -922,6 +976,10 @@ object TextQueries {
     // TRAINING replayed, not just application: weighted pair counts,
     // argmax, and merge application unrolled per level (bpeTrainSql)
     "q_text_bpe_train" -> bpeTrainSql,
+
+    // the composition: merges re-learned (same chain), then applied to
+    // every corpus word — the corpus-trained token accounting
+    "q_text_bpe_learned" -> bpeLearnedSql,
 
     "q_text_quality" ->
       s"""WITH t AS (SELECT doc_id, text,

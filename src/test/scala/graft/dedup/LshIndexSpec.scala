@@ -139,6 +139,43 @@ class LshIndexSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest maintains its own index: the maintenance beat " +
+      "fires every N triggers and compacts the fragmentation appends create") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = Files.createTempDirectory("lsh_stream_mnt").toString
+    val idxDir = s"$t/idx"
+    LshIndex.build(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", idxDir)
+    val baseFiles = graft.io.IndexHealth.dataFileCount(spark, s"$idxDir/postings")
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // filesBar below a single post-append count: every beat must compact
+    val q = LshIndex.streamingIngest(spark, idxDir, s"$t/adm",
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5, maintainEvery = 2,
+      policy = LshIndex.MaintenancePolicy(filesBar = baseFiles))
+    try {
+      stream.addData((11L, "one two three four five six seven eight nine ten"))
+      q.processAllAvailable() // epoch 0: no beat ((0+1) % 2 != 0)
+      assert(LshIndex.maintenanceLog(spark, idxDir).count() === 0L)
+      stream.addData((21L, "red orange yellow green blue indigo violet pink"))
+      q.processAllAvailable() // epoch 1: beat fires, fragmentation over bar
+      val log = LshIndex.maintenanceLog(spark, idxDir).collect()
+      assert(log.length === 1 && log(0).getAs[String]("action") === "compact",
+        s"beat at epoch 1 must compact: ${log.toSeq}")
+      assert(log(0).getAs[Int]("post_files") <=
+          log(0).getAs[Int]("postings_files"),
+        "compact must not grow the postings file count")
+      // the compacted index still serves: all three docs live
+      assert(spark.read.parquet(s"$idxDir/docs")
+        .select("id").as[Long].collect().toSet === Set(1L, 11L, 21L))
+    } finally q.stop()
+  }
+
   test("delete: tombstoned docs leave probe results; compact folds them") {
     import spark.implicits._
     val t = Files.createTempDirectory("lsh_del").toString + "/idx"
