@@ -539,8 +539,14 @@ object ClusterIndex {
       policy: MaintenancePolicy = MaintenancePolicy()): DataFrame = {
     import spark.implicits._
     val healed = recoverCompact(spark, dir)
-    val bad = unsealedEpochs(spark, dir).size
-    val updEpochs = epochsOf(spark, dir, "label_updates").size
+    val badSeq = unsealedEpochs(spark, dir)
+    val bad = badSeq.size
+    // sealed update epochs only: an unsealed epoch is already reported
+    // in its own column, and the read-amplification signal this column
+    // audits counts what resolve() actually merges (review fix —
+    // counting crashed epochs twice over-reported the signal)
+    val updEpochs = epochsOf(spark, dir, "label_updates")
+      .count(e => !badSeq.contains(e))
     // epoch=0 is the folded base slot; only trigger epochs beyond it
     // amplify the winner joins
     val scoreEpochs = epochsOf(spark, dir, "doc_scores").count(_ > 0L)

@@ -1004,7 +1004,7 @@ object DedupQueries {
         val src = new java.io.File(s"$d/documents.parquet")
         val stamp = s"${src.lastModified()}_${src.length()}"
         val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_lsh_index_mnt_${math.abs(d.hashCode)}_$stamp")
+          s"graft_lsh_index_mnt2_${math.abs(d.hashCode)}_$stamp")
         val marker = new java.io.File(dir, "_graft_index_complete")
         if (!marker.exists()) {
           def rm(f: java.io.File): Unit = {
@@ -1014,12 +1014,15 @@ object DedupQueries {
           if (dir.exists()) rm(dir)
           val doc = documents(s, d)
           LshIndex.build(doc, "doc_id", "text", dir.getAbsolutePath)
+          // filesBar pinned off — the q_text_index_maintain fixture
+          // reasoning: the oracle replays only the dead-ratio signal
+          val pol = LshIndex.MaintenancePolicy(filesBar = Int.MaxValue)
           LshIndex.delete(s, dir.getAbsolutePath,
             doc.filter(col("doc_id") % 11 === 0).select("doc_id"), "doc_id")
-          LshIndex.maintain(s, dir.getAbsolutePath)
+          LshIndex.maintain(s, dir.getAbsolutePath, pol)
           LshIndex.delete(s, dir.getAbsolutePath,
             doc.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
-          LshIndex.maintain(s, dir.getAbsolutePath)
+          LshIndex.maintain(s, dir.getAbsolutePath, pol)
           marker.createNewFile()
           ()
         }

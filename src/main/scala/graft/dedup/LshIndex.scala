@@ -207,55 +207,22 @@ object LshIndex {
   }
 
   /** The closed maintenance loop — [[graft.sim.IvfIndex.maintain]]'s
-    * policy doctrine on the LSH index; same ledger contract as
-    * [[graft.text.TextIndex.maintain]] and the same reasoned design
-    * delta: NO hysteresis, because both signals here are exact counters
-    * (tombstone∩spine count, FS listing), not sampled probes — one
-    * observation is the truth, and acting resets both signals to their
-    * floor, so the loop cannot oscillate. Appends one auditable row
-    * (seq, dead_ratio, postings_files, dead_ratio_bar, files_bar,
-    * unhealthy, action, survivors, folded, post_files) to
-    * `dir/maintenance/`; `action` ∈ none | compact. Returns the row.
+    * policy doctrine on the LSH index. The whole body (signals,
+    * decision, ledger schema, the reasoned NO-hysteresis design) is
+    * [[graft.io.IndexHealth.maintainTombstoneIndex]], shared with
+    * [[graft.text.TextIndex.maintain]] — one definition, so the twins
+    * cannot drift. The dead numerator is spine-conditioned: deletes of
+    * unknown or empty-shingle ids cost nothing at probe time and must
+    * not count (spec-pinned).
     */
   def maintain(spark: SparkSession, dir: String,
-      policy: MaintenancePolicy = MaintenancePolicy()): DataFrame = {
-    import spark.implicits._
-    val spine = spark.read.parquet(s"$dir/docs")
-    val nDocs = spine.count()
-    // dead = tombstoned ids actually stored (deletes of unknown or
-    // empty-shingle ids cost nothing at probe time and must not count)
-    val nDead = tombstones(spark, dir).map(t =>
-      spine.join(t, Seq("id"), "left_semi").count()).getOrElse(0L)
-    val deadRatio = if (nDocs == 0L) 0.0 else nDead.toDouble / nDocs.toDouble
-    val files = graft.io.IndexHealth.dataFileCount(spark, s"$dir/postings")
-    val unhealthy = deadRatio >= policy.deadRatioBar || files > policy.filesBar
-    val acted: Option[(Long, Long)] =
-      if (unhealthy) Some(compact(spark, dir)) else None
-    val postFiles =
-      if (unhealthy) graft.io.IndexHealth.dataFileCount(spark, s"$dir/postings")
-      else files
-    val seq = graft.io.IndexHealth.nextSeq(spark, s"$dir/maintenance")
-    val row = Seq((seq, math.rint(deadRatio * 1e6) / 1e6, files,
-        policy.deadRatioBar, policy.filesBar, unhealthy,
-        if (unhealthy) "compact" else "none",
-        acted.map(_._1), acted.map(_._2), postFiles))
-      .toDF("seq", "dead_ratio", "postings_files", "dead_ratio_bar",
-        "files_bar", "unhealthy", "action", "survivors", "folded",
-        "post_files")
-    row.write.mode("append").parquet(s"$dir/maintenance")
-    row
-  }
+      policy: MaintenancePolicy = MaintenancePolicy()): DataFrame =
+    graft.io.IndexHealth.maintainTombstoneIndex(spark, dir,
+      policy.deadRatioBar, policy.filesBar, () => compact(spark, dir))
 
   /** The full maintenance ledger, seq-ordered. */
-  def maintenanceLog(spark: SparkSession, dir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/maintenance")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val schema = "seq long, dead_ratio double, postings_files int, " +
-      "dead_ratio_bar double, files_bar int, unhealthy boolean, " +
-      "action string, survivors long, folded long, post_files int"
-    if (!fs.exists(p)) spark.read.schema(schema).parquet()
-    else spark.read.schema(schema).parquet(p.toString).orderBy("seq")
-  }
+  def maintenanceLog(spark: SparkSession, dir: String): DataFrame =
+    graft.io.IndexHealth.tombstoneMaintenanceLog(spark, dir)
 
   private[dedup] case class Meta(shingleN: Int, numHashes: Int, bands: Int, seed: Long)
 

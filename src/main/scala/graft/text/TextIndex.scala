@@ -168,72 +168,26 @@ object TextIndex {
   }
 
   /** The closed maintenance loop — [[graft.sim.IvfIndex.maintain]]'s
-    * policy-driven doctrine applied to the lexical index: read the
-    * health signals, decide against the policy, act, append ONE
-    * auditable decision row to the `dir/maintenance/` ledger:
-    *
-    *   (seq, dead_ratio, postings_files, dead_ratio_bar, files_bar,
-    *    unhealthy, action, survivors, folded, post_files)
-    *
-    * Design delta vs the IVF loop, and why: no hysteresis. IvfIndex's
-    * recall probe is a SAMPLED signal — one noisy observation must not
-    * trigger a corpus-scale rebuild, so it retrains only on a streak.
-    * Here both signals are EXACT counters (tombstone∩spine count, FS
-    * file listing): a single observation IS the population truth, and
-    * acting resets both signals to their floor (dead_ratio 0, files =
-    * one generation), so the loop cannot oscillate and a bad probe
-    * cannot exist. Signal cost is metadata-scale — two counts and a
-    * listing, no corpus scan; [[compact]] is the only corpus-scale move
-    * and fires only when read amplification justifies it.
-    *
-    * `action` ∈ none | compact; `survivors`/`folded` are [[compact]]'s
-    * returns, null on a no-op. Single-writer like every maintenance op.
-    * Returns the decision row (also persisted).
+    * policy-driven doctrine applied to the lexical index; the signals,
+    * decision logic, ledger schema, and the reasoned NO-hysteresis
+    * design (exact counters, not sampled probes — acting resets them
+    * to the floor, so the loop cannot oscillate) live in ONE shared
+    * definition, [[graft.io.IndexHealth.maintainTombstoneIndex]]
+    * (review fix: TextIndex and LshIndex carried copy-paste twins that
+    * a one-sided tweak would silently desynchronize). `action` ∈
+    * none | compact; `survivors`/`folded` are [[compact]]'s returns,
+    * null on a no-op. Single-writer like every maintenance op.
     */
   def maintain(spark: SparkSession, dir: String,
-      policy: MaintenancePolicy = MaintenancePolicy()): DataFrame = {
-    import spark.implicits._
-    val spine = spark.read.parquet(s"$dir/docs")
-    val nDocs = spine.count()
-    // dead = tombstoned ids actually present in the spine: the precise
-    // read-amplification numerator (a delete of an unknown id costs
-    // nothing at read time and must not count)
-    val nDead = tombstones(spark, dir).map(t =>
-      spine.join(t, Seq("id"), "left_semi").count()).getOrElse(0L)
-    val deadRatio = if (nDocs == 0L) 0.0 else nDead.toDouble / nDocs.toDouble
-    val files = graft.io.IndexHealth.dataFileCount(spark, s"$dir/postings")
-    val unhealthy = deadRatio >= policy.deadRatioBar || files > policy.filesBar
-    val acted: Option[(Long, Long)] =
-      if (unhealthy) Some(compact(spark, dir)) else None
-    val postFiles =
-      if (unhealthy) graft.io.IndexHealth.dataFileCount(spark, s"$dir/postings")
-      else files
-    val seq = graft.io.IndexHealth.nextSeq(spark, s"$dir/maintenance")
-    val row = Seq((seq, round6(deadRatio), files, policy.deadRatioBar,
-        policy.filesBar, unhealthy,
-        if (unhealthy) "compact" else "none",
-        acted.map(_._1), acted.map(_._2), postFiles))
-      .toDF("seq", "dead_ratio", "postings_files", "dead_ratio_bar",
-        "files_bar", "unhealthy", "action", "survivors", "folded",
-        "post_files")
-    row.write.mode("append").parquet(s"$dir/maintenance")
-    row
-  }
-
-  private def round6(d: Double): Double = math.rint(d * 1e6) / 1e6
+      policy: MaintenancePolicy = MaintenancePolicy()): DataFrame =
+    graft.io.IndexHealth.maintainTombstoneIndex(spark, dir,
+      policy.deadRatioBar, policy.filesBar, () => compact(spark, dir))
 
   /** The full maintenance ledger, seq-ordered — the audit trail of every
     * [[maintain]] decision.
     */
-  def maintenanceLog(spark: SparkSession, dir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/maintenance")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val schema = "seq long, dead_ratio double, postings_files int, " +
-      "dead_ratio_bar double, files_bar int, unhealthy boolean, " +
-      "action string, survivors long, folded long, post_files int"
-    if (!fs.exists(p)) spark.read.schema(schema).parquet()
-    else spark.read.schema(schema).parquet(p.toString).orderBy("seq")
-  }
+  def maintenanceLog(spark: SparkSession, dir: String): DataFrame =
+    graft.io.IndexHealth.tombstoneMaintenanceLog(spark, dir)
 
   /** Streaming lexical ingest — the [[graft.dedup.LshIndex.streamingIngest]]
     * shape on the BM25 index: each micro-batch tokenizes ITSELF only and
@@ -267,7 +221,10 @@ object TextIndex {
         if (!graft.io.EpochCommit.committed(spark, epochDir)) {
           graft.io.EpochCommit.clearPartial(spark, epochDir)
           val b = batch.localCheckpoint() // appended + ledgered from one frame
-          append(spark, dir, b, idCol, textCol)
+          // writeEntries directly, not append(): append's return value
+          // (docs added) costs two full spine counts, and the streaming
+          // hot path discards it (review fix)
+          writeEntries(b, idCol, textCol, dir, "append")
           b.select(col(idCol).cast("long").as("id"))
             .withColumn("epoch", lit(epochId))
             .write.mode("error").parquet(epochDir)

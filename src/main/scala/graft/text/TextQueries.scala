@@ -590,7 +590,7 @@ object TextQueries {
         val src = new java.io.File(s"$d/documents.parquet")
         val stamp = s"${src.lastModified()}_${src.length()}"
         val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_text_index_mnt_${math.abs(d.hashCode)}_$stamp")
+          s"graft_text_index_mnt2_${math.abs(d.hashCode)}_$stamp")
         val marker = new java.io.File(dir, "_graft_index_complete")
         if (!marker.exists()) {
           def rm(f: java.io.File): Unit = {
@@ -600,12 +600,17 @@ object TextQueries {
           if (dir.exists()) rm(dir)
           val doc = documents(s, d)
           TextIndex.build(doc, "doc_id", "text", dir.getAbsolutePath)
+          // filesBar pinned off (review fix): postings files scale with
+          // shuffle partitions (= cpus), so the default 96 could flip
+          // the FIRST decision on a >96-core box — the oracle replays
+          // only the corpus-derived dead-ratio signal
+          val pol = TextIndex.MaintenancePolicy(filesBar = Int.MaxValue)
           TextIndex.delete(s, dir.getAbsolutePath,
             doc.filter(col("doc_id") % 11 === 0).select("doc_id"), "doc_id")
-          TextIndex.maintain(s, dir.getAbsolutePath)
+          TextIndex.maintain(s, dir.getAbsolutePath, pol)
           TextIndex.delete(s, dir.getAbsolutePath,
             doc.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
-          TextIndex.maintain(s, dir.getAbsolutePath)
+          TextIndex.maintain(s, dir.getAbsolutePath, pol)
           marker.createNewFile()
           ()
         }
@@ -683,7 +688,16 @@ object TextQueries {
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .orderBy(desc("f"), asc("w")).limit(bpeTrainVocab)
       .as[(String, Long)].collect().toSeq
-    Bpe.trainMerges(vocab, bpeTrainMerges)
+    val merges = Bpe.trainMerges(vocab, bpeTrainMerges)
+    // loud, not a silent oracle drift (review fix): trainMerges stops
+    // early when the vocab's pairs exhaust, but the unrolled-CTE oracle
+    // replays exactly bpeTrainMerges levels — an exhausted level's
+    // argmax CTE would emit NULL merges Spark never produces
+    require(merges.size == bpeTrainMerges,
+      s"vocabulary exhausted after ${merges.size} of $bpeTrainMerges " +
+        "merges — shrink bpeTrainMerges or widen bpeTrainVocab so the " +
+        "oracle's fixed-depth replay stays faithful")
+    merges
   }
 
   /** Bigram-LM scoring CTE chain, ending in `sc(doc_id, n_bigrams,
