@@ -662,6 +662,16 @@ object ClusterIndex {
     * (the checkpoint resumes trigger ids, so the replayed trigger maps
     * to its original — sealed — epoch and is skipped; recomputing the
     * base at restart would shift the mapping and double-ingest).
+    *
+    * NO in-stream maintenance beat here, BY DESIGN (the one streaming
+    * index without one — TextIndex/LshIndex/IvfIndex all carry
+    * `maintainEvery`): [[maintain]] can return `needs_repair` as a
+    * REPORT rather than an action (a crashed best-fold's winners need
+    * the corpus' scores, which maintain must not invent), so a beat
+    * wired in here could silently report-and-continue forever while the
+    * operator believes maintenance is handled. A repair decision needs
+    * an operator with the score corpus in hand — schedule
+    * [[maintain]] out-of-band where its report is actually read.
     */
   def streamingIngest(spark: SparkSession, lshDir: String,
       clusterDir: String, stream: DataFrame, idCol: String,

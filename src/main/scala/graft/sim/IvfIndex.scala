@@ -312,10 +312,25 @@ object IvfIndex {
     * partition-pruned [[search]]; IvfIndexSpec pins byte-equal search
     * results against a single batch [[append]] of the same data (same
     * frozen centroids => same cells => same index).
+    *
+    * `maintainEvery` > 0 runs the [[maintain]] beat after every N-th
+    * trigger seals — the [[graft.text.TextIndex.streamingIngest]]
+    * doctrine applied where it matters MOST: a vector stream under its
+    * own appends fragments the hive cell layout (read amplification,
+    * like the lexical case) AND drifts away from the frozen quantizer
+    * (recall degradation, which only this index suffers). The beat
+    * reads both signals and retrains with hysteresis per [[maintain]];
+    * it runs strictly AFTER the epoch seal, so a replayed trigger can
+    * never double-run it, and it never executes inside an unsealed
+    * epoch (a retrain's staged swap must not race the epoch's own
+    * vector append — single-writer discipline holds because both run
+    * sequentially inside this foreachBatch).
     */
   def streamingIngest(spark: SparkSession, dir: String, auditDir: String,
-      stream: DataFrame, idCol: String,
-      vecCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+      stream: DataFrame, idCol: String, vecCol: String,
+      maintainEvery: Int = 0,
+      policy: MaintenancePolicy = MaintenancePolicy())
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
@@ -347,6 +362,10 @@ object IvfIndex {
             .withColumn("epoch", lit(epochId))
             .write.mode("error").parquet(epochDir)
           graft.io.EpochCommit.seal(spark, epochDir)
+          if (maintainEvery > 0 && (epochId + 1) % maintainEvery == 0) {
+            maintain(spark, dir, policy)
+            ()
+          }
           // free the per-trigger checkpoint now, not at GC
           assigned.queryExecution.logical.collectFirst {
             case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
@@ -549,7 +568,8 @@ object IvfIndex {
           policy.probeNprobe, policy.seed)
           .select(col("recall")).head().getDouble(0))
       }
-    val row = Seq((seq, round6(skew), recall, policy.skewBar,
+    val row = Seq((seq, graft.io.IndexHealth.round6HalfUp(skew), recall,
+        policy.skewBar,
         policy.recallFloor, unhealthy, consecutiveBad,
         if (act) "retrain" else "none", postRecall, healed))
       .toDF("seq", "skew", "recall", "skew_bar", "recall_floor",
@@ -557,9 +577,6 @@ object IvfIndex {
     row.write.mode("append").parquet(ledgerPath)
     row
   }
-
-  private def round6(d: Double): Double =
-    math.rint(d * 1e6) / 1e6
 
   /** The full maintenance ledger, seq-ordered — the audit trail of
     * every [[maintain]] decision (what was read, against which

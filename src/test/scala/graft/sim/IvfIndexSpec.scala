@@ -556,4 +556,84 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       assert(n === 1L)
     } finally q.stop()
   }
+
+  test("streaming ingest: the in-stream maintenance beat (r19) — drifted " +
+      "appends degrade recall, hysteresis holds one beat, the next beat " +
+      "retrains IN-stream, and later triggers ingest against the new " +
+      "quantizer") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("ivf_beat").toString
+    val idxDir = s"$base/idx"
+    val auditDir = s"$base/audit"
+    val c0 = (0 to 3).flatMap(c =>
+      (0 until 200).map(j => (c * 1000L + j, member(c, j))))
+    IvfIndex.build(c0.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      idxDir, nlist = 4, sampleSize = 900, seed = 7L)
+    // the maintain-spec drift cluster: Voronoi-boundary straddle whose
+    // cell hairline is invisible to cosine ranking (see bmember there)
+    def smember(j: Int): Seq[Double] = {
+      val v = Array.fill(64)(0.0)
+      val h = if (math.sin(j * 12.9898) >= 0) 0.02 else -0.02
+      v(0) = 1.0 + h
+      v(9) = 1.0 - h
+      var i = 10
+      while (i < 64) { v(i) = 0.2 * math.sin(i * 2.3 + j * 1.7); i += 1 }
+      v.toSeq
+    }
+    val policy = IvfIndex.MaintenancePolicy(recallFloor = 0.92,
+      badToAct = 2, probeN = 50, probeK = 10, probeNprobe = 1,
+      sampleSize = 1300)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = IvfIndex.streamingIngest(spark, idxDir, auditDir,
+      stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      maintainEvery = 1, policy = policy)
+    val cs0 = IvfIndex.loadCentroids(spark, idxDir).map(_.toSeq)
+    try {
+      // trigger 0: benign in-distribution batch -> beat observes healthy
+      stream.addData((0 until 20).map(j => (8000L + j, member(0, 300 + j))): _*)
+      q.processAllAvailable()
+      // trigger 1: the drift cluster arrives whole -> recall below the
+      // floor, but the FIRST bad beat must hold (hysteresis in-stream)
+      stream.addData((0 until 400).map(j => (5000L + j, smember(j))): _*)
+      q.processAllAvailable()
+      assert(IvfIndex.loadCentroids(spark, idxDir).map(_.toSeq) === cs0,
+        "a held beat must not touch the quantizer")
+      // trigger 2: more of the same drift -> second consecutive bad beat
+      // retrains IN-stream, post-probe confirms recovery
+      stream.addData((0 until 40).map(j => (5400L + j, smember(400 + j))): _*)
+      q.processAllAvailable()
+      assert(IvfIndex.loadCentroids(spark, idxDir).map(_.toSeq) !== cs0,
+        "the second bad beat must retrain in-stream")
+      // trigger 3: ingest continues against the NEW quantizer (centroids
+      // reload per trigger) and the beat reads the rebuilt index healthy
+      stream.addData((0 until 10).map(j => (8100L + j, member(1, 300 + j))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the ledger audits one beat per trigger, the maintain-spec arc:
+    // healthy -> held -> retrain -> healthy-again
+    val log = IvfIndex.maintenanceLog(spark, idxDir)
+      .select("seq", "unhealthy", "consecutive_bad", "action")
+      .as[(Long, Boolean, Long, String)].collect().toSeq
+    assert(log === Seq((0L, false, 0L, "none"), (1L, true, 1L, "none"),
+      (2L, true, 2L, "retrain"), (3L, false, 0L, "none")), s"ledger: $log")
+    val act = IvfIndex.maintenanceLog(spark, idxDir)
+      .filter(col("seq") === 2L).collect()(0)
+    assert(act.getDouble(8) > act.getDouble(2) + 0.02,
+      s"in-stream retrain must recover recall: " +
+        s"${act.getDouble(2)} -> ${act.getDouble(8)}")
+    // every trigger sealed (the beat runs strictly after the seal), and
+    // the post-retrain trigger's vectors are searchable
+    (0 to 3).foreach { e =>
+      assert(new java.io.File(s"$auditDir/epoch=$e", "_SUCCESS").exists(),
+        s"epoch $e must be sealed")
+    }
+    val probe = Seq((90000L, member(1, 300))).toDF("vec_id", "embedding")
+    val hit = IvfIndex.search(spark, idxDir, probe,
+      "vec_id", "embedding", k = 1, nprobe = 2).collect()
+    assert(hit.length === 1 && hit(0).getLong(1) === 8100L,
+      s"post-retrain streamed vector must be found: ${hit.toSeq}")
+  }
 }
