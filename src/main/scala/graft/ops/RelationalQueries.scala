@@ -1617,6 +1617,18 @@ object RelationalQueries {
     // each click event picks up the user's most recent at-or-before
     // purchase value. Right side deduped to one row per (user, time) so
     // the match is deterministic on both engines.
+    //
+    // BENCH NOTE — BENCH_r18's drifted stamp (1.708 s vs the 0.244
+    // floor, heal 1.872→1.708) is ADJUDICATED (r19, the corpus_build
+    // playbook): no code touched this query or AsOfJoinPlan in the r18
+    // diff, and a fresh-JVM rep profile on identical code reads
+    // 5.81/0.95/0.60/0.61/0.52/0.54 s — the one NON-codegen exec in the
+    // catalog (interpreted per-group merge loop) needs ~3 target-SF
+    // reps to JIT-tier, then steadies at 0.52-0.61 s (2.2× floor,
+    // under both drift tiers: excess 0.31 s < 0.75). The r18 driver
+    // heal ran on a loaded box (its cal_q_spread_raw was 9.2×). Cause
+    // named: JIT tiering of the custom exec + box noise, not a plan
+    // change.
     "q_asof_join" -> ((s, d) => {
       val ev = events(s, d)
       val clicks = ev.filter(col("event_type") === "click")

@@ -349,6 +349,16 @@ object TscQueries {
     // (boolean per feature), not an exact decimal match — pooling geometry
     // and decode wiring still can't drift without flipping a flag, but a
     // conforming alternate IDCT doesn't fail the gate.
+    //
+    // BENCH NOTE — BENCH_r18's drifted stamp (1.301 s vs the 0.412
+    // floor) is ADJUDICATED (r19, measured): no code touched this query
+    // or multimodal/ in the r18 diff; a fresh-JVM rep profile on
+    // identical code reads 5.81/0.83/0.92/1.04/0.69/0.72 s — the
+    // imageio decode loop (non-codegen, like the as-of exec) steadies
+    // at ~0.7 s (1.7× floor, under both drift tiers: excess 0.29 s
+    // < 0.75). Cause named: run-order JIT shift from r18's 11 catalog
+    // insertions + a loaded driver box (cal_q_spread_raw 9.2×), not a
+    // plan change.
     "q_media_decode_jpeg" -> ((s, d) => {
       val in = getClass.getResourceAsStream("/graft/fixture_image.jpg")
       require(in != null, "missing resource /graft/fixture_image.jpg")
