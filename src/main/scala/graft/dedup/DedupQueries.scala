@@ -399,6 +399,27 @@ object DedupQueries {
         Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
     }),
 
+    // The IVF maintenance loop's LEDGER value-oracled (r18 verdict task
+    // 5 — the q_text_index_maintain doctrine on the vector index): the
+    // fixture builds on the FROZEN SemDeDup quantizer (so the oracle can
+    // replay assignment), runs maintain on the healthy index (skew
+    // ~1.7-2.2 at every SF, under the 4.0 bar — "none"), appends one
+    // copy of vec 0's embedding per corpus vector (every dup lands in
+    // vec 0's cell: skew ~16.5, over the bar), then maintains twice —
+    // the first bad observation HELD by hysteresis (badToAct = 2), the
+    // second retrains. recallFloor = 0 pins the decision to the skew
+    // arm alone: the recall probe is seeded-JVM sampling DuckDB cannot
+    // replay, while occupancy skew is exact arithmetic over the
+    // assignment. The oracle recomputes the assignment argmin, both
+    // skews, and the bar crossings from the raw embeddings — the
+    // decision logic itself is value-checked, not just the moves.
+    "q_knn_ivf_maintain" -> ((s, d) => {
+      val dir = ivfMntDir(s, d)
+      graft.sim.IvfIndex.maintenanceLog(s, dir)
+        .select(col("seq"), col("skew"), col("skew_bar"),
+          col("unhealthy"), col("consecutive_bad"), col("action"))
+    }),
+
     // The full production ANN stack (FAISS IVF+SQ8 shape): coarse
     // quantizer cells bound the probe set AND candidates ride as int8
     // codes — nlist/nprobe cuts the work, int8 cuts the scan bytes 4x.
@@ -866,6 +887,61 @@ object DedupQueries {
             nlist = 8, sampleSize = 500, seed = 7L)
           graft.sim.IvfIndex.append(s, dir.getAbsolutePath,
             emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+          marker.createNewFile()
+          ()
+        }
+        dir.getAbsolutePath
+      })
+    }
+
+  // q_knn_ivf_maintain's skew bar, shared by the fixture policy and the
+  // interpolated oracle (the jaccardDfCap must-move-together pattern).
+  // Measured headroom: natural skew 1.66-2.18 across the three SFs,
+  // post-append ~16.5 — the bar sits ~2x from both.
+  private val ivfMntSkewBar = 4.0
+
+  private val ivfMntWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-time maintenance-loop fixture for `q_knn_ivf_maintain`: build
+    * on the frozen [[graft.sim.SemanticCentroids]] quantizer (oracle-
+    * replayable assignment), maintain (healthy no-op), append one copy
+    * of vec 0's embedding per corpus vector (ids offset by 1e6 — all
+    * land in vec 0's cell), maintain twice (held, then retrain). Same
+    * staleness-stamped dir + completion-marker protocol as
+    * [[ivfIndexDir]].
+    */
+  private def ivfMntDir(s: SparkSession, d: String): String =
+    ivfMntWritten.synchronized {
+      ivfMntWritten.getOrElseUpdate(d, {
+        val src = new java.io.File(s"$d/embeddings.parquet")
+        val stamp = s"${src.lastModified()}_${src.length()}"
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_ivf_mnt_${math.abs(d.hashCode)}_$stamp")
+        val marker = new java.io.File(dir, "_graft_index_complete")
+        if (!marker.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          if (dir.exists()) rm(dir)
+          val emb = embeddings(s, d)
+          graft.sim.IvfIndex.buildWithCentroids(emb, "vec_id", "embedding",
+            dir.getAbsolutePath, graft.sim.SemanticCentroids.values.toSeq)
+          // recallFloor = 0 disables the (JVM-sampled, non-replayable)
+          // recall arm; the probe still runs, so keep it small
+          val pol = graft.sim.IvfIndex.MaintenancePolicy(
+            skewBar = ivfMntSkewBar, recallFloor = 0.0,
+            probeN = 10, probeK = 5)
+          graft.sim.IvfIndex.maintain(s, dir.getAbsolutePath, pol)
+          val v0 = emb.filter(col("vec_id") === 0)
+            .select(col("embedding").as("__v0"))
+          val dups = emb.select((col("vec_id") + 1000000L).as("vec_id"))
+            .crossJoin(broadcast(v0))
+            .select(col("vec_id"), col("__v0").as("embedding"))
+          graft.sim.IvfIndex.append(s, dir.getAbsolutePath, dups,
+            "vec_id", "embedding")
+          graft.sim.IvfIndex.maintain(s, dir.getAbsolutePath, pol)
+          graft.sim.IvfIndex.maintain(s, dir.getAbsolutePath, pol)
           marker.createNewFile()
           ()
         }
@@ -2075,6 +2151,15 @@ object DedupQueries {
     "q_knn_lsh" -> annSummarySql,
     "q_knn_ivf" -> annSummarySql,
     "q_knn_ivf_index" -> annSummarySql,
+
+    // the IVF maintenance ledger replayed from the raw embeddings: the
+    // frozen-quantizer assignment (argmin of the L2 distance from the
+    // unit-normalized vector — list_dot_product(d, d) folds the squared
+    // diffs left-to-right exactly like the engine's loop, cid-ascending
+    // ties), per-cell occupancy, max*k/total skew for BOTH corpus states
+    // (natural, and with one vec-0 dup per corpus vector folded into
+    // vec 0's cell), HALF_UP round(6), and the bar crossings
+    "q_knn_ivf_maintain" -> knnIvfMaintainSql,
     "q_knn_quantized" -> annSummarySql,
     "q_knn_ivf_quantized" -> annSummarySql,
     "q_knn_pq" -> annSummarySql,
@@ -2103,46 +2188,60 @@ object DedupQueries {
     * and divide by the same precomputed-norm product.
     */
   private lazy val kcenterCellsSql: String = {
+    val (ctes, sel) = kcenterCellsChain("embeddings", kcenterCellsK)
+    s"WITH $ctes $sel"
+  }
+
+  /** The per-cell greedy chain as composable CTEs — ONE definition for
+    * the q_select_kcenter_cells oracle and (r19, with `embSrc`/`p`
+    * bound) the q_select_pipeline oracle's diversity stage. `embSrc`
+    * must expose (vec_id, embedding); `p` prefixes every CTE name;
+    * `mat` adds MATERIALIZED for deep compositions. Returns (ctes,
+    * final UNION ALL select over the k levels).
+    */
+  private[graft] def kcenterCellsChain(embSrc: String, k: Int,
+      p: String = "", mat: Boolean = false): (String, String) = {
+    val m = if (mat) "MATERIALIZED " else ""
     val vcast = "CAST(embedding AS DOUBLE[])"
     val nrm = s"sqrt(list_dot_product($vcast, $vcast))"
     val eCte =
-      s"""e AS (SELECT vec_id AS id, $vcast AS v, $nrm AS nrm
-          FROM embeddings WHERE isfinite($nrm) AND $nrm > 0)"""
+      s"""${p}e AS $m(SELECT vec_id AS id, $vcast AS v, $nrm AS nrm
+          FROM $embSrc WHERE isfinite($nrm) AND $nrm > 0)"""
     val cCte =
-      s"""c AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn
+      s"""${p}c AS $m(SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn
           FROM (VALUES
              $semanticCentroidsSql) t(cid, cv))"""
     val aCte =
-      """a AS (SELECT id, v, nrm, cell FROM (
+      s"""${p}a AS $m(SELECT id, v, nrm, cell FROM (
           SELECT e.id, e.v, e.nrm, c.cid AS cell,
             row_number() OVER (PARTITION BY e.id ORDER BY
               CASE WHEN e.nrm * c.cn > 0
                 THEN list_dot_product(e.v, c.cv) / (e.nrm * c.cn)
                 ELSE 0.0 END DESC, c.cid ASC) AS rn
-          FROM e, c) r WHERE rn = 1)"""
+          FROM ${p}e e, ${p}c c) r WHERE rn = 1)"""
     val s1 =
-      """s1 AS (SELECT cell, id, v, nrm, CAST(0.0 AS DOUBLE) AS d FROM (
+      s"""${p}s1 AS $m(SELECT cell, id, v, nrm, CAST(0.0 AS DOUBLE) AS d FROM (
           SELECT a.*, row_number() OVER (PARTITION BY cell ORDER BY id) AS rn
-          FROM a) r WHERE rn = 1)"""
-    val rest = (2 to kcenterCellsK).map { i =>
-      val prev = (1 until i).map(j => s"SELECT * FROM s$j")
+          FROM ${p}a a) r WHERE rn = 1)"""
+    val rest = (2 to k).map { i =>
+      val prev = (1 until i).map(j => s"SELECT * FROM ${p}s$j")
         .mkString(" UNION ALL ")
-      s"""s$i AS (SELECT cell, id, v, nrm, d FROM (
+      s"""${p}s$i AS $m(SELECT cell, id, v, nrm, d FROM (
           SELECT t.*, row_number() OVER (PARTITION BY t.cell
             ORDER BY t.d DESC, t.id ASC) AS rn
           FROM (
             SELECT m.cell, m.id, m.v, m.nrm,
               min(1 - list_dot_product(m.v, s.v) / (m.nrm * s.nrm)) AS d
-            FROM a m JOIN ($prev) s ON m.cell = s.cell
+            FROM ${p}a m JOIN ($prev) s ON m.cell = s.cell
             WHERE m.id NOT IN (SELECT id FROM ($prev) p)
             GROUP BY m.cell, m.id, m.v, m.nrm) t) r
           WHERE rn = 1)"""
     }
-    val selects = (1 to kcenterCellsK).map(i =>
+    val selects = (1 to k).map(i =>
       s"""SELECT cell, CAST($i AS BIGINT) AS sel_rank, id,
-          round(d, 6) AS sel_dist FROM s$i""")
-    s"WITH ${(Seq(eCte, cCte, aCte, s1) ++ rest).mkString(", ")} " +
-      selects.mkString(" UNION ALL ")
+          round(d, 6) AS sel_dist FROM ${p}s$i""")
+    ((Seq(eCte, cCte, aCte, s1) ++ rest).mkString(", "),
+      selects.mkString(" UNION ALL "))
   }
 
   /** The k-center greedy loop unrolled to `kcenterK` CTE levels: level i
@@ -2184,6 +2283,53 @@ object DedupQueries {
     s"WITH ${(Seq(eCte, c1) ++ rest).mkString(", ")} " +
       s"SELECT * FROM (${selects.mkString(" UNION ALL ")}) t " +
       "WHERE id IS NOT NULL"
+  }
+
+  /** q_knn_ivf_maintain's replay — see the catalog entry's comment. The
+    * skew arithmetic mirrors [[graft.sim.IvfIndex.occupancySkew]]
+    * exactly: (CAST(max AS DOUBLE) * 32) / total, rounded HALF_UP to 6
+    * ([[graft.io.IndexHealth.round6HalfUp]], the one ledger rounding
+    * doctrine — r19). Decisions on rows 1-2 share s1: no corpus change
+    * between the held observation and the acting one, so maintain reads
+    * the identical skew twice.
+    */
+  private lazy val knnIvfMaintainSql: String = {
+    val bar = ivfMntSkewBar
+    s"""WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+        WHERE isfinite(sqrt(list_dot_product(
+          CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))),
+      u AS (SELECT vec_id,
+          CASE WHEN nrm = 0 THEN v
+               ELSE list_transform(v, x -> x / nrm) END AS u
+        FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+              FROM base)),
+      cent AS (SELECT cid, cv FROM (VALUES
+         $semanticCentroidsSql) t(cid, cv)),
+      cells AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+          ORDER BY dist ASC, cid ASC) AS rn
+        FROM (SELECT q.vec_id, q.cid, list_dot_product(q.d, q.d) AS dist
+              FROM (SELECT u.vec_id, c.cid,
+                  list_transform(range(1, len(u.u) + 1),
+                    i -> u.u[i] - c.cv[i]) AS d
+                FROM u, cent c) q)) r WHERE rn = 1),
+      occ AS MATERIALIZED (SELECT cell, count(*) AS n FROM cells GROUP BY 1),
+      c0 AS (SELECT cell FROM cells WHERE vec_id = 0),
+      s0 AS (SELECT round(CAST(max(n) AS DOUBLE) * 32 / sum(n), 6) AS skew
+             FROM occ),
+      s1 AS (SELECT round(
+               CAST(max(n + CASE WHEN cell = (SELECT cell FROM c0)
+                 THEN (SELECT sum(n) FROM occ) ELSE 0 END) AS DOUBLE) * 32 /
+               (2 * (SELECT sum(n) FROM occ)), 6) AS skew FROM occ)
+      SELECT CAST(0 AS BIGINT) AS seq, skew,
+        CAST($bar AS DOUBLE) AS skew_bar, skew >= $bar AS unhealthy,
+        CAST(0 AS BIGINT) AS consecutive_bad, 'none' AS action FROM s0
+      UNION ALL SELECT CAST(1 AS BIGINT), skew, CAST($bar AS DOUBLE),
+        skew >= $bar, CAST(1 AS BIGINT), 'none' FROM s1
+      UNION ALL SELECT CAST(2 AS BIGINT), skew, CAST($bar AS DOUBLE),
+        skew >= $bar, CAST(2 AS BIGINT), 'retrain' FROM s1"""
   }
 
   private lazy val annSummarySql =

@@ -46,6 +46,32 @@ object QualityQueries {
         isTarget = col("doc_id") % 10 === 0, k = 100, seed = dsirSeed,
         buckets = dsirBuckets, alpha = dsirAlpha)
         .withColumnRenamed("id", "doc_id")),
+    // The COMPOSED data-selection pipeline (r18 verdict task 4) — the
+    // curation funnel a pretraining run schedules as ONE job, each stage
+    // the already-oracled single-stage operator with its source swapped
+    // to the previous stage's survivors:
+    //   1. train the OVR quality-band LR on weak length-band labels
+    //      (the bootstrapped-classifier setup: heuristic rules label,
+    //      the model learns a smooth boundary), then SERVE it as the
+    //      corpus filter (LogReg.classify over the trained weights — the
+    //      multiclass serving face, argmax over the k sigmoids; keeps
+    //      the learned head band, ~49% of the corpus at every SF);
+    //   2. DSIR Gumbel-top-k resample of the survivors toward the
+    //      curated target slice (sampling without replacement ∝ the
+    //      likelihood ratio);
+    //   3. CCNet LM band cut: bigram LM trained IN-SUBSET over the
+    //      resampled docs, exact p10/p90 fences, keep the middle band;
+    //   4. per-cell k-center diversity cut over the survivors'
+    //      embeddings against the frozen SemDeDup quantizer.
+    // The oracle replays train → serve → resample → band → diversify
+    // end-to-end from the raw tables (every shared CTE chain is the
+    // single-stage oracle's own definition with src/prefix bound), so a
+    // stage-BOUNDARY drift — what materializes between stages, which
+    // order the cuts compose — lands here even while each stage's own
+    // query stays green. Scale shape: stage 1 is expressions over the
+    // corpus scan; stage 2's output is k rows, so stages 3-4 run on
+    // broadcast-sized survivors; no corpus-sized shuffle anywhere.
+    "q_select_pipeline" -> ((s, d) => selectPipeline(s, d)),
     // The k-way corpus-filter shape (r17 verdict task 4): one-vs-rest
     // langid over IN-PLAN STANDARDIZED features — the stats pass is one
     // decimal-summed aggregate (mean and raw second moment, combine-
@@ -544,7 +570,11 @@ object QualityQueries {
     "q_quality_lr_softmax" -> ((s, d) => {
       val (docs, feats, label) = lrMultiInputs(s, d)
       graft.ml.LogReg.lintPassSoftmax(docs, feats, label, lrSoftmaxClasses)
-    }))
+    }),
+    // the composed pipeline trains (collect) at construction and
+    // driver-advances the final greedy; the twin is the SAME chain with
+    // zero-weight serving models and the one-pass per-cell shape
+    "q_select_pipeline" -> ((s, d) => selectPipeline(s, d, lint = true)))
 
   /** q_quality_lr's frame/features/label — ONE definition for the query
     * and its lint twin (review fix: copy-pasted features let the
@@ -574,36 +604,192 @@ object QualityQueries {
   private val dsirAlpha = 0.5
   private val dsirSeed = 42L
 
-  /** DSIR scoring CTE chain, ending in `s(doc_id, score)` — ONE
-    * definition shared by the q_select_importance and q_select_gumbel
-    * oracles (the boilerplateCtes pattern: the resampler must draw from
-    * the identical scored frame or it validates a different selection).
+  // q_select_pipeline knobs: the resample budget (stage 2's k — every
+  // downstream stage is bounded by it) and the per-cell diversity budget
+  private val pipeGumbelK = 60
+  private val pipeKPerCell = 2
+
+  // stage-1 weak supervision: length-band labels (the bootstrapped
+  // quality-classifier setup — heuristic rules label, LR learns a smooth
+  // boundary, the SERVED model filters). The head class is the kept
+  // band. Chosen over a langid target because the synthetic corpus's
+  // lang labels are independent of its text (measured: every text
+  // feature classifies ~plurality — a langid filter would be a
+  // pass-through at every SF, leaving the serve stage untestable);
+  // length bands are genuinely learnable (0.81 rule agreement) and the
+  // trained argmax cuts ~49% at every SF.
+  private val pipeLrClasses = Seq("short", "mid", "long")
+  private val pipeLrLabelSql =
+    "CASE WHEN length(text) < 250 THEN 'short' " +
+      "WHEN length(text) < 350 THEN 'mid' ELSE 'long' END"
+  private def pipeLrLabel: org.apache.spark.sql.Column =
+    when(length(col("text")) < 250, "short")
+      .when(length(col("text")) < 350, "mid")
+      .otherwise(lit("long"))
+
+  /** q_select_pipeline's composed plan — ONE definition for the catalog
+    * query and its lint twin (`lint = true` swaps the two eager stages
+    * for their declarative shapes: zero-weight serving models instead of
+    * the trained collect, and [[graft.sim.Coreset.lintPerCellPass]]
+    * instead of the driver-advanced greedy). Stage boundaries are
+    * DELIBERATELY declarative — no checkpoint: stage 2's TakeOrdered
+    * yields `pipeGumbelK` rows, so the only recompute the optimizer pays
+    * is the second corpus scan fetching the k survivors' text, against
+    * which a corpus-sized materialization would be pure write
+    * amplification at 100 TB (the q_corpus_build checkpoint exists for
+    * FOUR downstream corpus-scale reuses; here there is one k-row one).
     */
-  private lazy val dsirCtes: String =
-    s"""t AS (SELECT doc_id, doc_id % 10 = 0 AS is_target,
+  private[graft] def selectPipeline(s: SparkSession, d: String,
+      lint: Boolean = false): DataFrame = {
+    val (ds, feats, _) = lrMultiInputs(s, d)
+    // stage 1: train on the weak length-band labels, then serve.
+    // classify() = argmax over the k OVR sigmoids, trained weights as
+    // literals — pure codegen'd expressions over the corpus scan, zero
+    // extra shuffle. The kept band is the head class.
+    val models =
+      if (lint) pipeLrClasses.map(c => (c, Array(0.0, 0.0, 0.0)))
+      else graft.ml.LogReg.trainMulti(ds, feats, pipeLrLabel, pipeLrClasses,
+        lrIters, lrRate.toDouble)
+    val kept = ds
+      .filter(graft.ml.LogReg.classify(feats, models) === pipeLrClasses.head)
+      .select(col("doc_id"), col("text"))
+    // stage 2: DSIR Gumbel resample of the survivors (target = the
+    // curated %10 slice INSIDE the survivors). Output is k rows.
+    val picked = Dsir.selectGumbel(kept, "doc_id", "text",
+      isTarget = col("doc_id") % 10 === 0, k = pipeGumbelK,
+      seed = dsirSeed, buckets = dsirBuckets, alpha = dsirAlpha)
+      .select(col("id").as("doc_id"))
+    val pickedDocs = kept.join(broadcast(picked), Seq("doc_id"))
+    // stage 3: the q_select_lm_band cut verbatim, LM trained IN-SUBSET
+    // over the resampled docs (broadcast-sized from here on)
+    val scores = graft.text.LanguageModel
+      .bigramLogProbScores(pickedDocs, "doc_id", "text", k = 0.5)
+      .filter(col("n_bigrams") > 0)
+    val fences = scores.agg(
+      expr("percentile(avg_logprob, array(0.1D, 0.9D))").as("__p"))
+    val lo = round(element_at(col("__p"), 1), 6)
+    val hi = round(element_at(col("__p"), 2), 6)
+    val band = scores.crossJoin(broadcast(fences))
+      .filter(col("avg_logprob") >= lo && col("avg_logprob") <= hi)
+      .select(col("doc_id").as("vec_id"))
+    // stage 4: per-cell k-center over the band survivors' embeddings
+    val sub = Tables.embeddings(s, d).join(band, Seq("vec_id"), "left_semi")
+    val centroids = graft.dedup.DedupQueries.semanticCentroidFrame(s)
+    if (lint)
+      graft.sim.Coreset.lintPerCellPass(sub, "vec_id", "embedding",
+        centroids, "cid", "embedding")
+    else
+      graft.sim.Coreset.kCenterPerCell(sub, "vec_id", "embedding",
+        kPerCell = pipeKPerCell, centroids = centroids,
+        cidCol = "cid", centroidVecCol = "embedding")
+  }
+
+  /** Spec probe: the trained filter's survivor count — stage 1 alone,
+    * trained weights served through the same classify expression the
+    * pipeline uses (SelectPipelineSpec pins that it cuts a proper,
+    * non-empty subset — the degenerate pass-through guard).
+    */
+  private[quality] def selectPipelineKeptCount(s: SparkSession,
+      d: String): Long = {
+    val (ds, feats, _) = lrMultiInputs(s, d)
+    val models = graft.ml.LogReg.trainMulti(ds, feats, pipeLrLabel,
+      pipeLrClasses, lrIters, lrRate.toDouble)
+    ds.filter(graft.ml.LogReg.classify(feats, models) === pipeLrClasses.head)
+      .count()
+  }
+
+  /** q_select_pipeline's oracle: train → serve → resample → band →
+    * diversify replayed end-to-end from the raw tables. Every chain is
+    * the single-stage oracle's OWN definition with (src, prefix, mat)
+    * bound — [[lrMultiCtes]] (serving reads the final RAW weight CTEs,
+    * the exact doubles LogReg.classify gets from trainMulti),
+    * [[dsirCtesFrom]] over the kept survivors,
+    * [[graft.text.TextQueries.lmScoreCtesFrom]] over the resampled k,
+    * [[graft.dedup.DedupQueries.kcenterCellsChain]] over the banded
+    * embeddings. Stage outputs are MATERIALIZED (the bpeTrainCtes
+    * lesson — the serving CTE alone references 9 scalar subqueries on
+    * the weight chain).
+    */
+  private lazy val selectPipelineSql: String = {
+    def zOf(ci: Int) =
+      s"(x0*(SELECT w0 FROM w${lrIters}c$ci) + " +
+        s"x1*(SELECT w1 FROM w${lrIters}c$ci) + (SELECT wb FROM w${lrIters}c$ci))"
+    def pOf(ci: Int) = s"(1.0/(1.0 + exp(-${zOf(ci)})))"
+    // argmax with lower-index ties = class 0 wins every >= comparison
+    val keepCond = (1 until pipeLrClasses.size)
+      .map(ci => s"${pOf(0)} >= ${pOf(ci)}").mkString(" AND ")
+    val kept =
+      s"kept AS MATERIALIZED (SELECT doc_id, text FROM e WHERE $keepCond)"
+    val gumbelKey =
+      s"""round(score + (-ln(-ln(
+           (CAST('0x' || substr(md5($dsirSeed || ':' || doc_id), 1, 13) AS BIGINT)
+             + 0.5) / 4503599627370496.0))), 6)"""
+    val pick =
+      s"""pick AS MATERIALIZED (SELECT doc_id FROM (
+            SELECT doc_id, $gumbelKey AS key FROM ds
+            ORDER BY key DESC, doc_id LIMIT $pipeGumbelK))"""
+    val pkd =
+      """pkd AS MATERIALIZED (SELECT k.doc_id, k.text
+           FROM kept k JOIN pick ON k.doc_id = pick.doc_id)"""
+    val ls =
+      "ls AS (SELECT doc_id, round(avg_lp, 6) AS avg_logprob FROM lmsc)"
+    val lf =
+      """lf AS (SELECT round(quantile_cont(avg_logprob, 0.1), 6) AS lo,
+            round(quantile_cont(avg_logprob, 0.9), 6) AS hi FROM ls)"""
+    val band =
+      """band AS MATERIALIZED (SELECT doc_id FROM ls, lf
+            WHERE avg_logprob >= lo AND avg_logprob <= hi)"""
+    val pe =
+      """pe AS (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id IN (SELECT doc_id FROM band))"""
+    val (kcCtes, kcSel) = graft.dedup.DedupQueries
+      .kcenterCellsChain("pe", pipeKPerCell, "kc", mat = true)
+    val lmCtes = graft.text.TextQueries
+      .lmScoreCtesFrom("pkd", "lm", mat = true)
+    s"WITH ${(lrMultiCtes(pipeLrClasses, pipeLrLabelSql) :+ kept).mkString(", ")}, " +
+      s"${dsirCtesFrom("kept", "d", mat = true)}, $pick, $pkd, " +
+      s"$lmCtes, $ls, $lf, $band, $pe, $kcCtes " + kcSel
+  }
+
+  /** DSIR scoring CTE chain, ending in `${p}s(doc_id, score)` — ONE
+    * definition shared by the q_select_importance and q_select_gumbel
+    * oracles and (r19, with `src`/`p` bound) the composed
+    * q_select_pipeline oracle's resample stage (the boilerplateCtes
+    * pattern: the resampler must draw from the identical scored frame
+    * or it validates a different selection). `src` must expose
+    * (doc_id, text); `p` prefixes every CTE name; `mat` adds
+    * MATERIALIZED for deep compositions.
+    */
+  private def dsirCtesFrom(src: String, p: String = "",
+      mat: Boolean = false): String = {
+    val m = if (mat) "MATERIALIZED " else ""
+    s"""${p}t AS $m(SELECT doc_id, doc_id % 10 = 0 AS is_target,
           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
-        FROM documents),
-        g AS (SELECT doc_id, is_target,
+        FROM $src),
+        ${p}g AS $m(SELECT doc_id, is_target,
           unnest(list_concat(toks,
             list_transform(range(1, len(toks)),
               i -> toks[i] || ' ' || toks[i + 1]))) AS gram
-        FROM t),
-        b AS (SELECT doc_id, is_target,
+        FROM ${p}t),
+        ${p}b AS $m(SELECT doc_id, is_target,
           CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % $dsirBuckets AS bucket
-        FROM g),
-        c AS (SELECT bucket,
+        FROM ${p}g),
+        ${p}c AS $m(SELECT bucket,
           sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc,
           sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS rc
-        FROM b GROUP BY 1),
-        tot AS (SELECT sum(tc) AS bt, sum(rc) AS br FROM c),
-        ratio AS (SELECT bucket,
+        FROM ${p}b GROUP BY 1),
+        ${p}tot AS $m(SELECT sum(tc) AS bt, sum(rc) AS br FROM ${p}c),
+        ${p}ratio AS $m(SELECT bucket,
           ln((tc + $dsirAlpha) / (bt + $dsirAlpha * $dsirBuckets)) -
           ln((rc + $dsirAlpha) / (br + $dsirAlpha * $dsirBuckets)) AS logratio
-        FROM c, tot),
-        s AS (SELECT b.doc_id,
+        FROM ${p}c, ${p}tot),
+        ${p}s AS $m(SELECT b.doc_id,
           round(CAST(sum(CAST(round(r.logratio, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
-        FROM b JOIN ratio r USING (bucket) WHERE NOT is_target
+        FROM ${p}b b JOIN ${p}ratio r USING (bucket) WHERE NOT is_target
         GROUP BY 1)"""
+  }
+
+  private lazy val dsirCtes: String = dsirCtesFrom("documents")
 
   // softmax classes = the FULL observed label domain (the likelihood
   // has no rest bucket; trainSoftmax refuses uncovered labels)
@@ -712,12 +898,12 @@ object QualityQueries {
     val x0 = "CAST(length(text) AS DOUBLE)/100.0"
     val x1 = "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)/10.0"
     val e =
-      s"""e AS (SELECT $x0 AS x0, $x1 AS x1,
+      s"""e AS MATERIALIZED (SELECT $x0 AS x0, $x1 AS x1,
           CASE WHEN lang IS NOT DISTINCT FROM 'en'
             THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
           FROM documents WHERE text IS NOT NULL)"""
     val w0 =
-      """w0c AS (SELECT CAST(0.0 AS DOUBLE) AS w0,
+      """w0c AS MATERIALIZED (SELECT CAST(0.0 AS DOUBLE) AS w0,
           CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS wb)"""
     def gsum(expr: String, alias: String) =
       s"CAST(SUM(CAST(round($expr, 12) AS DECIMAL(38,12))) AS DOUBLE) AS $alias"
@@ -726,10 +912,10 @@ object QualityQueries {
       val z = s"(x0*(SELECT w0 FROM $pw) + x1*(SELECT w1 FROM $pw) + (SELECT wb FROM $pw))"
       val g = s"(1.0/(1.0 + exp(-$z)) - y)"
       Seq(
-        s"""g${i}c AS (SELECT ${gsum(s"$g * x0", "g0")},
+        s"""g${i}c AS MATERIALIZED (SELECT ${gsum(s"$g * x0", "g0")},
             ${gsum(s"$g * x1", "g1")}, ${gsum(s"$g * 1.0", "gb")},
             COUNT(*) AS n FROM e)""",
-        s"""w${i}c AS (SELECT
+        s"""w${i}c AS MATERIALIZED (SELECT
             (SELECT w0 FROM $pw) - $lrRate * (g0/n) AS w0,
             (SELECT w1 FROM $pw) - $lrRate * (g1/n) AS w1,
             (SELECT wb FROM $pw) - $lrRate * (gb/n) AS wb FROM g${i}c)""")
@@ -749,16 +935,39 @@ object QualityQueries {
     * × (d+1) sums, the same arithmetic the single Spark-side aggregate
     * per iteration computes.
     */
-  private lazy val qualityLrMultiSql: String = {
+  private lazy val qualityLrMultiSql: String =
+    s"WITH ${lrMultiCtes(lrMultiClasses, "lang").mkString(", ")} " +
+      lrMultiClasses.zipWithIndex.flatMap { case (cls, ci) =>
+        val last = s"w${lrIters}c$ci"
+        Seq(
+          s"SELECT '$cls' AS class, 'w_chars' AS term, round((SELECT w0 FROM $last), 6) AS weight",
+          s"SELECT '$cls', 'w_spaces', round((SELECT w1 FROM $last), 6)",
+          s"SELECT '$cls', 'bias', round((SELECT wb FROM $last), 6)")
+      }.mkString(" UNION ALL ")
+
+  /** The OVR training chain as composable CTEs (e0 → st → e →
+    * w{i}c{ci}/g{i}c{ci} per class per iteration) — ONE definition for
+    * the q_quality_lr_multi oracle (classes = langid, y = lang) and
+    * (r19) the q_select_pipeline oracle (classes = length bands, y =
+    * the weak-rule CASE), which serves with the FINAL raw weight CTEs.
+    * `e` carries doc_id alongside the standardized features so a
+    * serving stage can classify per doc; the training aggregates ignore
+    * the extra columns, so the replayed arithmetic is unchanged. All
+    * CTEs are MATERIALIZED: the chain is scalar-subquery-linked level
+    * to level, and a downstream serving stage referencing all k final
+    * weight CTEs would re-evaluate the whole inlined chain per
+    * reference (the bpeTrainCtes / qualityLrSoftmaxSql lesson).
+    */
+  private def lrMultiCtes(classes: Seq[String], ySql: String): Seq[String] = {
     val x0 = "CAST(length(text) AS DOUBLE)/100.0"
     val x1 = "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)/10.0"
     def dsum(e: String) =
       s"CAST(SUM(CAST(round($e, 12) AS DECIMAL(38,12))) AS DOUBLE)"
     val e0 =
-      s"""e0 AS (SELECT $x0 AS r0, $x1 AS r1, lang AS y
+      s"""e0 AS MATERIALIZED (SELECT doc_id, text, $x0 AS r0, $x1 AS r1, $ySql AS y
           FROM documents WHERE text IS NOT NULL)"""
     val st =
-      s"""st AS (SELECT ${dsum("r0")}/COUNT(*) AS m0,
+      s"""st AS MATERIALIZED (SELECT ${dsum("r0")}/COUNT(*) AS m0,
           ${dsum("r0*r0")}/COUNT(*) AS q0,
           ${dsum("r1")}/COUNT(*) AS m1,
           ${dsum("r1*r1")}/COUNT(*) AS q1 FROM e0)"""
@@ -766,37 +975,30 @@ object QualityQueries {
       s"($r - $mc) / (CASE WHEN $qc - $mc*$mc > 0 " +
         s"THEN sqrt($qc - $mc*$mc) ELSE 1.0 END)"
     val e =
-      s"""e AS (SELECT ${stdSql("r0", "m0", "q0")} AS x0,
+      s"""e AS MATERIALIZED (SELECT doc_id, text,
+          ${stdSql("r0", "m0", "q0")} AS x0,
           ${stdSql("r1", "m1", "q1")} AS x1, y FROM e0, st)"""
     def gsum(expr: String, alias: String) =
       s"CAST(SUM(CAST(round($expr, 12) AS DECIMAL(38,12))) AS DOUBLE) AS $alias"
-    val w0s = lrMultiClasses.indices.map(ci =>
-      s"""w0c$ci AS (SELECT CAST(0.0 AS DOUBLE) AS w0,
+    val w0s = classes.indices.map(ci =>
+      s"""w0c$ci AS MATERIALIZED (SELECT CAST(0.0 AS DOUBLE) AS w0,
           CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS wb)""")
     val iters = (1 to lrIters).flatMap { i =>
-      lrMultiClasses.zipWithIndex.flatMap { case (cls, ci) =>
+      classes.zipWithIndex.flatMap { case (cls, ci) =>
         val pw = s"w${i - 1}c$ci"
         val z = s"(x0*(SELECT w0 FROM $pw) + x1*(SELECT w1 FROM $pw) + (SELECT wb FROM $pw))"
         val g = s"(1.0/(1.0 + exp(-$z)) - CASE WHEN y = '$cls' THEN 1.0 ELSE 0.0 END)"
         Seq(
-          s"""g${i}c$ci AS (SELECT ${gsum(s"$g * x0", "g0")},
+          s"""g${i}c$ci AS MATERIALIZED (SELECT ${gsum(s"$g * x0", "g0")},
               ${gsum(s"$g * x1", "g1")}, ${gsum(s"$g * 1.0", "gb")},
               COUNT(*) AS n FROM e)""",
-          s"""w${i}c$ci AS (SELECT
+          s"""w${i}c$ci AS MATERIALIZED (SELECT
               (SELECT w0 FROM $pw) - $lrRate * (g0/n) AS w0,
               (SELECT w1 FROM $pw) - $lrRate * (g1/n) AS w1,
               (SELECT wb FROM $pw) - $lrRate * (gb/n) AS wb FROM g${i}c$ci)""")
       }
     }
-    val selects = lrMultiClasses.zipWithIndex.flatMap { case (cls, ci) =>
-      val last = s"w${lrIters}c$ci"
-      Seq(
-        s"SELECT '$cls' AS class, 'w_chars' AS term, round((SELECT w0 FROM $last), 6) AS weight",
-        s"SELECT '$cls', 'w_spaces', round((SELECT w1 FROM $last), 6)",
-        s"SELECT '$cls', 'bias', round((SELECT wb FROM $last), 6)")
-    }
-    s"WITH ${(Seq(e0, st, e) ++ w0s ++ iters).mkString(", ")} " +
-      selects.mkString(" UNION ALL ")
+    (Seq(e0, st, e) ++ w0s ++ iters)
   }
 
   val oracles: Map[String, String] = Map(
@@ -821,6 +1023,12 @@ object QualityQueries {
               (CAST('0x' || substr(md5($dsirSeed || ':' || doc_id), 1, 13) AS BIGINT)
                 + 0.5) / 4503599627370496.0))), 6) AS key
           FROM s ORDER BY key DESC, doc_id LIMIT 100""",
+
+    // the composed funnel: LR train chain -> raw-weight serving filter ->
+    // DSIR chain over the survivors -> Gumbel top-k -> in-subset LM band
+    // -> per-cell k-center over the banded embeddings, all as one
+    // materialized CTE pipeline
+    "q_select_pipeline" -> selectPipelineSql,
 
     // one-shot whole-table replay of the frozen-fence binning: hash
     // equality against the four-batch folded path proves the merge exact

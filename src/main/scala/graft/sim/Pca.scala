@@ -95,28 +95,28 @@ object Pca {
     val d1 = dim + 1
     val steps = (1 to iters).map { t =>
       val p = s"v${t - 1}"
-      s"""y$t AS (SELECT gh.i AS i, CAST(sum(gh.g * $p.v) AS BIGINT) AS y
+      s"""y$t AS MATERIALIZED (SELECT gh.i AS i, CAST(sum(gh.g * $p.v) AS BIGINT) AS y
          |  FROM gh JOIN $p ON gh.j = $p.i GROUP BY 1),
-         |m$t AS (SELECT greatest(CAST(1 AS BIGINT),
+         |m$t AS MATERIALIZED (SELECT greatest(CAST(1 AS BIGINT),
          |  CAST(max(abs(y)) AS BIGINT) // ${Scale}) AS m FROM y$t),
-         |v$t AS (SELECT i, y // (SELECT m FROM m$t) AS v FROM y$t)"""
+         |v$t AS MATERIALIZED (SELECT i, y // (SELECT m FROM m$t) AS v FROM y$t)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (
+    s"""WITH q AS MATERIALIZED (
        |  SELECT $idCol AS id,
        |    list_transform((CAST(embedding AS DOUBLE[]))[1:$dim],
        |      x -> CAST(floor(x*10000+0.5) AS BIGINT)) AS q
        |  FROM embeddings),
-       |gtri AS (
+       |gtri AS MATERIALIZED (
        |  SELECT u.i, v.j, CAST(sum(q[u.i]*q[v.j]) AS BIGINT) AS s,
        |    count(*) AS n
        |  FROM q, LATERAL unnest(range(1,$d1)) AS u(i),
        |    LATERAL unnest(range(u.i,$d1)) AS v(j)
        |  GROUP BY 1, 2),
-       |gh AS (
+       |gh AS MATERIALIZED (
        |  SELECT i, j, s // n AS g FROM gtri
        |  UNION ALL SELECT j, i, s // n FROM gtri WHERE i <> j),
-       |v0 AS (SELECT CAST(r.range AS BIGINT) AS i,
+       |v0 AS MATERIALIZED (SELECT CAST(r.range AS BIGINT) AS i,
        |  CAST(${Scale} AS BIGINT) AS v FROM range(1,$d1) r),
        |$steps
        |$fin""".stripMargin

@@ -700,26 +700,36 @@ object TextQueries {
     merges
   }
 
-  /** Bigram-LM scoring CTE chain, ending in `sc(doc_id, n_bigrams,
-    * avg_lp)` with `t` still in scope — ONE definition shared by the
-    * q_text_lm_score oracle and the q_select_lm_band oracle (the
-    * boilerplateCtes pattern: the band query must cut the identical
-    * scoring or it validates a different corpus).
+  /** Bigram-LM scoring CTE chain, ending in `${p}sc(doc_id, n_bigrams,
+    * avg_lp)` with `${p}t` still in scope — ONE definition shared by the
+    * q_text_lm_score oracle, the q_select_lm_band oracle, and (r19,
+    * with `src`/`p` bound) the composed q_select_pipeline oracle's
+    * in-subset LM stage (the boilerplateCtes pattern: every band cut
+    * must score with the identical chain or it validates a different
+    * corpus). `src` must expose (doc_id, text); `p` prefixes every CTE
+    * name so the chain composes into a larger WITH without collisions;
+    * `mat` adds MATERIALIZED (the bpeTrainCtes lesson — deep
+    * compositions re-evaluate inlined CTEs per reference).
     */
-  private val lmScoreCtes: String =
-    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        bgp AS (SELECT doc_id, toks[i] AS w1,
+  private[graft] def lmScoreCtesFrom(src: String, p: String = "",
+      mat: Boolean = false): String = {
+    val m = if (mat) "MATERIALIZED " else ""
+    s"""${p}t AS $m(SELECT doc_id, $toksSql AS toks FROM $src),
+        ${p}bgp AS $m(SELECT doc_id, toks[i] AS w1,
             toks[i] || ' ' || toks[i+1] AS bg
           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
-                FROM t WHERE len(toks) >= 2)),
-        cbg AS (SELECT w1, bg, count(*) AS cbg FROM bgp GROUP BY 1, 2),
-        cw1 AS (SELECT w1, count(*) AS cw1 FROM bgp GROUP BY 1),
-        v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
-          FROM (SELECT unnest(toks) AS tok FROM t)),
-        sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-            sum(ln((cbg + 0.5) / (cw1 + 0.5 * v.v))) / count(*) AS avg_lp
-          FROM bgp JOIN cbg USING (w1, bg) JOIN cw1 USING (w1), v
+                FROM ${p}t WHERE len(toks) >= 2)),
+        ${p}cbg AS $m(SELECT w1, bg, count(*) AS cbg FROM ${p}bgp GROUP BY 1, 2),
+        ${p}cw1 AS $m(SELECT w1, count(*) AS cw1 FROM ${p}bgp GROUP BY 1),
+        ${p}v AS $m(SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+          FROM (SELECT unnest(toks) AS tok FROM ${p}t)),
+        ${p}sc AS $m(SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            sum(ln((cbg + 0.5) / (cw1 + 0.5 * ${p}v.v))) / count(*) AS avg_lp
+          FROM ${p}bgp JOIN ${p}cbg USING (w1, bg) JOIN ${p}cw1 USING (w1), ${p}v
           GROUP BY doc_id)"""
+  }
+
+  private val lmScoreCtes: String = lmScoreCtesFrom("documents")
 
   /** Unrolled-CTE replay of BPE TRAINING (q_text_bpe_train): level i
     * derives weighted pair counts from level i-1's wrapped forms (split

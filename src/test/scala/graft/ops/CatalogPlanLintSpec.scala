@@ -69,6 +69,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_select_importance" -> "ratio table crosses the broadcast 1-row gram-total aggregate; scoring join is equi on bucket against the broadcast <=256-row ratio table",
     "q_select_gumbel" -> "the q_select_importance shape (broadcast 1-row gram-total cross; equi bucket join); the Gumbel draw is a pure projection over the scored frame",
     "q_select_lm_band" -> "band cut crosses the broadcast 1-row p10/p90 percentile aggregate (the q_winsorize fence idiom); LM scoring itself is the q_text_lm_score equi-join shape",
+    "q_select_pipeline" -> "the composed funnel inherits exactly its stages' own adjudicated shapes: the q_quality_lr_multi 1-row stats cross, the q_select_gumbel ratio-broadcast/tot-cross, the q_text_lm_score 1-row vocab cross and q_select_lm_band 1-row fence cross (both over the k-row resampled subset), and the q_select_kcenter_cells frozen 32-row centroid-assignment cross",
     "q_quality_lr_multi" -> "cross join against the broadcast 1-row decimal-summed standardization-stats aggregate feeding the feature expressions",
     "q_quality_lr_softmax" -> "the q_quality_lr_multi standardization shape (broadcast 1-row stats cross join); the coupled gradient pass itself is one aggregate",
     "q_skew_profile" -> "cross join of the broadcast 1-row total/nkeys aggregate onto the 20-row TakeOrdered result",
@@ -157,6 +158,12 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
       "the broadcast-hash join is what carries the dynamicpruning subquery into the fact scan"),
     "q_group_standardize" -> ("broadcast side is the per-flag moments aggregate — " +
       "rows bounded by return-flag cardinality (3), not by data size"),
+    "q_select_pipeline" -> ("hinted sides are stage outputs bounded by the " +
+      "pipeline knobs, not data size: the Gumbel TakeOrdered result " +
+      "(pipeGumbelK = 60 rows — the hint carries a LIMIT the lint's leaf " +
+      "walk cannot see), the 1-row LM fence aggregate, and the stages' " +
+      "own adjudicated hints (DSIR ratio table <= 256 buckets, 1-row " +
+      "stats/vocab scalars)"),
     "q_select_importance" -> ("broadcast side is the bucket log-ratio table — a " +
       "groupBy(bucket) aggregate bounded to dsirBuckets (256) rows by the hash " +
       "modulus, not by data size (plus the 1-row gram-totals scalar)"),

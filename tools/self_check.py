@@ -1,0 +1,52 @@
+"""Round-close self-published correctness sweep (r18 verdict task 2).
+
+Runs graft.Verify + the DuckDB oracle compare at each SF and writes
+CORRECTNESS_SELF.json (per-SF match counts + failures) and
+ORACLE_COST.json (per-oracle DuckDB wall-times at the smallest SF) to
+the repo root. The committed artifacts make an empty driver-side
+CORRECTNESS_r{N}.json diagnosable: if the self sweep is green on the
+same commit, the gap is the driver's budget/plumbing, not the code.
+
+Usage: python3 tools/self_check.py [sf0.001 sf0.01 sf0.1]
+"""
+import json, os, re, subprocess, sys, time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SFS = sys.argv[1:] or ["sf0.001", "sf0.01", "sf0.1"]
+
+out = {"generated_unix": int(time.time()),
+       "commit": subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                                capture_output=True, text=True).stdout.strip(),
+       "sfs": {}}
+for sf in SFS:
+    sf_dir = f"/root/testdata/{sf}"
+    vout = f"/tmp/graft_self_{sf}"
+    t0 = time.monotonic()
+    r = subprocess.run([f"{REPO}/tools/run_main.sh", "graft.Verify",
+                        sf_dir, vout], cwd=REPO, capture_output=True, text=True)
+    verify_fails = re.findall(r"\[verify\] (\S+) failed", r.stderr)
+    cost_arg = [f"{REPO}/ORACLE_COST.json"] if sf == SFS[0] else []
+    t1 = time.monotonic()
+    o = subprocess.run(["python3", f"{REPO}/tools/oracle_check.py",
+                        vout, sf_dir] + cost_arg,
+                       cwd=REPO, capture_output=True, text=True)
+    m = re.search(r"(\d+)/(\d+) oracle queries match", o.stdout)
+    fails = re.findall(r"^FAIL (\S+) (.*)$", o.stdout, re.M)
+    out["sfs"][sf] = {
+        "verify_sec": round(t1 - t0, 1),
+        "oracle_sec": round(time.monotonic() - t1, 1),
+        "verify_failed": verify_fails,
+        "oracle_matched": int(m.group(1)) if m else -1,
+        "oracle_total": int(m.group(2)) if m else -1,
+        "oracle_failed": [{"q": n, "why": w} for n, w in fails],
+    }
+    print(sf, out["sfs"][sf]["oracle_matched"], "/",
+          out["sfs"][sf]["oracle_total"],
+          "verify_failed:", verify_fails, flush=True)
+
+ok = all(v["oracle_matched"] == v["oracle_total"] and v["oracle_total"] > 0
+         and not v["verify_failed"] for v in out["sfs"].values())
+out["all_green"] = ok
+json.dump(out, open(f"{REPO}/CORRECTNESS_SELF.json", "w"), indent=1)
+print("all_green:", ok)
+sys.exit(0 if ok else 1)
