@@ -1236,23 +1236,23 @@ object DedupQueries {
   // always carries contained_id (the smaller-set side; ties → id_a).
   private def pairGraphCtes(threshold: Double, scoreSql: String,
       scoreName: String): String =
-    s"""t AS (SELECT doc_id, lang, $shinglesSql AS sh
+    s"""t AS MATERIALIZED (SELECT doc_id, lang, $shinglesSql AS sh
           FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
           WHERE len(toks) >= 2),
-        post AS (SELECT doc_id, lang, unnest(sh) AS s FROM t),
-        keptp AS (
+        post AS MATERIALIZED (SELECT doc_id, lang, unnest(sh) AS s FROM t),
+        keptp AS MATERIALIZED (
           SELECT doc_id, lang, s FROM (
             SELECT doc_id, lang, s,
               count(*) OVER (PARTITION BY lang, s) AS df
             FROM post)
           WHERE df <= $jaccardDfCap),
-        sz AS (SELECT doc_id, count(*) AS sz FROM keptp GROUP BY 1),
-        co AS (
+        sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM keptp GROUP BY 1),
+        co AS MATERIALIZED (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
           FROM keptp a JOIN keptp b
             ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
-        pairs AS (
+        pairs AS MATERIALIZED (
           SELECT id_a, id_b, $scoreName, contained_id FROM (
             SELECT co.id_a, co.id_b,
               round($scoreSql, 6) AS $scoreName,
@@ -1268,7 +1268,7 @@ object DedupQueries {
   // identical graph or keep/drop silently validates a different clustering.
   private lazy val jaccardClusterCtes: String =
     s"""${jaccardPairsCtes(0.1)},
-        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
                   UNION ALL SELECT id_b, id_a FROM pairs),
         reach(v, r) AS (
           SELECT src, src FROM edges

@@ -71,6 +71,14 @@ object QualityQueries {
     // query stays green. Scale shape: stage 1 is expressions over the
     // corpus scan; stage 2's output is k rows, so stages 3-4 run on
     // broadcast-sized survivors; no corpus-sized shuffle anywhere.
+    //
+    // BENCH NOTE — ~7.3 s at the r19 close, the #2 battery weight:
+    // stage-profiled (r19) as ~40 sub-100ms stages — the funnel runs
+    // ~15 sequential bounded jobs (4 training passes, the Gumbel
+    // TakeOrdered chain, LM fences, per-cell anchor + advance +
+    // assignment), so warm wall time is job-count × scheduler latency,
+    // CONSTANT in corpus size (the q_corpus_build residual class, not
+    // recompute: every per-job scan is one-pass and bounded).
     "q_select_pipeline" -> ((s, d) => selectPipeline(s, d)),
     // The k-way corpus-filter shape (r17 verdict task 4): one-vs-rest
     // langid over IN-PLAN STANDARDIZED features — the stats pass is one
