@@ -72,6 +72,39 @@ object QualityQueries {
     // corpus scan; stage 2's output is k rows, so stages 3-4 run on
     // broadcast-sized survivors; no corpus-sized shuffle anywhere.
     //
+    // Domain MIXING — the curation stage AFTER selection (the Pile /
+    // DoReMi static-reweighting face): given target domain proportions
+    // (here ∝ source index + 1 — a deliberately non-uniform target over
+    // the uniform fixture, so high-weight domains hit the availability
+    // cap and low-weight ones subsample), compute per-domain acceptance
+    // rates min(1, budget·p_d / avail_d) from ONE bounded
+    // groupBy(source) aggregate, then admit docs by the seeded md5
+    // uniform (the selectGumbel noise doctrine — u = (v+0.5)/2^52,
+    // exactly DuckDB-replayable). Plan at 100 TB: one 20-row aggregate
+    // + a broadcast rate join + a stateless filter — no corpus shuffle,
+    // no per-domain repartition. Rates, draws, and the admit decision
+    // are ALL value-oracled per doc.
+    "q_select_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = expr("CAST(substring(source, 4) AS INT)")
+      val avail = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("avail"))
+      val tot = avail.agg(sum(col("avail")).as("n_total"),
+        sum(idx + 1).as("wsum"))
+      val rates = avail.crossJoin(broadcast(tot))
+        .select(col("source"),
+          least(lit(1.0), lit(mixBudgetFrac) * col("n_total") *
+            ((idx + 1).cast("double") / col("wsum")) / col("avail"))
+            .as("rate"))
+      val v = conv(substring(md5(concat(lit(s"$mixSeed:"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+      val u = (v.cast("double") + lit(0.5)) / lit(4503599627370496.0)
+      docs.join(broadcast(rates), Seq("source"))
+        .filter(u < col("rate"))
+        .select(col("doc_id"), col("source"),
+          round(u, 6).as("u"), round(col("rate"), 6).as("rate"))
+    }),
+
     // BENCH NOTE — ~7.3 s at the r19 close, the #2 battery weight:
     // stage-profiled (r19) as ~40 sub-100ms stages — the funnel runs
     // ~15 sequential bounded jobs (4 training passes, the Gumbel
@@ -617,6 +650,11 @@ object QualityQueries {
   private val pipeGumbelK = 60
   private val pipeKPerCell = 2
 
+  // q_select_mix knobs, shared by the operator and the interpolated
+  // oracle: total budget as a corpus fraction, and the draw seed
+  private val mixBudgetFrac = 0.8
+  private val mixSeed = 77L
+
   // stage-1 weak supervision: length-band labels (the bootstrapped
   // quality-classifier setup — heuristic rules label, LR learns a smooth
   // boundary, the SERVED model filters). The head class is the kept
@@ -1037,6 +1075,27 @@ object QualityQueries {
     // -> per-cell k-center over the banded embeddings, all as one
     // materialized CTE pipeline
     "q_select_pipeline" -> selectPipelineSql,
+
+    // mixing replayed per doc: availability counts, the capped
+    // target-proportional rates (identical left-assoc double
+    // arithmetic), the seeded md5 uniform, and the admit comparison
+    "q_select_mix" ->
+      s"""WITH avail AS (SELECT source, count(*) AS avail
+            FROM documents GROUP BY 1),
+          tot AS (SELECT sum(avail) AS n_total,
+            sum(CAST(substr(source, 4) AS INT) + 1) AS wsum FROM avail),
+          rates AS (SELECT source,
+            least(1.0, $mixBudgetFrac * n_total *
+              ((CAST(substr(source, 4) AS INT) + 1) / CAST(wsum AS DOUBLE))
+              / avail) AS rate
+            FROM avail, tot),
+          uu AS (SELECT doc_id, source,
+            (CAST('0x' || substr(md5('$mixSeed:' || doc_id), 1, 13) AS BIGINT)
+              + 0.5) / 4503599627370496.0 AS u
+            FROM documents)
+          SELECT uu.doc_id, uu.source, round(uu.u, 6) AS u,
+            round(r.rate, 6) AS rate
+          FROM uu JOIN rates r USING (source) WHERE uu.u < r.rate""",
 
     // one-shot whole-table replay of the frozen-fence binning: hash
     // equality against the four-batch folded path proves the merge exact
