@@ -87,22 +87,10 @@ object QualityQueries {
     "q_select_mix" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val idx = expr("CAST(substring(source, 4) AS INT)")
-      val avail = docs.groupBy(col("source"))
-        .agg(count(lit(1)).as("avail"))
-      val tot = avail.agg(sum(col("avail")).as("n_total"),
-        sum(idx + 1).as("wsum"))
-      val rates = avail.crossJoin(broadcast(tot))
-        .select(col("source"),
-          least(lit(1.0), lit(mixBudgetFrac) * col("n_total") *
-            ((idx + 1).cast("double") / col("wsum")) / col("avail"))
-            .as("rate"))
-      val v = conv(substring(md5(concat(lit(s"$mixSeed:"),
-        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
-      val u = (v.cast("double") + lit(0.5)) / lit(4503599627370496.0)
-      docs.join(broadcast(rates), Seq("source"))
-        .filter(u < col("rate"))
-        .select(col("doc_id"), col("source"),
-          round(u, 6).as("u"), round(col("rate"), 6).as("rate"))
+      Mixing.admit(docs,
+          Mixing.rates(docs, "source", idx + 1, mixBudgetFrac),
+          "source", "doc_id", mixSeed)
+        .select(col("doc_id"), col("source"), col("u"), col("rate"))
     }),
 
     // BENCH NOTE — ~7.3 s at the r19 close, the #2 battery weight:
