@@ -107,6 +107,11 @@ object Bench {
     val nonCodegenWarm = Seq("q_asof_join", "q_asof_forward",
       "q_asof_nearest", "q_media_decode", "q_media_decode_jpeg",
       "q_media_resize", "q_media_features")
+    // a renamed query must fail LOUDLY here, not silently lose its warm
+    // reps and reintroduce the tiering drift this list exists to prevent
+    // (the catch below swallows execution errors, so check names first)
+    nonCodegenWarm.foreach(n => require(SparkEntry.queries.contains(n),
+      s"nonCodegenWarm names a query not in the catalog: $n"))
     (1 to 2).foreach { _ =>
       nonCodegenWarm
         .filter(n => onlySet.forall(_.contains(n)))

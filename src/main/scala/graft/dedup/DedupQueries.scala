@@ -868,30 +868,14 @@ object DedupQueries {
     * one, which is discarded and redone whole.
     */
   private def ivfIndexDir(s: SparkSession, d: String): String =
-    ivfIndexWritten.synchronized {
-      ivfIndexWritten.getOrElseUpdate(d, {
-        val src = new java.io.File(s"$d/embeddings.parquet")
-        val stamp = s"${src.lastModified()}_${src.length()}"
-        val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_ivf_index_${math.abs(d.hashCode)}_$stamp")
-        val marker = new java.io.File(dir, "_graft_index_complete")
-        if (!marker.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          if (dir.exists()) rm(dir)
-          val emb = embeddings(s, d)
-          graft.sim.IvfIndex.build(emb.filter(col("vec_id") % 2 === 0),
-            "vec_id", "embedding", dir.getAbsolutePath,
-            nlist = 8, sampleSize = 500, seed = 7L)
-          graft.sim.IvfIndex.append(s, dir.getAbsolutePath,
-            emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
-          marker.createNewFile()
-          ()
-        }
-        dir.getAbsolutePath
-      })
+    graft.ops.QueryFixtures.fixtureDir(ivfIndexWritten, "ivf_index",
+        "embeddings", d) { dir =>
+      val emb = embeddings(s, d)
+      graft.sim.IvfIndex.build(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", dir, nlist = 8, sampleSize = 500, seed = 7L)
+      graft.sim.IvfIndex.append(s, dir,
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      ()
     }
 
   // q_knn_ivf_maintain's skew bar, shared by the fixture policy and the
@@ -911,42 +895,26 @@ object DedupQueries {
     * [[ivfIndexDir]].
     */
   private def ivfMntDir(s: SparkSession, d: String): String =
-    ivfMntWritten.synchronized {
-      ivfMntWritten.getOrElseUpdate(d, {
-        val src = new java.io.File(s"$d/embeddings.parquet")
-        val stamp = s"${src.lastModified()}_${src.length()}"
-        val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_ivf_mnt_${math.abs(d.hashCode)}_$stamp")
-        val marker = new java.io.File(dir, "_graft_index_complete")
-        if (!marker.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          if (dir.exists()) rm(dir)
-          val emb = embeddings(s, d)
-          graft.sim.IvfIndex.buildWithCentroids(emb, "vec_id", "embedding",
-            dir.getAbsolutePath, graft.sim.SemanticCentroids.values.toSeq)
-          // recallFloor = 0 disables the (JVM-sampled, non-replayable)
-          // recall arm; the probe still runs, so keep it small
-          val pol = graft.sim.IvfIndex.MaintenancePolicy(
-            skewBar = ivfMntSkewBar, recallFloor = 0.0,
-            probeN = 10, probeK = 5)
-          graft.sim.IvfIndex.maintain(s, dir.getAbsolutePath, pol)
-          val v0 = emb.filter(col("vec_id") === 0)
-            .select(col("embedding").as("__v0"))
-          val dups = emb.select((col("vec_id") + 1000000L).as("vec_id"))
-            .crossJoin(broadcast(v0))
-            .select(col("vec_id"), col("__v0").as("embedding"))
-          graft.sim.IvfIndex.append(s, dir.getAbsolutePath, dups,
-            "vec_id", "embedding")
-          graft.sim.IvfIndex.maintain(s, dir.getAbsolutePath, pol)
-          graft.sim.IvfIndex.maintain(s, dir.getAbsolutePath, pol)
-          marker.createNewFile()
-          ()
-        }
-        dir.getAbsolutePath
-      })
+    graft.ops.QueryFixtures.fixtureDir(ivfMntWritten, "ivf_mnt",
+        "embeddings", d) { dir =>
+      val emb = embeddings(s, d)
+      graft.sim.IvfIndex.buildWithCentroids(emb, "vec_id", "embedding",
+        dir, graft.sim.SemanticCentroids.values.toSeq)
+      // recallFloor = 0 disables the (JVM-sampled, non-replayable)
+      // recall arm; the probe still runs, so keep it small
+      val pol = graft.sim.IvfIndex.MaintenancePolicy(
+        skewBar = ivfMntSkewBar, recallFloor = 0.0,
+        probeN = 10, probeK = 5)
+      graft.sim.IvfIndex.maintain(s, dir, pol)
+      val v0 = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("__v0"))
+      val dups = emb.select((col("vec_id") + 1000000L).as("vec_id"))
+        .crossJoin(broadcast(v0))
+        .select(col("vec_id"), col("__v0").as("embedding"))
+      graft.sim.IvfIndex.append(s, dir, dups, "vec_id", "embedding")
+      graft.sim.IvfIndex.maintain(s, dir, pol)
+      graft.sim.IvfIndex.maintain(s, dir, pol)
+      ()
     }
 
   private val lshIndexWritten = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -960,36 +928,18 @@ object DedupQueries {
     * SQL over ALL pairs.
     */
   private def clusterIndexDir(s: SparkSession, d: String): String =
-    clusterIndexWritten.synchronized {
-      clusterIndexWritten.getOrElseUpdate(d, {
-        val src = new java.io.File(s"$d/documents.parquet")
-        val stamp = s"${src.lastModified()}_${src.length()}"
-        // v2: sealed-epoch layout (r16 review) — never reuse a pre-seal dir
-        val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_cluster_index_v2_${math.abs(d.hashCode)}_$stamp")
-        val marker = new java.io.File(dir, "_graft_index_complete")
-        if (!marker.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          if (dir.exists()) rm(dir)
-          val pairs = Dedup.jaccardPairs(documents(s, d), "doc_id", "text",
-            blockCols = Seq("lang"), n = 2, threshold = 0.1,
-            maxDocFreq = jaccardDfCap).localCheckpoint(true)
-          def part(r: Int) = pairs.filter(
-            pmod(col("id_a") + col("id_b"), lit(3L)) === r)
-          ClusterIndex.build(part(0), "id_a", "id_b", dir.getAbsolutePath)
-          ClusterIndex.addPairs(s, dir.getAbsolutePath, part(1),
-            "id_a", "id_b", epoch = 1)
-          ClusterIndex.addPairs(s, dir.getAbsolutePath, part(2),
-            "id_a", "id_b", epoch = 2)
-          Dedup.releasePlan(pairs)
-          marker.createNewFile()
-          ()
-        }
-        dir.getAbsolutePath
-      })
+    // v2: sealed-epoch layout (r16 review) — never reuse a pre-seal dir
+    graft.ops.QueryFixtures.fixtureDir(clusterIndexWritten,
+        "cluster_index_v2", "documents", d) { dir =>
+      val pairs = Dedup.jaccardPairs(documents(s, d), "doc_id", "text",
+        blockCols = Seq("lang"), n = 2, threshold = 0.1,
+        maxDocFreq = jaccardDfCap).localCheckpoint(true)
+      def part(r: Int) = pairs.filter(
+        pmod(col("id_a") + col("id_b"), lit(3L)) === r)
+      ClusterIndex.build(part(0), "id_a", "id_b", dir)
+      ClusterIndex.addPairs(s, dir, part(1), "id_a", "id_b", epoch = 1)
+      ClusterIndex.addPairs(s, dir, part(2), "id_a", "id_b", epoch = 2)
+      Dedup.releasePlan(pairs)
     }
 
   private val clusterBestIndexWritten = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -1002,38 +952,22 @@ object DedupQueries {
     * changing a cluster's winner — is what the oracle checks.
     */
   private def clusterBestIndexDir(s: SparkSession, d: String): String =
-    clusterBestIndexWritten.synchronized {
-      clusterBestIndexWritten.getOrElseUpdate(d, {
-        val src = new java.io.File(s"$d/documents.parquet")
-        val stamp = s"${src.lastModified()}_${src.length()}"
-        val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_cluster_best_index_${math.abs(d.hashCode)}_$stamp")
-        val marker = new java.io.File(dir, "_graft_index_complete")
-        if (!marker.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          if (dir.exists()) rm(dir)
-          val docs = documents(s, d)
-          val score = length(col("text")).cast("long")
-          val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
-            blockCols = Seq("lang"), n = 2, threshold = 0.1,
-            maxDocFreq = jaccardDfCap).localCheckpoint(true)
-          def part(r: Int) = pairs.filter(
-            pmod(col("id_a") + col("id_b"), lit(3L)) === r)
-          ClusterIndex.buildWithBest(part(0), "id_a", "id_b",
-            docs, "doc_id", score, dir.getAbsolutePath)
-          ClusterIndex.addPairsWithBest(s, dir.getAbsolutePath, part(1),
-            "id_a", "id_b", docs, "doc_id", score, epoch = 1)
-          ClusterIndex.addPairsWithBest(s, dir.getAbsolutePath, part(2),
-            "id_a", "id_b", docs, "doc_id", score, epoch = 2)
-          Dedup.releasePlan(pairs)
-          marker.createNewFile()
-          ()
-        }
-        dir.getAbsolutePath
-      })
+    graft.ops.QueryFixtures.fixtureDir(clusterBestIndexWritten,
+        "cluster_best_index", "documents", d) { dir =>
+      val docs = documents(s, d)
+      val score = length(col("text")).cast("long")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq("lang"), n = 2, threshold = 0.1,
+        maxDocFreq = jaccardDfCap).localCheckpoint(true)
+      def part(r: Int) = pairs.filter(
+        pmod(col("id_a") + col("id_b"), lit(3L)) === r)
+      ClusterIndex.buildWithBest(part(0), "id_a", "id_b",
+        docs, "doc_id", score, dir)
+      ClusterIndex.addPairsWithBest(s, dir, part(1),
+        "id_a", "id_b", docs, "doc_id", score, epoch = 1)
+      ClusterIndex.addPairsWithBest(s, dir, part(2),
+        "id_a", "id_b", docs, "doc_id", score, epoch = 2)
+      Dedup.releasePlan(pairs)
     }
 
   /** One-time (per JVM x sf dir x fixture generation) incrementally-built
@@ -1042,29 +976,14 @@ object DedupQueries {
     * stamped dir + completion-marker protocol as [[ivfIndexDir]]).
     */
   private def lshIndexDir(s: SparkSession, d: String): String =
-    lshIndexWritten.synchronized {
-      lshIndexWritten.getOrElseUpdate(d, {
-        val src = new java.io.File(s"$d/documents.parquet")
-        val stamp = s"${src.lastModified()}_${src.length()}"
-        val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_lsh_index_${math.abs(d.hashCode)}_$stamp")
-        val marker = new java.io.File(dir, "_graft_index_complete")
-        if (!marker.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          if (dir.exists()) rm(dir)
-          val doc = documents(s, d)
-          LshIndex.build(doc.filter(col("doc_id") % 2 === 0),
-            "doc_id", "text", dir.getAbsolutePath)
-          LshIndex.append(s, dir.getAbsolutePath,
-            doc.filter(col("doc_id") % 4 === 1), "doc_id", "text")
-          marker.createNewFile()
-          ()
-        }
-        dir.getAbsolutePath
-      })
+    graft.ops.QueryFixtures.fixtureDir(lshIndexWritten, "lsh_index",
+        "documents", d) { dir =>
+      val doc = documents(s, d)
+      LshIndex.build(doc.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir)
+      LshIndex.append(s, dir,
+        doc.filter(col("doc_id") % 4 === 1), "doc_id", "text")
+      ()
     }
 
   private val lshIndexMntWritten = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -1075,35 +994,20 @@ object DedupQueries {
     * completion-marker protocol as the other index fixtures.
     */
   private def lshIndexMntDir(s: SparkSession, d: String): String =
-    lshIndexMntWritten.synchronized {
-      lshIndexMntWritten.getOrElseUpdate(d, {
-        val src = new java.io.File(s"$d/documents.parquet")
-        val stamp = s"${src.lastModified()}_${src.length()}"
-        val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_lsh_index_mnt2_${math.abs(d.hashCode)}_$stamp")
-        val marker = new java.io.File(dir, "_graft_index_complete")
-        if (!marker.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          if (dir.exists()) rm(dir)
-          val doc = documents(s, d)
-          LshIndex.build(doc, "doc_id", "text", dir.getAbsolutePath)
-          // filesBar pinned off — the q_text_index_maintain fixture
-          // reasoning: the oracle replays only the dead-ratio signal
-          val pol = LshIndex.MaintenancePolicy(filesBar = Int.MaxValue)
-          LshIndex.delete(s, dir.getAbsolutePath,
-            doc.filter(col("doc_id") % 11 === 0).select("doc_id"), "doc_id")
-          LshIndex.maintain(s, dir.getAbsolutePath, pol)
-          LshIndex.delete(s, dir.getAbsolutePath,
-            doc.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
-          LshIndex.maintain(s, dir.getAbsolutePath, pol)
-          marker.createNewFile()
-          ()
-        }
-        dir.getAbsolutePath
-      })
+    graft.ops.QueryFixtures.fixtureDir(lshIndexMntWritten, "lsh_index_mnt2",
+        "documents", d) { dir =>
+      val doc = documents(s, d)
+      LshIndex.build(doc, "doc_id", "text", dir)
+      // filesBar pinned off — the q_text_index_maintain fixture
+      // reasoning: the oracle replays only the dead-ratio signal
+      val pol = LshIndex.MaintenancePolicy(filesBar = Int.MaxValue)
+      LshIndex.delete(s, dir,
+        doc.filter(col("doc_id") % 11 === 0).select("doc_id"), "doc_id")
+      LshIndex.maintain(s, dir, pol)
+      LshIndex.delete(s, dir,
+        doc.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
+      LshIndex.maintain(s, dir, pol)
+      ()
     }
 
   /** One-row recall@k summary of an ANN result vs the brute-force truth:
@@ -2287,11 +2191,15 @@ object DedupQueries {
 
   /** q_knn_ivf_maintain's replay — see the catalog entry's comment. The
     * skew arithmetic mirrors [[graft.sim.IvfIndex.occupancySkew]]
-    * exactly: (CAST(max AS DOUBLE) * 32) / total, rounded HALF_UP to 6
-    * ([[graft.io.IndexHealth.round6HalfUp]], the one ledger rounding
-    * doctrine — r19). Decisions on rows 1-2 share s1: no corpus change
-    * between the held observation and the acting one, so maintain reads
-    * the identical skew twice.
+    * exactly: (CAST(max AS DOUBLE) * 32) / total; the PUBLISHED skew
+    * rounds HALF_UP to 6 ([[graft.io.IndexHealth.round6HalfUp]], the
+    * one ledger rounding doctrine — r19) while the bar crossing
+    * compares the RAW value, because that is what maintain itself does
+    * (decide on rawSkew, ledger the rounded one — review fix: deriving
+    * unhealthy from the rounded skew would diverge from the engine
+    * exactly at the bar). Decisions on rows 1-2 share s1: no corpus
+    * change between the held observation and the acting one, so
+    * maintain reads the identical skew twice.
     */
   private lazy val knnIvfMaintainSql: String = {
     val bar = ivfMntSkewBar
@@ -2317,19 +2225,19 @@ object DedupQueries {
                 FROM u, cent c) q)) r WHERE rn = 1),
       occ AS MATERIALIZED (SELECT cell, count(*) AS n FROM cells GROUP BY 1),
       c0 AS (SELECT cell FROM cells WHERE vec_id = 0),
-      s0 AS (SELECT round(CAST(max(n) AS DOUBLE) * 32 / sum(n), 6) AS skew
-             FROM occ),
-      s1 AS (SELECT round(
+      s0 AS (SELECT CAST(max(n) AS DOUBLE) * 32 / sum(n) AS raw FROM occ),
+      s1 AS (SELECT
                CAST(max(n + CASE WHEN cell = (SELECT cell FROM c0)
                  THEN (SELECT sum(n) FROM occ) ELSE 0 END) AS DOUBLE) * 32 /
-               (2 * (SELECT sum(n) FROM occ)), 6) AS skew FROM occ)
-      SELECT CAST(0 AS BIGINT) AS seq, skew,
-        CAST($bar AS DOUBLE) AS skew_bar, skew >= $bar AS unhealthy,
+               (2 * (SELECT sum(n) FROM occ)) AS raw FROM occ)
+      SELECT CAST(0 AS BIGINT) AS seq, round(raw, 6) AS skew,
+        CAST($bar AS DOUBLE) AS skew_bar,
+        raw >= CAST($bar AS DOUBLE) AS unhealthy,
         CAST(0 AS BIGINT) AS consecutive_bad, 'none' AS action FROM s0
-      UNION ALL SELECT CAST(1 AS BIGINT), skew, CAST($bar AS DOUBLE),
-        skew >= $bar, CAST(1 AS BIGINT), 'none' FROM s1
-      UNION ALL SELECT CAST(2 AS BIGINT), skew, CAST($bar AS DOUBLE),
-        skew >= $bar, CAST(2 AS BIGINT), 'retrain' FROM s1"""
+      UNION ALL SELECT CAST(1 AS BIGINT), round(raw, 6), CAST($bar AS DOUBLE),
+        raw >= CAST($bar AS DOUBLE), CAST(1 AS BIGINT), 'none' FROM s1
+      UNION ALL SELECT CAST(2 AS BIGINT), round(raw, 6), CAST($bar AS DOUBLE),
+        raw >= CAST($bar AS DOUBLE), CAST(2 AS BIGINT), 'retrain' FROM s1"""
   }
 
   private lazy val annSummarySql =

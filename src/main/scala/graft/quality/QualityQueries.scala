@@ -780,7 +780,8 @@ object QualityQueries {
       .kcenterCellsChain("pe", pipeKPerCell, "kc", mat = true)
     val lmCtes = graft.text.TextQueries
       .lmScoreCtesFrom("pkd", "lm", mat = true)
-    s"WITH ${(lrMultiCtes(pipeLrClasses, pipeLrLabelSql) :+ kept).mkString(", ")}, " +
+    s"WITH ${(lrMultiCtes(pipeLrClasses, pipeLrLabelSql, carryDoc = true)
+        :+ kept).mkString(", ")}, " +
       s"${dsirCtesFrom("kept", "d", mat = true)}, $pick, $pkd, " +
       s"$lmCtes, $ls, $lf, $band, $pe, $kcCtes " + kcSel
   }
@@ -983,22 +984,27 @@ object QualityQueries {
     * w{i}c{ci}/g{i}c{ci} per class per iteration) — ONE definition for
     * the q_quality_lr_multi oracle (classes = langid, y = lang) and
     * (r19) the q_select_pipeline oracle (classes = length bands, y =
-    * the weak-rule CASE), which serves with the FINAL raw weight CTEs.
-    * `e` carries doc_id alongside the standardized features so a
-    * serving stage can classify per doc; the training aggregates ignore
-    * the extra columns, so the replayed arithmetic is unchanged. All
+    * the weak-rule CASE, carryDoc = true), which serves with the FINAL
+    * raw weight CTEs. With `carryDoc`, `e` carries doc_id + text
+    * alongside the standardized features so a serving stage can
+    * classify per doc; the training aggregates ignore the extra
+    * columns, so the replayed arithmetic is unchanged — but the multi
+    * oracle, which never serves, keeps its lean footprint (review fix:
+    * two corpus-sized text copies in DuckDB memory for columns its 18
+    * training aggregates ignore). All
     * CTEs are MATERIALIZED: the chain is scalar-subquery-linked level
     * to level, and a downstream serving stage referencing all k final
     * weight CTEs would re-evaluate the whole inlined chain per
     * reference (the bpeTrainCtes / qualityLrSoftmaxSql lesson).
     */
-  private def lrMultiCtes(classes: Seq[String], ySql: String): Seq[String] = {
+  private def lrMultiCtes(classes: Seq[String], ySql: String,
+      carryDoc: Boolean = false): Seq[String] = {
     val x0 = "CAST(length(text) AS DOUBLE)/100.0"
     val x1 = "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)/10.0"
     def dsum(e: String) =
       s"CAST(SUM(CAST(round($e, 12) AS DECIMAL(38,12))) AS DOUBLE)"
     val e0 =
-      s"""e0 AS MATERIALIZED (SELECT doc_id, text, $x0 AS r0, $x1 AS r1, $ySql AS y
+      s"""e0 AS MATERIALIZED (SELECT ${if (carryDoc) "doc_id, text, " else ""}$x0 AS r0, $x1 AS r1, $ySql AS y
           FROM documents WHERE text IS NOT NULL)"""
     val st =
       s"""st AS MATERIALIZED (SELECT ${dsum("r0")}/COUNT(*) AS m0,
@@ -1009,7 +1015,7 @@ object QualityQueries {
       s"($r - $mc) / (CASE WHEN $qc - $mc*$mc > 0 " +
         s"THEN sqrt($qc - $mc*$mc) ELSE 1.0 END)"
     val e =
-      s"""e AS MATERIALIZED (SELECT doc_id, text,
+      s"""e AS MATERIALIZED (SELECT ${if (carryDoc) "doc_id, text, " else ""}
           ${stdSql("r0", "m0", "q0")} AS x0,
           ${stdSql("r1", "m1", "q1")} AS x1, y FROM e0, st)"""
     def gsum(expr: String, alias: String) =
@@ -1073,7 +1079,7 @@ object QualityQueries {
           tot AS (SELECT sum(avail) AS n_total,
             sum(CAST(substr(source, 4) AS INT) + 1) AS wsum FROM avail),
           rates AS (SELECT source,
-            least(1.0, $mixBudgetFrac * n_total *
+            least(1.0, CAST($mixBudgetFrac AS DOUBLE) * n_total *
               ((CAST(substr(source, 4) AS INT) + 1) / CAST(wsum AS DOUBLE))
               / avail) AS rate
             FROM avail, tot),

@@ -585,37 +585,22 @@ object TextQueries {
     * other index fixtures.
     */
   private def textIndexMntDir(s: SparkSession, d: String): String =
-    textIndexMntWritten.synchronized {
-      textIndexMntWritten.getOrElseUpdate(d, {
-        val src = new java.io.File(s"$d/documents.parquet")
-        val stamp = s"${src.lastModified()}_${src.length()}"
-        val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_text_index_mnt2_${math.abs(d.hashCode)}_$stamp")
-        val marker = new java.io.File(dir, "_graft_index_complete")
-        if (!marker.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          if (dir.exists()) rm(dir)
-          val doc = documents(s, d)
-          TextIndex.build(doc, "doc_id", "text", dir.getAbsolutePath)
-          // filesBar pinned off (review fix): postings files scale with
-          // shuffle partitions (= cpus), so the default 96 could flip
-          // the FIRST decision on a >96-core box — the oracle replays
-          // only the corpus-derived dead-ratio signal
-          val pol = TextIndex.MaintenancePolicy(filesBar = Int.MaxValue)
-          TextIndex.delete(s, dir.getAbsolutePath,
-            doc.filter(col("doc_id") % 11 === 0).select("doc_id"), "doc_id")
-          TextIndex.maintain(s, dir.getAbsolutePath, pol)
-          TextIndex.delete(s, dir.getAbsolutePath,
-            doc.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
-          TextIndex.maintain(s, dir.getAbsolutePath, pol)
-          marker.createNewFile()
-          ()
-        }
-        dir.getAbsolutePath
-      })
+    graft.ops.QueryFixtures.fixtureDir(textIndexMntWritten,
+        "text_index_mnt2", "documents", d) { dir =>
+      val doc = documents(s, d)
+      TextIndex.build(doc, "doc_id", "text", dir)
+      // filesBar pinned off (review fix): postings files scale with
+      // shuffle partitions (= cpus), so the default 96 could flip
+      // the FIRST decision on a >96-core box — the oracle replays
+      // only the corpus-derived dead-ratio signal
+      val pol = TextIndex.MaintenancePolicy(filesBar = Int.MaxValue)
+      TextIndex.delete(s, dir,
+        doc.filter(col("doc_id") % 11 === 0).select("doc_id"), "doc_id")
+      TextIndex.maintain(s, dir, pol)
+      TextIndex.delete(s, dir,
+        doc.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
+      TextIndex.maintain(s, dir, pol)
+      ()
     }
 
   private val textIndexWritten = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -626,29 +611,14 @@ object TextQueries {
     * protocol shared with the IVF/LSH index fixtures).
     */
   private def textIndexDir(s: SparkSession, d: String): String =
-    textIndexWritten.synchronized {
-      textIndexWritten.getOrElseUpdate(d, {
-        val src = new java.io.File(s"$d/documents.parquet")
-        val stamp = s"${src.lastModified()}_${src.length()}"
-        val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_text_index_${math.abs(d.hashCode)}_$stamp")
-        val marker = new java.io.File(dir, "_graft_index_complete")
-        if (!marker.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          if (dir.exists()) rm(dir)
-          val doc = documents(s, d)
-          TextIndex.build(doc.filter(col("doc_id") % 2 === 0),
-            "doc_id", "text", dir.getAbsolutePath)
-          TextIndex.append(s, dir.getAbsolutePath,
-            doc.filter(col("doc_id") % 2 === 1), "doc_id", "text")
-          marker.createNewFile()
-          ()
-        }
-        dir.getAbsolutePath
-      })
+    graft.ops.QueryFixtures.fixtureDir(textIndexWritten, "text_index",
+        "documents", d) { dir =>
+      val doc = documents(s, d)
+      TextIndex.build(doc.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir)
+      TextIndex.append(s, dir,
+        doc.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      ()
     }
 
   private val qualityStopwordsSql = qualityStopwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -21,10 +21,21 @@ out = {"generated_unix": int(time.time()),
 for sf in SFS:
     sf_dir = f"/root/testdata/{sf}"
     vout = f"/tmp/graft_self_{sf}"
+    # a stale dump from a previous run would let a now-broken query pass
+    # the oracle on its old parquet — every sweep starts from nothing
+    import shutil
+    shutil.rmtree(vout, ignore_errors=True)
     t0 = time.monotonic()
     r = subprocess.run([f"{REPO}/tools/run_main.sh", "graft.Verify",
                         sf_dir, vout], cwd=REPO, capture_output=True, text=True)
-    verify_fails = re.findall(r"\[verify\] (\S+) failed", r.stderr)
+    # the authoritative failure channel is Verify's own error dump (the
+    # stderr grep is case-sensitive and format-coupled; the file is not)
+    try:
+        verify_fails = sorted(json.load(open(f"{vout}/verify_errors.json")))
+    except Exception:
+        verify_fails = ["verify_errors.json unreadable — Verify crashed?"]
+    verify_fails = verify_fails or re.findall(
+        r"\[verify\] (\S+) FAILED", r.stderr)
     cost_arg = [f"{REPO}/ORACLE_COST.json"] if sf == SFS[0] else []
     t1 = time.monotonic()
     o = subprocess.run(["python3", f"{REPO}/tools/oracle_check.py",
