@@ -31,6 +31,10 @@ private[graft] object QueryFixtures {
             f.delete(); ()
           }
           if (dir.exists()) rm(dir)
+          // the protocol owns dir creation (r19 ADVICE): a builder that
+          // writes nothing must still leave a valid marked dir behind,
+          // not an IOException from createNewFile on a missing parent
+          dir.mkdirs()
           build(dir.getAbsolutePath)
           marker.createNewFile()
           ()

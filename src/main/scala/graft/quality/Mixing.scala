@@ -43,11 +43,18 @@ object Mixing {
       .agg(count(lit(1)).as("avail"))
     val tot = avail.agg(sum(col("avail")).as("n_total"),
       sum(weightExpr).as("wsum"))
+    // NULL guard (r19 ADVICE): a null weight would flow into least(),
+    // whose null-skipping turns the rate into 1.0 — a silent admit-all
+    // for exactly the domain whose target was mis-specified. Fail loudly
+    // instead; the uncapped expression is null iff the weight was.
+    val uncapped = lit(budgetFrac) * col("n_total") *
+      (weightExpr.cast("double") / col("wsum")) / col("avail")
     avail.crossJoin(broadcast(tot))
       .select(col(domainCol),
-        least(lit(1.0), lit(budgetFrac) * col("n_total") *
-          (weightExpr.cast("double") / col("wsum")) / col("avail"))
-          .as("rate"))
+        when(uncapped.isNull, raise_error(concat(
+            lit("Mixing.rates: null weight for domain "),
+            col(domainCol).cast("string"))))
+          .otherwise(least(lit(1.0), uncapped)).as("rate"))
   }
 
   /** The seeded admission draw: u = (md5-derived 52-bit uniform) — one
@@ -68,6 +75,11 @@ object Mixing {
     */
   def admit(docs: DataFrame, ratesDf: DataFrame, domainCol: String,
       idCol: String, seed: Long): DataFrame = {
+    // (r19 ADVICE) withColumn below would silently OVERWRITE caller
+    // columns named u/rate — refuse up front rather than corrupt
+    require(!docs.columns.contains("u") && !docs.columns.contains("rate"),
+      "Mixing.admit: input must not carry 'u' or 'rate' columns " +
+        "(the admission output claims those names)")
     val u = drawU(idCol, seed)
     docs.join(broadcast(ratesDf), Seq(domainCol))
       .filter(u < col("rate"))

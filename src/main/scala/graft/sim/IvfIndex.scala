@@ -320,11 +320,22 @@ object IvfIndex {
     * like the lexical case) AND drifts away from the frozen quantizer
     * (recall degradation, which only this index suffers). The beat
     * reads both signals and retrains with hysteresis per [[maintain]];
-    * it runs strictly AFTER the epoch seal, so a replayed trigger can
-    * never double-run it, and it never executes inside an unsealed
+    * it runs strictly AFTER the epoch seal and never inside an unsealed
     * epoch (a retrain's staged swap must not race the epoch's own
     * vector append — single-writer discipline holds because both run
     * sequentially inside this foreachBatch).
+    *
+    * The beat condition is LEDGER-STATE driven, not positional (r19
+    * ADVICE — the positional form could permanently UNDER-run): a
+    * `_beat_epoch` marker records the last due epoch whose beat
+    * completed, and every trigger — including a replayed one whose
+    * sealed ingest is skipped whole — runs the beat iff the marker lags
+    * the latest due epoch. A crash between the seal and the beat is
+    * therefore CAUGHT UP on replay instead of skipped with the
+    * committed epoch. The remaining window (crash between [[maintain]]
+    * and the marker write) re-runs the beat once on replay: one extra
+    * ledger observation of the same index state — benign, both reads
+    * genuinely happened, and hysteresis counts observations.
     */
   def streamingIngest(spark: SparkSession, dir: String, auditDir: String,
       stream: DataFrame, idCol: String, vecCol: String,
@@ -362,18 +373,63 @@ object IvfIndex {
             .withColumn("epoch", lit(epochId))
             .write.mode("error").parquet(epochDir)
           graft.io.EpochCommit.seal(spark, epochDir)
-          if (maintainEvery > 0 && (epochId + 1) % maintainEvery == 0) {
-            maintain(spark, dir, policy)
-            ()
-          }
           // free the per-trigger checkpoint now, not at GC
           assigned.queryExecution.logical.collectFirst {
             case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
           }.foreach(_.unpersist(blocking = false))
         }
+        // OUTSIDE the idempotency guard: a replayed trigger skips the
+        // sealed ingest but still settles any beat the crash orphaned
+        runDueBeat(spark, dir, epochId, maintainEvery, policy)
         ()
       }
       .start()
+
+  private def beatMarkerPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/_beat_epoch")
+
+  private[sim] def lastBeatEpoch(spark: SparkSession, dir: String): Option[Long] = {
+    val p = beatMarkerPath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        // a torn marker reads as "never ran" — worst case one duplicate
+        // maintain observation, never a lost beat
+        s.toLongOption
+      } finally in.close()
+    }
+  }
+
+  private def writeBeatMarker(spark: SparkSession, dir: String,
+      epoch: Long): Unit = {
+    val p = beatMarkerPath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val o = fs.create(p, true)
+    try o.write(epoch.toString.getBytes("UTF-8")) finally o.close()
+  }
+
+  /** Run the [[maintain]] beat iff one is DUE and not yet recorded:
+    * epoch e is due when (e+1) % maintainEvery == 0; the `_beat_epoch`
+    * marker holds the last due epoch whose beat completed. Comparing
+    * marker-vs-latest-due (instead of firing positionally on the
+    * current trigger) is what lets a replayed session catch up a beat
+    * that a crash orphaned between the epoch seal and the maintain call
+    * (see [[streamingIngest]]). Exposed private[sim] for the spec.
+    */
+  private[sim] def runDueBeat(spark: SparkSession, dir: String,
+      epochId: Long, maintainEvery: Int,
+      policy: MaintenancePolicy): Unit = {
+    if (maintainEvery <= 0) return
+    val due = ((epochId + 1) / maintainEvery) * maintainEvery - 1
+    if (due < 0) return
+    if (lastBeatEpoch(spark, dir).forall(_ < due)) {
+      maintain(spark, dir, policy)
+      writeBeatMarker(spark, dir, due)
+    }
+  }
 
   def loadCentroids(spark: SparkSession, dir: String): Seq[Array[Double]] =
     spark.read.parquet(s"$dir/centroids")
@@ -414,9 +470,13 @@ object IvfIndex {
   /** The recall-side health signal completing the maintenance loop:
     * [[cellStats]] sees occupancy skew (the capacity signal), this
     * measures what skew actually COSTS — search quality. Samples
-    * `sampleN` stored live vectors as self-queries (seeded rand + sort,
-    * the trainSphericalKmeans sampling doctrine — no full count, no
-    * first-file bias), runs the real [[search]] at `nprobe`, and
+    * `sampleN` stored live vectors as self-queries by an md5-ordered
+    * deterministic draw (the [[graft.quality.Mixing.drawU]] doctrine,
+    * r19 verdict task 1 — order by md5(seed:vec_id); unlike the old
+    * rand(seed)+sort, this is partition-invariant AND engine-replayable,
+    * which is what lets the q_knn_ivf_maintain_recall oracle replay the
+    * recall signal and its bar crossing in DuckDB), runs the real
+    * [[search]] at `nprobe`, and
     * compares against the exact cosine truth over the stored live set.
     * One summary row: (n_queries, k, nprobe, hits, expected, recall) —
     * recall dropping across probes while cellStats skew rises is the
@@ -436,7 +496,9 @@ object IvfIndex {
     // same sample (rand is per-partition-seeded; two evaluations over a
     // shifting scan could disagree)
     val q = live.select(col("vec_id"), col("vec"))
-      .withColumn("_r", rand(seed)).orderBy(col("_r")).limit(sampleN)
+      .withColumn("_r", md5(concat(lit(s"$seed:"),
+        col("vec_id").cast("string"))))
+      .orderBy(col("_r"), col("vec_id")).limit(sampleN)
       .select(col("vec_id"), col("vec")).localCheckpoint()
     try {
       val ann = search(spark, dir, q, "vec_id", "vec", k, nprobe)

@@ -30,9 +30,14 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     val w = when(col("dom") === "c", 8).otherwise(1)
     val r = Mixing.rates(corpus, "dom", w, budgetFrac = 0.5)
       .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // tolerance, not exact == (r19 ADVICE): the expectation mirrors the
+    // VALUE, not the Spark expression's IEEE association order — a
+    // harmless re-association in rates() must not fail this test
     assert(r("c") == 1.0, s"scarce over-demanded domain must cap: $r")
-    assert(r("a") == 0.5 * 160 * (1.0 / 10) / 100, s"a rate: $r")
-    assert(r("b") == 0.5 * 160 * (1.0 / 10) / 50, s"b rate: $r")
+    assert(math.abs(r("a") - 0.5 * 160 * (1.0 / 10) / 100) < 1e-12,
+      s"a rate: $r")
+    assert(math.abs(r("b") - 0.5 * 160 * (1.0 / 10) / 50) < 1e-12,
+      s"b rate: $r")
   }
 
   test("admit: deterministic given the seed; different seeds draw " +
@@ -49,6 +54,26 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     // (documented: no renormalization), so E ≈ 26.7 + 26.7 + 10 = 63.3,
     // binomial sd ≈ 5.7; accept ±3σ
     assert(math.abs(a1.size - 63) < 18, s"admitted ${a1.size} of 160")
+  }
+
+  test("guards (r19 ADVICE): a null weight fails loudly instead of " +
+      "admitting-all; an input already carrying u/rate is refused") {
+    val wNull = when(col("dom") === "c", lit(null).cast("int"))
+      .otherwise(lit(1))
+    val e = intercept[Exception] {
+      Mixing.rates(corpus, "dom", wNull, budgetFrac = 0.5).collect()
+    }
+    // the raise_error may arrive wrapped (executor -> driver) — walk it
+    val msg = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString
+    assert(msg.contains("null weight"), s"null weight must raise, got: $msg")
+    val r = Mixing.rates(corpus, "dom", lit(1), budgetFrac = 0.5)
+    intercept[IllegalArgumentException] {
+      Mixing.admit(corpus.withColumn("u", lit(0.0)), r, "dom", "id", 7L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.admit(corpus.withColumn("rate", lit(0.0)), r, "dom", "id", 7L)
+    }
   }
 
   test("streaming face == batch twin: frozen rates, any trigger " +

@@ -557,6 +557,35 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("runDueBeat: marker-driven beats fire once per due epoch, a " +
+      "re-delivered trigger cannot double-run, and a replay catches up " +
+      "an orphaned beat (r19 ADVICE — the positional form under-ran)") {
+    val t = Files.createTempDirectory("ivf_due").toString + "/idx"
+    IvfIndex.build(emb.filter(col("vec_id") < 200), "vec_id", "embedding",
+      t, nlist = 4, sampleSize = 300, seed = 7L)
+    val pol = IvfIndex.MaintenancePolicy(probeN = 5, probeK = 3)
+    def rows = IvfIndex.maintenanceLog(spark, t).count()
+    IvfIndex.runDueBeat(spark, t, epochId = 0, maintainEvery = 2, pol)
+    assert(rows === 0L, "no due epoch yet (due epochs are 1, 3, ...)")
+    assert(IvfIndex.lastBeatEpoch(spark, t).isEmpty)
+    IvfIndex.runDueBeat(spark, t, epochId = 1, maintainEvery = 2, pol)
+    assert(rows === 1L)
+    assert(IvfIndex.lastBeatEpoch(spark, t) === Some(1L))
+    // re-delivered trigger / not-yet-due epoch: marker == latest due
+    IvfIndex.runDueBeat(spark, t, epochId = 1, maintainEvery = 2, pol)
+    IvfIndex.runDueBeat(spark, t, epochId = 2, maintainEvery = 2, pol)
+    assert(rows === 1L, "no new due epoch between 1 and 2")
+    // orphaned beat: the session crashed between epoch 3's seal and its
+    // beat — the marker still says 1. The replayed session's next
+    // trigger (epoch 4, itself NOT due) must catch up the missed beat.
+    IvfIndex.runDueBeat(spark, t, epochId = 4, maintainEvery = 2, pol)
+    assert(rows === 2L, "replay must catch up the orphaned due-3 beat")
+    assert(IvfIndex.lastBeatEpoch(spark, t) === Some(3L))
+    // maintainEvery <= 0 disables the beat entirely
+    IvfIndex.runDueBeat(spark, t, epochId = 9, maintainEvery = 0, pol)
+    assert(rows === 2L)
+  }
+
   test("streaming ingest: the in-stream maintenance beat (r19) — drifted " +
       "appends degrade recall, hysteresis holds one beat, the next beat " +
       "retrains IN-stream, and later triggers ingest against the new " +

@@ -14,10 +14,25 @@ import json, os, re, subprocess, sys, time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SFS = sys.argv[1:] or ["sf0.001", "sf0.01", "sf0.1"]
 
+# DIRTY-STAMP REFUSAL (r19 verdict task 4): the stamped commit must
+# actually DESCRIBE the code under test. If src/main (or this tool
+# chain) carries uncommitted changes, the artifact would certify a tree
+# no commit hash names — record the dirt and force all_green false so a
+# committed CORRECTNESS_SELF.json can never silently certify stale or
+# unstamped product code. (Later commits that do not touch src/main
+# keep the stamp valid — judge-checkable via `git diff <stamped>..HEAD
+# -- src/main`.)
+dirty = subprocess.run(
+    ["git", "status", "--porcelain", "--", "src/main", "tools"],
+    cwd=REPO, capture_output=True, text=True).stdout.strip()
 out = {"generated_unix": int(time.time()),
        "commit": subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
                                 capture_output=True, text=True).stdout.strip(),
+       "src_dirty": sorted(l.split()[-1] for l in dirty.splitlines()),
        "sfs": {}}
+if dirty:
+    print("WARNING: uncommitted src/main|tools changes — stamp refused:",
+          out["src_dirty"], flush=True)
 for sf in SFS:
     sf_dir = f"/root/testdata/{sf}"
     vout = f"/tmp/graft_self_{sf}"
@@ -33,7 +48,13 @@ for sf in SFS:
     try:
         verify_fails = sorted(json.load(open(f"{vout}/verify_errors.json")))
     except Exception:
-        verify_fails = ["verify_errors.json unreadable — Verify crashed?"]
+        # (r19 ADVICE) APPEND the stderr-grep fallback to the placeholder
+        # rather than or-chaining after it — the truthy placeholder was
+        # suppressing the grep, losing the names of the queries that
+        # failed before the crash
+        verify_fails = (["verify_errors.json unreadable — Verify crashed?"]
+                        + sorted(set(re.findall(
+                            r"\[verify\] (\S+) FAILED", r.stderr))))
     verify_fails = verify_fails or re.findall(
         r"\[verify\] (\S+) FAILED", r.stderr)
     cost_arg = [f"{REPO}/ORACLE_COST.json"] if sf == SFS[0] else []
@@ -55,8 +76,9 @@ for sf in SFS:
           out["sfs"][sf]["oracle_total"],
           "verify_failed:", verify_fails, flush=True)
 
-ok = all(v["oracle_matched"] == v["oracle_total"] and v["oracle_total"] > 0
-         and not v["verify_failed"] for v in out["sfs"].values())
+ok = (all(v["oracle_matched"] == v["oracle_total"] and v["oracle_total"] > 0
+          and not v["verify_failed"] for v in out["sfs"].values())
+      and not out["src_dirty"])
 out["all_green"] = ok
 json.dump(out, open(f"{REPO}/CORRECTNESS_SELF.json", "w"), indent=1)
 print("all_green:", ok)
