@@ -407,17 +407,45 @@ object DedupQueries {
     // copy of vec 0's embedding per corpus vector (every dup lands in
     // vec 0's cell: skew ~16.5, over the bar), then maintains twice —
     // the first bad observation HELD by hysteresis (badToAct = 2), the
-    // second retrains. recallFloor = 0 pins the decision to the skew
-    // arm alone: the recall probe is seeded-JVM sampling DuckDB cannot
-    // replay, while occupancy skew is exact arithmetic over the
-    // assignment. The oracle recomputes the assignment argmin, both
-    // skews, and the bar crossings from the raw embeddings — the
-    // decision logic itself is value-checked, not just the moves.
+    // second retrains. recallFloor = 0 pins THIS fixture's decision to
+    // the skew arm (the scenario is an occupancy flood); the RECALL arm
+    // of the same decision is value-oracled by its own fixture below
+    // (q_knn_ivf_maintain_recall — r19 verdict task 1, enabled by the
+    // md5-deterministic probe sample). The oracle recomputes the
+    // assignment argmin, both skews, and the bar crossings from the raw
+    // embeddings — the decision logic itself is value-checked, not just
+    // the moves.
     "q_knn_ivf_maintain" -> ((s, d) => {
       val dir = ivfMntDir(s, d)
       graft.sim.IvfIndex.maintenanceLog(s, dir)
         .select(col("seq"), col("skew"), col("skew_bar"),
           col("unhealthy"), col("consecutive_bad"), col("action"))
+    }),
+
+    // The RECALL arm of the IVF maintenance decision value-oracled
+    // (r19 verdict task 1 — the half of `unhealthy` the skew fixture
+    // deliberately pins off). recallProbe now samples its self-queries
+    // by md5(seed:vec_id) order (partition-invariant, engine-replayable
+    // — the Mixing.drawU doctrine), so DuckDB can replay the WHOLE
+    // recall pipeline: probe sample → per-query nprobe-cell ANN search
+    // → brute cosine truth → recall → floor crossing. The fixture owns
+    // its quantizer: 8 orthonormal basis centroids e_0..e_7 (trivial
+    // literals, exactly symmetric geometry), a healthy corpus of 8
+    // tight anchored clusters c_r + β·û_i (every member assigns to its
+    // anchor cell; self-query top-5 stays in-cell → recall 1.0, skew
+    // ~1.0), then DRIFT: pods anchored on exact Voronoi midpoints
+    // (e_2p + e_2p+1) + β·û_i — the jitter's coordinate difference
+    // û[2p]−û[2p+1] splits each pod ~50/50 across the boundary, so a
+    // drift self-query's true neighbors straddle two cells while
+    // nprobe=1 reads one: measured recall 1.0 → 0.81-0.82 across all
+    // three SFs with skew flat at ~1.0 (floor 0.92 sits mid-gap; the
+    // skew arm stays quiet — recall alone drives held-then-retrain).
+    "q_knn_ivf_maintain_recall" -> ((s, d) => {
+      val dir = ivfRecallDir(s, d)
+      graft.sim.IvfIndex.maintenanceLog(s, dir)
+        .select(col("seq"), col("skew"), col("recall"), col("skew_bar"),
+          col("recall_floor"), col("unhealthy"), col("consecutive_bad"),
+          col("action"))
     }),
 
     // The full production ANN stack (FAISS IVF+SQ8 shape): coarse
@@ -914,6 +942,79 @@ object DedupQueries {
       graft.sim.IvfIndex.append(s, dir, dups, "vec_id", "embedding")
       graft.sim.IvfIndex.maintain(s, dir, pol)
       graft.sim.IvfIndex.maintain(s, dir, pol)
+      ()
+    }
+
+  // q_knn_ivf_maintain_recall knobs — shared by the fixture policy, the
+  // engine-side corpus construction, and the interpolated oracle (the
+  // ivfMntSkewBar must-move-together pattern). Measured landscape at
+  // probeN=20/k=5/nprobe=1 across sf0.001/0.01/0.1: healthy recall
+  // exactly 1.0 (skew 1.0-1.008), drifted recall 0.81-0.82 (skew
+  // 1.02-1.08) — the 0.92 floor sits mid-gap with ≥0.08 margin both
+  // sides, and skew never approaches the 4.0 bar.
+  private val ivfRecallFloor = 0.92
+  private val ivfRecallBeta = 0.25
+  private val ivfRecallProbeN = 20
+  private val ivfRecallK = 5
+
+  /** The recall fixture's FROZEN quantizer: 8 orthonormal basis
+    * centroids e_0..e_7. Owning the quantizer (instead of reusing the
+    * trained SemDeDup centroids) is what makes the drift geometry
+    * exact: equal norms + orthogonality put the pod anchors
+    * e_2p + e_2p+1 precisely ON the assignment boundary, so the
+    * per-member jitter decides the side — the trained centroids'
+    * unequal norms bias every midpoint off-boundary (measured: pods
+    * collapse into single cells and recall barely moves).
+    */
+  private def ivfBasisCentroids: Seq[Array[Double]] =
+    (0 until 8).map(r => Array.tabulate(64)(i => if (i == r) 1.0 else 0.0))
+
+  private def ivfRecallPolicy = graft.sim.IvfIndex.MaintenancePolicy(
+    skewBar = ivfMntSkewBar, recallFloor = ivfRecallFloor, badToAct = 2,
+    probeN = ivfRecallProbeN, probeK = ivfRecallK, probeNprobe = 1,
+    seed = 42L)
+
+  private val ivfRecallWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-time maintenance fixture for `q_knn_ivf_maintain_recall`:
+    * build the anchored-cluster corpus on the basis quantizer, maintain
+    * (healthy — recall 1.0), append the midpoint-straddle drift pods,
+    * maintain twice (held by hysteresis, then retrain — both decided by
+    * the RECALL floor; skew stays ~1.0 throughout). Only β·û_i uses
+    * corpus data (the jitter — real per-vector variety); anchors and
+    * pods are pure literals, so the oracle rebuilds both corpora from
+    * `embeddings` with +,*,/ and sqrt alone.
+    */
+  private def ivfRecallDir(s: SparkSession, d: String): String =
+    graft.ops.QueryFixtures.fixtureDir(ivfRecallWritten, "ivf_recall",
+        "embeddings", d) { dir =>
+      val v = graft.sim.Vectors.toDoubleArray(col("embedding"))
+      val jitter = embeddings(s, d).select(col("vec_id"), v.as("v"))
+        .withColumn("n", graft.sim.Vectors.norm(col("v")))
+        .filter(graft.sim.Vectors.finiteNorm(col("n")) && col("n") > 0)
+        .select(col("vec_id"),
+          transform(col("v"), x => x / col("n")).as("u"))
+      val beta = lit(ivfRecallBeta)
+      val cAll = array(ivfBasisCentroids.map(cr =>
+        array(cr.map(lit): _*)): _*)
+      val base = jitter.select(col("vec_id"),
+        zip_with(element_at(cAll,
+            (pmod(col("vec_id"), lit(8)) + 1).cast("int")),
+          col("u"), (a, b) => a + beta * b).as("vec"))
+      graft.sim.IvfIndex.buildWithCentroids(base, "vec_id", "vec", dir,
+        ivfBasisCentroids)
+      graft.sim.IvfIndex.maintain(s, dir, ivfRecallPolicy)
+      val podAll = array((0 until 4).map { p =>
+        array(Array.tabulate(64)(i => if (i / 2 == p) 1.0 else 0.0)
+          .map(lit): _*)
+      }: _*)
+      val drift = jitter.select((col("vec_id") + 1000000L).as("vec_id"),
+        zip_with(element_at(podAll,
+            (pmod(col("vec_id"), lit(4)) + 1).cast("int")),
+          col("u"), (a, b) => a + beta * b).as("vec"))
+      graft.sim.IvfIndex.append(s, dir, drift, "vec_id", "vec")
+      graft.sim.IvfIndex.maintain(s, dir, ivfRecallPolicy)
+      graft.sim.IvfIndex.maintain(s, dir, ivfRecallPolicy)
       ()
     }
 
@@ -2064,6 +2165,11 @@ object DedupQueries {
     // (natural, and with one vec-0 dup per corpus vector folded into
     // vec 0's cell), HALF_UP round(6), and the bar crossings
     "q_knn_ivf_maintain" -> knnIvfMaintainSql,
+
+    // the recall arm replayed whole: corpus construction, assignment,
+    // md5 probe sample, nprobe=1 ANN vs brute truth, recall, floor
+    // crossing (see knnIvfRecallSql)
+    "q_knn_ivf_maintain_recall" -> knnIvfRecallSql,
     "q_knn_quantized" -> annSummarySql,
     "q_knn_ivf_quantized" -> annSummarySql,
     "q_knn_pq" -> annSummarySql,
@@ -2238,6 +2344,111 @@ object DedupQueries {
         raw >= CAST($bar AS DOUBLE), CAST(1 AS BIGINT), 'none' FROM s1
       UNION ALL SELECT CAST(2 AS BIGINT), round(raw, 6), CAST($bar AS DOUBLE),
         raw >= CAST($bar AS DOUBLE), CAST(2 AS BIGINT), 'retrain' FROM s1"""
+  }
+
+  /** Per-corpus-state assignment chain for [[knnIvfRecallSql]]: norms,
+    * unit-normalize (the engine's Knn.unit zero-guard verbatim), argmin
+    * L2 to the basis centroids (dist ASC, cid ASC ties — the nearestCell
+    * stable order), and the (vec_id, v, vn, cell) relation every probe
+    * CTE reads. MATERIALIZED: five downstream references each.
+    */
+  private def ivfRecallCellCtes(p: String, src: String): String =
+    s"""${p}n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn
+          FROM $src),
+        ${p}dist AS (SELECT q.vec_id, q.cid,
+            list_dot_product(q.d, q.d) AS dist
+          FROM (SELECT a.vec_id, c.cid,
+                  list_transform(range(1, len(a.uu) + 1),
+                    i -> a.uu[i] - c.cv[i]) AS d
+                FROM (SELECT vec_id, CASE WHEN vn = 0 THEN v
+                        ELSE list_transform(v, x -> x / vn) END AS uu
+                      FROM ${p}n) a, rcent c) q),
+        ${p}cell AS MATERIALIZED (SELECT n.vec_id, n.v, n.vn, r.cell
+          FROM ${p}n n JOIN (SELECT vec_id, cid AS cell FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist ASC, cid ASC) AS rn FROM ${p}dist) x
+            WHERE rn = 1) r ON r.vec_id = n.vec_id)"""
+
+  /** The recallProbe replay for one corpus state: md5-ordered sample
+    * (the engine's deterministic draw verbatim), ANN top-k restricted to
+    * each query's own assignment cell (nprobe=1 probes exactly the
+    * argmin cell), brute top-k over the whole live state, recall rooted
+    * at the brute TRUTH side, plus the occupancy skew of the state.
+    */
+  private def ivfRecallProbeCtes(p: String): String = {
+    val src = s"${p}cell"
+    def topk(name: String, cond: String) =
+      s"""${p}$name AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                CASE WHEN q.qn * c.vn > 0
+                     THEN list_dot_product(q.qv, c.v) / (q.qn * c.vn)
+                     ELSE 0.0 END DESC, c.vec_id ASC) AS rk
+            FROM ${p}q q JOIN $src c
+              ON c.vec_id <> q.query_id$cond) r
+          WHERE rk <= $ivfRecallK)"""
+    s"""${p}samp AS (SELECT vec_id FROM $src
+          ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT $ivfRecallProbeN),
+        ${p}q AS (SELECT c.vec_id AS query_id, c.v AS qv, c.vn AS qn,
+            c.cell
+          FROM $src c JOIN ${p}samp s ON s.vec_id = c.vec_id),
+        ${topk("ann", " AND c.cell = q.cell")},
+        ${topk("brute", "")},
+        ${p}rec AS (SELECT round(CAST(count(a.query_id) AS DOUBLE)
+              / count(*), 4) AS recall
+          FROM ${p}brute b LEFT JOIN ${p}ann a
+            ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
+        ${p}skew AS (SELECT CAST(max(n) AS DOUBLE) * 8 / sum(n) AS raw
+          FROM (SELECT cell, count(*) AS n FROM $src GROUP BY 1) o)"""
+  }
+
+  /** q_knn_ivf_maintain_recall's replay — see the catalog entry's
+    * comment. Both corpora are REBUILT from the raw embeddings (anchored
+    * clusters, then + the midpoint-straddle pods), both maintenance
+    * reads (skew AND recall) recomputed per state, and `unhealthy` is
+    * the emitted OR of the two bar crossings — the engine decides on
+    * the raw skew and the round(4) recall, mirrored here. Rows 1-2
+    * share the drifted state's reads: no corpus change between the held
+    * observation and the acting one.
+    */
+  private lazy val knnIvfRecallSql: String = {
+    val bar = ivfMntSkewBar
+    val floor = ivfRecallFloor
+    val beta = ivfRecallBeta
+    def row(seq: Int, p: String, bad: Int, action: String) =
+      s"""SELECT CAST($seq AS BIGINT) AS seq, round(s.raw, 6) AS skew,
+          r.recall AS recall, CAST($bar AS DOUBLE) AS skew_bar,
+          CAST($floor AS DOUBLE) AS recall_floor,
+          (s.raw >= CAST($bar AS DOUBLE)
+            OR r.recall < CAST($floor AS DOUBLE)) AS unhealthy,
+          CAST($bad AS BIGINT) AS consecutive_bad, '$action' AS action
+          FROM ${p}skew s, ${p}rec r"""
+    s"""WITH eu AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                    CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings) t
+          WHERE isfinite(nrm) AND nrm > 0),
+        rcent AS (SELECT r AS cid, list_transform(range(0, 64),
+            i -> CASE WHEN i = r THEN 1.0 ELSE 0.0 END) AS cv
+          FROM range(0, 8) t(r)),
+        corp AS (SELECT vec_id, list_transform(range(1, 65),
+            i -> (CASE WHEN i - 1 = anch THEN 1.0 ELSE 0.0 END)
+                 + $beta * u[i]) AS v
+          FROM (SELECT vec_id, vec_id % 8 AS anch, u FROM eu) t),
+        dft AS (SELECT vec_id + 1000000 AS vec_id,
+            list_transform(range(1, 65),
+              i -> (CASE WHEN (i - 1) // 2 = pod THEN 1.0 ELSE 0.0 END)
+                   + $beta * u[i]) AS v
+          FROM (SELECT vec_id, vec_id % 4 AS pod, u FROM eu) t),
+        ball AS (SELECT * FROM corp UNION ALL SELECT * FROM dft),
+        ${ivfRecallCellCtes("a", "corp")},
+        ${ivfRecallCellCtes("b", "ball")},
+        ${ivfRecallProbeCtes("a")},
+        ${ivfRecallProbeCtes("b")}
+        ${row(0, "a", 0, "none")}
+        UNION ALL ${row(1, "b", 1, "none")}
+        UNION ALL ${row(2, "b", 2, "retrain")}"""
   }
 
   private lazy val annSummarySql =
