@@ -101,6 +101,23 @@ object QualityQueries {
     // CONSTANT in corpus size (the q_corpus_build residual class, not
     // recompute: every per-job scan is one-pass and bounded).
     "q_select_pipeline" -> ((s, d) => selectPipeline(s, d)),
+
+    // The COMPLETE curation funnel (r19 verdict task 2): the composed
+    // selection pipeline with domain MIXING as its final stage — where
+    // a production funnel actually ends (train → serve → resample →
+    // band → diversify → capped domain-proportional admission). The
+    // diversified survivors (≤ kPerCell × 32 rows, broadcast-sized)
+    // rejoin `documents` for their source, then q_select_mix's exact
+    // rate/draw/admit machinery runs OVER THE SURVIVORS: availability
+    // and the weight sum come from the surviving mix (a domain the
+    // funnel eliminated contributes nothing — the real post-selection
+    // distribution, not the corpus prior). Every stage chain in the
+    // oracle is the single-stage oracle's own definition with
+    // (src, prefix) bound; mixing reuses mixCtesFrom — the same CTEs
+    // q_select_mix interpolates over `documents`. Scale shape: stages
+    // 3-6 all run on broadcast-sized survivors; the mix tail is one
+    // ≤20-row aggregate + a broadcast rate join + a stateless filter.
+    "q_select_funnel" -> ((s, d) => selectFunnel(s, d)),
     // The k-way corpus-filter shape (r17 verdict task 4): one-vs-rest
     // langid over IN-PLAN STANDARDIZED features — the stats pass is one
     // decimal-summed aggregate (mean and raw second moment, combine-
@@ -603,7 +620,9 @@ object QualityQueries {
     // the composed pipeline trains (collect) at construction and
     // driver-advances the final greedy; the twin is the SAME chain with
     // zero-weight serving models and the one-pass per-cell shape
-    "q_select_pipeline" -> ((s, d) => selectPipeline(s, d, lint = true)))
+    "q_select_pipeline" -> ((s, d) => selectPipeline(s, d, lint = true)),
+    // the funnel twin: the pipeline twin plus the declarative mix tail
+    "q_select_funnel" -> ((s, d) => selectFunnel(s, d, lint = true)))
 
   /** q_quality_lr's frame/features/label — ONE definition for the query
     * and its lint twin (review fix: copy-pasted features let the
@@ -718,6 +737,26 @@ object QualityQueries {
         cidCol = "cid", centroidVecCol = "embedding")
   }
 
+  /** q_select_funnel's composed plan: [[selectPipeline]] through the
+    * diversify stage, then [[Mixing.rates]]+[[Mixing.admit]] over the
+    * surviving docs — rates derived from the SURVIVORS' per-source
+    * availability (the post-selection distribution), admission by the
+    * q_select_mix seed. The survivor frame is broadcast-sized
+    * (≤ kPerCell × 32 rows), so the mix tail adds one tiny aggregate
+    * and two broadcast joins — nothing corpus-scale.
+    */
+  private[graft] def selectFunnel(s: SparkSession, d: String,
+      lint: Boolean = false): DataFrame = {
+    val ids = selectPipeline(s, d, lint).select(col("id").as("doc_id"))
+    val surv = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(broadcast(ids), Seq("doc_id"))
+    val idx = expr("CAST(substring(source, 4) AS INT)")
+    Mixing.admit(surv,
+        Mixing.rates(surv, "source", idx + 1, mixBudgetFrac),
+        "source", "doc_id", mixSeed)
+      .select(col("doc_id"), col("source"), col("u"), col("rate"))
+  }
+
   /** Spec probe: the trained filter's survivor count — stage 1 alone,
     * trained weights served through the same classify expression the
     * pipeline uses (SelectPipelineSpec pins that it cuts a proper,
@@ -742,9 +781,11 @@ object QualityQueries {
     * [[graft.dedup.DedupQueries.kcenterCellsChain]] over the banded
     * embeddings. Stage outputs are MATERIALIZED (the bpeTrainCtes
     * lesson — the serving CTE alone references 9 scalar subqueries on
-    * the weight chain).
+    * the weight chain). Split into (ctes, final select) so the composed
+    * q_select_funnel oracle can extend the identical replay with the
+    * mixing tail.
     */
-  private lazy val selectPipelineSql: String = {
+  private lazy val selectPipelineParts: (String, String) = {
     def zOf(ci: Int) =
       s"(x0*(SELECT w0 FROM w${lrIters}c$ci) + " +
         s"x1*(SELECT w1 FROM w${lrIters}c$ci) + (SELECT wb FROM w${lrIters}c$ci))"
@@ -780,10 +821,58 @@ object QualityQueries {
       .kcenterCellsChain("pe", pipeKPerCell, "kc", mat = true)
     val lmCtes = graft.text.TextQueries
       .lmScoreCtesFrom("pkd", "lm", mat = true)
-    s"WITH ${(lrMultiCtes(pipeLrClasses, pipeLrLabelSql, carryDoc = true)
+    (s"${(lrMultiCtes(pipeLrClasses, pipeLrLabelSql, carryDoc = true)
         :+ kept).mkString(", ")}, " +
       s"${dsirCtesFrom("kept", "d", mat = true)}, $pick, $pkd, " +
-      s"$lmCtes, $ls, $lf, $band, $pe, $kcCtes " + kcSel
+      s"$lmCtes, $ls, $lf, $band, $pe, $kcCtes", kcSel)
+  }
+
+  private lazy val selectPipelineSql: String =
+    s"WITH ${selectPipelineParts._1} ${selectPipelineParts._2}"
+
+  /** Domain-mixing CTE chain over any (doc_id, source) relation — ONE
+    * definition shared by the q_select_mix oracle (src = `documents`)
+    * and the composed q_select_funnel oracle (src = the diversified
+    * survivors): availability counts, the capped target-proportional
+    * rates with the engine's exact left-assoc double arithmetic, the
+    * seeded md5 uniform, and the admit comparison. Returns
+    * (ctes, final select).
+    */
+  private def mixCtesFrom(src: String, p: String = "",
+      mat: Boolean = false): (String, String) = {
+    val m = if (mat) "MATERIALIZED " else ""
+    val w = "CAST(substr(source, 4) AS INT) + 1"
+    val ctes =
+      s"""${p}avail AS $m(SELECT source, count(*) AS avail
+            FROM $src GROUP BY 1),
+          ${p}tot AS (SELECT sum(avail) AS n_total, sum($w) AS wsum
+            FROM ${p}avail),
+          ${p}rates AS (SELECT source,
+            least(1.0, CAST($mixBudgetFrac AS DOUBLE) * n_total *
+              (($w) / CAST(wsum AS DOUBLE)) / avail) AS rate
+            FROM ${p}avail, ${p}tot),
+          ${p}uu AS (SELECT doc_id, source,
+            (CAST('0x' || substr(md5('$mixSeed:' || doc_id), 1, 13) AS BIGINT)
+              + 0.5) / 4503599627370496.0 AS u
+            FROM $src)"""
+    val sel =
+      s"""SELECT uu.doc_id, uu.source, round(uu.u, 6) AS u,
+            round(r.rate, 6) AS rate
+          FROM ${p}uu uu JOIN ${p}rates r USING (source)
+          WHERE uu.u < r.rate"""
+    (ctes, sel)
+  }
+
+  /** q_select_funnel's oracle: the whole q_select_pipeline replay, its
+    * diversified survivors rejoined to `documents`, then the mixing
+    * chain over that survivor relation. */
+  private lazy val selectFunnelSql: String = {
+    val (mixC, mixSel) = mixCtesFrom("fsurv", "fm", mat = true)
+    s"WITH ${selectPipelineParts._1}, " +
+      s"fdiv AS MATERIALIZED (SELECT id FROM (${selectPipelineParts._2}) t), " +
+      "fsurv AS MATERIALIZED (SELECT dd.doc_id, dd.source " +
+      "FROM documents dd JOIN fdiv ON fdiv.id = dd.doc_id), " +
+      s"$mixC $mixSel"
   }
 
   /** DSIR scoring CTE chain, ending in `${p}s(doc_id, score)` — ONE
@@ -1072,24 +1161,17 @@ object QualityQueries {
 
     // mixing replayed per doc: availability counts, the capped
     // target-proportional rates (identical left-assoc double
-    // arithmetic), the seeded md5 uniform, and the admit comparison
-    "q_select_mix" ->
-      s"""WITH avail AS (SELECT source, count(*) AS avail
-            FROM documents GROUP BY 1),
-          tot AS (SELECT sum(avail) AS n_total,
-            sum(CAST(substr(source, 4) AS INT) + 1) AS wsum FROM avail),
-          rates AS (SELECT source,
-            least(1.0, CAST($mixBudgetFrac AS DOUBLE) * n_total *
-              ((CAST(substr(source, 4) AS INT) + 1) / CAST(wsum AS DOUBLE))
-              / avail) AS rate
-            FROM avail, tot),
-          uu AS (SELECT doc_id, source,
-            (CAST('0x' || substr(md5('$mixSeed:' || doc_id), 1, 13) AS BIGINT)
-              + 0.5) / 4503599627370496.0 AS u
-            FROM documents)
-          SELECT uu.doc_id, uu.source, round(uu.u, 6) AS u,
-            round(r.rate, 6) AS rate
-          FROM uu JOIN rates r USING (source) WHERE uu.u < r.rate""",
+    // arithmetic), the seeded md5 uniform, and the admit comparison —
+    // the shared chain the composed funnel oracle also binds
+    "q_select_mix" -> {
+      val (c, sel) = mixCtesFrom("documents")
+      s"WITH $c $sel"
+    },
+
+    // the funnel through its real last stage: the pipeline replay's
+    // diversified survivors rejoined for their source, then the mixing
+    // chain over the SURVIVOR distribution
+    "q_select_funnel" -> selectFunnelSql,
 
     // one-shot whole-table replay of the frozen-fence binning: hash
     // equality against the four-batch folded path proves the merge exact

@@ -71,6 +71,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_select_lm_band" -> "band cut crosses the broadcast 1-row p10/p90 percentile aggregate (the q_winsorize fence idiom); LM scoring itself is the q_text_lm_score equi-join shape",
     "q_select_mix" -> "the 20-row per-source rate table crosses the broadcast 1-row total/weight-sum aggregate; the admit join is equi on source against the broadcast rate table",
     "q_select_pipeline" -> "the composed funnel inherits exactly its stages' own adjudicated shapes: the q_quality_lr_multi 1-row stats cross, the q_select_gumbel ratio-broadcast/tot-cross, the q_text_lm_score 1-row vocab cross and q_select_lm_band 1-row fence cross (both over the k-row resampled subset), and the q_select_kcenter_cells frozen 32-row centroid-assignment cross",
+    "q_select_funnel" -> "the q_select_pipeline composition plus the q_select_mix tail over the <=64-row diversified survivors: the survivor ids broadcast into the documents join, the per-source rate table crosses the broadcast 1-row total/weight-sum aggregate, and the admit join is equi on source against the broadcast rates",
     "q_quality_lr_multi" -> "cross join against the broadcast 1-row decimal-summed standardization-stats aggregate feeding the feature expressions",
     "q_quality_lr_softmax" -> "the q_quality_lr_multi standardization shape (broadcast 1-row stats cross join); the coupled gradient pass itself is one aggregate",
     "q_skew_profile" -> "cross join of the broadcast 1-row total/nkeys aggregate onto the 20-row TakeOrdered result",
@@ -169,6 +170,11 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
       "table — rows bounded by source cardinality (20), not data size " +
       "(the q_group_standardize shape); its inner cross is the broadcast " +
       "1-row total/weight-sum aggregate"),
+    "q_select_funnel" -> ("q_select_pipeline's hinted knob-bounded stage " +
+      "outputs, plus the funnel tail's: the diversified-survivor id set " +
+      "(<= kPerCell x 32 rows) hinted into the documents join, and the " +
+      "q_select_mix rate table (survivor-source-bounded) with its 1-row " +
+      "total/weight-sum cross"),
     "q_select_importance" -> ("broadcast side is the bucket log-ratio table — a " +
       "groupBy(bucket) aggregate bounded to dsirBuckets (256) rows by the hash " +
       "modulus, not by data size (plus the 1-row gram-totals scalar)"),

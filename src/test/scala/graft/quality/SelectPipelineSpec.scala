@@ -42,6 +42,26 @@ class SelectPipelineSpec extends AnyFunSuite with SparkSpec {
       "the funnel must be deterministic across invocations")
   }
 
+  test("the mixing tail (q_select_funnel) admits a non-empty PROPER " +
+      "subset of the diversified survivors, deterministically, with " +
+      "every admitted draw strictly under its source's rate") {
+    val surv = QualityQueries.selectPipeline(spark, d)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val admitted = QualityQueries.selectFunnel(spark, d).collect()
+    assert(admitted.nonEmpty, "mixing must admit something")
+    val ids = admitted.map(_.getLong(0)).toSet
+    assert(ids.subsetOf(surv), "admission must draw from the survivors")
+    assert(ids.size < surv.size,
+      s"mixing must subsample: admitted ${ids.size} of ${surv.size}")
+    admitted.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3),
+        s"admitted row must satisfy u < rate (round-6 published): $r")
+    }
+    val again = QualityQueries.selectFunnel(spark, d).collect()
+    assert(admitted.map(_.toSeq).toSet == again.map(_.toSeq).toSet,
+      "the funnel tail must be deterministic across invocations")
+  }
+
   test("the serve stage uses the trained weights: the trained filter " +
       "keeps a non-trivial PROPER subset of the corpus") {
     val docs = graft.ops.Tables.documents(spark, d)
