@@ -41,6 +41,89 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
+  /** The hashed gram stream (id[, is_target], bucket) — ONE definition
+    * for the in-corpus trainer and the frozen-stats serving face, so a
+    * served doc hashes exactly like a training doc. Unigrams + adjacent
+    * bigrams, one array per doc, then exploded; spread BEFORE the
+    * explode (the LanguageModel/TextIndex idiom): a small-file corpus
+    * scan is one partition, and without it both gram passes serialize
+    * on a single task.
+    */
+  private def gramBuckets(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int, isTarget: Option[Column]): DataFrame = {
+    val toks = graft.text.TextFunctions.safeLowerTokens(col(textCol))
+    val nBi = greatest(size(col("__toks")) - 1, lit(0))
+    val tagged = graft.prep.Preprocessing.spread(docs)
+      .select(col(idCol).as("id") +:
+        isTarget.map(_.as("is_target")).toSeq :+ toks.as("__toks"): _*)
+    val grams0 = tagged
+      .select(col("id") +: isTarget.map(_ => col("is_target")).toSeq :+
+        explode(concat(col("__toks"),
+          zip_with(slice(col("__toks"), lit(1), nBi),
+            slice(col("__toks"), lit(2), nBi),
+            (a, b) => concat(a, lit(" "), b)))).as("gram"): _*)
+    graft.prep.Codebook.hashEncode(grams0, "gram", "bucket", buckets)
+      .drop("gram")
+  }
+
+  /** The per-doc scoring aggregate — shared by [[importanceScores]] and
+    * [[scoreWith]]: per-gram log-ratio round(12) → DECIMAL(38,12) sum
+    * (bit-identical under repartitioning, DuckDB-replayable). */
+  private def scoreGrams(grams: DataFrame, ratio: DataFrame): DataFrame =
+    grams.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(round(sum(round(col("logratio"), 12).cast("decimal(38,12)"))
+        .cast("double"), 6).as("score"))
+
+  /** The trained bucket log-ratio table (bucket, logratio) — ≤ `buckets`
+    * rows, broadcast-sized: DSIR's entire model state. The production
+    * cadence trains it from a REFERENCE snapshot at rebuild time and
+    * serves new documents against the frozen table via [[scoreWith]]
+    * (r19 verdict task 3); [[importanceScores]] is the same arithmetic
+    * trained in-plan.
+    */
+  def ratios(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 256,
+      alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    ratioFromGrams(
+      gramBuckets(docs, idCol, textCol, buckets, Some(isTarget)),
+      buckets, alpha)
+  }
+
+  private def ratioFromGrams(grams: DataFrame, buckets: Int,
+      alpha: Double): DataFrame = {
+    // both distributions in ONE bounded aggregate
+    val counts = grams.groupBy(col("bucket")).agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("t"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).as("r"))
+    val totals = counts.agg(sum(col("t")).as("bigT"), sum(col("r")).as("bigR"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("t") + lit(alpha)) /
+            (col("bigT") + lit(alpha * buckets))) -
+          log((col("r") + lit(alpha)) /
+            (col("bigR") + lit(alpha * buckets)))).as("logratio"))
+  }
+
+  /** The frozen-stats SERVING face: (id, score) for every doc of `docs`
+    * with ≥ 1 gram, scored against a FROZEN `ratiosDf` (bucket,
+    * logratio — broadcast-sized, trained by [[ratios]] at rebuild
+    * cadence). Same gram/hash/score definitions as the in-corpus
+    * trainer, so scoring is a pure per-doc computation against
+    * broadcast state — it runs identically inside a foreachBatch
+    * micro-batch (each doc's grams arrive with the doc; no cross-doc
+    * state), and DsirSpec pins stream == batch. Buckets the frozen
+    * table wasn't trained with are a caller error the bucket join
+    * surfaces as missing mass — pass the training `buckets`.
+    */
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+      ratiosDf: DataFrame, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    scoreGrams(gramBuckets(docs, idCol, textCol, buckets, None), ratiosDf)
+  }
+
   /** (id, score) for every non-target doc with ≥ 1 gram; `isTarget`
     * marks the curated seed rows INSIDE `docs` (the usual shape: one
     * corpus, a small labeled slice).
@@ -50,39 +133,9 @@ object Dsir {
       alpha: Double = 0.5): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(alpha > 0.0, s"alpha must be positive, got $alpha")
-    val toks = graft.text.TextFunctions.safeLowerTokens(col(textCol))
-    // unigrams + adjacent bigrams, one array per doc, then exploded.
-    // spread BEFORE the explode (the LanguageModel/TextIndex idiom): a
-    // small-file corpus scan is one partition, and without it both gram
-    // passes serialize on a single task
-    val nBi = greatest(size(col("__toks")) - 1, lit(0))
-    val grams0 = graft.prep.Preprocessing.spread(docs)
-      .select(col(idCol).as("id"), isTarget.as("is_target"),
-        toks.as("__toks"))
-      .select(col("id"), col("is_target"),
-        explode(concat(col("__toks"),
-          zip_with(slice(col("__toks"), lit(1), nBi),
-            slice(col("__toks"), lit(2), nBi),
-            (a, b) => concat(a, lit(" "), b)))).as("gram"))
-    val grams = graft.prep.Codebook
-      .hashEncode(grams0, "gram", "bucket", buckets)
-      .select(col("id"), col("is_target"), col("bucket"))
-    // both distributions in ONE bounded aggregate
-    val counts = grams.groupBy(col("bucket")).agg(
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("t"),
-      sum(when(col("is_target"), 0L).otherwise(1L)).as("r"))
-    val totals = counts.agg(sum(col("t")).as("bigT"), sum(col("r")).as("bigR"))
-    val ratio = counts.crossJoin(broadcast(totals))
-      .select(col("bucket"),
-        (log((col("t") + lit(alpha)) /
-            (col("bigT") + lit(alpha * buckets))) -
-          log((col("r") + lit(alpha)) /
-            (col("bigR") + lit(alpha * buckets)))).as("logratio"))
-    grams.filter(!col("is_target"))
-      .join(broadcast(ratio), Seq("bucket"))
-      .groupBy(col("id"))
-      .agg(round(sum(round(col("logratio"), 12).cast("decimal(38,12)"))
-        .cast("double"), 6).as("score"))
+    val grams = gramBuckets(docs, idCol, textCol, buckets, Some(isTarget))
+    val ratio = ratioFromGrams(grams, buckets, alpha)
+    scoreGrams(grams.filter(!col("is_target")).drop("is_target"), ratio)
   }
 
   /** The k most target-like raw docs — deterministic (score desc, id)

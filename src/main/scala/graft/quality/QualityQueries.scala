@@ -118,6 +118,27 @@ object QualityQueries {
     // 3-6 all run on broadcast-sized survivors; the mix tail is one
     // ≤20-row aggregate + a broadcast rate join + a stateless filter.
     "q_select_funnel" -> ((s, d) => selectFunnel(s, d)),
+
+    // The frozen-stats DSIR SERVING face on the real production split
+    // (r19 verdict task 3): the bucket log-ratio table (≤256 rows —
+    // DSIR's entire model state) trains on the doc_id%5≠1 slice
+    // (target = the curated %10 slice, wholly inside the train split),
+    // and the HELD-OUT %5=1 slice is scored against the FROZEN
+    // broadcast table via Dsir.scoreWith — the rebuild-cadence cadence
+    // (ratios retrain at snapshot time, scoring is a pure per-doc
+    // computation against broadcast state, so it runs identically in a
+    // foreachBatch micro-batch; DsirSpec pins stream == batch). The
+    // oracle retrains the ratio chain from the train slice and replays
+    // the held-out gram/hash/score join per doc.
+    "q_select_dsir_served" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val frozen = Dsir.ratios(docs.filter(col("doc_id") % 5 =!= 1),
+        "doc_id", "text", col("doc_id") % 10 === 0,
+        dsirBuckets, dsirAlpha)
+      Dsir.scoreWith(docs.filter(col("doc_id") % 5 === 1),
+        "doc_id", "text", frozen, dsirBuckets)
+        .withColumnRenamed("id", "doc_id")
+    }),
     // The k-way corpus-filter shape (r17 verdict task 4): one-vs-rest
     // langid over IN-PLAN STANDARDIZED features — the stats pass is one
     // decimal-summed aggregate (mean and raw second moment, combine-
@@ -884,20 +905,40 @@ object QualityQueries {
     * (doc_id, text); `p` prefixes every CTE name; `mat` adds
     * MATERIALIZED for deep compositions.
     */
-  private def dsirCtesFrom(src: String, p: String = "",
-      mat: Boolean = false): String = {
-    val m = if (mat) "MATERIALIZED " else ""
-    s"""${p}t AS $m(SELECT doc_id, doc_id % 10 = 0 AS is_target,
+  /** The tokenize → gram → hash-bucket sub-chain, tagged (training: the
+    * %10 target flag rides along) or untagged (frozen-stats serving) —
+    * shared so a served doc hashes exactly like a training doc. */
+  private def dsirGramCtes(src: String, p: String, m: String,
+      tagged: Boolean): String = {
+    val tagSel = if (tagged) " doc_id % 10 = 0 AS is_target," else ""
+    val tagCol = if (tagged) " is_target," else ""
+    s"""${p}t AS $m(SELECT doc_id,$tagSel
           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
         FROM $src),
-        ${p}g AS $m(SELECT doc_id, is_target,
+        ${p}g AS $m(SELECT doc_id,$tagCol
           unnest(list_concat(toks,
             list_transform(range(1, len(toks)),
               i -> toks[i] || ' ' || toks[i + 1]))) AS gram
         FROM ${p}t),
-        ${p}b AS $m(SELECT doc_id, is_target,
+        ${p}b AS $m(SELECT doc_id,$tagCol
           CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % $dsirBuckets AS bucket
-        FROM ${p}g),
+        FROM ${p}g)"""
+  }
+
+  /** The per-doc decimal-summed scoring aggregate over a bucketed gram
+    * CTE against a ratio CTE — shared by the in-corpus chain and the
+    * served oracle. */
+  private def dsirScoreSel(gramCte: String, ratioCte: String,
+      filter: String = ""): String =
+    s"""SELECT b.doc_id,
+        round(CAST(sum(CAST(round(r.logratio, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+        FROM $gramCte b JOIN $ratioCte r USING (bucket)$filter
+        GROUP BY 1"""
+
+  private def dsirCtesFrom(src: String, p: String = "",
+      mat: Boolean = false): String = {
+    val m = if (mat) "MATERIALIZED " else ""
+    s"""${dsirGramCtes(src, p, m, tagged = true)},
         ${p}c AS $m(SELECT bucket,
           sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc,
           sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS rc
@@ -907,10 +948,8 @@ object QualityQueries {
           ln((tc + $dsirAlpha) / (bt + $dsirAlpha * $dsirBuckets)) -
           ln((rc + $dsirAlpha) / (br + $dsirAlpha * $dsirBuckets)) AS logratio
         FROM ${p}c, ${p}tot),
-        ${p}s AS $m(SELECT b.doc_id,
-          round(CAST(sum(CAST(round(r.logratio, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
-        FROM ${p}b b JOIN ${p}ratio r USING (bucket) WHERE NOT is_target
-        GROUP BY 1)"""
+        ${p}s AS $m(${dsirScoreSel(s"${p}b", s"${p}ratio",
+          " WHERE NOT is_target")})"""
   }
 
   private lazy val dsirCtes: String = dsirCtesFrom("documents")
@@ -1172,6 +1211,19 @@ object QualityQueries {
     // diversified survivors rejoined for their source, then the mixing
     // chain over the SURVIVOR distribution
     "q_select_funnel" -> selectFunnelSql,
+
+    // frozen-stats DSIR serving: the ratio chain trained from the
+    // %5<>1 slice, the held-out %5=1 slice's grams hashed identically
+    // and scored against that frozen ratio CTE
+    "q_select_dsir_served" -> {
+      val trainSrc =
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 1)"
+      val serveSrc =
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 5 = 1)"
+      s"""WITH ${dsirCtesFrom(trainSrc, "d", mat = true)},
+          ${dsirGramCtes(serveSrc, "sv", "MATERIALIZED ", tagged = false)}
+          ${dsirScoreSel("svb", "dratio")}"""
+    },
 
     // one-shot whole-table replay of the frozen-fence binning: hash
     // equality against the four-batch folded path proves the merge exact

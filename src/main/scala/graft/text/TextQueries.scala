@@ -346,6 +346,24 @@ object TextQueries {
       LanguageModel.bigramLogProbScores(documents(s, d), "doc_id", "text",
         k = 0.5)),
 
+    // The LM's frozen-stats SERVING face on the real production split
+    // (r19 verdict task 3): counts + vocab trained on the doc_id%5≠1
+    // slice (LanguageModel.trainCounts — the snapshot-cadence rebuild),
+    // the HELD-OUT %5=1 slice scored against the frozen model via
+    // scoreWith. Out-of-model bigrams are excluded by definition (no
+    // defined P under the trained add-k model — scaladoc'd): n_bigrams
+    // counts the KNOWN bigrams each held-out doc was scored on, and a
+    // doc with none surfaces (0, 0.0) through the spine join. The
+    // oracle retrains the counts from the train slice and replays the
+    // held-out scoring join per doc.
+    "q_text_lm_served" -> ((s, d) => {
+      val docs = documents(s, d)
+      val (lm, vocab) = LanguageModel.trainCounts(
+        docs.filter(col("doc_id") % 5 =!= 1), "text")
+      LanguageModel.scoreWith(docs.filter(col("doc_id") % 5 === 1),
+        "doc_id", "text", lm, vocab, k = 0.5)
+    }),
+
     // CCNet's band cut COMPLETED (q_text_lm_score only scores; a
     // curation pipeline then SELECTS): exact p10/p90 fences over the
     // scored docs (the q_winsorize percentile idiom — one broadcast
@@ -1188,6 +1206,39 @@ object TextQueries {
             coalesce(sc.n_bigrams, 0) AS n_bigrams,
             round(coalesce(sc.avg_lp, 0.0), 6) AS avg_logprob
           FROM t LEFT JOIN sc USING (doc_id)""",
+
+    // the frozen-LM serving replay: counts/vocab CTEs from the TRAIN
+    // slice, bigram postings from the HELD-OUT slice, the same
+    // smoothing formula joined per known bigram, spine left-join for
+    // zero-known-bigram docs
+    "q_text_lm_served" -> {
+      val m = "MATERIALIZED "
+      s"""WITH sv AS (SELECT doc_id, text FROM documents
+            WHERE doc_id % 5 = 1),
+          tt AS $m(SELECT doc_id, $toksSql AS toks FROM documents
+            WHERE doc_id % 5 <> 1),
+          tbgp AS $m(SELECT doc_id, toks[i] AS w1,
+              toks[i] || ' ' || toks[i+1] AS bg
+            FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                  FROM tt WHERE len(toks) >= 2)),
+          tcbg AS $m(SELECT w1, bg, count(*) AS cbg FROM tbgp GROUP BY 1, 2),
+          tcw1 AS $m(SELECT w1, count(*) AS cw1 FROM tbgp GROUP BY 1),
+          tv AS $m(SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+            FROM (SELECT unnest(toks) AS tok FROM tt)),
+          st AS $m(SELECT doc_id, $toksSql AS toks FROM sv),
+          sbgp AS $m(SELECT doc_id, toks[i] AS w1,
+              toks[i] || ' ' || toks[i+1] AS bg
+            FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                  FROM st WHERE len(toks) >= 2)),
+          ssc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              sum(ln((cbg + 0.5) / (cw1 + 0.5 * tv.v))) / count(*) AS avg_lp
+            FROM sbgp JOIN tcbg USING (w1, bg) JOIN tcw1 USING (w1), tv
+            GROUP BY doc_id)
+          SELECT s.doc_id,
+            coalesce(c.n_bigrams, 0) AS n_bigrams,
+            round(coalesce(c.avg_lp, 0.0), 6) AS avg_logprob
+          FROM sv s LEFT JOIN ssc c USING (doc_id)"""
+    },
 
     // the same LM replay, then the band cut: rounded scores, p10/p90
     // quantile_cont fences rounded to the same 6 dp (the q_winsorize

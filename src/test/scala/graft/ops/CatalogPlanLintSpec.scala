@@ -69,6 +69,8 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_select_importance" -> "ratio table crosses the broadcast 1-row gram-total aggregate; scoring join is equi on bucket against the broadcast <=256-row ratio table",
     "q_select_gumbel" -> "the q_select_importance shape (broadcast 1-row gram-total cross; equi bucket join); the Gumbel draw is a pure projection over the scored frame",
     "q_select_lm_band" -> "band cut crosses the broadcast 1-row p10/p90 percentile aggregate (the q_winsorize fence idiom); LM scoring itself is the q_text_lm_score equi-join shape",
+    "q_select_dsir_served" -> "the q_select_importance shape with the ratio chain trained on the %5<>1 slice: cross join against the broadcast 1-row gram-total aggregate; held-out scoring is equi on bucket against the broadcast <=256-row frozen ratio table",
+    "q_text_lm_served" -> "the q_text_lm_score shape split across the train/serve slices: cross join against the broadcast 1-row vocabulary-size scalar from the frozen trainCounts",
     "q_select_mix" -> "the 20-row per-source rate table crosses the broadcast 1-row total/weight-sum aggregate; the admit join is equi on source against the broadcast rate table",
     "q_select_pipeline" -> "the composed funnel inherits exactly its stages' own adjudicated shapes: the q_quality_lr_multi 1-row stats cross, the q_select_gumbel ratio-broadcast/tot-cross, the q_text_lm_score 1-row vocab cross and q_select_lm_band 1-row fence cross (both over the k-row resampled subset), and the q_select_kcenter_cells frozen 32-row centroid-assignment cross",
     "q_select_funnel" -> "the q_select_pipeline composition plus the q_select_mix tail over the <=64-row diversified survivors: the survivor ids broadcast into the documents join, the per-source rate table crosses the broadcast 1-row total/weight-sum aggregate, and the admit join is equi on source against the broadcast rates",
@@ -180,6 +182,10 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
       "modulus, not by data size (plus the 1-row gram-totals scalar)"),
     "q_select_gumbel" -> ("the q_select_importance hinted sides (256-row bucket " +
       "ratio table + 1-row gram totals); the Gumbel key adds no join"),
+    "q_select_dsir_served" -> ("broadcast side is the FROZEN bucket log-ratio " +
+      "table — bounded to dsirBuckets (256) rows by the hash modulus, trained " +
+      "once at rebuild cadence from the %5<>1 slice (the q_select_importance " +
+      "hinted side, served); plus the 1-row gram-totals scalar"),
     "q_merge_on_read" -> ("applyDv GATES the hint on the DV mask's estimated size " +
       "(256 MB cap, the enrichStream doctrine) — a fold-starved sidecar degrades to " +
       "a keyed shuffle join; in production the mask is deltas-since-last-fold, " +

@@ -81,6 +81,49 @@ class DsirSpec extends AnyFunSuite with SparkSpec {
       "a different seed must draw different keys")
   }
 
+  test("frozen-stats serving face: scoreWith(ratios) reproduces the " +
+      "in-corpus trainer exactly on the raw pool") {
+    val inCorpus = Dsir.importanceScores(planted, "id", "text", isTarget,
+      buckets = 64).collect().map(_.toSeq).toSet
+    val frozen = Dsir.ratios(planted, "id", "text", isTarget, buckets = 64)
+      .localCheckpoint() // freeze: serving must not re-derive the table
+    val served = Dsir.scoreWith(planted.filter(!isTarget), "id", "text",
+      frozen, buckets = 64).collect().map(_.toSeq).toSet
+    assert(served === inCorpus,
+      "serving against the frozen ratio table must equal in-corpus scores")
+  }
+
+  test("frozen-stats serving face is stream == batch: scoring is a pure " +
+      "per-doc computation against broadcast state, so trigger chopping " +
+      "cannot matter") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val frozen = Dsir.ratios(planted, "id", "text", isTarget, buckets = 64)
+      .localCheckpoint()
+    val serveRows = planted.filter(!isTarget).as[(Long, String)].collect()
+    val batch = Dsir.scoreWith(planted.filter(!isTarget), "id", "text",
+      frozen, buckets = 64).collect().map(_.toSeq).toSet
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Any]]()
+    val q = stream.toDF().toDF("id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dsir.scoreWith(b, "id", "text", frozen, buckets = 64)
+          .collect().foreach(r => sink.add(r.toSeq))
+        ()
+      }.start()
+    try {
+      stream.addData(serveRows.take(7): _*)
+      q.processAllAvailable()
+      stream.addData(serveRows.slice(7, 16): _*)
+      q.processAllAvailable()
+      stream.addData(serveRows.drop(16): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sink.toArray.map(_.asInstanceOf[Seq[Any]]).toSet === batch,
+      "streamed serving must equal the batch twin exactly")
+  }
+
   test("repeating target phrasing raises the score (per-occurrence sums)") {
     val docs = ((0L until 20L).map(i => (i, "alpha beta")) ++
       Seq((100L, "alpha beta"), (101L, "alpha beta alpha beta")))

@@ -43,4 +43,56 @@ class LanguageModelSpec extends AnyFunSuite with SparkSpec {
     // (singleton): the filter signal a curation pipeline thresholds on
     assert(scores(2L)._2 > scores(3L)._2)
   }
+
+  test("frozen-stats serving face: known bigrams score with the frozen " +
+      "model, out-of-model bigrams are excluded, all-unseen docs " +
+      "surface (0, 0.0) through the spine join") {
+    val (lm, vocab) = LanguageModel.trainCounts(docs, "text")
+    // in-corpus equivalence: the composition IS bigramLogProbScores
+    val served = LanguageModel.scoreWith(docs, "doc_id", "text",
+      lm.localCheckpoint(), vocab.localCheckpoint(), k = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(served === scores, "frozen == in-corpus on the training docs")
+    // held-out docs: "a b" known, "b x"/"x y" unseen -> scored on the 1
+    // known bigram only; an all-unseen doc keeps its spine row at 0
+    val held = Seq((10L, "a b x y"), (11L, "q r")).toDF("doc_id", "text")
+    val h = LanguageModel.scoreWith(held, "doc_id", "text", lm, vocab,
+      k = 0.5).as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(h(10L)._1 === 1L, s"only the known bigram scores: ${h(10L)}")
+    assert(h(11L) === ((0L, 0.0)), "all-unseen doc surfaces (0, 0.0)")
+  }
+
+  test("frozen-stats serving is stream == batch under any trigger " +
+      "chopping (per-doc scoring against broadcast model state)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (lm0, vocab0) = LanguageModel.trainCounts(docs, "text")
+    val lm = lm0.localCheckpoint(); val vocab = vocab0.localCheckpoint()
+    val held = Seq((10L, "a b x y"), (11L, "q r"), (12L, "a b a b z q"),
+      (13L, "b a"), (14L, "")).toDF("doc_id", "text")
+    val batch = LanguageModel.scoreWith(held, "doc_id", "text", lm, vocab,
+      k = 0.5).collect().map(_.toSeq).toSet
+    val rows = held.as[(Long, String)].collect()
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Any]]()
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        LanguageModel.scoreWith(b, "doc_id", "text", lm, vocab, k = 0.5)
+          .collect().foreach(r => sink.add(r.toSeq))
+        ()
+      }.start()
+    try {
+      stream.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(rows.slice(2, 3): _*)
+      q.processAllAvailable()
+      stream.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sink.toArray.map(_.asInstanceOf[Seq[Any]]).toSet === batch,
+      "streamed serving must equal the batch twin exactly")
+  }
 }
