@@ -168,6 +168,35 @@ object DedupQueries {
             .as("kept_len_sum"))
     }),
 
+    // The needs_repair loop CLOSED and value-oracled (r19 verdict task
+    // 5 — the fourth persistent structure gets the decision-logic
+    // coverage the other three have): the fixture plants epoch 2's
+    // exact crash state (pairs recorded, updates+seal gone), maintain
+    // reports needs_repair, repairWithBest re-derives the epoch's
+    // labels AND winners from the recorded pairs with the corpus score
+    // rule, and the second maintain reads the index healthy. Output =
+    // the healed keep-set fingerprint (count, id sum, length sum — the
+    // q_dedup_keep_best summary, which must equal the from-scratch
+    // all-pairs truth: a repair that lost epoch 2's merges or winner
+    // flips lands here) crossed with the seq-ordered ledger arc.
+    "q_dedup_cluster_repair" -> ((s, d) => {
+      val docs = documents(s, d)
+      val dir = clusterRepairDir(s, d)
+      val keep = ClusterIndex.resolveBest(s, dir, docs, "doc_id")
+        .join(docs, col("keep_id") === col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("keep_id")).cast("long").as("kept_id_sum"),
+          sum(length(col("text")).cast("long")).cast("long")
+            .as("kept_len_sum"))
+      val arc = ClusterIndex.maintenanceLog(s, dir)
+        .agg(
+          concat_ws(",", transform(
+            sort_array(collect_list(struct(col("seq"), col("action")))),
+            x => x.getField("action"))).as("actions"),
+          sum(col("unsealed_epochs")).cast("long").as("unsealed_total"))
+      keep.crossJoin(arc)
+    }),
+
     // MinHash+LSH candidates -> EXACT-Jaccard verification: output equals
     // the true near-dup pair set whenever band recall holds (the data's
     // thinnest true pair has J=0.82 -> P(miss) ~ 7e-5 per pair at 16x4
@@ -1071,6 +1100,56 @@ object DedupQueries {
       Dedup.releasePlan(pairs)
     }
 
+  private val clusterRepairWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** [[clusterBestIndexDir]] with a PLANTED CRASH for
+    * `q_dedup_cluster_repair` (r19 verdict task 5): the same three-epoch
+    * best-enabled build, then epoch 2's crash window is reproduced
+    * exactly — its label/best updates and seal removed, its pairs left
+    * (addPairs' write 1 landed, writes 2-3 did not). maintain then reads
+    * the damage (`needs_repair` — a REPORT, because re-deriving winners
+    * needs the corpus scores maintain must not invent),
+    * [[ClusterIndex.repairWithBest]] re-derives epoch 2's labels AND
+    * winners from the recorded pairs with the real score rule, and a
+    * second maintain confirms the index healthy. The catalog query
+    * value-checks BOTH faces: the healed keep set against the
+    * from-scratch all-pairs truth, and the needs_repair→none arc.
+    */
+  private def clusterRepairDir(s: SparkSession, d: String): String =
+    graft.ops.QueryFixtures.fixtureDir(clusterRepairWritten,
+        "cluster_repair", "documents", d) { dir =>
+      val docs = documents(s, d)
+      val score = length(col("text")).cast("long")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq("lang"), n = 2, threshold = 0.1,
+        maxDocFreq = jaccardDfCap).localCheckpoint(true)
+      def part(r: Int) = pairs.filter(
+        pmod(col("id_a") + col("id_b"), lit(3L)) === r)
+      ClusterIndex.buildWithBest(part(0), "id_a", "id_b",
+        docs, "doc_id", score, dir)
+      ClusterIndex.addPairsWithBest(s, dir, part(1),
+        "id_a", "id_b", docs, "doc_id", score, epoch = 1)
+      ClusterIndex.addPairsWithBest(s, dir, part(2),
+        "id_a", "id_b", docs, "doc_id", score, epoch = 2)
+      Dedup.releasePlan(pairs)
+      // plant the crash: epoch 2 loses its updates and seal, keeps its
+      // pairs — the exact state a crash between addPairs' first and
+      // last writes leaves behind
+      val conf = s.sessionState.newHadoopConf()
+      Seq(s"$dir/label_updates/epoch=2", s"$dir/best_updates/epoch=2",
+          s"$dir/seals/epoch_2").foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        require(hp.getFileSystem(conf).delete(hp, true),
+          s"crash plant failed to remove $p")
+      }
+      ClusterIndex.maintain(s, dir) // reads the damage: needs_repair
+      val repaired = ClusterIndex.repairWithBest(s, dir, docs,
+        "doc_id", score)
+      require(repaired == Seq(2L), s"expected to repair epoch 2: $repaired")
+      ClusterIndex.maintain(s, dir) // healthy again: none
+      ()
+    }
+
   /** One-time (per JVM x sf dir x fixture generation) incrementally-built
     * LSH index for `q_dedup_lsh_index`: build on even doc_ids, append the
     * %4==1 batch against the frozen hash parameters (same staleness-
@@ -1659,6 +1738,32 @@ object DedupQueries {
           SELECT count(*) AS n_kept,
             CAST(sum(d.doc_id) AS BIGINT) AS kept_id_sum,
             CAST(sum(length(d.text)) AS BIGINT) AS kept_len_sum
+          FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM kept)""",
+
+    // the REPAIRED index's keep set must equal the from-scratch keepBest
+    // (same SQL as q_dedup_keep_best by design — repair re-derives the
+    // crashed epoch exactly); the ledger arc columns are the fixture's
+    // pinned decision constants (needs_repair with 1 unsealed epoch,
+    // then none)
+    "q_dedup_cluster_repair" ->
+      s"""WITH RECURSIVE $jaccardClusterCtes,
+          labels AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY 1),
+          best AS (
+            SELECT v FROM (
+              SELECT l.v, row_number() OVER (PARTITION BY l.cluster_id
+                ORDER BY length(d.text) DESC, l.v ASC) AS rn
+              FROM labels l JOIN documents d ON d.doc_id = l.v)
+            WHERE rn = 1),
+          kept AS (
+            SELECT v AS doc_id FROM best
+            UNION ALL
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT v FROM labels))
+          SELECT count(*) AS n_kept,
+            CAST(sum(d.doc_id) AS BIGINT) AS kept_id_sum,
+            CAST(sum(length(d.text)) AS BIGINT) AS kept_len_sum,
+            'needs_repair,none' AS actions,
+            CAST(1 AS BIGINT) AS unsealed_total
           FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM kept)""",
 
     // the incrementally-maintained keep set must equal the from-scratch

@@ -45,11 +45,11 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.queries.size === keys.size)
   }
 
-  test("catalog size: at least 282 queries, at least 282 oracled") {
+  test("catalog size: at least 283 queries, at least 283 oracled") {
     // floor, not exact count — catches an accidentally dropped catalog
     // merge (or a silently shrinking query set, the round-11 failure mode)
     // without needing an edit per added query
-    assert(SparkEntry.queries.size >= 282, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size >= 282, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.queries.size >= 283, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size >= 283, SparkEntry.oracleSql.size.toString)
   }
 }

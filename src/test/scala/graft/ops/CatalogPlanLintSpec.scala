@@ -65,6 +65,7 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_dedup_semantic" -> "centroid-assignment cross join against the frozen 32-row trained-centroid local relation",
     "q_select_kcenter_cells" -> "the q_dedup_semantic centroid-assignment cross join (frozen 32-row quantizer); the per-cell pass itself is one groupBy(cell) aggregate",
     "q_dedup_cosine_recall" -> "recall query joins the LSH path against the documented exact twin",
+    "q_dedup_cluster_repair" -> "cross join of two broadcast 1-row aggregates: the healed keep-set fingerprint and the maintenance-ledger arc summary",
     "q_dq_outliers" -> "cross join against the broadcast 1-row mean/sigma stats aggregate",
     "q_select_importance" -> "ratio table crosses the broadcast 1-row gram-total aggregate; scoring join is equi on bucket against the broadcast <=256-row ratio table",
     "q_select_gumbel" -> "the q_select_importance shape (broadcast 1-row gram-total cross; equi bucket join); the Gumbel draw is a pure projection over the scored frame",
