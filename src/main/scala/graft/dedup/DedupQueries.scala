@@ -1134,14 +1134,21 @@ object DedupQueries {
       Dedup.releasePlan(pairs)
       // plant the crash: epoch 2 loses its updates and seal, keeps its
       // pairs — the exact state a crash between addPairs' first and
-      // last writes leaves behind
+      // last writes leaves behind. The update faces may legitimately be
+      // absent (a no-change epoch writes none — fixture-regen-proof);
+      // the seal always exists, so its removal is the asserted plant.
       val conf = s.sessionState.newHadoopConf()
-      Seq(s"$dir/label_updates/epoch=2", s"$dir/best_updates/epoch=2",
-          s"$dir/seals/epoch_2").foreach { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        require(hp.getFileSystem(conf).delete(hp, true),
-          s"crash plant failed to remove $p")
-      }
+      Seq(s"$dir/label_updates/epoch=2", s"$dir/best_updates/epoch=2")
+        .foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).delete(hp, true)
+          ()
+        }
+      val sealP = new org.apache.hadoop.fs.Path(s"$dir/seals/epoch_2")
+      require(sealP.getFileSystem(conf).delete(sealP, true),
+        "crash plant failed to remove epoch 2's seal")
+      require(ClusterIndex.unsealedEpochs(s, dir) == Seq(2L),
+        "planted crash must leave exactly epoch 2 unsealed")
       ClusterIndex.maintain(s, dir) // reads the damage: needs_repair
       val repaired = ClusterIndex.repairWithBest(s, dir, docs,
         "doc_id", score)

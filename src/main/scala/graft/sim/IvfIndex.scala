@@ -492,9 +492,9 @@ object IvfIndex {
     require(sampleN > 0 && k > 0 && nprobe > 0,
       s"positive sampleN/k/nprobe required, got $sampleN/$k/$nprobe")
     val live = liveVectors(spark, dir)
-    // the sampled query frame feeds BOTH arms — pin it so they see the
-    // same sample (rand is per-partition-seeded; two evaluations over a
-    // shifting scan could disagree)
+    // the sampled query frame feeds BOTH arms — pin it so the ANN and
+    // brute plans read it once each instead of re-scanning the live set
+    // (the md5 draw itself is already evaluation-order-independent)
     val q = live.select(col("vec_id"), col("vec"))
       .withColumn("_r", md5(concat(lit(s"$seed:"),
         col("vec_id").cast("string"))))
