@@ -141,7 +141,16 @@ object Preprocessing {
       // driver-local rows are distributed across cores at execution
       // (LocalTableScan parallelizes); no shuffle needed or wanted
       case _: LocalRelation => None
-      case r: LogicalRDD => Some(r.rdd.getNumPartitions)
+      // r20: a LogicalRDD leaf (localCheckpoint / checkpointed frame) is
+      // exactly the "partitioning was already decided" case the scaladoc
+      // promises to leave unchanged — its layout came from the exchanges
+      // (or the bounded fetch) that produced it. The old
+      // `Some(getNumPartitions)` re-spread k-row checkpointed frames
+      // (e.g. q_select_pipeline's 60-row stage boundary) to 32 partitions,
+      // turning every downstream stage of a metadata-scale tail into a
+      // 32-task stage (measured: the LM band chain over 60 checkpointed
+      // rows ran 32-task stages end to end).
+      case _: LogicalRDD => None
       case _ => None
     }
     if (perLeaf.exists(_.isEmpty)) None

@@ -702,16 +702,29 @@ object QualityQueries {
       .otherwise(lit("long"))
 
   /** q_select_pipeline's composed plan — ONE definition for the catalog
-    * query and its lint twin (`lint = true` swaps the two eager stages
-    * for their declarative shapes: zero-weight serving models instead of
-    * the trained collect, and [[graft.sim.Coreset.lintPerCellPass]]
-    * instead of the driver-advanced greedy). Stage boundaries are
-    * DELIBERATELY declarative — no checkpoint: stage 2's TakeOrdered
-    * yields `pipeGumbelK` rows, so the only recompute the optimizer pays
-    * is the second corpus scan fetching the k survivors' text, against
-    * which a corpus-sized materialization would be pure write
-    * amplification at 100 TB (the q_corpus_build checkpoint exists for
-    * FOUR downstream corpus-scale reuses; here there is one k-row one).
+    * query and its lint twin (`lint = true` swaps the eager stages for
+    * their declarative shapes: zero-weight serving models instead of the
+    * trained collect, the declarative k-row join boundaries instead of
+    * the driver-advanced id fetches, and
+    * [[graft.sim.Coreset.lintPerCellPass]] instead of the driver-advanced
+    * greedy).
+    *
+    * OPTIMIZATION r20 (guide §8 "decide with small rows, move big rows
+    * once" + §5 driver discipline): stage 2's TakeOrdered emits exactly
+    * `pipeGumbelK` rows, yet the old fully-declarative tail re-executed
+    * the corpus-scale prefix (classify scan + BOTH DSIR gram passes,
+    * each an explode + md5 over every kept doc) once per downstream
+    * ACTION — the LM fence aggregate, the per-cell anchor aggregate and
+    * the greedy pass each rebuilt the stage-2 broadcast from scratch
+    * (measured at sf0.1: band alone 8.1 s, the k-center anchor 11.1 s,
+    * q_select_pipeline 9.2 s total). The k surviving ids are a BOUNDED
+    * driver collect (k is a query constant, the adjudicated cap-math
+    * pattern), and fetching their text back is an `isin` pushed-filter
+    * scan — at 100 TB a row-group-skipping id fetch instead of a second
+    * full corpus scan + classify re-evaluation. The k-row fetched frame
+    * is localCheckpoint'd (k rows — metadata-scale at any corpus size)
+    * so stages 3-5 never touch corpus-scale state again. Same rows,
+    * same results; the declarative twin keeps the screenable shape.
     */
   private[graft] def selectPipeline(s: SparkSession, d: String,
       lint: Boolean = false): DataFrame = {
@@ -733,7 +746,18 @@ object QualityQueries {
       isTarget = col("doc_id") % 10 === 0, k = pipeGumbelK,
       seed = dsirSeed, buckets = dsirBuckets, alpha = dsirAlpha)
       .select(col("id").as("doc_id"))
-    val pickedDocs = kept.join(broadcast(picked), Seq("doc_id"))
+    // picked ⊆ kept and doc_id is the documents key, so fetching the k
+    // ids straight from the corpus scan returns exactly the join's rows
+    // (kept only filters docs; it never rewrites doc_id/text)
+    val pickedDocs =
+      if (lint) kept.join(broadcast(picked), Seq("doc_id"))
+      else {
+        val ids = picked.collect().map(_.getLong(0)).toSeq // k rows, bounded
+        Tables.documents(s, d)
+          .filter(col("doc_id").isin(ids: _*))
+          .select(col("doc_id"), col("text"))
+          .localCheckpoint()
+      }
     // stage 3: the q_select_lm_band cut verbatim, LM trained IN-SUBSET
     // over the resampled docs (broadcast-sized from here on)
     val scores = graft.text.LanguageModel
@@ -746,8 +770,16 @@ object QualityQueries {
     val band = scores.crossJoin(broadcast(fences))
       .filter(col("avg_logprob") >= lo && col("avg_logprob") <= hi)
       .select(col("doc_id").as("vec_id"))
-    // stage 4: per-cell k-center over the band survivors' embeddings
-    val sub = Tables.embeddings(s, d).join(band, Seq("vec_id"), "left_semi")
+    // stage 4: per-cell k-center over the band survivors' embeddings.
+    // band is ≤ k ids derived from the checkpointed k-row frame — the
+    // same bounded-collect + pushed-filter fetch as the stage-2/3 cut
+    // (the embeddings side skips row groups instead of full-scanning)
+    val sub =
+      if (lint) Tables.embeddings(s, d).join(band, Seq("vec_id"), "left_semi")
+      else {
+        val bandIds = band.collect().map(_.getLong(0)).toSeq // ≤ k rows
+        Tables.embeddings(s, d).filter(col("vec_id").isin(bandIds: _*))
+      }
     val centroids = graft.dedup.DedupQueries.semanticCentroidFrame(s)
     if (lint)
       graft.sim.Coreset.lintPerCellPass(sub, "vec_id", "embedding",
@@ -769,8 +801,24 @@ object QualityQueries {
   private[graft] def selectFunnel(s: SparkSession, d: String,
       lint: Boolean = false): DataFrame = {
     val ids = selectPipeline(s, d, lint).select(col("id").as("doc_id"))
-    val surv = Tables.documents(s, d).select(col("doc_id"), col("source"))
-      .join(broadcast(ids), Seq("doc_id"))
+    // r20: the pipeline result is a driver-built ≤ kPerCell × 32-row
+    // frame, so the survivor fetch is the same bounded-collect + `isin`
+    // pushed-filter scan as the pipeline's stage-2/3 cut (row-group skip
+    // instead of a full corpus scan + broadcast join); the lint twin
+    // keeps the declarative join shape.
+    val surv =
+      if (lint)
+        Tables.documents(s, d).select(col("doc_id"), col("source"))
+          .join(broadcast(ids), Seq("doc_id"))
+      else {
+        val survIds = ids.collect().map(_.getLong(0)).toSeq // ≤ 64 rows
+        // checkpointed (≤ 64 rows): rates and admit both read surv — one
+        // pushed-filter fetch instead of two
+        Tables.documents(s, d)
+          .filter(col("doc_id").isin(survIds: _*))
+          .select(col("doc_id"), col("source"))
+          .localCheckpoint()
+      }
     val idx = expr("CAST(substring(source, 4) AS INT)")
     Mixing.admit(surv,
         Mixing.rates(surv, "source", idx + 1, mixBudgetFrac),

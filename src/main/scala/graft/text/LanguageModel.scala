@@ -67,10 +67,17 @@ object LanguageModel {
       .select(col("__p.w1").as("__w1"), col("__p.bg").as("__bg"))
     val cbg = postings.groupBy(col("__w1"), col("__bg"))
       .agg(count(lit(1)).as("__cbg"))
-    val cw1 = postings.groupBy(col("__w1"))
-      .agg(count(lit(1)).as("__cw1"))
-    val lm = cbg.join(cw1, Seq("__w1"))
-      .select(col("__bg"), col("__cbg"), col("__cw1"))
+    // r20 (guide §2.3 "aggregate before you shuffle"): the prefix total
+    // c(w1·) = Σ_bg c(w1,bg) EXACTLY, so derive it from the bigram-count
+    // aggregate with a vocab-scale window instead of a second full pass
+    // over the data-scale postings (old shape: postings → groupBy(w1) →
+    // join — one more corpus-scale aggregate plus a vocab join; new
+    // shape: one window over the already-aggregated cbg rows, per-w1
+    // groups vocab-bounded). Integer sums — bit-identical counts.
+    val ww1 = org.apache.spark.sql.expressions.Window.partitionBy(col("__w1"))
+    val lm = cbg
+      .select(col("__bg"), col("__cbg"),
+        sum(col("__cbg")).over(ww1).as("__cw1"))
     val vocab = base
       .select(explode(col("__toks")).as("__tok"))
       .agg(countDistinct(col("__tok")).cast("double").as("__v"))
