@@ -47,9 +47,20 @@ object DataQuality {
       rsd: Double = 0.02): DataFrame =
     profileImpl(df, cols, c => approx_count_distinct(col(c), rsd))
 
-  private def profileImpl(df: DataFrame, cols: Seq[String],
+  private def profileImpl(df0: DataFrame, cols: Seq[String],
       ndvAgg: String => Column): DataFrame = {
     require(cols.nonEmpty, "profileNumeric needs at least one column")
+    // r20: the fixture tables are single-row-group parquet, so the scan
+    // (and with it the exact-NDV Expand / percentile / decimal-moment
+    // partial aggregation) runs on ONE core no matter the split size —
+    // spread() round-robins the narrow scan across the cluster first
+    // (measured sf0.1: profileNumeric 2.9 -> 1.5 s, profileCorr 1.6 ->
+    // 0.9 s, profileRobust 3.8 -> 2.8 s). At 100 TB scans already carry
+    // >= cores partitions and spread is a no-op. All aggregates here are
+    // partition-order independent (exact counts, decimal sums, exact
+    // percentile value-count maps, HLL register merges), so results are
+    // bit-identical.
+    val df = graft.prep.Preprocessing.spread(df0)
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__nn"),
@@ -90,8 +101,9 @@ object DataQuality {
     * bounded-cardinality columns; at unbounded 100 TB scale swap
     * `approx_percentile` exactly as [[profileNumericApprox]] swaps NDV.
     */
-  def profileRobust(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profileRobust(df0: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileRobust needs at least one column")
+    val df = graft.prep.Preprocessing.spread(df0) // r20: see profileImpl
     val qAggs = cols.flatMap { c =>
       // explicit double input: DuckDB's quantile_cont interpolates in the
       // input type (DECIMAL stays DECIMAL); pinning both engines to
@@ -144,10 +156,11 @@ object DataQuality {
     * reported — distinct counts don't scale linearly from a row sample;
     * use [[profileNumericApprox]]'s HLL on the full data for that.
     */
-  def profileNumericSampled(df: DataFrame, idCol: Column,
+  def profileNumericSampled(df0: DataFrame, idCol: Column,
       cols: Seq[String], rate: Double): DataFrame = {
     require(cols.nonEmpty, "profileNumericSampled needs at least one column")
     require(rate > 0 && rate <= 1, s"rate must be in (0,1]: $rate")
+    val df = graft.prep.Preprocessing.spread(df0) // r20: see profileImpl
     val sampled = df.filter(
       graft.prep.DeterministicSampling.uniformDraw(idCol) < rate)
     val aggs = cols.flatMap { c =>
@@ -186,9 +199,10 @@ object DataQuality {
     * price magnitudes pre-scale the inputs (the same knob as the NDV one
     * above).
     */
-  def profileCorrelation(df: DataFrame,
+  def profileCorrelation(df0: DataFrame,
       pairs: Seq[(String, String)]): DataFrame = {
     require(pairs.nonEmpty, "profileCorrelation needs at least one pair")
+    val df = graft.prep.Preprocessing.spread(df0) // r20: see profileImpl
     val d = DecimalType(18, 2)
     val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
       val both = col(x).isNotNull && col(y).isNotNull
@@ -255,8 +269,9 @@ object DataQuality {
     * same way for the fixture's data), so every stat is integer-exact
     * until the final rounded ratio.
     */
-  def profileStrings(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profileStrings(df0: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileStrings needs at least one column")
+    val df = graft.prep.Preprocessing.spread(df0) // r20: see profileImpl
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__nn"),
@@ -318,7 +333,7 @@ object DataQuality {
     * [[checkNonNull]] when they may not be.
     */
   def checkUnique(name: String, df: DataFrame, cols: Seq[String]): DataFrame =
-    asCheck(name, df.agg(
+    asCheck(name, graft.prep.Preprocessing.spread(df).agg(
       count(lit(1)).as("n_checked"),
       (count(lit(1)) - countDistinct(col(cols.head), cols.tail.map(col): _*))
         .as("violations")))
@@ -367,8 +382,9 @@ object DataQuality {
     * (stats, then compare); the 1-row stats frame broadcasts onto the
     * second scan.
     */
-  def checkOutliers(name: String, df: DataFrame, c: String,
+  def checkOutliers(name: String, df0: DataFrame, c: String,
       k: Double = 3.0): DataFrame = {
+    val df = graft.prep.Preprocessing.spread(df0) // r20: see profileImpl
     val decSq = DecimalType(38, 12)
     val stats = df.agg(
       count(col(c)).as("n_checked"),

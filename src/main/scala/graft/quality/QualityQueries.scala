@@ -202,7 +202,7 @@ object QualityQueries {
     // their correctness envelope is).
     "q_stats_incremental" -> ((s, d) => {
       val dir = statsIncrDir(s, d)
-      val li = Tables.lineitem(s, d)
+      val li = graft.prep.Preprocessing.spread(Tables.lineitem(s, d)) // r20
       val exact = li.agg(
         countDistinct(col("l_partkey")).as("x_l_partkey"),
         countDistinct(col("l_suppkey")).as("x_l_suppkey"))
@@ -225,7 +225,9 @@ object QualityQueries {
     // per-bin bounds. Equal-population bins are what query optimizers
     // and drift monitors actually want on skewed columns.
     "q_histogram_eqdepth" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      // r20: spread the single-row-group scan so the exact-percentile
+      // partials and the bucketed count parallelize (no-op at scale)
+      val li = graft.prep.Preprocessing.spread(Tables.lineitem(s, d))
       val q = li.agg(
         expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.25D, 0.5D, 0.75D))")
           .as("__f"))
@@ -250,7 +252,7 @@ object QualityQueries {
     // against the old binning). Per-bin contribution rows keep every
     // term a closed-form double from exact integer counts.
     "q_psi_drift" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      val li = graft.prep.Preprocessing.spread(Tables.lineitem(s, d)) // r20
       val ref = li.select(col("l_extendedprice").cast("double").as("x"))
       val cur = li.select(
         when(pmod(col("l_orderkey"), lit(3)) === 0,
@@ -294,7 +296,7 @@ object QualityQueries {
     // margins are exact integers, each contribution is one closed-form
     // double expression.
     "q_chi_square" -> ((s, d) => {
-      val cells = Tables.lineitem(s, d)
+      val cells = graft.prep.Preprocessing.spread(Tables.lineitem(s, d)) // r20
         .groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
         .agg(count(lit(1)).as("obs"))
       val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("flag"))
@@ -317,7 +319,7 @@ object QualityQueries {
     // (the q_text_lm_score doctrine).
     "q_col_entropy" -> ((s, d) => {
       def one(c: String): DataFrame = {
-        val counts = Tables.lineitem(s, d)
+        val counts = graft.prep.Preprocessing.spread(Tables.lineitem(s, d)) // r20
           .groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
         val wt = org.apache.spark.sql.expressions.Window.partitionBy()
         val p = col("cnt").cast("double") / sum(col("cnt")).over(wt)
@@ -348,7 +350,7 @@ object QualityQueries {
     // (rank error 60/600k at accuracy 10k — far inside the band).
     "q_profile_robust_approx" -> ((s, d) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val li = Tables.lineitem(s, d)
+      val li = graft.prep.Preprocessing.spread(Tables.lineitem(s, d)) // r20
       val aggs = cols.flatMap { c =>
         Seq(
           expr(s"percentile(CAST($c AS DOUBLE), array(0.25D, 0.5D, 0.75D))")
@@ -408,7 +410,7 @@ object QualityQueries {
     // At 100 TB: store the per-day sketch column, union at query time,
     // never rescan.
     "q_ndv_incremental" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      val li = graft.prep.Preprocessing.spread(Tables.lineitem(s, d)) // r20
         .select(col("l_partkey"), (col("l_orderkey") % 4).as("day"))
       val daily = li.groupBy(col("day"))
         .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
