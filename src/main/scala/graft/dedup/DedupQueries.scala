@@ -504,7 +504,14 @@ object DedupQueries {
       val wide = flatten(transform(sequence(lit(1), lit(24)),
         r => transform(graft.sim.Vectors.toDoubleArray(col("embedding")),
           x => x * r.cast("double"))))
-      val emb = embeddings(s, d).select(col("vec_id"), wide.as("embedding"))
+      // r20: spread the single-row-group scan BEFORE the dim-1536 tiling
+      // projection — otherwise every pass (k-means sample, stats, cell
+      // assignment, both scorers) re-evaluates the interpreted tiling HOF
+      // on ONE task (measured: three serial 1-task 1.0-1.8 s stages).
+      // Post-exchange, the operators' own spread() no-ops, and the tile
+      // runs 32-way in each pass.
+      val emb = graft.prep.Preprocessing.spread(embeddings(s, d))
+        .select(col("vec_id"), wide.as("embedding"))
       val q = emb.filter(col("vec_id") < 10)
       annRecallSummary(
         Knn.ivfTopK(q, emb, "vec_id", "embedding", k = 5,

@@ -9,12 +9,19 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  def toDoubleArray(v: Column): Column = transform(v, x => x.cast("double"))
+  // r20: a native array cast instead of the per-element transform lambda —
+  // Catalyst HOFs evaluate interpreted per element; Cast over arrays is
+  // codegen'd and widens float→double exactly like the element cast did
+  // (NULL array and NULL elements preserved identically).
+  def toDoubleArray(v: Column): Column = v.cast("array<double>")
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  // r20: norms are computed once per row on every ANN/coreset/dedup path —
+  // route through the native codegen'd fold (same left-to-right order as
+  // the HOF [[dot]], bit-identical doubles; the cosineFromNorms doctrine)
+  def norm(a: Column): Column = sqrt(fastDot(a, a))
 
   /** Dot product via the native codegen'd [[graft.functions.DotProduct]]
     * expression: reads ArrayData directly (no boxing, no UDF encode/decode
