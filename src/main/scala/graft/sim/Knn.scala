@@ -192,8 +192,68 @@ object Knn extends Serializable {
     // DtwExpression): dim is the longest sample, shorter vectors
     // contribute their prefix only — no AIOOBE, deterministic
     val dim = samples.map(_.length).max
-    var centroids = rng.shuffle(samples.toVector).take(math.min(k, samples.length))
-      .map(_.clone).toArray
+    // r21 (VERDICT r20 item 1): ORDER-INVARIANT init. The old init
+    // (rng.shuffle over positions) made the centroids a function of the
+    // sample's ARRIVAL ORDER, so any upstream repartition (spread(),
+    // AQE, a different file split) moved every centroid — the q_knn_wide
+    // r20 oracle break. Canonicalizing the sample (lexicographic sort)
+    // and seeding with k-means++ (D²-weighted, seeded rng over the
+    // canonical order) makes training a pure function of the sample
+    // MULTISET; the spread-out init also clears the ANN recall bars
+    // with margin instead of depending on a lucky shuffle.
+    val canon = {
+      import scala.math.Ordering.Implicits._
+      samples.sortBy(_.toSeq)
+    }
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    val kk = math.min(k, canon.length)
+    // greedy k-means++ (the scikit-learn default): per step draw
+    // 2+log2(k) D²-weighted candidates and keep the one that lowers
+    // total inertia most — markedly better cells than single-draw ++
+    // for the same seeded determinism (init cost ~L extra distance
+    // passes, amortized against `iters` Lloyd passes)
+    val nTrials = 2 + (math.log(math.max(2, kk)) / math.log(2)).toInt
+    val centers = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    centers += canon(rng.nextInt(canon.length)).clone
+    val minD = canon.map(v => d2(v, centers(0)))
+    while (centers.length < kk) {
+      val total = minD.sum
+      var bestCand: Array[Double] = null
+      var bestPot = Double.MaxValue
+      var t = 0
+      while (t < nTrials) {
+        val cand =
+          if (total <= 0) canon(rng.nextInt(canon.length))
+          else {
+            var r = rng.nextDouble() * total
+            var i = 0
+            while (i < canon.length - 1 && r > minD(i)) { r -= minD(i); i += 1 }
+            canon(i)
+          }
+        var pot = 0.0
+        var i = 0
+        while (i < canon.length) {
+          val d = d2(canon(i), cand)
+          pot += math.min(d, minD(i))
+          i += 1
+        }
+        if (pot < bestPot) { bestPot = pot; bestCand = cand }
+        t += 1
+      }
+      centers += bestCand.clone
+      var i = 0
+      while (i < canon.length) {
+        val d = d2(canon(i), bestCand)
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+    }
+    var centroids: Array[Array[Double]] = centers.toArray
     var it = 0
     while (it < iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
@@ -266,11 +326,24 @@ object Knn extends Serializable {
     // zero-length) has no direction, so it cannot vote for a SPHERICAL
     // centroid — unit() would pass it through un-normalized and dilute
     // whichever cell it lands in
+    //
+    // Partition-INVARIANT sample (r21, VERDICT r20 item 1): rank by a
+    // seeded hash of the vector VALUE instead of rand(seed). Spark's
+    // rand(seed) is per-partition seeded, so any upstream repartition
+    // (spread(), AQE, a different file split) redraws the sample and
+    // moves every centroid — the q_knn_wide r20 oracle break. The hash
+    // depends only on row values: same corpus, same sample, under any
+    // partitioning (the Mixing.drawU doctrine, applied to values since
+    // this frame carries no id). Ties are value-identical duplicates
+    // (harmless to Lloyd's); a second salted hash orders cross-value
+    // collisions deterministically. orderBy+limit plans as
+    // TakeOrderedAndProject (per-partition top-k, no global sort).
     val sample = df.select(toDoubleArray(col(vecCol)).as("v"))
       .withColumn("_n", norm(col("v")))
       .filter(finiteNorm("_n") && col("_n") > 0)
-      .withColumn("_r", rand(seed))
-      .orderBy(col("_r")).limit(sampleSize)
+      .withColumn("_r", xxhash64(lit(seed), col("v")))
+      .withColumn("_r2", xxhash64(lit(seed + 1), col("v")))
+      .orderBy(col("_r"), col("_r2")).limit(sampleSize)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     if (sample.isEmpty) Array.empty
     else kmeansCentroids(sample.map(unit), k, iters, seed)
@@ -375,12 +448,15 @@ object Knn extends Serializable {
     require(ksub > 0, s"ksub must be > 0, got $ksub")
     require(sampleSize > 0, s"sampleSize must be > 0, got $sampleSize")
     val dsub = dim / m
+    // same partition-invariant value-hash draw as trainSphericalKmeans
+    // (rand(seed) is per-partition seeded — see the comment there)
     val sample = df.select(toDoubleArray(col(vecCol)).as("v"))
       .filter(size(col("v")) === dim)
       .withColumn("_n", norm(col("v")))
       .filter(finiteNorm("_n") && col("_n") > 0)
-      .withColumn("_r", rand(seed))
-      .orderBy(col("_r")).limit(sampleSize)
+      .withColumn("_r", xxhash64(lit(seed), col("v")))
+      .withColumn("_r2", xxhash64(lit(seed + 1), col("v")))
+      .orderBy(col("_r"), col("_r2")).limit(sampleSize)
       .select(col("v")).collect().map(r => unit(r.getSeq[Double](0).toArray))
     if (sample.isEmpty) Array.empty
     else Array.tabulate(m) { s =>

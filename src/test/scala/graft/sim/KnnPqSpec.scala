@@ -64,6 +64,26 @@ class KnnPqSpec extends AnyFunSuite with SparkSpec {
     assert(inter / total >= 0.85, s"recall ${inter / total}")
   }
 
+  test("quantizer training is partition-invariant: repartitioned corpus, identical centroids") {
+    // r21 regression guard (VERDICT r20 item 1): rand(seed) sampling was
+    // per-partition seeded, so a spread()/repartition upstream of training
+    // moved every centroid and broke q_knn_wide's oracle. The value-hash
+    // draw + canonical k-means++ init must make training a pure function
+    // of the corpus MULTISET — any partitioning, same centroids, bit for
+    // bit. sampleSize < corpus so the DRAW is exercised, not just init.
+    val a = Knn.trainSphericalKmeans(emb, "embedding", k = 8,
+      sampleSize = 200, iters = 5, seed = 42L)
+    val b = Knn.trainSphericalKmeans(emb.repartition(7), "embedding",
+      k = 8, sampleSize = 200, iters = 5, seed = 42L)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    val pqA = Knn.trainPqCodebooks(emb, "embedding", dim = 64, m = 8,
+      ksub = 16, sampleSize = 200, iters = 5, seed = 7L)
+    val pqB = Knn.trainPqCodebooks(emb.repartition(5), "embedding",
+      dim = 64, m = 8, ksub = 16, sampleSize = 200, iters = 5, seed = 7L)
+    assert(pqA.map(_.toSeq.map(_.toSeq)).toSeq ===
+      pqB.map(_.toSeq.map(_.toSeq)).toSeq)
+  }
+
   test("a fully-poisoned corpus degrades to an empty typed result (ivfTopK contract)") {
     val poison = Seq(
       (1L, null.asInstanceOf[Seq[Float]]),
