@@ -252,39 +252,55 @@ object QualityQueries {
     // against the old binning). Per-bin contribution rows keep every
     // term a closed-form double from exact integer counts.
     "q_psi_drift" -> ((s, d) => {
+      // r21 (§2.4): the old shape scanned lineitem THREE times (reference
+      // fences, reference bucketing, current bucketing — each behind its
+      // own spread exchange) and derived totals via two unpartitioned
+      // windows feeding an inner join. Both sides' bucket counts are
+      // conditional sums over the SAME rows, so one counting aggregate
+      // over one scan produces all 8 counters; totals and shares become
+      // plain expressions over the 1-row wide frame, and the inner join's
+      // drop-one-sided-bucket semantics becomes a filter (n_ref > 0 AND
+      // n_cur > 0). Two scans total (fences + counts), zero windows, same
+      // integers into the same double arithmetic — bit-identical output.
       val li = graft.prep.Preprocessing.spread(Tables.lineitem(s, d)) // r20
-      val ref = li.select(col("l_extendedprice").cast("double").as("x"))
-      val cur = li.select(
-        when(pmod(col("l_orderkey"), lit(3)) === 0,
-          col("l_extendedprice").cast("double") * 1.10)
-          .otherwise(col("l_extendedprice").cast("double")).as("x"))
-      val q = ref.agg(
+      val refX = col("l_extendedprice").cast("double")
+      val curX = when(pmod(col("l_orderkey"), lit(3)) === 0,
+        col("l_extendedprice").cast("double") * 1.10)
+        .otherwise(col("l_extendedprice").cast("double"))
+      val q = li.select(refX.as("x")).agg(
         expr("percentile(x, array(0.25D, 0.5D, 0.75D))").as("__f"))
-      def bucketed(df: DataFrame, tag: String): DataFrame = {
+      def bucketOf(x: org.apache.spark.sql.Column) = {
         def above(i: Int) =
-          when(col("x") > round(element_at(col("__f"), i), 6), 1L).otherwise(0L)
-        df.crossJoin(broadcast(q))
-          .select((lit(1L) + above(1) + above(2) + above(3))
-            .as("bucket"))
-          .groupBy(col("bucket")).agg(count(lit(1)).as(tag))
+          when(x > round(element_at(col("__f"), i), 6), 1L).otherwise(0L)
+        lit(1L) + above(1) + above(2) + above(3)
       }
-      val wt = org.apache.spark.sql.expressions.Window.partitionBy()
-      val r = bucketed(ref, "n_ref")
-        .withColumn("p_ref", col("n_ref").cast("double") / sum(col("n_ref")).over(wt))
-      val c = bucketed(cur, "n_cur")
-        .withColumn("p_cur", col("n_cur").cast("double") / sum(col("n_cur")).over(wt))
-      // ln-safety precondition, guaranteed by construction: groupBy only
-      // emits buckets with count >= 1 (so p_ref, p_cur > 0 on every row
-      // that exists) and the INNER join drops a bucket populated on one
-      // side only — the oracle's ln(p_cur/p_ref) therefore never sees 0
+      val counters = (1 to 4).flatMap(b => Seq(
+        sum(when(col("__br") === b, 1L).otherwise(0L)).as(s"__nr$b"),
+        sum(when(col("__bc") === b, 1L).otherwise(0L)).as(s"__nc$b")))
+      val wide = li.crossJoin(broadcast(q))
+        // each side's bucket computed ONCE per row; the 8 counters read
+        // the projected ids instead of re-evaluating the fence chain
+        .select(bucketOf(refX).as("__br"), bucketOf(curX).as("__bc"))
+        .agg(counters.head, counters.tail: _*)
+        .withColumn("__tr", (1 to 4).map(b => col(s"__nr$b")).reduce(_ + _))
+        .withColumn("__tc", (1 to 4).map(b => col(s"__nc$b")).reduce(_ + _))
+      val stackArgs = (1 to 4)
+        .map(b => s"CAST($b AS BIGINT), `__nr$b`, `__nc$b`").mkString(", ")
+      // ln-safety precondition, guaranteed by construction: the filter
+      // below only keeps buckets populated on BOTH sides (the old inner
+      // join's semantics), so the oracle's ln(p_cur/p_ref) never sees 0
       // or NULL on any data distribution (DuckDB ln(0) is a hard error,
       // not a NULL, so this must hold structurally, not by fixture luck).
-      r.join(c, Seq("bucket"))
+      val pRef = col("n_ref").cast("double") / col("__tr")
+      val pCur = col("n_cur").cast("double") / col("__tc")
+      wide
+        .select(col("__tr"), col("__tc"),
+          expr(s"stack(4, $stackArgs) AS (bucket, n_ref, n_cur)"))
+        .filter(col("n_ref") > 0 && col("n_cur") > 0)
         .select(col("bucket"), col("n_ref"), col("n_cur"),
-          round(col("p_ref"), 6).as("p_ref"),
-          round(col("p_cur"), 6).as("p_cur"),
-          round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 6)
-            .as("psi_term"))
+          round(pRef, 6).as("p_ref"),
+          round(pCur, 6).as("p_cur"),
+          round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
     }),
 
     // Chi-square independence cells between two categorical columns —
@@ -386,6 +402,14 @@ object QualityQueries {
     // column, is approx NDV within 5% of the exact count (rsd 0.02 keeps
     // it inside at any SF; HLL++ is exact in sparse mode so small SFs
     // pass trivially). Mirrors the q_approx_distinct oracle pattern.
+    // r21 measured NON-win, kept two-pass deliberately: fusing the exact
+    // profile and the HLL sketch into ONE aggregate (tried: countDistinct
+    // x4 + approx_count_distinct in the same agg) plans the HLL as a
+    // regular aggregate over the multi-distinct Expand — an HLL++ buffer
+    // per (gid, value) group in the partial (measured sf0.1: 68.6 MB
+    // shuffled, 74 s executor time, 5-16 s wall vs 2.5-2.9 s for this
+    // shape). Two scans joined on col_name is the cheaper plan because
+    // the approx pass's plain aggregate never touches the Expand.
     "q_profile_numeric_approx" -> ((s, d) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val exact = DataQuality.profileNumeric(Tables.lineitem(s, d), cols)
@@ -703,6 +727,31 @@ object QualityQueries {
       .when(length(col("text")) < 350, "mid")
       .otherwise(lit("long"))
 
+  /** The production stage-boundary fetch of the pipeline/funnel tails —
+    * ONE definition for every driver-advanced branch and the lint probe
+    * (r21, VERDICT item 9: the shipped `lint = false` plans must stay
+    * screenable). Contract, enforced at runtime AND asserted by
+    * CatalogPlanLintSpec: the collected id set is bounded by a QUERY
+    * CONSTANT (never data size), and the fetch plans as an `isin` filter
+    * the parquet scan can push (row-group skip at 100 TB, not a second
+    * corpus scan).
+    */
+  private[graft] def idFetch(df: DataFrame, idCol: String, ids: Seq[Long],
+      cap: Int, what: String): DataFrame = {
+    require(ids.length <= cap,
+      s"$what: bounded-collect contract violated (${ids.length} ids > cap $cap)")
+    df.filter(col(idCol).isin(ids: _*))
+  }
+
+  /** The bounded-collect caps of the production pipeline/funnel branches,
+    * exposed for the lint spec (must be literals of the query, never
+    * data-dependent).
+    */
+  private[graft] def lintFetchCaps: Map[String, Int] = Map(
+    "selectPipeline stage-2 resample" -> pipeGumbelK,
+    "selectPipeline stage-4 band" -> pipeGumbelK,
+    "selectFunnel survivor fetch" -> (pipeKPerCell * 32))
+
   /** q_select_pipeline's composed plan — ONE definition for the catalog
     * query and its lint twin (`lint = true` swaps the eager stages for
     * their declarative shapes: zero-weight serving models instead of the
@@ -755,8 +804,8 @@ object QualityQueries {
       if (lint) kept.join(broadcast(picked), Seq("doc_id"))
       else {
         val ids = picked.collect().map(_.getLong(0)).toSeq // k rows, bounded
-        Tables.documents(s, d)
-          .filter(col("doc_id").isin(ids: _*))
+        idFetch(Tables.documents(s, d), "doc_id", ids,
+          cap = pipeGumbelK, what = "selectPipeline stage-2 resample")
           .select(col("doc_id"), col("text"))
           .localCheckpoint()
       }
@@ -780,7 +829,8 @@ object QualityQueries {
       if (lint) Tables.embeddings(s, d).join(band, Seq("vec_id"), "left_semi")
       else {
         val bandIds = band.collect().map(_.getLong(0)).toSeq // ≤ k rows
-        Tables.embeddings(s, d).filter(col("vec_id").isin(bandIds: _*))
+        idFetch(Tables.embeddings(s, d), "vec_id", bandIds,
+          cap = pipeGumbelK, what = "selectPipeline stage-4 band")
       }
     val centroids = graft.dedup.DedupQueries.semanticCentroidFrame(s)
     if (lint)
@@ -816,8 +866,8 @@ object QualityQueries {
         val survIds = ids.collect().map(_.getLong(0)).toSeq // ≤ 64 rows
         // checkpointed (≤ 64 rows): rates and admit both read surv — one
         // pushed-filter fetch instead of two
-        Tables.documents(s, d)
-          .filter(col("doc_id").isin(survIds: _*))
+        idFetch(Tables.documents(s, d), "doc_id", survIds,
+          cap = pipeKPerCell * 32, what = "selectFunnel survivor fetch")
           .select(col("doc_id"), col("source"))
           .localCheckpoint()
       }

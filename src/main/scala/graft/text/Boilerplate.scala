@@ -60,8 +60,19 @@ object Boilerplate {
         transform(sequence(lit(0), size(col("toks")) - n),
           i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
         .otherwise(array().cast("array<string>")))
+    // posexplode_OUTER, not posexplode (r21): the inner generator makes
+    // the optimizer infer `size(grams) > 0` below it
+    // (InferFiltersFromGenerate), and predicate pushdown then drags that
+    // filter — with the ENTIRE tokenize+gram HOF chain inlined — below
+    // the spread() exchange, so every consumer subtree re-evaluated the
+    // expensive transforms in the 1-task scan stage (measured: two serial
+    // 3.5 s single-task stages inside q_corpus_build at sf0.1). The outer
+    // generator infers nothing, the projection stays ABOVE the exchange
+    // (32-way), and the one null row an empty-gram doc emits is dropped
+    // right here — same rows, tokenization evaluated once per doc.
     val gramPost = withGrams.select(id,
-      posexplode(col("grams")).as(Seq("gpos", "gram")))
+      posexplode_outer(col("grams")).as(Seq("gpos", "gram")))
+      .filter(col("gram").isNotNull)
     // document frequency over DISTINCT (doc, gram): a gram repeated inside
     // one doc is repetition (q_text_repetition's signal), not boilerplate
     val gramDf = gramPost.select(id, col("gram")).distinct()
@@ -75,23 +86,39 @@ object Boilerplate {
             greatest(lit(maxDocFreq.toDouble), lit(f) * col("__n")))
           .select(col("gram"))
     }
+    // r21 (guide §2.3/§2.4 — shuffle fewer bytes, remove shuffles): the
+    // excision used to explode EVERY token into a row, anti-join the
+    // (doc, pos) stream against the covered positions, and reassemble with
+    // a groupBy(doc) collect_list + array_sort — three token-scale
+    // exchanges (covered.distinct, the anti join, the reassembly) for what
+    // is a per-document positional filter. Instead: aggregate the covered
+    // positions into ONE set per document (collect_set dedups, so the
+    // separate distinct() exchange disappears; only boilerplate-covered
+    // positions shuffle, never the full token stream), join that
+    // doc-cardinality frame back to the tokenized docs, and excise
+    // in-array: array_except(all positions, covered) keeps original order
+    // and runs on a hash set (O(tokens) per doc), element_at rebuilds the
+    // text. Same output bit-for-bit (oracle-checked at 3 SFs): kept
+    // positions ascend exactly like the sorted (pos, tok) structs did, and
+    // a fully-covered or empty doc yields ('' , 0, n_tokens) through the
+    // same coalesce spine.
     val covered = gramPost.join(frequent, Seq("gram"))
       .select(id, explode(sequence(col("gpos"), col("gpos") + (n - 1)))
         .as("pos"))
-      .distinct()
-    val tokens = base.select(id, posexplode(col("toks")).as(Seq("pos", "tok")))
-    val kept = tokens.join(covered, Seq(idCol, "pos"), "left_anti")
-    // order restored by sorting (pos, tok) structs — pos is unique per doc
-    val clean = kept.groupBy(id)
-      .agg(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            s => s.getField("tok"))).as("text_clean"),
-        count(lit(1)).as("n_kept"))
-    base.select(id, size(col("toks")).cast("long").as("n_tokens"))
-      .join(clean, Seq(idCol), "left_outer")
+    val dropSets = covered.groupBy(id)
+      .agg(collect_set(col("pos")).as("__drop"))
+    // sequence() guarded again: sequence(0, -1) on an empty doc DESCENDS
+    val allPos = when(size(col("toks")) > 0,
+      sequence(lit(0), size(col("toks")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val keptPos = array_except(allPos,
+      coalesce(col("__drop"), array().cast("array<int>")))
+    base.join(dropSets, Seq(idCol), "left_outer")
       .select(id,
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        concat_ws(" ",
+          transform(keptPos, p => element_at(col("toks"), p + 1)))
+          .as("text_clean"),
+        size(keptPos).cast("long").as("n_kept"),
+        (size(col("toks")) - size(keptPos)).cast("long").as("n_dropped"))
   }
 }

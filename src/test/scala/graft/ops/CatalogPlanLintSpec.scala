@@ -232,7 +232,6 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
     "q_mix_temperature" -> "windows over the per-domain token aggregate — domain cardinality",
     "q_mix_weights" -> "windows over the per-domain token aggregate — domain cardinality",
     "q_mix_weights_bpe" -> "windows over the per-domain BPE-token aggregate — domain cardinality",
-    "q_psi_drift" -> "windows over the fixed-bin-count bucket frames",
     "q_retention_plan" -> "max(version) over the snapshot-version listing — versions-retained scale",
     "q_skew_profile" -> "rank/cum-share windows over the 20-row TakeOrdered result (round-12 verdict shape)",
     "q_text_zipf" -> "row_number over the top-100 TakeOrdered token frame feeding the log-log fit",
@@ -263,6 +262,41 @@ class CatalogPlanLintSpec extends AnyFunSuite with SparkSpec {
   test("window allowlist entries still exist in the catalog") {
     val gone = windowAllowed.keySet.diff(graft.SparkEntry.queries.keySet)
     assert(gone.isEmpty, s"allowlisted but absent: $gone")
+  }
+
+  test("pipeline/funnel production fetches honor the bounded-collect contract " +
+    "(r21 VERDICT item 9: the shipped lint=false branches, not just the twins)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the caps must be query constants, small enough that the driver
+    // collect and the isin list stay metadata-scale at ANY corpus size
+    val caps = graft.quality.QualityQueries.lintFetchCaps
+    assert(caps.nonEmpty && caps.values.forall(c => c > 0 && c <= 256),
+      s"fetch caps must be small query constants: $caps")
+    // the shared fetch definition must (a) refuse an over-cap id set and
+    // (b) plan as a pushed In() filter on the parquet scan — the
+    // row-group-skipping shape the production branches ship
+    val ids = (1L to 3L).toSeq
+    intercept[IllegalArgumentException] {
+      graft.quality.QualityQueries.idFetch(
+        graft.ops.Tables.documents(spark, d), "doc_id", ids, cap = 2,
+        what = "lint probe")
+    }
+    val fetches = Seq(
+      ("doc_id", graft.quality.QualityQueries.idFetch(
+        graft.ops.Tables.documents(spark, d), "doc_id", ids, cap = 64,
+        what = "lint probe")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))),
+      ("vec_id", graft.quality.QualityQueries.idFetch(
+        graft.ops.Tables.embeddings(spark, d), "vec_id", ids, cap = 64,
+        what = "lint probe")))
+    fetches.foreach { case (idCol, df) =>
+      val scans = df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f.metadata.getOrElse("PushedFilters", "")
+      }
+      assert(scans.nonEmpty && scans.exists(_.contains(s"In($idCol")),
+        s"fetch on $idCol does not push its isin filter to the scan: $scans")
+    }
   }
 
   test("no catalog query force-broadcasts a scale-proportional table off-allowlist") {
