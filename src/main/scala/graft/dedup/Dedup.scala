@@ -335,14 +335,26 @@ object Dedup {
     // per-partition sort costs more than the extra hash aggregate), and df
     // counting must stay a groupBy regardless — a window keyed on the
     // SHINGLE would funnel a corpus-hot shingle into a single task.
-    val postings = kept.join(
-        kept.groupBy(col(idCol)).agg(count(lit(1)).as("sz")), Seq(idCol))
-      .select(col(idCol), col("sz"), col("shk"))
-    postings.as("a").join(postings.as("b"),
+    //
+    // r21 (§2.3 shuffle fewer bytes): sizes attach AFTER the pair
+    // aggregate, not before. The old shape joined (id, sz) onto every
+    // POSTING row, so sz rode the self-join exchange (~20% of its bytes)
+    // and sz_a/sz_b sat in the pair groupBy key — hashed per candidate
+    // row of the df²-bounded join fan-out. Post-aggregate, sizes join at
+    // PAIR scale (distinct co-occurring pairs, orders of magnitude fewer
+    // rows than candidates), and the doc-cardinality sizes frame rides a
+    // planner-chosen broadcast. Same integers, same output columns.
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    kept.as("a").join(kept.as("b"),
         col("a.shk") === col("b.shk") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+        col("inter"))
   }
 
   // 2^31 - 1 (Mersenne). Hash values are masked to 31 bits so that
